@@ -1,13 +1,374 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+import graft.ext._
+import graft.gen.Generator
+import graft.streaming.StreamOps
+
+/** Driver contract (see SURVEY.md §7 + builder prompt): one `queries` entry
+  * per implemented operator from SURVEY.md §2, with matching DuckDB
+  * `oracleSql` where SQL-expressible. Column names are aliased identically
+  * on both sides (the driver's compare sorts columns by name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val Parties = Generator.Parties
+  private def partyCase(keyExpr: String): String =
+    s"CASE $keyExpr % 3 WHEN 0 THEN '${Parties(0)}' WHEN 1 THEN '${Parties(1)}' ELSE '${Parties(2)}' END"
+
+  /** Flagship query on sf0.001 — A1 votes-per-candidate, the reference's
+    * headline semantic (`.../Note_Projet1_...txt:34-37`). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Aggregates.votesPerCandidate(
+      Tables.events(spark, "/root/testdata/sf0.001"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregations (SURVEY §2.4) ----
+    "a1_votes_per_candidate" -> ((s, d) =>
+      Aggregates.votesPerCandidate(Tables.events(s, d))),
+    "a2_turnout_by_location" -> ((s, d) =>
+      Aggregates.turnoutByLocation(Tables.customer(s, d), Tables.nation(s, d))),
+    "a3_dedup_first_per_user" -> ((s, d) =>
+      Dedup.firstPerKey(Tables.events(s, d), "user_id", "event_id")
+        .select("user_id", "event_id", "event_type")),
+    "a4_count_events" -> ((s, d) =>
+      Aggregates.countRows(Tables.events(s, d))),
+    "a5_winner" -> ((s, d) =>
+      Aggregates.winner(Tables.events(s, d))),
+    "a6_distinct_users" -> ((s, d) =>
+      Aggregates.distinctUsers(Tables.events(s, d))),
+    "a6_approx_distinct_users" -> ((s, d) =>
+      Aggregates.approxDistinctUsers(Tables.events(s, d))),
+    "q1_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+             round(sum("l_extendedprice"), 2).as("sum_base_price"),
+             round(avg("l_discount"), 4).as("avg_disc"),
+             count(lit(1)).as("n"))),
+    "q6_filtered_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") < 25 &&
+                col("l_discount").between(0.02, 0.08))
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"))),
+
+    // ---- joins (SURVEY §2.3) ----
+    "j1_broadcast_enrich" -> ((s, d) =>
+      Joins.enrich(Tables.events(s, d), Tables.customer(s, d),
+                   "user_id", "c_custkey")
+        .select("event_id", "event_type", "c_name", "c_mktsegment")),
+    "j2_assign_one_of_n" -> ((s, d) =>
+      Joins.assignOneOfN(Tables.events(s, d), "user_id", Parties, "party")
+        .select("event_id", "party")),
+    "j3_agg_then_enrich" -> ((s, d) =>
+      Joins.aggThenEnrich(Tables.events(s, d), Tables.customer(s, d))),
+
+    // ---- decode chain / projections (SURVEY §2.2) ----
+    "p1p3_decode_flatten" -> ((s, d) =>
+      Decode.kafkaRoundTrip(Tables.events(s, d),
+        "event_id BIGINT, event_type STRING, value DOUBLE",
+        col("event_id"), col("event_type"), col("value"))),
+    "p6_empty_guard" -> ((s, d) =>
+      Aggregates.emptyGuardCount(Tables.events(s, d))),
+    "p7_json_null_filter" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), expr("from_json(props, 'k INT').k").as("k"))
+        .filter(col("k").isNotNull && col("k") >= 50)),
+
+    // ---- windows / top-k (SURVEY §2.5) ----
+    "w1_rank_leaderboard" -> ((s, d) =>
+      Windows.leaderboard(Tables.events(s, d))),
+    "w2_topk_spenders" -> ((s, d) =>
+      Windows.topKByAggregate(Tables.events(s, d), 10)),
+    "w3_running_total" -> ((s, d) =>
+      Windows.runningTotalPerUser(Tables.events(s, d))),
+
+    // ---- scalar layer (SURVEY §2.7) ----
+    "f1_concat" -> ((s, d) =>
+      Scalars.tag(Tables.customer(s, d), "c_custkey", "c_name", "c_mktsegment")),
+    "f2_party_pick" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+                Scalars.pickByMod(col("c_custkey"), Parties).as("party"))),
+    "f3_parity_pick" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+                Scalars.parityPick(col("c_custkey"), "female", "male").as("gender"))),
+    "f4_time_format" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+                Scalars.formatTime(col("ts"), "yyyy-MM-dd HH").as("hour_str"))),
+    "f5_json_roundtrip" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+                Scalars.toJsonCol(col("event_type"), col("value")).as("js"))),
+    "f9_format_string" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+                Scalars.formatLog("%s#%03d", col("event_type"),
+                                  pmod(col("user_id"), lit(100))).as("tag"))),
+
+    // ---- SQL surface / DDL (SURVEY §2.1 S6) ----
+    "s6_sql_over_view" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_type, count(*) AS n FROM events_v
+               WHERE value > 10 GROUP BY event_type HAVING count(*) > 5""")
+    }),
+
+    // ---- generator / golden pipeline (SURVEY §2.1 S7) ----
+    "s7_generator" -> ((s, _) => Generator.voters(s, 1000)),
+    "gen_votes_golden" -> ((s, _) => Generator.goldenTally(s, 1000)),
+
+    // ---- streaming (SURVEY §2.8) — real MemoryStream executions ----
+    "t3_stream_cumulative" -> ((s, d) => StreamOps.cumulativeTally(s, d)),
+    "t2_stream_hourly_window" -> ((s, d) => StreamOps.hourlyWindowCounts(s, d)),
+    "t5_stream_dedup_users" -> ((s, d) => StreamOps.streamingDedupUsers(s, d)),
+    "s8_write_then_emit" -> ((s, d) => StreamOps.writeThenEmit(s, d)),
+
+    // ---- LLM pipeline: dedup family ----
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exactByContent(Tables.documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      DedupOps.ngramJaccardTopPairs(Tables.documents(s, d), 3, 20)),
+    "dedup_minhash_candidates" -> ((s, d) =>
+      DedupOps.minHashCandidates(Tables.documents(s, d), 3, bands = 8, rows = 2)
+        .orderBy("doc_a", "doc_b")),
+    "dedup_simhash" -> ((s, d) =>
+      DedupOps.simHashes(Tables.documents(s, d))),
+    "dedup_embedding_cosine" -> ((s, d) =>
+      SimilarityOps.nearDupPairsWithinLabel(Tables.embeddings(s, d), 20)),
+
+    // ---- LLM pipeline: similarity search ----
+    "ann_cosine_topk" -> ((s, d) =>
+      SimilarityOps.bruteForceTopK(Tables.embeddings(s, d), 0L, 10)),
+    "ann_ivf_topk" -> ((s, d) =>
+      SimilarityOps.ivfTopK(Tables.embeddings(s, d), 0L, 10, nprobe = 3)),
+    "ann_lsh_buckets" -> ((s, d) =>
+      SimilarityOps.lshBuckets(Tables.embeddings(s, d), 8)),
+
+    // ---- LLM pipeline: text analysis ----
+    "text_stats" -> ((s, d) => TextOps.stats(Tables.documents(s, d))),
+    "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
+    "text_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
+    "text_token_counts" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
+    "text_fingerprints" -> ((s, d) => TextOps.fingerprints(Tables.documents(s, d))),
+
+    // ---- LLM pipeline: multimodal columns ----
+    "mm_media_meta" -> ((s, d) => MultimodalOps.mediaMeta(Tables.documents(s, d))),
+    "mm_decode_stub" -> ((s, d) => MultimodalOps.decodeStub(s, Tables.documents(s, d))),
+    "mm_frame_sample" -> ((s, d) =>
+      MultimodalOps.frameSample(Tables.documents(s, d), 8, 16)
+        .select(col("doc_id"),
+          posexplode(col("frame_bytes")).as(Seq("frame_idx", "byte_val"))))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "a1_votes_per_candidate" ->
+      """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
+         FROM events GROUP BY event_type""",
+    "a2_turnout_by_location" ->
+      """SELECT n.n_name AS location, count(*) AS turnout
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY n.n_name""",
+    "a3_dedup_first_per_user" ->
+      """SELECT user_id, event_id, event_type FROM (
+           SELECT user_id, event_id, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+           FROM events) t WHERE rn = 1""",
+    "a4_count_events" -> "SELECT count(*) AS n FROM events",
+    "a5_winner" ->
+      """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
+         FROM events GROUP BY event_type
+         ORDER BY n_events DESC, event_type LIMIT 1""",
+    "a6_distinct_users" ->
+      "SELECT count(DISTINCT user_id) AS n_users FROM events",
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_base_price,
+                round(avg(l_discount), 4) AS avg_disc,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q6_filtered_agg" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+         FROM lineitem
+         WHERE l_quantity < 25 AND l_discount BETWEEN 0.02 AND 0.08""",
+    "j1_broadcast_enrich" ->
+      """SELECT e.event_id, e.event_type, c.c_name, c.c_mktsegment
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
+    "j2_assign_one_of_n" ->
+      s"SELECT event_id, ${partyCase("user_id")} AS party FROM events",
+    "j3_agg_then_enrich" ->
+      """SELECT c.c_name, t.total_value
+         FROM (SELECT user_id, round(sum(value), 2) AS total_value
+               FROM events GROUP BY user_id) t
+         JOIN customer c ON t.user_id = c.c_custkey""",
+    "p1p3_decode_flatten" ->
+      "SELECT event_id, event_type, value FROM events",
+    "p6_empty_guard" ->
+      "SELECT count(*) AS n_matching FROM events WHERE event_type = '__nonexistent__'",
+    "p7_json_null_filter" ->
+      """SELECT event_id, CAST(props->>'k' AS INTEGER) AS k FROM events
+         WHERE CAST(props->>'k' AS INTEGER) >= 50""",
+    "w1_rank_leaderboard" ->
+      """SELECT event_type, n_events,
+                rank() OVER (ORDER BY n_events DESC, event_type) AS rnk
+         FROM (SELECT event_type, count(*) AS n_events FROM events
+               GROUP BY event_type) t""",
+    "w2_topk_spenders" ->
+      """SELECT user_id, round(sum(value), 2) AS total_value
+         FROM events GROUP BY user_id
+         ORDER BY total_value DESC, user_id LIMIT 10""",
+    "w3_running_total" ->
+      """SELECT event_id, user_id,
+                round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                  AS running_value
+         FROM events""",
+    "f1_concat" ->
+      "SELECT c_custkey, concat_ws('|', c_name, c_mktsegment) AS tag FROM customer",
+    "f2_party_pick" ->
+      s"SELECT c_custkey, ${partyCase("c_custkey")} AS party FROM customer",
+    "f3_parity_pick" ->
+      """SELECT c_custkey,
+                CASE WHEN c_custkey % 2 = 1 THEN 'female' ELSE 'male' END AS gender
+         FROM customer""",
+    "f4_time_format" ->
+      "SELECT event_id, strftime(ts, '%Y-%m-%d %H') AS hour_str FROM events",
+    "f5_json_roundtrip" ->
+      """SELECT event_id,
+                to_json(struct_pack(event_type := event_type, value := value)) AS js
+         FROM events""",
+    "f9_format_string" ->
+      "SELECT event_id, printf('%s#%03d', event_type, user_id % 100) AS tag FROM events",
+    "s6_sql_over_view" ->
+      """SELECT event_type, count(*) AS n FROM events
+         WHERE value > 10 GROUP BY event_type HAVING count(*) > 5""",
+    "s7_generator" ->
+      s"""SELECT id AS voter_id,
+                 ${partyCase("id")} AS party_affiliation,
+                 'voter_' || id AS voter_name,
+                 CASE WHEN id % 2 = 1 THEN 'female' ELSE 'male' END AS gender,
+                 CAST(18 + (id * 2654435761) % 60 AS INTEGER) AS registered_age
+          FROM range(1000) t(id)""",
+    "gen_votes_golden" ->
+      """SELECT 'candidate_' || CAST((id * 31 + 7) % 3 AS VARCHAR) AS candidate_name,
+                count(*) AS total_votes
+         FROM range(1000) t(id) GROUP BY 1""",
+    "t3_stream_cumulative" ->
+      """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
+         FROM events GROUP BY event_type""",
+    "t2_stream_hourly_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
+                count(*) AS n_events
+         FROM events GROUP BY 1""",
+    "t5_stream_dedup_users" -> "SELECT DISTINCT user_id FROM events",
+    "s8_write_then_emit" ->
+      "SELECT event_id, event_type, value FROM events",
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS doc_id, count(*) AS n_copies
+         FROM documents GROUP BY md5(text)""",
+    "dedup_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3),
+              sh AS (SELECT doc_id,
+                            unnest(list_distinct(list_transform(range(1, len(words) - 1),
+                              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+                     FROM w),
+              sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+              com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id)
+         SELECT doc_a, doc_b,
+                round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+         FROM com
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""",
+    "dedup_embedding_cosine" ->
+      """WITH e AS (SELECT vec_id, label,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              n AS (SELECT vec_id, label, v,
+                           sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+                    FROM e)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+                      / (a.nrm * b.nrm), 6) AS cosine
+         FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         ORDER BY cosine DESC, vec_a, vec_b LIMIT 20""",
+    "ann_cosine_topk" ->
+      """WITH e AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              n AS (SELECT vec_id, v,
+                           sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+                    FROM e),
+              q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = 0)
+         SELECT n.vec_id,
+                round(list_sum(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]))
+                      / (n.nrm * q.qn), 6) AS cosine
+         FROM n, q WHERE n.vec_id <> 0
+         ORDER BY cosine DESC, vec_id LIMIT 10""",
+    "text_stats" ->
+      """SELECT doc_id,
+                len(string_split(text, ' ')) AS n_tokens,
+                length(text) AS n_chars_measured,
+                len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+                round(list_sum(list_transform(string_split(text, ' '), w -> length(w)))
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS avg_token_len
+         FROM documents""",
+    "text_quality" ->
+      """SELECT doc_id, len(w) AS n_tokens,
+                round(len(list_filter(w, x -> x IN ('the','a')))
+                      / CAST(len(w) AS DOUBLE), 4) AS stop_ratio,
+                round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 4) AS ttr,
+                (len(w) >= 10 AND len(w) <= 10000
+                 AND round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 4) > 0.1)
+                  AS quality_ok
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t""",
+    "text_langid" ->
+      """SELECT doc_id, en_score,
+                CASE WHEN en_score > 0.03 THEN 'en' ELSE 'other' END AS predicted_lang
+         FROM (SELECT doc_id,
+                      round(len(list_filter(string_split(text, ' '), x -> x IN ('the','a')))
+                            / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS en_score
+               FROM documents) t""",
+    "text_token_counts" ->
+      """SELECT doc_id,
+                len(string_split(text, ' ')) AS n_ws_tokens,
+                len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+         FROM documents""",
+    "text_fingerprints" ->
+      """SELECT doc_id,
+                md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_md5,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, length(text) + 1),
+                                 i -> CAST(ascii(text[i:i]) AS BIGINT))),
+                  (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
+         FROM documents""",
+    "mm_media_meta" ->
+      """SELECT doc_id, strlen(text) AS n_bytes, sha256(text) AS sha256_hex,
+                (length(text) % 640) + 1 AS fake_width,
+                (length(text) % 480) + 1 AS fake_height
+         FROM documents""",
+    "mm_decode_stub" ->
+      """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
+                CAST(bsum % 256 AS BIGINT) AS brightness,
+                CAST((strlen(text) % 640) + 1 AS INTEGER) AS fake_width,
+                CAST((bsum % 480) + 1 AS INTEGER) AS fake_height
+         FROM (SELECT doc_id, text,
+                      list_sum(list_transform(range(1, length(text) + 1),
+                                              i -> ascii(text[i:i]))) AS bsum
+               FROM documents) t""",
+    "mm_frame_sample" ->
+      """SELECT d.doc_id, t.i AS frame_idx,
+                CASE WHEN t.i * 16 < strlen(d.text)
+                     THEN ascii(d.text[t.i * 16 + 1 : t.i * 16 + 1]) ELSE -1 END AS byte_val
+         FROM documents d, range(0, 8) t(i)"""
+  )
 }

@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing ([X] tier): images/audio/video ride as opaque
+  * `binary` columns with typed metadata alongside. The decode step itself is
+  * STUBBED (no image/audio codecs in this container) with a deterministic
+  * fake — but the Spark-side plumbing is real: binary columns, schema,
+  * partition-parallel `mapPartitions` with an explicit batch loop, and
+  * metadata extraction that an actual codec would slot into.
+  *
+  * Scale notes: binary payloads stay columnar in parquet; metadata-only
+  * queries never read the blob column (column pruning), and the decode path
+  * is a narrow map — no shuffle, scales linearly with executors.
+  */
+object MultimodalOps {
+
+  /** Attach a binary "media" column (here: utf-8 bytes of `text` standing in
+    * for image bytes) plus typed metadata — the carrier schema. */
+  def asMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("media_bytes"),
+      struct(
+        lit("image/fake").as("mime"),
+        length(col("text")).as("n_bytes")).as("media_meta"))
+
+  /** Metadata + digest extraction — pure column ops, blob never leaves the
+    * executor: byte length, sha256 digest, stub geometry derived
+    * deterministically from the payload size. */
+  def mediaMeta(docs: DataFrame): DataFrame =
+    asMedia(docs).select(
+      col("doc_id"),
+      length(col("media_bytes")).as("n_bytes"),
+      sha2(col("media_bytes"), 256).as("sha256_hex"),
+      (pmod(col("media_meta.n_bytes"), lit(640)) + 1).as("fake_width"),
+      (pmod(col("media_meta.n_bytes"), lit(480)) + 1).as("fake_height"))
+
+  final case class MediaRow(doc_id: Long, media_bytes: Array[Byte])
+  final case class DecodedRow(doc_id: Long, n_bytes: Int, brightness: Long,
+                              fake_width: Int, fake_height: Int)
+
+  /** Decode stub via `mapPartitions`: iterates the real bytes per partition
+    * (exactly where libjpeg/ffmpeg would run), producing a deterministic
+    * fake "feature" (byte-sum brightness) so the result is oracle-checkable.
+    * The partition-level batch loop is the genuine shape of a heavyweight
+    * decoder: amortized per-partition init, streaming iterator, no
+    * collect-to-driver. */
+  def decodeStub(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] =
+      asMedia(docs).select("doc_id", "media_bytes").as[MediaRow]
+    media.mapPartitions { rows =>
+      // per-partition init site (codec handle, model weights, …) goes here
+      rows.map { m =>
+        var sum = 0L
+        var i = 0
+        while (i < m.media_bytes.length) {
+          sum += (m.media_bytes(i) & 0xff); i += 1
+        }
+        DecodedRow(m.doc_id, m.media_bytes.length, sum % 256,
+          (m.media_bytes.length % 640) + 1, (sum % 480).toInt + 1)
+      }
+    }.toDF()
+  }
+
+  /** Frame sampling stub for "video" payloads: every `stride`-th byte of
+    * the first `nFrames` strides — the access pattern of keyframe sampling,
+    * as pure column ops (no UDF). */
+  def frameSample(docs: DataFrame, nFrames: Int, stride: Int): DataFrame =
+    asMedia(docs).select(
+      col("doc_id"),
+      expr(s"transform(sequence(0, ${nFrames - 1}), i -> " +
+        s"if(i * $stride < length(media_bytes), ascii(substring(cast(media_bytes as string), i * $stride + 1, 1)), -1))")
+        .as("frame_bytes"))
+}

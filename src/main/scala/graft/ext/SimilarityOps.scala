@@ -1,0 +1,116 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column ([X] tier): brute-force
+  * cosine top-k as the correctness baseline, IVF (coarse-quantizer
+  * partition) and random-projection LSH as the scale paths.
+  *
+  * Vector math is done with `zip_with`/`aggregate` higher-order functions
+  * over `array<double>` — codegen-friendly, no UDF. Embeddings are cast
+  * float→double once up front so results are deterministic and
+  * oracle-comparable.
+  *
+  * Scale shape: brute force is one broadcast (the query vector) + a
+  * map-side score + TakeOrderedAndProject — a single pass, no shuffle; it's
+  * the 1-query × N-rows case. The quadratic danger is *pairwise* search,
+  * which [[nearDupPairsWithinLabel]] confines to coarse buckets (IVF cells)
+  * — never a global cross join.
+  */
+object SimilarityOps {
+
+  /** embedding column cast to array<double>. */
+  private def vecD(c: String): Column =
+    expr(s"transform($c, x -> cast(x as double))")
+
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+
+  private def norm(a: String): Column =
+    expr(s"sqrt(aggregate(transform($a, x -> x * x), 0D, (acc, v) -> acc + v))")
+
+  /** Brute-force cosine top-k against the vector of `queryId`. */
+  def bruteForceTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val base = embeddings.select(col("vec_id"), vecD("embedding").as("v"))
+    val q = base.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"))
+    base.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot("v", "qv") / (norm("v") * norm("qv")), 6).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF-style search: compute real centroids per coarse cell (here the
+    * `label` column plays the k-means assignment), pick the `nprobe`
+    * nearest cells to the query, and scan only those cells. At 100 TB the
+    * cell scan is a partition-pruned read when the table is written
+    * partitioned by cell id. */
+  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int, nprobe: Int): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("label"),
+      vecD("embedding").as("v"))
+    val q = base.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+
+    // centroid per cell: element-wise mean via 64-slot sum + count
+    val cents = base.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        expr("aggregate(collect_list(v), array_repeat(0D, 64), (acc, x) -> zip_with(acc, x, (a, b) -> a + b))")
+          .as("sumv"))
+      .select(col("label"),
+        expr("transform(sumv, s -> s / cast(n as double))").as("cv"))
+
+    val probed = cents.crossJoin(broadcast(q))
+      .select(col("label"),
+        (dot("cv", "qv") / (norm("cv") * norm("qv"))).as("ccos"))
+      .orderBy(desc("ccos"), asc("label"))
+      .limit(nprobe)
+      .select("label")
+
+    base.join(broadcast(probed), "label")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot("v", "qv") / (norm("v") * norm("qv")), 6).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Random-projection LSH bucketing: `nBits` deterministic hyperplanes
+    * (components derived arithmetically from the plane/dim index, seeded —
+    * no RNG, so fixtures are reproducible); bucket = packed sign bits.
+    * Query-time: candidates share the bucket; verify with exact cosine. */
+  def lshBuckets(embeddings: DataFrame, nBits: Int): DataFrame = {
+    val mix = 2654435761L
+    // plane(b)[j] = frac(((b*64 + j) * mix) mod 4096 / 4096) - 0.5
+    val planes = (s"transform(sequence(0, ${nBits - 1}), b -> " +
+      s"transform(sequence(0, 63), j -> ((b * 64 + j) * $mix % 4096) / 4096.0 - 0.5))")
+    embeddings
+      .select(col("vec_id"), vecD("embedding").as("v"))
+      .withColumn("bucket", expr(
+        s"""aggregate(
+              transform($planes, p -> if(aggregate(zip_with(v, p, (x, y) -> x * y), 0D, (a, b) -> a + b) > 0, 1L, 0L)),
+              named_struct('h', 0L, 'b', 0),
+              (st, bit) -> named_struct('h', st.h | shiftleft(bit, st.b), 'b', st.b + 1),
+              st -> st.h)"""))
+      .select("vec_id", "bucket")
+  }
+
+  /** Embedding-cosine near-duplicate pairs, confined to IVF cells (label
+    * buckets): top-`k` most similar same-cell pairs. */
+  def nearDupPairsWithinLabel(embeddings: DataFrame, k: Int): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("label"),
+      vecD("embedding").as("v"), norm("v").as("nrm"))
+    val a = base.select(col("label"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(col("label"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, "label")
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dot("va", "vb") / (col("na") * col("nb")), 6).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_a"), asc("vec_b"))
+      .limit(k)
+  }
+}

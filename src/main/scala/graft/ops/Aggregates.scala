@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators (SURVEY.md §2.4).
+  *
+  * The reference's headline semantic: "a Spark job listens to incoming
+  * events, consumes them, aggregates them, and re-emits"
+  * (`/root/reference/Note_Projet1_RealTimeVotingDataEngineer.txt:34-35`);
+  * the vote is an integer weight defaulting to 1
+  * (`/root/reference/main.py:58`, `voting.py:102`).
+  *
+  * Scale notes: every groupBy here compiles to partial (map-side) hash
+  * aggregation → exchange on the group key → final hash aggregation, so the
+  * shuffle carries only one row per (partition, key) — cardinality of the
+  * group domain, not of the data. With 5 event types or 25 nations the
+  * exchange is a few KB regardless of input size; these plans survive 100 TB
+  * unchanged.
+  */
+object Aggregates {
+
+  /** A1: votes-per-candidate running sum/count
+    * (`.../Note_Projet1_...txt:34-37`; weight field `main.py:58`,
+    * schema slot `spark-streaming.py:61`). */
+  def votesPerCandidate(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(round(sum("value"), 2).as("total_value"),
+           count(lit(1)).as("n_events"))
+
+  /** A2: turnout by location — the nested address struct is carried through
+    * the vote schema solely for this analytics dimension
+    * (`/root/reference/spark-streaming.py:49-55`). Post-agg join back to the
+    * dim name is J3 (`.../txt:36-37`). */
+  def turnoutByLocation(customer: DataFrame, nation: DataFrame): DataFrame =
+    customer.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("turnout"))
+      .join(broadcast(nation),
+            customer("c_nationkey") === nation("n_nationkey"))
+      .select(col("n_name").as("location"), col("turnout"))
+
+  /** A4: count / cardinality check (`/root/reference/main.py:175-179`,
+    * `voting.py:66-69`). */
+  def countRows(df: DataFrame): DataFrame =
+    df.agg(count(lit(1)).as("n"))
+
+  /** A5: winner / top-1 — "le candidat qui obtient le plus de vote gagne"
+    * (`.../Note_Projet1_...txt:19`). Deterministic tie-break on the key so
+    * the DuckDB oracle agrees. Spark plans this as TakeOrderedAndProject:
+    * per-partition top-1 then a driver-side merge of k·numPartitions rows —
+    * no global sort, safe at any scale. */
+  def winner(events: DataFrame): DataFrame =
+    votesPerCandidate(events)
+      .orderBy(desc("n_events"), asc("event_type"))
+      .limit(1)
+
+  /** A6 exact: distinct cardinality, oracle-checkable. */
+  def distinctUsers(events: DataFrame): DataFrame =
+    events.agg(countDistinct("user_id").as("n_users"))
+
+  /** A6 approx: HLL++ `approx_count_distinct` — the 100 TB path: one pass,
+    * fixed-size sketch per partition, no shuffle of raw keys (the exact
+    * variant shuffles every distinct key). */
+  def approxDistinctUsers(events: DataFrame): DataFrame =
+    events.agg(approx_count_distinct("user_id", 0.01).as("n_users_approx"))
+
+  /** P6: empty-relation guard (`/root/reference/main.py:179-194`,
+    * `voting.py:69-72`) — expressed as a declarative count over the guard
+    * predicate rather than a driver-side `len()`. */
+  def emptyGuardCount(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === lit("__nonexistent__"))
+      .agg(count(lit(1)).as("n_matching"))
+}

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY.md §2.3).
+  *
+  * J1 is the reference's enrichment join: each consumed voter event is
+  * merged with one candidate row by dict union
+  * (`/root/reference/voting.py:99-103`); the output schema is exactly that
+  * union (`spark-streaming.py:35-62`).
+  */
+object Joins {
+
+  /** J1: stream/fact–static enrichment join. The dim side is explicitly
+    * `broadcast()` — the reference's candidates table is 3 rows
+    * (`/root/reference/main.py:181`), and at 100 TB a fact-side shuffle for
+    * a small dim would be the single worst plan choice; broadcast hash join
+    * keeps the fact side pipelined with zero exchange. */
+  def enrich(fact: DataFrame, dim: DataFrame,
+             factKey: String, dimKey: String): DataFrame =
+    fact.join(broadcast(dim), fact(factKey) === dim(dimKey), "inner")
+
+  /** J2: deterministic 1-of-N assignment — the reference picks the voted
+    * candidate with `random.choice` (`/root/reference/voting.py:99`) under
+    * `random.seed(21)` (`main.py:12`); the deterministic engine form is
+    * modulo indexing into the choice list, as SURVEY §2.3 prescribes
+    * (`pmod`-based so golden tests and the oracle agree). */
+  def assignOneOfN(df: DataFrame, key: String, choices: Seq[String],
+                   outCol: String): DataFrame = {
+    val arr = array(choices.map(lit): _*)
+    df.withColumn(outCol,
+      element_at(arr, (pmod(col(key), lit(choices.size)) + 1).cast("int")))
+  }
+
+  /** J3: post-aggregation result join back to dim metadata for display
+    * (`.../Note_Projet1_...txt:36-37`): aggregate the fact first (shrinks
+    * it to key-cardinality), then broadcast-join the dim — never join before
+    * aggregating when only aggregates are consumed. */
+  def aggThenEnrich(events: DataFrame, customer: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(round(sum("value"), 2).as("total_value"))
+      .join(broadcast(customer),
+            col("user_id") === col("c_custkey"), "inner")
+      .select(col("c_name"), col("total_value"))
+}

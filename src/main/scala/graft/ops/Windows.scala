@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window / sort / top-k operators (SURVEY.md §2.5).
+  *
+  * W1/W2 realize the reference's leaderboard-and-winner semantics
+  * (`.../Note_Projet1_RealTimeVotingDataEngineer.txt:16-19,37`).
+  */
+object Windows {
+
+  /** W1: rank leaderboard. The rank window here runs over the *aggregated*
+    * frame (one row per candidate), so the unpartitioned `Window.orderBy`
+    * single-partition step only ever sees key-cardinality rows — fine at any
+    * input scale. Never rank the raw fact table unpartitioned. */
+  def leaderboard(events: DataFrame): DataFrame = {
+    val agg = events.groupBy("event_type").agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy(desc("n_events"), asc("event_type"))
+    agg.withColumn("rnk", rank().over(w))
+  }
+
+  /** W2: top-k — Spark plans `orderBy(...).limit(k)` as
+    * TakeOrderedAndProject: per-partition heap of k, then a driver merge of
+    * k·numPartitions rows. No global sort, no full shuffle. Deterministic
+    * tie-break for the oracle. */
+  def topKByAggregate(events: DataFrame, k: Int): DataFrame =
+    events.groupBy("user_id")
+      .agg(round(sum("value"), 2).as("total_value"))
+      .orderBy(desc("total_value"), asc("user_id"))
+      .limit(k)
+
+  /** Running/cumulative total per key — the [X] trend-line window from
+    * SURVEY §2.5 ("évolution des candidats au fur et à mesure des votes",
+    * `.../txt:37`). Partitioned by key so it scales horizontally; ordered by
+    * the unique event id so the frame is deterministic. */
+  def runningTotalPerUser(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select(
+      col("event_id"), col("user_id"),
+      round(sum("value").over(w), 2).as("running_value"))
+  }
+}

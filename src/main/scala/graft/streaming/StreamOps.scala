@@ -1,0 +1,136 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming realizations of the reference pipeline (SURVEY.md
+  * §2.8). The reference's Spark job is truncated right before these stages
+  * (`/root/reference/spark-streaming.py:77-81`); the architecture notes
+  * specify them: consume → aggregate → re-emit
+  * (`.../Note_Projet1_RealTimeVotingDataEngineer.txt:34-36`).
+  *
+  * No Kafka connector jar exists offline (SURVEY §7.1), so the source seam
+  * is `MemoryStream` — same `readStream` lineage, swap of the leaf only.
+  * Each helper REALLY runs a streaming query (micro-batches, state store,
+  * output modes) and returns the final result as a batch DataFrame, which
+  * is what lets the driver's DuckDB oracle grade streaming semantics.
+  */
+object StreamOps {
+
+  /** Typed event for MemoryStream (schema per `TESTDATA.md` events). */
+  final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                      event_type: String, value: Double)
+
+  private val nameCounter = new AtomicLong(0)
+  private def freshName(prefix: String): String =
+    s"${prefix}_${nameCounter.incrementAndGet()}"
+
+  /** Load events as an ordered in-memory replay log (sorted by event_id so
+    * micro-batch contents are deterministic). */
+  def loadEvents(spark: SparkSession, dir: String): Seq[Ev] = {
+    import spark.implicits._
+    graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().sortBy(_.event_id).toSeq
+  }
+
+  /** Drive `pipeline` over the events replayed in `nBatches` micro-batches
+    * and return the final result table. `outputMode` complete/update/append
+    * per the query shape. */
+  def runStream(spark: SparkSession, data: Seq[Ev], nBatches: Int,
+                outputMode: String)
+               (pipeline: DataFrame => DataFrame): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val table = freshName("graft_stream")
+    val q = pipeline(ms.toDF())
+      .writeStream.format("memory").queryName(table)
+      .outputMode(outputMode)
+      .start()
+    try {
+      // T6 pacing: one micro-batch per chunk, driven to completion each time
+      val batchSize = math.max(1, (data.size + nBatches - 1) / nBatches)
+      data.grouped(batchSize).foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(table)
+  }
+
+  /** T3: unwindowed cumulative aggregation — the faithful "évolution des
+    * candidats au fur et à mesure des votes" semantics (`.../txt:37`).
+    * Complete mode: the final table equals the batch groupBy, which is the
+    * prefix-consistency guarantee the oracle checks. */
+  def cumulativeTally(spark: SparkSession, dir: String): DataFrame =
+    runStream(spark, loadEvents(spark, dir), nBatches = 8, "complete") { df =>
+      df.groupBy("event_type")
+        .agg(round(sum("value"), 2).as("total_value"),
+             count(lit(1)).as("n_events"))
+    }
+
+  /** T2+T3 windowed variant: event-time tumbling window with watermark —
+    * the exact step the reference truncated at ("convertir l'horodatage",
+    * `/root/reference/spark-streaming.py:77`). */
+  def hourlyWindowCounts(spark: SparkSession, dir: String): DataFrame =
+    runStream(spark, loadEvents(spark, dir), nBatches = 8, "complete") { df =>
+      df.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"))
+    }.select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+             col("n_events"))
+
+  /** T5: stateful streaming dedup — the engine form of the reference's
+    * UNIQUE(voter_id) gate (`/root/reference/main.py:55-59`). Emits each
+    * user once (append mode, state store keyed by user). Output is the
+    * distinct-user set, which is deterministic regardless of which arrival
+    * won the state race. */
+  def streamingDedupUsers(spark: SparkSession, dir: String): DataFrame =
+    runStream(spark, loadEvents(spark, dir), nBatches = 8, "append") { df =>
+      df.dropDuplicates("user_id").select("user_id")
+    }
+
+  /** S2+S5+S8: sink composition with write-then-emit ordering — the
+    * reference produces the enriched vote to Kafka only AFTER the DB insert
+    * succeeds (`/root/reference/voting.py:109-134`, rationale `:120-126`).
+    * Here: foreachBatch persists the batch to the durable store (parquet ≈
+    * the DB write) and only then emits the JSON wire form (≈ the Kafka
+    * produce); the returned frame is the re-parsed emitted stream. */
+  def writeThenEmit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val outRoot = Files.createTempDirectory("graft_s8_").toString
+    val stored = s"$outRoot/stored"
+    val emitted = s"$outRoot/emitted"
+    val q = ms.toDF().writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        // 1) durable write (the "DB insert", voting.py:112-116)
+        b.write.mode("append").parquet(stored)
+        // 2) only-then emit the Kafka wire shape: key + JSON value
+        //    (voting.py:128-134; key=voter_id main.py:216)
+        b.select(col("user_id").cast("string").as("key"),
+                 to_json(struct(col("event_id"), col("event_type"),
+                                col("value"))).as("value"))
+          .write.mode("append").parquet(emitted)
+        b.unpersist(); ()
+      }
+      .start()
+    try {
+      loadEvents(spark, dir).grouped(2000).foreach { b =>
+        ms.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // re-parse the emitted wire records (P1+P2+P3 on our own sink output)
+    spark.read.parquet(emitted)
+      .select(from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, event_type STRING, value DOUBLE")).as("data"))
+      .select("data.*")
+  }
+}

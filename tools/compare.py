@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate: run each
+oracle SQL over the sf parquet tables, compare to the Spark dump in
+outDir (columns sorted by name, rows sorted, values compared)."""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        try:
+            df[c] = pd.to_numeric(df[c])
+        except (ValueError, TypeError):
+            pass
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+n_ok = n_bad = 0
+for name in sorted(os.listdir(out_dir)):
+    qdir = os.path.join(out_dir, name)
+    if not os.path.isdir(qdir):
+        continue
+    spark_df = duckdb.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')").df()
+    if name not in oracle:
+        print(f"  [rows-only] {name}: {len(spark_df)} rows")
+        continue
+    try:
+        ora_df = con.execute(oracle[name]).df()
+    except Exception as e:
+        print(f"✗ {name}: ORACLE SQL ERROR: {e}")
+        n_bad += 1
+        continue
+    a, b = canon(spark_df), canon(ora_df)
+    if list(a.columns) != list(b.columns):
+        print(f"✗ {name}: column mismatch spark={list(a.columns)} oracle={list(b.columns)}")
+        n_bad += 1
+        continue
+    if len(a) != len(b):
+        print(f"✗ {name}: row count spark={len(a)} oracle={len(b)}")
+        n_bad += 1
+        continue
+    diff_cols = []
+    for c in a.columns:
+        if a[c].dtype.kind == 'f' or b[c].dtype.kind == 'f':
+            same = ((a[c] - b[c]).abs() < 1e-9) | (a[c].isna() & b[c].isna())
+        else:
+            same = (a[c].astype(str) == b[c].astype(str))
+        if not same.all():
+            diff_cols.append((c, int((~same).sum())))
+    if diff_cols:
+        print(f"✗ {name}: value mismatch {diff_cols}")
+        for c, _ in diff_cols[:1]:
+            bad = (a[c].astype(str) != b[c].astype(str))
+            print("   spark:", a[bad][c].head(3).tolist(),
+                  " oracle:", b[bad][c].head(3).tolist())
+        n_bad += 1
+    else:
+        n_ok += 1
+print(f"\n{n_ok} ok, {n_bad} bad, {len(oracle)} oracled")
