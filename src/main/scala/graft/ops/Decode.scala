@@ -36,11 +36,14 @@ object Decode {
     * (`/root/reference/spark-streaming.py:74`). */
   def flatten(df: DataFrame): DataFrame = df.select("data.*")
 
-  /** P7: drop rows whose JSON failed to parse — `from_json` yields a null
-    * struct for malformed input (reference skips error messages at
-    * `/root/reference/voting.py:86-93`, HTTP error rows `main.py:72,93`). */
-  def dropMalformed(df: DataFrame, dataCol: String = "data"): DataFrame =
-    df.filter(col(dataCol).isNotNull)
+  /** P7: drop rows whose JSON failed to parse (reference skips error
+    * messages at `/root/reference/voting.py:86-93`, HTTP error rows
+    * `main.py:72,93`). In Spark 4 PERMISSIVE mode `from_json` yields an
+    * all-null struct (not a null struct) for malformed input, so the filter
+    * keys on a field every valid record carries. */
+  def dropMalformed(df: DataFrame, dataCol: String = "data",
+                    requiredField: String = "event_id"): DataFrame =
+    df.filter(col(s"$dataCol.$requiredField").isNotNull)
 
   /** F5 encode side: row → JSON document, as the reference's producers do
     * (`/root/reference/main.py:217`, `voting.py:131`) and as `row_to_json`

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext._
+import graft.ops.Dedup
+
+/** LLM-pipeline operator semantics on crafted corpora: near-dup recall for
+  * MinHash/SimHash against brute-force truth, similarity-search recall,
+  * multimodal stub plumbing. */
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // crafted corpus: 0/1 near-dups (one word changed), 2 exact dup of 0,
+  // 3/4 unrelated
+  private lazy val corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (1L, "the quick brown fox jumps over the lazy cat and runs far away home"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (3L, "completely different text about spark catalyst optimizer rules engine"),
+    (4L, "yet another unrelated document mentioning parquet columnar storage files")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content") {
+    val out = Dedup.exactByContent(corpus)
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(out(0L) === 2L) // docs 0 and 2 collapse, min id kept
+    assert(!out.contains(2L))
+    assert(out(1L) === 1L)
+  }
+
+  test("n-gram Jaccard ranks the near-dup pair top") {
+    val top = DedupOps.ngramJaccardTopPairs(corpus, 3, 3)
+      .as[(Long, Long, Double)].collect()
+    // exact pair (0,2) first with jaccard 1.0, near pair next
+    assert(top.head._1 === 0L && top.head._2 === 2L && top.head._3 === 1.0)
+    val nearPairs = top.map(t => (t._1, t._2)).toSet
+    assert(nearPairs.contains((0L, 1L)) || nearPairs.contains((1L, 2L)))
+  }
+
+  test("MinHash LSH candidates cover all high-Jaccard pairs (recall)") {
+    val cands = DedupOps.minHashCandidates(corpus, 3, bands = 8, rows = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((0L, 2L)), "exact dup must collide in every band")
+    assert(cands.contains((0L, 1L)) && cands.contains((1L, 2L)),
+      "one-word-changed near-dup should collide in some band")
+    assert(!cands.contains((3L, 4L)), "unrelated docs should not be candidates")
+  }
+
+  test("SimHash: near-dups within small Hamming distance, unrelated far") {
+    val sigs = DedupOps.simHashes(corpus).as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(ham(0L, 2L) === 0, "identical docs -> identical simhash")
+    assert(ham(0L, 1L) < ham(0L, 3L), "near-dup closer than unrelated")
+    val pairs = DedupOps.simHashNearDups(corpus, maxHamming = 12)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L)))
+  }
+
+  test("IVF top-k achieves full recall when probing the true cell") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val brute = SimilarityOps.bruteForceTopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = SimilarityOps.ivfTopK(emb, 0L, 10, nprobe = 10) // all cells
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf === brute, "nprobe=all must equal brute force")
+    // labels in this synthetic set are random (no cluster structure), so
+    // recall at small nprobe is ~nprobe/nlabels by construction; assert the
+    // MECHANISM instead: results confined to the probed cells, full k.
+    val ivf2 = SimilarityOps.ivfTopK(emb, 0L, 10, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf2.size === 10)
+    val labelsOf = emb.select("vec_id", "label")
+      .as[(Long, Int)].collect().toMap
+    assert(ivf2.map(labelsOf).size <= 2, "results must come from <=nprobe cells")
+  }
+
+  test("LSH buckets put identical vectors in the same bucket") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val buckets = SimilarityOps.lshBuckets(emb, 8)
+    assert(buckets.count() === emb.count())
+    val nBuckets = buckets.select("bucket").distinct().count()
+    assert(nBuckets > 1, "hyperplanes must actually split the space")
+    // determinism
+    val again = SimilarityOps.lshBuckets(emb, 8)
+    assert(buckets.exceptAll(again).isEmpty)
+  }
+
+  test("multimodal decode stub: mapPartitions output matches column-op math") {
+    val docs = Tables.documents(spark, sfDir)
+    val viaMap = MultimodalOps.decodeStub(spark, docs)
+      .select("doc_id", "n_bytes").as[(Long, Int)].collect().toMap
+    val viaCols = docs.select(col("doc_id"),
+      length(col("text").cast("binary")).as("n_bytes"))
+      .as[(Long, Int)].collect().toMap
+    assert(viaMap === viaCols)
+  }
+
+  test("text stats: token counts consistent with distinct <= total") {
+    val st = TextOps.stats(Tables.documents(spark, sfDir))
+    assert(st.filter(col("n_distinct_tokens") > col("n_tokens")).count() === 0)
+    assert(st.filter(col("avg_token_len") <= 0).count() === 0)
+  }
+}

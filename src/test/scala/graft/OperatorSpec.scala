@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.gen.Generator
+
+/** Batch operator semantics on crafted inputs (not just the oracle data):
+  * duplicate injection for dedup, tie-breaks for winner/top-k, decode
+  * round-trip including malformed rows. */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("A3 dedup keeps exactly the first row per key under injected duplicates") {
+    // reference semantics: one vote per voter, first wins
+    // (main.py:55-59, voting.py:109-138)
+    val df = Seq(
+      (1L, 10L, "first"), (2L, 10L, "dup"), (3L, 10L, "dup2"),
+      (4L, 20L, "only"), (5L, 30L, "first30"), (6L, 30L, "dup30")
+    ).toDF("event_id", "user_id", "event_type")
+    val out = Dedup.firstPerKey(df, "user_id", "event_id")
+      .select("user_id", "event_type").as[(Long, String)].collect().toMap
+    assert(out === Map(10L -> "first", 20L -> "only", 30L -> "first30"))
+  }
+
+  test("A3 dedup is idempotent") {
+    val df = Tables.events(spark, sfDir)
+    val once = Dedup.firstPerKey(df, "user_id", "event_id")
+    val twice = Dedup.firstPerKey(once, "user_id", "event_id")
+    assert(once.count() === twice.count())
+    assert(once.exceptAll(twice).isEmpty)
+  }
+
+  test("A1 tally conservation: per-candidate counts sum to total events") {
+    val events = Tables.events(spark, sfDir)
+    val total = events.count()
+    val summed = Aggregates.votesPerCandidate(events)
+      .agg(sum("n_events")).as[Long].head()
+    assert(summed === total)
+  }
+
+  test("A5 winner breaks count ties deterministically by key") {
+    val df = Seq(
+      (1L, 1L, "bbb", 1.0), (2L, 2L, "bbb", 1.0),
+      (3L, 3L, "aaa", 1.0), (4L, 4L, "aaa", 1.0)
+    ).toDF("event_id", "user_id", "event_type", "value")
+    val w = Aggregates.winner(df).select("event_type").as[String].head()
+    assert(w === "aaa") // equal counts -> lexicographically first key
+  }
+
+  test("P1-P3 decode chain round-trips rows and nulls malformed JSON") {
+    val wire = Seq(
+      """{"event_id":1,"event_type":"click","value":2.5}""",
+      """not json at all""",
+      """{"event_id":2,"event_type":"view","value":-1.0}"""
+    ).toDF("value").select(col("value").cast("binary").as("value"))
+    val decoded = Decode.jsonDecodeDdl(
+      Decode.castValueToString(wire),
+      "event_id BIGINT, event_type STRING, value DOUBLE")
+    // malformed row -> all-null struct in Spark 4 PERMISSIVE (P7 target)
+    assert(decoded.filter(col("data.event_id").isNull).count() === 1)
+    val ok = Decode.dropMalformed(decoded)
+    val rows = Decode.flatten(ok).orderBy("event_id").collect()
+    assert(rows.toSeq === Seq(Row(1L, "click", 2.5), Row(2L, "view", -1.0)))
+  }
+
+  test("J1 enrichment join broadcasts the dim side") {
+    val plan = Joins.enrich(Tables.events(spark, sfDir),
+        Tables.customer(spark, sfDir), "user_id", "c_custkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("J2 1-of-N assignment is total and deterministic") {
+    val df = spark.range(100).withColumnRenamed("id", "user_id")
+    val a = Joins.assignOneOfN(df, "user_id", Generator.Parties, "party")
+    val b = Joins.assignOneOfN(df, "user_id", Generator.Parties, "party")
+    assert(a.filter(col("party").isNull).count() === 0)
+    assert(a.exceptAll(b).isEmpty)
+    assert(a.select("party").distinct().count() === 3)
+  }
+
+  test("S7 generator golden fixture: tally is stable across runs") {
+    val t1 = Generator.goldenTally(spark, 1000)
+      .as[(String, Long)].collect().toMap
+    val t2 = Generator.goldenTally(spark, 1000)
+      .as[(String, Long)].collect().toMap
+    assert(t1 === t2)
+    assert(t1.values.sum === 1000L) // every voter votes exactly once
+    assert(t1.keySet === Set("candidate_0", "candidate_1", "candidate_2"))
+  }
+
+  test("W2 top-k matches full-sort head") {
+    val events = Tables.events(spark, sfDir)
+    val topk = Windows.topKByAggregate(events, 5).as[(Long, Double)].collect()
+    val full = events.groupBy("user_id")
+      .agg(round(sum("value"), 2).as("total_value"))
+      .orderBy(desc("total_value"), asc("user_id"))
+      .as[(Long, Double)].collect().take(5)
+    assert(topk.toSeq === full.toSeq)
+  }
+}

@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Ev
+
+/** Structured-Streaming semantics: micro-batch contents, watermark
+  * late-data drops, checkpoint replay (T1), batch ≡ stream equivalence
+  * (prefix-consistency), trigger pacing (T6). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, t: String, user: Long, typ: String, v: Double) =
+    Ev(id, Timestamp.valueOf(t), user, typ, v)
+
+  test("T3 streaming cumulative tally equals batch aggregation") {
+    val result = StreamOps.cumulativeTally(spark, sfDir)
+      .as[(String, Double, Long)].collect().toSet
+    val batch = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(round(sum("value"), 2).as("total_value"), count(lit(1)).as("n_events"))
+      .as[(String, Double, Long)].collect().toSet
+    assert(result === batch)
+  }
+
+  test("T3 update-mode micro-batches grow monotonically") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF().groupBy("event_type").agg(sum("value").as("total"))
+      .writeStream.format("memory").queryName("t3_mono")
+      .outputMode("complete").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 00:00:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      val after1 = spark.table("t3_mono").as[(String, Double)].collect().toMap
+      assert(after1 === Map("click" -> 1.0))
+      ms.addData(ev(2, "2024-01-01 00:01:00", 2, "click", 2.0),
+                 ev(3, "2024-01-01 00:02:00", 3, "view", 5.0))
+      q.processAllAvailable()
+      val after2 = spark.table("t3_mono").as[(String, Double)].collect().toMap
+      assert(after2 === Map("click" -> 3.0, "view" -> 5.0))
+    } finally q.stop()
+  }
+
+  test("T2/T4 watermark drops late data in append-mode window agg") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("t4_late")
+      .outputMode("append").start()
+    try {
+      // batch 1: two rows in the 00:00 window
+      ms.addData(ev(1, "2024-01-01 00:01:00", 1, "click", 1.0),
+                 ev(2, "2024-01-01 00:05:00", 2, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: advance event time far enough to close the 00:00 window
+      ms.addData(ev(3, "2024-01-01 01:00:00", 3, "click", 1.0))
+      q.processAllAvailable()
+      // batch 3: a LATE row for the closed 00:00 window -> must be dropped
+      ms.addData(ev(4, "2024-01-01 00:02:00", 4, "click", 1.0))
+      q.processAllAvailable()
+      // batch 4: close the 01:00 window so it flushes too
+      ms.addData(ev(5, "2024-01-01 02:00:00", 5, "click", 1.0))
+      q.processAllAvailable()
+      val counts = spark.table("t4_late")
+        .select(date_format(col("window.start"), "HH:mm").as("w"), col("n"))
+        .as[(String, Long)].collect().toMap
+      assert(counts("00:00") === 2L, "late row must not be re-counted")
+      assert(counts("01:00") === 1L)
+    } finally q.stop()
+  }
+
+  test("T5 streaming dedup emits each key once across micro-batches") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF().dropDuplicates("user_id").select("user_id")
+      .writeStream.format("memory").queryName("t5_once")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 00:00:00", 10, "a", 1.0),
+                 ev(2, "2024-01-01 00:00:01", 10, "a", 1.0))
+      q.processAllAvailable()
+      ms.addData(ev(3, "2024-01-01 00:00:02", 10, "a", 1.0),
+                 ev(4, "2024-01-01 00:00:03", 20, "a", 1.0))
+      q.processAllAvailable()
+      val users = spark.table("t5_once").as[Long].collect().sorted
+      assert(users.toSeq === Seq(10L, 20L))
+    } finally q.stop()
+  }
+
+  test("T1 checkpoint replay: restart resumes without double-counting") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+    val out = Files.createTempDirectory("graft_ckpt_out_").toString
+    val ms = MemoryStream[Ev]
+    def start() = ms.toDF()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = start()
+    ms.addData(ev(1, "2024-01-01 00:00:00", 1, "a", 1.0),
+               ev(2, "2024-01-01 00:00:01", 2, "a", 1.0))
+    q1.processAllAvailable(); q1.stop()
+
+    // restart from the same checkpoint; add one more row
+    val q2 = start()
+    ms.addData(ev(3, "2024-01-01 00:00:02", 3, "a", 1.0))
+    q2.processAllAvailable(); q2.stop()
+
+    val ids = spark.read.parquet(out).select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L), "exactly-once file sink across restart")
+  }
+
+  test("T6 AvailableNow trigger drains all pending data then terminates") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(ev(1, "2024-01-01 00:00:00", 1, "a", 1.0),
+               ev(2, "2024-01-01 00:00:01", 2, "b", 2.0))
+    val q = ms.toDF().groupBy("event_type").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("t6_avnow")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(!q.isActive, "AvailableNow must self-terminate")
+    assert(spark.table("t6_avnow").count() === 2L)
+  }
+
+  test("S8 write-then-emit: stored and emitted row sets agree with input") {
+    val emitted = StreamOps.writeThenEmit(spark, sfDir)
+    val expected = Tables.events(spark, sfDir)
+      .select("event_id", "event_type", "value")
+    assert(emitted.count() === expected.count())
+    assert(emitted.exceptAll(expected).isEmpty)
+  }
+}
