@@ -67,7 +67,7 @@ object StreamOps {
     * Complete mode: the final table equals the batch groupBy, which is the
     * prefix-consistency guarantee the oracle checks. */
   def cumulativeTally(spark: SparkSession, dir: String): DataFrame =
-    runStream(spark, loadEvents(spark, dir), nBatches = 8, "complete") { df =>
+    runStream(spark, loadEvents(spark, dir), nBatches = 4, "complete") { df =>
       df.groupBy("event_type")
         .agg(round(sum("value"), 2).as("total_value"),
              count(lit(1)).as("n_events"))
@@ -77,7 +77,7 @@ object StreamOps {
     * the exact step the reference truncated at ("convertir l'horodatage",
     * `/root/reference/spark-streaming.py:77`). */
   def hourlyWindowCounts(spark: SparkSession, dir: String): DataFrame =
-    runStream(spark, loadEvents(spark, dir), nBatches = 8, "complete") { df =>
+    runStream(spark, loadEvents(spark, dir), nBatches = 4, "complete") { df =>
       df.withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"))
         .agg(count(lit(1)).as("n_events"))
@@ -90,7 +90,7 @@ object StreamOps {
     * distinct-user set, which is deterministic regardless of which arrival
     * won the state race. */
   def streamingDedupUsers(spark: SparkSession, dir: String): DataFrame =
-    runStream(spark, loadEvents(spark, dir), nBatches = 8, "append") { df =>
+    runStream(spark, loadEvents(spark, dir), nBatches = 4, "append") { df =>
       df.dropDuplicates("user_id").select("user_id")
     }
 
@@ -122,7 +122,7 @@ object StreamOps {
       }
       .start()
     try {
-      loadEvents(spark, dir).grouped(2000).foreach { b =>
+      loadEvents(spark, dir).grouped(25000).foreach { b =>
         ms.addData(b); q.processAllAvailable()
       }
     } finally q.stop()
