@@ -123,6 +123,12 @@ object SparkEntry {
     "s7_generator" -> ((s, _) => Generator.voters(s, 1000)),
     "gen_votes_golden" -> ((s, _) => Generator.goldenTally(s, 1000)),
 
+    // ---- full 21-field vote pipeline (P2/P4/F8 over VoteSchema) ----
+    "vote_e2e_party_tally" -> ((s, _) =>
+      graft.pipeline.VotePipeline.partyTally(s, 1000)),
+    "vote_e2e_turnout_by_state" -> ((s, _) =>
+      graft.pipeline.VotePipeline.turnoutByState(s, 1000)),
+
     // ---- streaming (SURVEY §2.8) — real MemoryStream executions ----
     "t3_stream_cumulative" -> ((s, d) => StreamOps.cumulativeTally(s, d)),
     "t2_stream_hourly_window" -> ((s, d) => StreamOps.hourlyWindowCounts(s, d)),
@@ -145,6 +151,10 @@ object SparkEntry {
     // ---- LLM pipeline: similarity search ----
     "ann_cosine_topk" -> ((s, d) =>
       SimilarityOps.bruteForceTopK(Tables.embeddings(s, d), 0L, 10)),
+    "ann_cosine_topk_native" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      SimilarityOps.bruteForceTopKNative(Tables.embeddings(s, d), 0L, 10)
+    }),
     "ann_ivf_topk" -> ((s, d) =>
       SimilarityOps.ivfTopK(Tables.embeddings(s, d), 0L, 10, nprobe = 3)),
     "ann_lsh_buckets" -> ((s, d) =>
@@ -259,6 +269,15 @@ object SparkEntry {
       """SELECT 'candidate_' || CAST((id * 31 + 7) % 3 AS VARCHAR) AS candidate_name,
                 count(*) AS total_votes
          FROM range(1000) t(id) GROUP BY 1""",
+    "vote_e2e_party_tally" ->
+      s"""SELECT ${partyCase("(id * 31 + 7)")} AS party_affiliation,
+                 count(*) AS total_votes
+          FROM range(1000) t(id) GROUP BY 1""",
+    "vote_e2e_turnout_by_state" ->
+      """SELECT CASE id % 5 WHEN 0 THEN 'CA' WHEN 1 THEN 'NY' WHEN 2 THEN 'TX'
+                            WHEN 3 THEN 'WA' ELSE 'IL' END AS state,
+                count(*) AS turnout
+         FROM range(1000) t(id) GROUP BY 1""",
     "t3_stream_cumulative" ->
       """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
          FROM events GROUP BY event_type""",
@@ -302,6 +321,19 @@ object SparkEntry {
          FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
          ORDER BY cosine DESC, vec_a, vec_b LIMIT 20""",
     "ann_cosine_topk" ->
+      """WITH e AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              n AS (SELECT vec_id, v,
+                           sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+                    FROM e),
+              q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = 0)
+         SELECT n.vec_id,
+                round(list_sum(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]))
+                      / (n.nrm * q.qn), 6) AS cosine
+         FROM n, q WHERE n.vec_id <> 0
+         ORDER BY cosine DESC, vec_id LIMIT 10""",
+    "ann_cosine_topk_native" ->
       """WITH e AS (SELECT vec_id,
                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                     FROM embeddings),

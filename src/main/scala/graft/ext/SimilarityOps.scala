@@ -43,6 +43,21 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Brute-force top-k on the native codegen'd [[graft.functions.CosineSimilarity]]
+    * expression — single fused loop per row (dot + both norms), no
+    * intermediate arrays; semantically identical to [[bruteForceTopK]]. */
+  def bruteForceTopKNative(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    graft.functions.GraftExtensions.register(embeddings.sparkSession)
+    val base = embeddings.select(col("vec_id"), vecD("embedding").as("v"))
+    val q = base.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    base.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.functions.CosineSimilarity(col("v"), col("qv")), 6).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** IVF-style search: compute real centroids per coarse cell (here the
     * `label` column plays the k-means assignment), pick the `nprobe`
     * nearest cells to the query, and scan only those cells. At 100 TB the

@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook: registers graft's native expressions so
+  * they're usable from SQL text as well as the Column API. Activate with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`, or
+  * call [[GraftExtensions.register]] on a live session (the offline driver
+  * harness builds its own session, so both paths are supported).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+}
+
+object GraftExtensions {
+  private[functions] val cosineSimDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("cosine_sim"),
+     new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+     (children: Seq[Expression]) => {
+       require(children.size == 2, "cosine_sim(a, b) takes exactly 2 args")
+       CosineSimilarity(children(0), children(1))
+     })
+
+  /** Idempotent late registration into an existing session. */
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = cosineSimDescriptor
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
+  }
+}

@@ -56,6 +56,40 @@ object Generator {
       .withColumn("candidate_id", pmod(col("voter_id") * 31 + 7, lit(3)))
       .withColumn("vote", lit(1))
 
+  val States: Seq[String] = Seq("CA", "NY", "TX", "WA", "IL")
+  val Cities: Seq[String] = Seq("Springfield", "Rivertown", "Lakeside", "Hillview", "Midvale")
+
+  /** Full 21-field voter record with the nested address struct — the wire
+    * shape the reference builds at `/root/reference/main.py:95-114`
+    * (address nesting `main.py:102-108`, street concat `main.py:103`). */
+  def votersFull(spark: SparkSession, n: Long): DataFrame = {
+    val base = voters(spark, n)
+    base
+      .withColumn("date_of_birth",
+        concat(lit("19"), lpad(pmod(col("voter_id") * 13, lit(80)), 2, "0"),
+               lit("-01-01")))
+      .withColumn("nationality", lit("Utopia"))
+      .withColumn("registration_number", concat(lit("REG-"), lpad(col("voter_id"), 8, "0")))
+      .withColumn("address", struct(
+        concat(pmod(col("voter_id") * 7, lit(999)) + 1, lit(" Main St")).as("street"),
+        Scalars.pickByMod(col("voter_id"), Cities).as("city"),
+        Scalars.pickByMod(col("voter_id"), States).as("state"),
+        lit("Utopia").as("country"),
+        lpad(pmod(col("voter_id") * 17, lit(99999)), 5, "0").as("postcode")))
+      .withColumn("email", concat(col("voter_name"), lit("@example.org")))
+      .withColumn("phone_number", concat(lit("555-"), lpad(pmod(col("voter_id"), lit(10000)), 4, "0")))
+      .withColumn("cell_number", concat(lit("556-"), lpad(pmod(col("voter_id"), lit(10000)), 4, "0")))
+      .withColumn("picture", concat(lit("https://example.org/p/"), col("voter_id")))
+  }
+
+  /** Candidate dim with full metadata (reference candidate record shape,
+    * `/root/reference/main.py:77-84`). */
+  def candidatesFull(spark: SparkSession): DataFrame =
+    candidates(spark)
+      .withColumn("biography", concat(lit("bio of "), col("candidate_name")))
+      .withColumn("campaign_platform", concat(lit("platform of "), col("candidate_name")))
+      .withColumn("photo_url", concat(lit("https://example.org/c/"), col("candidate_id")))
+
   /** Golden end-to-end: generate → enrich (J1) → tally (A1) → winner
     * ordering, the full intended pipeline of the reference
     * (`.../Note_Projet1_...txt:28-37`) as one deterministic query. */

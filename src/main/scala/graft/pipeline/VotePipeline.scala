@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.gen.Generator
+import graft.model.Schemas
+import graft.ops.Decode
+
+/** The reference's complete intended pipeline, batch form, over the full
+  * 21-field vote schema (`/root/reference/spark-streaming.py:35-62`):
+  *
+  *   register voters (`main.py:95-114`) → vote = voter ∪ candidate ∪
+  *   {voting_time, vote} dict-union (`voting.py:100-103`) → serialize to
+  *   the Kafka wire shape (`voting.py:128-134`) → P1 cast → P2 from_json
+  *   against VoteSchema → P3 flatten (`spark-streaming.py:72-74`) →
+  *   aggregate (`.../Note_Projet1_...txt:34-37`).
+  *
+  * Everything is deterministic arithmetic (seed discipline per
+  * `main.py:12`), so a DuckDB oracle can replay the same formulas.
+  */
+object VotePipeline {
+
+  /** Enriched votes in the exact union schema, pre-serialization (F8 struct
+    * merge: voter cols ++ candidate cols ++ voting_time/vote). */
+  def votes(spark: SparkSession, nVoters: Long): DataFrame = {
+    val voters = Generator.votersFull(spark, nVoters)
+      .withColumn("chosen", pmod(col("voter_id") * 31 + 7, lit(3)))
+      .withColumn("voter_id", concat(lit("v"), col("voter_id")))
+    val cands = Generator.candidatesFull(spark)
+      .select(col("candidate_id").as("chosen"),
+        concat(lit("c"), col("candidate_id")).as("candidate_id"),
+        col("candidate_name"),
+        col("party_affiliation").as("cand_party"),
+        col("biography"), col("campaign_platform"), col("photo_url"))
+    voters.join(broadcast(cands), "chosen")
+      .withColumn("voting_time", expr(
+        "timestampadd(SECOND, CAST(substring(voter_id, 2) AS INT), TIMESTAMP'2024-06-01 00:00:00')"))
+      .withColumn("vote", lit(1))
+  }
+
+  /** Wire form: one JSON document per vote, keyed by voter_id — exactly
+    * the producer output (`voting.py:128-134`, key `main.py:216`). */
+  def wire(spark: SparkSession, nVoters: Long): DataFrame =
+    votes(spark, nVoters).select(
+      col("voter_id").as("key"),
+      to_json(struct(
+        col("voter_id"), col("voter_name"), col("date_of_birth"),
+        col("gender"), col("nationality"), col("registration_number"),
+        col("address"), col("email"), col("phone_number"), col("cell_number"),
+        col("picture"), col("registered_age"), col("candidate_id"),
+        col("candidate_name"), col("cand_party").as("party_affiliation"),
+        col("biography"), col("campaign_platform"), col("photo_url"),
+        col("voting_time"), col("vote"))).cast("binary").as("value"))
+
+  /** Decoded, flattened vote records — the reference's only written Spark
+    * code, against the full 21-field nested schema. */
+  def decoded(spark: SparkSession, nVoters: Long): DataFrame =
+    Decode.flatten(
+      Decode.jsonDecode(
+        Decode.castValueToString(wire(spark, nVoters)),
+        Schemas.VoteSchema))
+
+  /** A1 over the real vote schema: votes per party. */
+  def partyTally(spark: SparkSession, nVoters: Long): DataFrame =
+    decoded(spark, nVoters)
+      .groupBy("party_affiliation")
+      .agg(sum("vote").as("total_votes"))
+
+  /** A2 over the real vote schema: turnout by nested address.state. */
+  def turnoutByState(spark: SparkSession, nVoters: Long): DataFrame =
+    decoded(spark, nVoters)
+      .groupBy(col("address.state").as("state"))
+      .agg(count(lit(1)).as("turnout"))
+}
