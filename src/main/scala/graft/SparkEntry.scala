@@ -29,6 +29,8 @@ object SparkEntry {
     // ---- aggregations (SURVEY §2.4) ----
     "a1_votes_per_candidate" -> ((s, d) =>
       Aggregates.votesPerCandidate(Tables.events(s, d))),
+    "a1_salted_skew" -> ((s, d) =>
+      Aggregates.votesPerCandidateSalted(Tables.events(s, d))),
     "a2_turnout_by_location" -> ((s, d) =>
       Aggregates.turnoutByLocation(Tables.customer(s, d), Tables.nation(s, d))),
     "a3_dedup_first_per_user" -> ((s, d) =>
@@ -178,6 +180,9 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "a1_votes_per_candidate" ->
+      """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
+         FROM events GROUP BY event_type""",
+    "a1_salted_skew" ->
       """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
          FROM events GROUP BY event_type""",
     "a2_turnout_by_location" ->

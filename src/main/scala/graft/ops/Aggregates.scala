@@ -64,6 +64,21 @@ object Aggregates {
   def approxDistinctUsers(events: DataFrame): DataFrame =
     events.agg(approx_count_distinct("user_id", 0.01).as("n_users_approx"))
 
+  /** A1 skew-resistant variant: two-phase salted aggregation. Phase 1
+    * groups on (key, salt) so a hot key's rows spread over `buckets`
+    * reducers; phase 2 merges the partials on the key alone. Result is
+    * identical to [[votesPerCandidate]] — this is the standard mitigation
+    * when one candidate/key dominates the stream (the 100 TB skew case;
+    * AQE's runtime skew-join split covers joins, salting covers
+    * aggregation). Salt derives from a uniform-ish existing column, never
+    * `rand()` (replays must be deterministic). */
+  def votesPerCandidateSalted(events: DataFrame, buckets: Int = 16): DataFrame =
+    events
+      .groupBy(col("event_type"), pmod(col("event_id"), lit(buckets)).as("__salt"))
+      .agg(sum("value").as("__pv"), count(lit(1)).as("__pc"))
+      .groupBy("event_type")
+      .agg(round(sum("__pv"), 2).as("total_value"), sum("__pc").as("n_events"))
+
   /** P6: empty-relation guard (`/root/reference/main.py:179-194`,
     * `voting.py:69-72`) — expressed as a declarative count over the guard
     * predicate rather than a driver-side `len()`. */

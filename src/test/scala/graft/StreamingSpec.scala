@@ -96,6 +96,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T5 scale path: dropDuplicatesWithinWatermark bounds state and dedups in-window") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id")
+      .select("user_id", "event_id")
+      .writeStream.format("memory").queryName("t5_wm")
+      .outputMode("append").start()
+    try {
+      // in-window duplicate of user 1 -> dropped
+      ms.addData(ev(1, "2024-01-01 00:00:00", 1, "a", 1.0),
+                 ev(2, "2024-01-01 00:01:00", 1, "a", 1.0))
+      q.processAllAvailable()
+      // advance watermark far past the window so user-1 state is GC'd
+      ms.addData(ev(3, "2024-01-01 05:00:00", 2, "a", 1.0))
+      q.processAllAvailable()
+      // user 1 reappears AFTER its state expired -> emitted again (the
+      // documented trade-off vs the reference's Postgres-forever UNIQUE)
+      ms.addData(ev(4, "2024-01-01 05:01:00", 1, "a", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("t5_wm").as[(Long, Long)].collect().toSet
+      assert(out === Set((1L, 1L), (2L, 3L), (1L, 4L)))
+    } finally q.stop()
+  }
+
   test("T1 checkpoint replay: restart resumes without double-counting") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ckpt = Files.createTempDirectory("graft_ckpt_").toString
