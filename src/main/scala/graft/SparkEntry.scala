@@ -58,6 +58,24 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
           .as("revenue"))),
 
+    "a7_percentiles" -> ((s, d) =>
+      Tables.events(s, d).groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+             round(expr("percentile(value, 0.9)"), 4).as("p90"))),
+    "a8_rollup_turnout" -> ((s, d) =>
+      Tables.customer(s, d)
+        .rollup("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))),
+    "setop_combo" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      def ids(t: String) = e.filter(col("event_type") === t).select("user_id")
+      ids("purchase").union(ids("signup")).distinct()
+        .intersect(ids("view"))
+        .except(ids("error"))
+    }),
+    "sessionize_users" -> ((s, d) =>
+      graft.ops.Sessionize.sessionsPerUser(s, Tables.events(s, d))),
+
     // ---- joins (SURVEY §2.3) ----
     "j1_broadcast_enrich" -> ((s, d) =>
       Joins.enrich(Tables.events(s, d), Tables.customer(s, d),
@@ -201,6 +219,31 @@ object SparkEntry {
          ORDER BY n_events DESC, event_type LIMIT 1""",
     "a6_distinct_users" ->
       "SELECT count(DISTINCT user_id) AS n_users FROM events",
+    "a7_percentiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
+                round(quantile_cont(value, 0.9), 4) AS p90
+         FROM events GROUP BY event_type""",
+    "a8_rollup_turnout" ->
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n,
+                GROUPING(c_mktsegment, c_nationkey) AS gid
+         FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)""",
+    "setop_combo" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type IN ('purchase', 'signup')
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'view'
+         EXCEPT
+         SELECT user_id FROM events WHERE event_type = 'error'""",
+    "sessionize_users" ->
+      """WITH o AS (SELECT user_id, ts,
+                           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+                    FROM events),
+              m AS (SELECT user_id,
+                           CASE WHEN pts IS NULL
+                                  OR date_diff('second', pts, ts) > 1800
+                                THEN 1 ELSE 0 END AS new_s
+                    FROM o)
+         SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
+         FROM m GROUP BY user_id""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 round(sum(l_quantity), 2) AS sum_qty,

@@ -159,6 +159,36 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("t6_avnow").count() === 2L)
   }
 
+  test("custom state: mapGroupsWithState keeps a running per-user count across batches") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val counts = ms.toDS().groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + evs.size
+          state.update(n)
+          (user, n)
+      }
+    val q = counts.toDF("user_id", "n")
+      .writeStream.format("memory").queryName("mgws")
+      .outputMode("update").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 00:00:00", 1, "a", 1.0),
+                 ev(2, "2024-01-01 00:00:01", 1, "a", 1.0))
+      q.processAllAvailable()
+      ms.addData(ev(3, "2024-01-01 00:00:02", 1, "a", 1.0),
+                 ev(4, "2024-01-01 00:00:03", 2, "a", 1.0))
+      q.processAllAvailable()
+      // update mode appends one row per touched key per batch: the state
+      // trajectory is (1->2), then (1->3, 2->1)
+      val rows = spark.table("mgws").as[(Long, Long)].collect().toSeq
+      assert(rows.count(_ == (1L, 2L)) === 1)
+      assert(rows.count(_ == (1L, 3L)) === 1)
+      assert(rows.count(_ == (2L, 1L)) === 1)
+    } finally q.stop()
+  }
+
   test("S8 write-then-emit: stored and emitted row sets agree with input") {
     val emitted = StreamOps.writeThenEmit(spark, sfDir)
     val expected = Tables.events(spark, sfDir)
