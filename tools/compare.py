@@ -55,7 +55,11 @@ for name in sorted(os.listdir(out_dir)):
     diff_cols = []
     for c in a.columns:
         if a[c].dtype.kind == 'f' or b[c].dtype.kind == 'f':
-            same = ((a[c] - b[c]).abs() < 1e-9) | (a[c].isna() & b[c].isna())
+            # driver hashes exact values: demand bit-equality for floats
+            same = (a[c] == b[c]) | (a[c].isna() & b[c].isna())
+            if not same.all():
+                md = (a[c] - b[c]).abs().max()
+                print(f"   [float drift] {name}.{c}: max abs diff {md}")
         else:
             same = (a[c].astype(str) == b[c].astype(str))
         if not same.all():
