@@ -412,11 +412,15 @@ object SparkEntry {
                   AS quality_ok
          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t""",
     "text_langid" ->
-      """SELECT doc_id, en_score,
+      """SELECT doc_id, en_score, en_bigram_score,
                 CASE WHEN en_score > 0.03 THEN 'en' ELSE 'other' END AS predicted_lang
          FROM (SELECT doc_id,
                       round(len(list_filter(string_split(text, ' '), x -> x IN ('the','a')))
-                            / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS en_score
+                            / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS en_score,
+                      round(len(list_filter(list_transform(range(1, length(text)),
+                                                           i -> text[i:i+1]),
+                                            g -> g IN ('th','he','in','er','an','re')))
+                            / CAST(length(text) - 1 AS DOUBLE), 4) AS en_bigram_score
                FROM documents) t""",
     "text_token_counts" ->
       """SELECT doc_id,

@@ -45,18 +45,28 @@ object TextOps {
         (col("n_tokens") >= 10) && (col("n_tokens") <= 10000) &&
         (col("ttr") > lit(0.1)))
 
-  /** Language-ID heuristic: stopword-profile score (an n-gram/profile
-    * classifier degenerates to this for whitespace languages). Returns the
-    * score so thresholds are tunable downstream. */
-  def langId(docs: DataFrame): DataFrame =
+  /** Language-ID heuristic, two profile scores per doc: (a) stopword ratio
+    * (word-level profile), (b) character-bigram profile hit rate against a
+    * small English-frequency set — the classic n-gram-profile classifier
+    * reduced to one language's profile. Both scores returned so thresholds
+    * are tunable downstream; prediction from the word-level score. */
+  def langId(docs: DataFrame): DataFrame = {
+    val bigramProfile = Seq("th", "he", "in", "er", "an", "re")
+      .map(g => s"'$g'").mkString("(", ",", ")")
     docs
       .withColumn("words", split(col("text"), " "))
       .select(
         col("doc_id"),
         expr(s"round(size(filter(words, w -> w in $stopSet)) / cast(size(words) as double), 4)")
-          .as("en_score"))
+          .as("en_score"),
+        expr(s"""round(size(filter(transform(sequence(1, length(text) - 1),
+                                   i -> substring(text, i, 2)),
+                            g -> g in $bigramProfile))
+                 / cast(length(text) - 1 as double), 4)""")
+          .as("en_bigram_score"))
       .withColumn("predicted_lang",
         when(col("en_score") > 0.03, "en").otherwise("other"))
+  }
 
   /** Token counting two ways: whitespace tokens and a BPE-ish regex
     * pre-tokenizer (letters | digits | single other-symbol), the standard
