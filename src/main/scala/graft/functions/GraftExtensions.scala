@@ -12,8 +12,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * harness builds its own session, so both paths are supported).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    ext.injectOptimizerRule(_ => NativeVectorMathRule)
+  }
 }
 
 object GraftExtensions {
@@ -32,4 +34,11 @@ object GraftExtensions {
     val registry = spark.sessionState.functionRegistry
     if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
   }
+
+  /** Late install of the optimizer rewrites on a live session (extensions
+    * only apply at session build time). Idempotent. */
+  def installOptimizations(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(NativeVectorMathRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ NativeVectorMathRule
 }

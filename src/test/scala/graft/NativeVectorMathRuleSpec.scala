@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftExtensions
+
+/** Optimizer-rule rewrite: the HOF dot-product idiom must compile to the
+  * native DotProduct expression once the rule is installed, with bit-exact
+  * results. */
+class NativeVectorMathRuleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val hofDot =
+    "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+
+  test("HOF dot-product idiom is rewritten to native dot_product") {
+    // non-foldable source so ConvertToLocalRelation can't pre-evaluate
+    def frame() = spark.range(1)
+      .select(array(col("id") + 1.0, lit(2.0), lit(3.0)).as("a"),
+              array(lit(4.0), lit(5.0), lit(6.0)).as("b"))
+      .select(expr(hofDot).as("d"))
+
+    val before = frame().queryExecution.optimizedPlan.toString
+    assert(before.contains("aggregate("), s"expected HOF form pre-install:\n$before")
+
+    GraftExtensions.installOptimizations(spark)
+    val after = frame().queryExecution.optimizedPlan.toString
+    assert(after.contains("dot_product"), s"rewrite did not fire:\n$after")
+
+    assert(frame().as[Double].head() === 32.0)
+  }
+
+  test("rewrite is bit-exact against the un-rewritten fold on real vectors") {
+    GraftExtensions.installOptimizations(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("a"))
+    val paired = emb.limit(50).crossJoin(
+      emb.select(col("a").as("b")).limit(50))
+    // native (rule fires on the HOF text)
+    val nat = paired.select(expr(hofDot).as("d")).as[Double].collect()
+    // reference fold computed without the rule: same loop in Scala
+    val rows = paired.select(col("a"), col("b"))
+      .as[(Seq[Double], Seq[Double])].collect()
+    val ref = rows.map { case (a, b) =>
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y } }
+    assert(nat.length === ref.length)
+    nat.zip(ref).foreach { case (n, r) => assert(n === r) }
+  }
+
+  test("rule does not fire on non-matching aggregates") {
+    GraftExtensions.installOptimizations(spark)
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+      .select(expr("aggregate(zip_with(a, b, (x, y) -> x + y), 0D, (acc, v) -> acc + v)").as("d"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("dot_product"))
+    assert(df.as[Double].head() === 10.0)
+  }
+}
