@@ -31,14 +31,19 @@ object StreamOps {
   private def freshName(prefix: String): String =
     s"${prefix}_${nameCounter.incrementAndGet()}"
 
+  private val replayCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Ev]]()
+
   /** Load events as an ordered in-memory replay log (sorted by event_id so
-    * micro-batch contents are deterministic). */
-  def loadEvents(spark: SparkSession, dir: String): Seq[Ev] = {
-    import spark.implicits._
-    graft.Tables.events(spark, dir)
-      .select("event_id", "ts", "user_id", "event_type", "value")
-      .as[Ev].collect().sortBy(_.event_id).toSeq
-  }
+    * micro-batch contents are deterministic). Memoized per directory: the
+    * four streaming queries replay the same log, no need to re-collect. */
+  def loadEvents(spark: SparkSession, dir: String): Seq[Ev] =
+    replayCache.computeIfAbsent(dir, { d =>
+      import spark.implicits._
+      graft.Tables.events(spark, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Ev].collect().sortBy(_.event_id).toSeq
+    })
 
   /** Drive `pipeline` over the events replayed in `nBatches` micro-batches
     * and return the final result table. `outputMode` complete/update/append

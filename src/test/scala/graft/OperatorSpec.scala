@@ -11,6 +11,10 @@ import graft.gen.Generator
 class OperatorSpec extends SparkSpec {
   import spark.implicits._
 
+  test("entry (t1 smoke): flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("A3 dedup keeps exactly the first row per key under injected duplicates") {
     // reference semantics: one vote per voter, first wins
     // (main.py:55-59, voting.py:109-138)
