@@ -187,6 +187,21 @@ object SparkEntry {
     "text_token_counts" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
     "text_fingerprints" -> ((s, d) => TextOps.fingerprints(Tables.documents(s, d))),
 
+    "text_tfidf_top3" -> ((s, d) =>
+      TextOps.tfIdfTopTerms(Tables.documents(s, d), 3)),
+
+    // ---- LLM pipeline: sampling / split assignment ----
+    "sample_systematic" -> ((s, d) =>
+      SampleOps.systematic(Tables.events(s, d), "event_id", 20)
+        .select("event_id", "user_id", "event_type")),
+    "sample_stratified" -> ((s, d) =>
+      SampleOps.stratified(Tables.events(s, d), "event_type", "event_id",
+                           Map("click" -> 2, "error" -> 5), defaultK = 10)
+        .select("event_id", "event_type")),
+    "split_assign" -> ((s, d) =>
+      SampleOps.splitAssign(Tables.documents(s, d), "doc_id")
+        .select("doc_id", "split")),
+
     // ---- LLM pipeline: multimodal columns ----
     "mm_media_meta" -> ((s, d) => MultimodalOps.mediaMeta(Tables.documents(s, d))),
     "mm_decode_stub" -> ((s, d) => MultimodalOps.decodeStub(s, Tables.documents(s, d))),
@@ -434,6 +449,32 @@ object SparkEntry {
                   list_transform(range(1, length(text) + 1),
                                  i -> CAST(ascii(text[i:i]) AS BIGINT))),
                   (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
+         FROM documents""",
+    "text_tfidf_top3" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+              tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+              dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+              nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+              sc AS (SELECT tf.doc_id, tf.word,
+                            round(tf.tf * (ln((nd.n_docs + 1) / (dfreq.df + 1)) + 1), 6) AS tfidf
+                     FROM tf JOIN dfreq USING (word) CROSS JOIN nd)
+         SELECT doc_id, word, tfidf, rn FROM (
+           SELECT sc.*, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY tfidf DESC, word) AS rn
+           FROM sc) t
+         WHERE rn <= 3""",
+    "sample_systematic" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE (event_id * 2654435761) % 20 = 0""",
+    "sample_stratified" ->
+      """SELECT event_id, event_type FROM events
+         WHERE (event_id * 2654435761) %
+               (CASE event_type WHEN 'click' THEN 2 WHEN 'error' THEN 5 ELSE 10 END) = 0""",
+    "split_assign" ->
+      """SELECT doc_id,
+                CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                     WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split
          FROM documents""",
     "mm_media_meta" ->
       """SELECT doc_id, strlen(text) AS n_bytes, sha256(text) AS sha256_hex,

@@ -1,0 +1,46 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split assignment for training-data pipelines.
+  *
+  * All assignment is pure arithmetic on a key — never `rand()` — so
+  * samples are reproducible across runs, partition layouts, and engines
+  * (the reference pins `random.seed(21)` for the same reason,
+  * `/root/reference/main.py:12`; we strengthen seeding into keyed hashing
+  * so replays and late-arriving data keep stable assignments). Every op is
+  * a narrow map+filter: no shuffle, scales linearly.
+  */
+object SampleOps {
+
+  private val Mix = 2654435761L
+
+  /** Keyed pseudo-random bucket in [0, buckets): multiplicative-hash the
+    * key and take the residue. */
+  def bucketOf(key: Column, buckets: Int): Column =
+    pmod(key * Mix, lit(buckets.toLong))
+
+  /** Systematic 1-in-k sample by key. */
+  def systematic(df: DataFrame, key: String, k: Int): DataFrame =
+    df.filter(bucketOf(col(key), k) === 0)
+
+  /** Stratified sampling with per-stratum rates expressed as 1-in-k:
+    * strata not listed fall back to `defaultK`. */
+  def stratified(df: DataFrame, stratumCol: String, key: String,
+                 rates: Map[String, Int], defaultK: Int): DataFrame = {
+    val kCol = rates.foldLeft(lit(defaultK)) { case (acc, (stratum, k)) =>
+      when(col(stratumCol) === stratum, lit(k)).otherwise(acc)
+    }
+    df.filter(pmod(col(key) * Mix, kCol.cast("long")) === 0)
+  }
+
+  /** Train/val/test split assignment: hash-bucket into percent space,
+    * 80/10/10. Stable per key forever — the property that keeps a document
+    * out of the eval set no matter when it re-enters the pipeline. */
+  def splitAssign(df: DataFrame, key: String): DataFrame =
+    df.withColumn("split",
+      when(bucketOf(col(key), 100) < 80, "train")
+        .when(bucketOf(col(key), 100) < 90, "val")
+        .otherwise("test"))
+}

@@ -78,6 +78,28 @@ object TextOps {
       size(regexp_extract_all(col("text"),
         lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe_tokens"))
 
+  /** TF-IDF top-`k` terms per document — explode → tf per (doc, word), df
+    * per word, idf = ln((N+1)/(df+1)) + 1 (smoothed), ranked per doc with a
+    * deterministic tie-break. Shuffles carry only (doc, word) aggregates;
+    * the corpus-size scalar joins in as a broadcast. */
+  def tfIdfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = words.distinct().groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct("doc_id").as("n_docs"))
+    val scored = tf.join(dfreq, "word")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("word"),
+        round(col("tf") * (log((col("n_docs") + 1) / (col("df") + 1)) + 1), 6)
+          .as("tfidf"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("word"))))
+      .filter(col("rn") <= k)
+  }
+
   /** Document fingerprints: a content digest (md5 of whitespace-normalized
     * lowercase text) and a 31-polynomial rolling hash over characters —
     * the building block of shingle/Rabin-Karp style fingerprinting. */
