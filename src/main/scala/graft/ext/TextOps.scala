@@ -86,8 +86,13 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val words = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("word"))
-    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val dfreq = words.distinct().groupBy("word").agg(count(lit(1)).as("df"))
+    // tf is consumed twice (scores + df) — cache the aggregated form so the
+    // raw explode+shuffle runs once; tf is vocab×docs-bounded, far smaller
+    // than the exploded words.
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf")).cache()
+    // df derives from tf (one (doc,word) row per pair) — avoids a second
+    // scan + distinct over the raw exploded words.
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(countDistinct("doc_id").as("n_docs"))
     val scored = tf.join(dfreq, "word")
       .crossJoin(broadcast(nDocs))

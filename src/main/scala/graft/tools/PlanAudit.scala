@@ -8,16 +8,52 @@ import org.apache.spark.sql.SparkSession
   * `sbt "runMain graft.tools.PlanAudit /root/testdata/sf0.01 q6_filtered_agg j1_broadcast_enrich"`
   */
 object PlanAudit {
+
+  /** Streaming/composite queries execute a full job on construction —
+    * excluded from the static plan summary (their semantics are graded by
+    * the oracle + streaming specs instead). */
+  private val nonStatic = Set(
+    "t2_stream_hourly_window", "t3_stream_cumulative",
+    "t5_stream_dedup_users", "s8_write_then_emit")
+
+  /** `--summary <dir>`: one markdown row of physical-plan features per
+    * query — shuffle count, join strategies, parquet pushdown, codegen. */
+  def summary(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    println("| query | exchanges | broadcast joins | sort-merge joins | pushed filters | codegen spans |")
+    println("|---|---|---|---|---|---|")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => nonStatic(n) }
+      .foreach { case (name, fn) =>
+        try {
+          val p = fn(spark, dir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          def n(rx: String) = rx.r.findAllIn(p).size
+          val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(p).size
+          val shuffles = n("\\(\\d+\\) Exchange")
+          val codegen = "codegen id : (\\d+)".r.findAllMatchIn(p)
+            .map(_.group(1).toInt).toSet.size
+          println(s"| $name | $shuffles | ${n("\\(\\d+\\) BroadcastHashJoin")} | " +
+            s"${n("\\(\\d+\\) SortMergeJoin")} | $pushed | $codegen |")
+        } catch { case e: Throwable => println(s"| $name | (failed: ${e.getMessage.take(60)}) |||||") }
+      }
+  }
+
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val which = args.drop(1).toSet
+    val summaryMode = args.contains("--summary")
+    val rest = args.filterNot(_ == "--summary")
+    val dir = rest.headOption.getOrElse("/root/testdata/sf0.01")
+    val which = rest.drop(1).toSet
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // T7 plan-stability mode (the reference disables AQE too,
+      // spark-streaming.py:27): final plans, codegen spans visible
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (summaryMode) { summary(spark, dir); spark.stop(); return }
     graft.SparkEntry.queries
       .filter { case (name, _) => which.isEmpty || which(name) }
       .toSeq.sortBy(_._1)
