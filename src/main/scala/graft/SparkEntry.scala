@@ -148,6 +148,8 @@ object SparkEntry {
       graft.pipeline.VotePipeline.partyTally(s, 1000)),
     "vote_e2e_turnout_by_state" -> ((s, _) =>
       graft.pipeline.VotePipeline.turnoutByState(s, 1000)),
+    "vote_e2e_stream_tally" -> ((s, _) =>
+      graft.pipeline.VotePipeline.streamingPartyTally(s, 1000)),
 
     // ---- streaming (SURVEY §2.8) — real MemoryStream executions ----
     "t3_stream_cumulative" -> ((s, d) => StreamOps.cumulativeTally(s, d)),
@@ -341,6 +343,10 @@ object SparkEntry {
                             WHEN 3 THEN 'WA' ELSE 'IL' END AS state,
                 count(*) AS turnout
          FROM range(1000) t(id) GROUP BY 1""",
+    "vote_e2e_stream_tally" ->
+      s"""SELECT ${partyCase("(id * 31 + 7)")} AS party_affiliation,
+                 count(*) AS total_votes
+          FROM range(1000) t(id) GROUP BY 1""",
     "t3_stream_cumulative" ->
       """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
          FROM events GROUP BY event_type""",

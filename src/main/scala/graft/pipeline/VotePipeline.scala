@@ -72,4 +72,32 @@ object VotePipeline {
     decoded(spark, nVoters)
       .groupBy(col("address.state").as("state"))
       .agg(count(lit(1)).as("turnout"))
+
+  /** The reference's pipeline in its actual streaming form — the lineage
+    * `spark-streaming.py` wrote (source → cast → from_json(VoteSchema) →
+    * flatten) continued past its truncation point (`:77-81`) with the
+    * notes-specified aggregation, run for real over micro-batches of wire
+    * JSON and returned as the final complete-mode table. */
+  def streamingPartyTally(spark: SparkSession, nVoters: Long): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wireRows: Seq[String] =
+      wire(spark, nVoters).select(col("value").cast("string"))
+        .as[String].collect().toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = Decode.flatten(
+        Decode.jsonDecode(
+          Decode.castValueToString(
+            ms.toDF().select(col("value").cast("binary").as("value"))),
+          Schemas.VoteSchema))
+      .withWatermark("voting_time", "1 hour")
+      .groupBy("party_affiliation")
+      .agg(sum("vote").as("total_votes"))
+      .writeStream.format("memory").queryName("vote_stream_tally")
+      .outputMode("complete").start()
+    try {
+      wireRows.grouped(250).foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table("vote_stream_tally")
+  }
 }

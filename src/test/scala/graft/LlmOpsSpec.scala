@@ -74,6 +74,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(ivf2.map(labelsOf).size <= 2, "results must come from <=nprobe cells")
   }
 
+  test("IVF cells written as partitions prune the scan to probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    Tables.embeddings(spark, sfDir)
+      .write.partitionBy("label").mode("overwrite").parquet(dir)
+    val pruned = spark.read.parquet(dir)
+      .filter(col("label").isin(3, 7))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filters:\n$plan")
+    // only the two probed cell directories are read
+    val scanned = pruned.select("vec_id").distinct().count()
+    val expected = Tables.embeddings(spark, sfDir)
+      .filter(col("label").isin(3, 7)).count()
+    assert(scanned === expected)
+  }
+
   test("LSH buckets put identical vectors in the same bucket") {
     val emb = Tables.embeddings(spark, sfDir)
     val buckets = SimilarityOps.lshBuckets(emb, 8)
