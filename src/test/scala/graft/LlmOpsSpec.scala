@@ -110,6 +110,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(viaMap === viaCols)
   }
 
+  test("multimodal: metadata-only projection prunes the payload column from the scan") {
+    val docs = Tables.documents(spark, sfDir)
+    val idOnly = MultimodalOps.asMedia(docs).select("doc_id")
+    val scan = idOnly.queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: [^\\n]+".r.findFirstIn(scan).getOrElse("")
+    assert(readSchema.contains("doc_id"), scan)
+    assert(!readSchema.contains("text"),
+      s"payload column must be pruned from the scan: $readSchema")
+  }
+
   test("text stats: token counts consistent with distinct <= total") {
     val st = TextOps.stats(Tables.documents(spark, sfDir))
     assert(st.filter(col("n_distinct_tokens") > col("n_tokens")).count() === 0)
