@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops._
@@ -106,6 +106,12 @@ object SparkEntry {
       Windows.topKByAggregate(Tables.events(s, d), 10)),
     "w3_running_total" -> ((s, d) =>
       Windows.runningTotalPerUser(Tables.events(s, d))),
+    "w4_topk_aggregator" -> ((s, d) => {
+      val topk = udaf(new graft.functions.TopKAggregator(3),
+                      Encoders.product[graft.functions.TopKItem])
+      Tables.events(s, d).groupBy("event_type")
+        .agg(topk(col("value"), col("event_id")).as("top_ids"))
+    }),
 
     // ---- scalar layer (SURVEY §2.7) ----
     "f1_concat" -> ((s, d) =>
@@ -131,6 +137,27 @@ object SparkEntry {
         .select(col("event_id"),
                 Scalars.formatLog("%s#%03d", col("event_type"),
                                   pmod(col("user_id"), lit(100))).as("tag"))),
+
+    // ---- file-source formats (SURVEY §2.1 S4): schema-on-read round-trips ----
+    "s4_json_source" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_json_").toString
+      Tables.events(s, d).select("event_id", "event_type", "value")
+        .write.mode("overwrite").json(tmp)
+      s.read.schema("event_id BIGINT, event_type STRING, value DOUBLE").json(tmp)
+        .groupBy("event_type")
+        .agg(round(sum("value"), 2).as("total_value"),
+             count(lit(1)).as("n_events"))
+    }),
+    "s4_csv_source" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+      Tables.events(s, d).select("event_id", "event_type", "value")
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.schema("event_id BIGINT, event_type STRING, value DOUBLE")
+        .option("header", "true").csv(tmp)
+        .groupBy("event_type")
+        .agg(round(sum("value"), 2).as("total_value"),
+             count(lit(1)).as("n_events"))
+    }),
 
     // ---- SQL surface / DDL (SURVEY §2.1 S6) ----
     "s6_sql_over_view" -> ((s, d) => {
@@ -304,6 +331,14 @@ object SparkEntry {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                   AS running_value
          FROM events""",
+    "w4_topk_aggregator" ->
+      """WITH r AS (SELECT event_type, event_id,
+                           row_number() OVER (PARTITION BY event_type
+                                              ORDER BY value DESC, event_id) AS rn
+                    FROM events)
+         SELECT event_type,
+                string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rn) AS top_ids
+         FROM r WHERE rn <= 3 GROUP BY event_type""",
     "f1_concat" ->
       "SELECT c_custkey, concat_ws('|', c_name, c_mktsegment) AS tag FROM customer",
     "f2_party_pick" ->
@@ -320,6 +355,12 @@ object SparkEntry {
          FROM events""",
     "f9_format_string" ->
       "SELECT event_id, printf('%s#%03d', event_type, user_id % 100) AS tag FROM events",
+    "s4_json_source" ->
+      """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
+         FROM events GROUP BY event_type""",
+    "s4_csv_source" ->
+      """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
+         FROM events GROUP BY event_type""",
     "s6_sql_over_view" ->
       """SELECT event_type, count(*) AS n FROM events
          WHERE value > 10 GROUP BY event_type HAVING count(*) > 5""",

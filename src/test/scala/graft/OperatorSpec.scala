@@ -95,6 +95,20 @@ class OperatorSpec extends SparkSpec {
     assert(t1.keySet === Set("candidate_0", "candidate_1", "candidate_2"))
   }
 
+  test("W4 bounded-heap Aggregator: k-buffer merge equals full sort, ties to smaller id") {
+    val df = Seq(
+      (1L, "a", 5.0), (2L, "a", 5.0), (3L, "a", 9.0),
+      (4L, "a", 1.0), (5L, "b", 2.0)
+    ).toDF("event_id", "event_type", "value")
+    val topk = udaf(new graft.functions.TopKAggregator(2),
+                    org.apache.spark.sql.Encoders.product[graft.functions.TopKItem])
+    val out = df.groupBy("event_type")
+      .agg(topk(col("value"), col("event_id")).as("top_ids"))
+      .as[(String, String)].collect().toMap
+    assert(out("a") === "3,1") // 9.0 first; 5.0 tie -> smaller id wins
+    assert(out("b") === "5")
+  }
+
   test("W2 top-k matches full-sort head") {
     val events = Tables.events(spark, sfDir)
     val topk = Windows.topKByAggregate(events, 5).as[(Long, Double)].collect()
