@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.Row
+
+/** The source/sink seam (SURVEY §7.1): every pipeline consumes a
+  * Kafka-*shaped* frame — `key: binary, value: binary` — so swapping the
+  * offline `MemoryStream` leaf for the real Kafka connector is a config
+  * change, not a code change. The Kafka implementations below compile
+  * against the stable `format("kafka")` string API and mirror the
+  * reference's wiring (`/root/reference/spark-streaming.py:66-71` source;
+  * `voting.py:128-134` producer); they resolve at runtime only when the
+  * spark-sql-kafka connector jar is on the classpath (absent in this
+  * offline environment — exercised via [[MemoryEventSource]] instead).
+  */
+object Wire {
+
+  /** A stream of Kafka-shaped records. */
+  trait EventSource {
+    /** DataFrame with `key binary, value binary` columns (streaming). */
+    def load(spark: SparkSession): DataFrame
+  }
+
+  /** Offline stand-in: JSON-encoded events through MemoryStream, projected
+    * to the exact Kafka wire schema (key = user id bytes, value = JSON
+    * bytes — `/root/reference/main.py:216-217`). */
+  final class MemoryEventSource(
+      val stream: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamOps.Ev]) extends EventSource {
+    override def load(spark: SparkSession): DataFrame =
+      stream.toDF().select(
+        col("user_id").cast("string").cast("binary").as("key"),
+        to_json(struct(col("event_id"), col("ts"), col("user_id"),
+                       col("event_type"), col("value"))).cast("binary").as("value"))
+  }
+
+  /** Real Kafka source — the reference's exact options
+    * (`spark-streaming.py:66-71`): subscribe + earliest offsets. */
+  final class KafkaEventSource(bootstrap: String, topic: String,
+                               startingOffsets: String = "earliest") extends EventSource {
+    override def load(spark: SparkSession): DataFrame =
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", startingOffsets)
+        .load()
+        .select(col("key"), col("value"))
+  }
+
+  /** Kafka-shaped sink seam: given a frame already projected to
+    * `key/value`, route it to a concrete sink. */
+  trait EventSink {
+    def write(kv: DataFrame): DataStreamWriter[Row]
+  }
+
+  /** Offline: named memory sink. */
+  final class MemoryEventSink(name: String, mode: String = "append") extends EventSink {
+    override def write(kv: DataFrame): DataStreamWriter[Row] =
+      kv.writeStream.format("memory").queryName(name).outputMode(mode)
+  }
+
+  /** Real Kafka producer sink (`voting.py:128-134`). */
+  final class KafkaEventSink(bootstrap: String, topic: String,
+                             checkpoint: String) extends EventSink {
+    override def write(kv: DataFrame): DataStreamWriter[Row] =
+      kv.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.streaming.{StreamOps, Wire}
+import graft.streaming.StreamOps.Ev
+
+/** The Kafka-shaped source seam end to end, and the full
+  * flatMapGroupsWithState session state machine with event-time timeout. */
+class WireSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, t: String, user: Long, typ: String, v: Double) =
+    Ev(id, Timestamp.valueOf(t), user, typ, v)
+
+  test("MemoryEventSource emits the Kafka wire schema and decodes through P1-P3") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val src = new Wire.MemoryEventSource(ms)
+    val decoded = graft.ops.Decode.flatten(
+      graft.ops.Decode.jsonDecodeDdl(
+        graft.ops.Decode.castValueToString(src.load(spark)),
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"))
+    val q = new Wire.MemoryEventSink("wire_rt").write(decoded).start()
+    try {
+      ms.addData(ev(1, "2024-01-01 00:00:00", 7, "click", 2.5),
+                 ev(2, "2024-01-01 00:00:01", 8, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("wire_rt")
+        .select("event_id", "user_id", "event_type", "value")
+        .as[(Long, Long, String, Double)].collect().toSet
+      assert(rows === Set((1L, 7L, "click", 2.5), (2L, 8L, "view", 1.0)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState: sessions close on event-time timeout") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    // state: (sessionStartMs, lastSeenMs, nEvents); emit on timeout
+    val sessions = ms.toDS()
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (_, _, n) = state.get
+            state.remove()
+            Iterator.single((user, n))
+          } else {
+            val times = evs.map(_.ts.getTime).toSeq
+            val (s0, _, n0) = state.getOption.getOrElse((times.min, times.min, 0L))
+            state.update((s0, times.max, n0 + times.size))
+            // session closes 30 min after the last event
+            state.setTimeoutTimestamp(times.max + 30 * 60 * 1000)
+            Iterator.empty
+          }
+      }
+    val q = sessions.toDF("user_id", "n_events")
+      .writeStream.format("memory").queryName("fmgws").outputMode("append").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 00:00:00", 1, "a", 1.0),
+                 ev(2, "2024-01-01 00:10:00", 1, "a", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("fmgws").isEmpty) // session still open
+      // event far in the future advances the watermark past the timeout
+      ms.addData(ev(3, "2024-01-01 03:00:00", 2, "a", 1.0))
+      q.processAllAvailable()
+      // one more batch so the timed-out state is flushed
+      ms.addData(ev(4, "2024-01-01 03:01:00", 2, "a", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("fmgws").as[(Long, Long)].collect().toSet
+      assert(out.contains((1L, 2L)), s"user-1 session (2 events) should have closed: $out")
+    } finally q.stop()
+  }
+}
