@@ -208,6 +208,8 @@ object SparkEntry {
       SimilarityOps.ivfTopK(Tables.embeddings(s, d), 0L, 10, nprobe = 3)),
     "ann_lsh_buckets" -> ((s, d) =>
       SimilarityOps.lshBuckets(Tables.embeddings(s, d), 8)),
+    "vec_quantize_int8" -> ((s, d) =>
+      SimilarityOps.quantizeInt8(Tables.embeddings(s, d))),
 
     // ---- LLM pipeline: text analysis ----
     "text_stats" -> ((s, d) => TextOps.stats(Tables.documents(s, d))),
@@ -456,6 +458,16 @@ object SparkEntry {
                       / (n.nrm * q.qn), 6) AS cosine
          FROM n, q WHERE n.vec_id <> 0
          ORDER BY cosine DESC, vec_id LIMIT 10""",
+    "vec_quantize_int8" ->
+      """WITH e AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              m AS (SELECT vec_id, v,
+                           list_max(list_transform(v, x -> abs(x))) AS ma FROM e)
+         SELECT vec_id, round(127.0 / ma, 6) AS scale,
+                array_to_string(list_transform(v,
+                  x -> CAST(round(x * (127.0 / ma)) AS INTEGER)), ',') AS q8
+         FROM m""",
     "text_stats" ->
       """SELECT doc_id,
                 len(string_split(text, ' ')) AS n_tokens,

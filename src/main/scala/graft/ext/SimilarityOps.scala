@@ -92,6 +92,20 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Symmetric int8 quantization of the embedding column — the standard
+    * storage/serving compression for vector corpora (4× smaller than
+    * float32, 8× than float64): per-vector scale = 127 / max|x|, codes =
+    * round(x·scale). Emitted as (scale, comma-joined codes) so the result
+    * is parquet- and oracle-stable. Pure column math, no shuffle. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), vecD("embedding").as("v"))
+      .withColumn("ma", expr("array_max(transform(v, x -> abs(x)))"))
+      .select(col("vec_id"),
+        round(lit(127.0) / col("ma"), 6).as("scale"),
+        expr("concat_ws(',', transform(v, x -> cast(round(x * (127.0 / ma)) as int)))")
+          .as("q8"))
+
   /** Random-projection LSH bucketing: `nBits` deterministic hyperplanes
     * (components derived arithmetically from the plane/dim index, seeded —
     * no RNG, so fixtures are reproducible); bucket = packed sign bits.
