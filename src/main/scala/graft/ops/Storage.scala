@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout operators — the part of a 100 TB pipeline that lives
+  * between queries: bucketing for co-located joins, and size-targeted
+  * writes against the small-files problem.
+  */
+object Storage {
+
+  /** Drop a managed table AND its warehouse location — a dropped catalog
+    * entry (fresh metastore per JVM) can leave a stale directory behind,
+    * which `saveAsTable` then refuses as LOCATION_ALREADY_EXISTS. */
+  private def dropTable(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dir = new java.io.File(wh, name.toLowerCase)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (dir.exists()) rm(dir)
+  }
+
+  /** Write both sides of a recurring join bucketed by the join key with the
+    * same bucket count. Subsequent joins between the tables are co-located:
+    * Spark plans a SortMergeJoin with ZERO shuffle exchanges — each task
+    * reads matching buckets from both sides. This is the amortize-the-
+    * shuffle-once pattern for fact tables joined repeatedly on the same
+    * key (the reference's voter⋈candidate join key, scaled up). */
+  def writeBucketedPair(spark: SparkSession,
+                        left: DataFrame, leftTable: String, leftKey: String,
+                        right: DataFrame, rightTable: String, rightKey: String,
+                        buckets: Int): Unit = {
+    dropTable(spark, leftTable)
+    dropTable(spark, rightTable)
+    left.write.bucketBy(buckets, leftKey).sortBy(leftKey)
+      .mode("overwrite").saveAsTable(leftTable)
+    right.write.bucketBy(buckets, rightKey).sortBy(rightKey)
+      .mode("overwrite").saveAsTable(rightTable)
+  }
+
+  /** Join two co-bucketed tables on their bucket keys. */
+  def bucketedJoin(spark: SparkSession, leftTable: String, leftKey: String,
+                   rightTable: String, rightKey: String): DataFrame =
+    spark.table(leftTable)
+      .join(spark.table(rightTable),
+            col(leftKey) === col(rightKey), "inner")
+
+  /** Compact a directory of (potentially many small) parquet files to
+    * ~`targetRowsPerFile` rows per output file. At scale, writers that
+    * emit one file per task per partition produce millions of KB-sized
+    * files that destroy scan throughput; periodic compaction with an
+    * explicit size target is the standard fix. */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetRowsPerFile: Long): Long = {
+    val df = spark.read.parquet(inDir)
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
+    df.repartition(nFiles.toInt)
+      .write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
+}

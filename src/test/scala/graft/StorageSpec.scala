@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Storage
+
+/** Storage-layout semantics: bucketed co-located joins plan no shuffle;
+  * compaction hits the file-count target. */
+class StorageSpec extends SparkSpec {
+
+  test("co-bucketed tables join with zero shuffle exchanges") {
+    val events = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value")
+    val customer = Tables.customer(spark, sfDir)
+    Storage.writeBucketedPair(spark,
+      events, "ev_bucketed", "user_id",
+      customer, "cust_bucketed", "c_custkey", buckets = 8)
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Storage.bucketedJoin(spark,
+        "ev_bucketed", "user_id", "cust_bucketed", "c_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      // and it still computes the right thing
+      val viaBuckets = joined.count()
+      val viaPlain = events.join(customer,
+        col("user_id") === col("c_custkey")).count()
+      assert(viaBuckets === viaPlain)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("compaction reduces many small files to the size target") {
+    val small = java.nio.file.Files.createTempDirectory("graft_small_").toString
+    val compacted = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    // simulate a small-files write: 64 files for 6k rows
+    Tables.events(spark, sfDir).repartition(64).write.mode("overwrite").parquet(small)
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(small) === 64)
+
+    Storage.compact(spark, small, compacted, targetRowsPerFile = 2000)
+    val n = parquetFiles(compacted)
+    assert(n >= 1 && n <= 4, s"expected ~3 compacted files, got $n")
+    assert(spark.read.parquet(compacted).count() ===
+           spark.read.parquet(small).count())
+  }
+}
