@@ -87,6 +87,9 @@ object SparkEntry {
     "j3_agg_then_enrich" -> ((s, d) =>
       Joins.aggThenEnrich(Tables.events(s, d), Tables.customer(s, d))),
 
+    "j4_asof_attribution" -> ((s, d) =>
+      AsOfJoin.attribution(Tables.events(s, d), "purchase", "click", 3600L)),
+
     // ---- decode chain / projections (SURVEY §2.2) ----
     "p1p3_decode_flatten" -> ((s, d) =>
       Decode.kafkaRoundTrip(Tables.events(s, d),
@@ -311,6 +314,31 @@ object SparkEntry {
          FROM (SELECT user_id, round(sum(value), 2) AS total_value
                FROM events GROUP BY user_id) t
          JOIN customer c ON t.user_id = c.c_custkey""",
+    "j4_asof_attribution" ->
+      """WITH u AS (
+           SELECT user_id, ts, event_id, 1 AS tag,
+                  CAST(NULL AS BIGINT) AS r_id, CAST(NULL AS TIMESTAMP) AS r_ts
+           FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT user_id, ts, event_id, 0 AS tag, event_id AS r_id, ts AS r_ts
+           FROM events WHERE event_type = 'click'),
+         w AS (
+           SELECT *,
+                  last_value(r_id IGNORE NULLS) OVER
+                    (PARTITION BY user_id ORDER BY ts, tag, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_r_id,
+                  last_value(r_ts IGNORE NULLS) OVER
+                    (PARTITION BY user_id ORDER BY ts, tag, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_r_ts
+           FROM u)
+         SELECT event_id AS left_id, user_id,
+                CASE WHEN last_r_ts IS NOT NULL
+                          AND date_diff('second', last_r_ts, ts) <= 3600
+                     THEN last_r_id END AS matched_right_id,
+                CASE WHEN last_r_ts IS NOT NULL
+                          AND date_diff('second', last_r_ts, ts) <= 3600
+                     THEN date_diff('second', last_r_ts, ts) END AS gap_s
+         FROM w WHERE tag = 1""",
     "p1p3_decode_flatten" ->
       "SELECT event_id, event_type, value FROM events",
     "p6_empty_guard" ->

@@ -85,6 +85,26 @@ class OperatorSpec extends SparkSpec {
     assert(a.select("party").distinct().count() === 3)
   }
 
+  test("J4 as-of join: latest prior match within tolerance, left rows preserved") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "click", 0.0),
+      (2L, t("2024-01-01 10:30:00"), 1L, "purchase", 9.0),  // gap 1800 -> click 1
+      (3L, t("2024-01-01 12:00:00"), 1L, "purchase", 5.0),  // gap 5400 > 3600 -> null
+      (4L, t("2024-01-01 09:00:00"), 2L, "purchase", 1.0),  // no click at all -> null
+      (5L, t("2024-01-01 11:00:00"), 3L, "click", 0.0),
+      (6L, t("2024-01-01 11:00:00"), 3L, "purchase", 2.0)   // same instant -> gap 0
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.ops.AsOfJoin.attribution(df, "purchase", "click", 3600L)
+      .select("left_id", "matched_right_id", "gap_s")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(2L) === ((Some(1L), Some(1800L))))
+    assert(out(3L) === ((None, None)))
+    assert(out(4L) === ((None, None)))
+    assert(out(6L) === ((Some(5L), Some(0L))))
+  }
+
   test("S7 generator golden fixture: tally is stable across runs") {
     val t1 = Generator.goldenTally(spark, 1000)
       .as[(String, Long)].collect().toMap

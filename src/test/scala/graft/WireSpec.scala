@@ -37,6 +37,35 @@ class WireSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchases match clicks within the time bound") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val c = clicks.toDF()
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+              col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val p = purchases.toDF()
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+              col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = p.join(c,
+      col("p_user") === col("c_user") &&
+      col("c_ts") <= col("p_ts") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+    val q = joined.select("purchase_id", "click_id")
+      .writeStream.format("memory").queryName("ss_join").outputMode("append").start()
+    try {
+      clicks.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 0.0),
+                     ev(2, "2024-01-01 06:00:00", 2, "click", 0.0))
+      purchases.addData(ev(10, "2024-01-01 10:30:00", 1, "purchase", 9.0),
+                        ev(11, "2024-01-01 10:30:00", 2, "purchase", 9.0))
+      q.processAllAvailable()
+      val out = spark.table("ss_join").as[(Long, Long)].collect().toSet
+      assert(out === Set((10L, 1L))) // user-2's click is 4.5h old -> no match
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState: sessions close on event-time timeout") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Ev]
