@@ -89,6 +89,8 @@ object SparkEntry {
 
     "j4_asof_attribution" -> ((s, d) =>
       AsOfJoin.attribution(Tables.events(s, d), "purchase", "click", 3600L)),
+    "j5_range_join" -> ((s, d) =>
+      RangeJoin.trailingWindowPairs(Tables.events(s, d), "purchase", "click", 1800L)),
 
     // ---- decode chain / projections (SURVEY §2.2) ----
     "p1p3_decode_flatten" -> ((s, d) =>
@@ -339,6 +341,13 @@ object SparkEntry {
                           AND date_diff('second', last_r_ts, ts) <= 3600
                      THEN date_diff('second', last_r_ts, ts) END AS gap_s
          FROM w WHERE tag = 1""",
+    "j5_range_join" ->
+      """SELECT l.event_id AS left_id, r.event_id AS right_id, l.user_id,
+                date_diff('second', r.ts, l.ts) AS gap_s
+         FROM events l JOIN events r
+           ON l.user_id = r.user_id
+          AND l.event_type = 'purchase' AND r.event_type = 'click'
+          AND date_diff('second', r.ts, l.ts) BETWEEN 0 AND 1800""",
     "p1p3_decode_flatten" ->
       "SELECT event_id, event_type, value FROM events",
     "p6_empty_guard" ->

@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range join — all (left, right) pairs of the same key with the right
+  * event inside a trailing time window of the left event
+  * (`r.ts ∈ [l.ts - T, l.ts]`). Where [[AsOfJoin]] keeps only the latest
+  * match, this keeps every match (e.g. all clicks contributing to a
+  * purchase within the attribution window).
+  *
+  * Scale shape: the direct inequality join can only plan as a broadcast
+  * nested loop — O(|L|·|R|) per key. Instead, both sides are bucketed by
+  * `floor(ts / T)`: a right row can only match left rows in its own or the
+  * next bucket, so exploding the right side into those two bucket keys
+  * turns the range join into an ordinary hash equi-join on (key, bucket)
+  * plus a cheap residual filter. Each qualifying pair appears exactly once.
+  */
+object RangeJoin {
+
+  /** All `rightType` events within `windowSec` before each `leftType`
+    * event of the same user. Output: (left_id, right_id, gap_s). */
+  def trailingWindowPairs(events: DataFrame, leftType: String,
+                          rightType: String, windowSec: Long): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("event_id").as("left_id"),
+        col("ts").as("l_ts"),
+        floor(unix_timestamp(col("ts")) / windowSec).as("bucket"))
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("user_id"), col("event_id").as("right_id"),
+        col("ts").as("r_ts"),
+        explode(array(
+          floor(unix_timestamp(col("ts")) / windowSec),
+          floor(unix_timestamp(col("ts")) / windowSec) + 1)).as("bucket"))
+    l.join(r, Seq("user_id", "bucket"))
+      .withColumn("gap_s",
+        unix_timestamp(col("l_ts")) - unix_timestamp(col("r_ts")))
+      .filter(col("gap_s") >= 0 && col("gap_s") <= windowSec)
+      .select("left_id", "right_id", "user_id", "gap_s")
+  }
+}
