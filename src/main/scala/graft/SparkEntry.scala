@@ -215,6 +215,9 @@ object SparkEntry {
       SimilarityOps.lshBuckets(Tables.embeddings(s, d), 8)),
     "vec_quantize_int8" -> ((s, d) =>
       SimilarityOps.quantizeInt8(Tables.embeddings(s, d))),
+    "ann_kmeans_cells" -> ((s, d) =>
+      SimilarityOps.kmeansCells(Tables.embeddings(s, d), 2)
+        .orderBy("vec_id")),
 
     // ---- LLM pipeline: text analysis ----
     "text_stats" -> ((s, d) => TextOps.stats(Tables.documents(s, d))),

@@ -92,6 +92,43 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Lloyd-iteration refinement of the IVF coarse quantizer: start from the
+    * label-cell means and run `iters` assign/recompute rounds (cosine
+    * assignment). Deterministic — initialization is data-derived, no RNG.
+    * Each iteration is one broadcast of k centroids + one groupBy shuffle
+    * of 64-double partial sums per cell: O(k·d) driver state, scales to
+    * arbitrary N. Returns (vec_id, cell). */
+  def kmeansCells(embeddings: DataFrame, iters: Int): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("label"),
+      vecD("embedding").as("v"))
+
+    def centroidsOf(assigned: DataFrame, cellCol: String): DataFrame =
+      assigned.groupBy(col(cellCol).as("cell"))
+        .agg(count(lit(1)).as("n"),
+          expr("aggregate(collect_list(v), array_repeat(0D, 64), (acc, x) -> zip_with(acc, x, (a, b) -> a + b))")
+            .as("sumv"))
+        .select(col("cell"),
+          expr("transform(sumv, s -> s / cast(n as double))").as("cv"))
+
+    var assigned = base.withColumn("cell", col("label"))
+    (1 to iters).foreach { _ =>
+      val cents = centroidsOf(assigned, "cell")
+        .select(col("cell").as("c_cell"), col("cv"))
+      // nearest centroid by cosine; ties to the smaller cell id
+      assigned = base.crossJoin(broadcast(cents))
+        .withColumn("sim", expr(
+          """aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (a, b) -> a + b)
+             / (sqrt(aggregate(transform(v, x -> x * x), 0D, (a, b) -> a + b))
+                * sqrt(aggregate(transform(cv, x -> x * x), 0D, (a, b) -> a + b)))"""))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+            .orderBy(desc("sim"), asc("c_cell"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("v"), col("c_cell").as("cell"))
+    }
+    assigned.select("vec_id", "cell")
+  }
+
   /** Symmetric int8 quantization of the embedding column — the standard
     * storage/serving compression for vector corpora (4× smaller than
     * float32, 8× than float64): per-vector scale = 127 / max|x|, codes =

@@ -37,6 +37,46 @@ class WireSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of via mapGroupsWithState: purchases match the latest prior click") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    // state = latest click (ts, id) per user; purchases emit (purchase_id, click_id)
+    val matched = ms.toDS().groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), (Long, Option[Long])](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (_: Long, evs: Iterator[Ev], state: GroupState[(Long, Long)]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Option[Long])]()
+          sorted.foreach { e =>
+            if (e.event_type == "click") state.update((e.ts.getTime, e.event_id))
+            else if (e.event_type == "purchase") {
+              val m = state.getOption.collect {
+                case (cts, cid) if e.ts.getTime - cts <= 3600 * 1000 => cid
+              }
+              out += ((e.event_id, m))
+            }
+          }
+          out.iterator
+      }
+    val q = matched.toDF("purchase_id", "click_id")
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 0.0))
+      q.processAllAvailable()
+      // cross-batch: purchase in a later batch uses state from the earlier one
+      ms.addData(ev(2, "2024-01-01 10:30:00", 1, "purchase", 9.0),
+                 ev(3, "2024-01-01 09:00:00", 2, "purchase", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("asof_stream")
+        .as[(Long, Option[Long])].collect().toMap
+      assert(out(2L) === Some(1L))
+      assert(out(3L) === None)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: purchases match clicks within the time bound") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val clicks = MemoryStream[Ev]
