@@ -1,9 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Driver-run benchmark: times every SparkEntry query at SPARK_GRAFT_SF_DIR
+  * and emits ONE JSON line. The line goes to stdout (driver contract) AND
+  * to the file named by SPARK_GRAFT_BENCH_OUT (default
+  * /tmp/graft_bench.json) — sbt prefixes stdout with `[info]`, which broke
+  * the driver's parse of both prior rounds' BENCH files; the file copy is
+  * the reliable channel.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,7 +26,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line)
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: ${e.getMessage}") }
     spark.stop()
   }
 }

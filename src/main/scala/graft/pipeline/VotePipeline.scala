@@ -79,25 +79,24 @@ object VotePipeline {
     * notes-specified aggregation, run for real over micro-batches of wire
     * JSON and returned as the final complete-mode table. */
   def streamingPartyTally(spark: SparkSession, nVoters: Long): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val wireRows: Seq[String] =
-      wire(spark, nVoters).select(col("value").cast("string"))
-        .as[String].collect().toSeq
-    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    // Stage the wire records as a 4-file parquet topic and consume them
+    // through the *file stream source* (1 file per micro-batch) — the
+    // records never pass through the driver, unlike a MemoryStream feed.
+    val topicDir = java.nio.file.Files
+      .createTempDirectory("graft_vote_topic_").toString
+    wire(spark, nVoters).repartition(4).write.mode("overwrite").parquet(topicDir)
     val q = Decode.flatten(
         Decode.jsonDecode(
           Decode.castValueToString(
-            ms.toDF().select(col("value").cast("binary").as("value"))),
+            spark.readStream.schema("key STRING, value BINARY")
+              .option("maxFilesPerTrigger", 1).parquet(topicDir)),
           Schemas.VoteSchema))
       .withWatermark("voting_time", "1 hour")
       .groupBy("party_affiliation")
       .agg(sum("vote").as("total_votes"))
       .writeStream.format("memory").queryName("vote_stream_tally")
       .outputMode("complete").start()
-    try {
-      wireRows.grouped(250).foreach { b => ms.addData(b); q.processAllAvailable() }
-    } finally q.stop()
+    try q.processAllAvailable() finally q.stop()
     spark.table("vote_stream_tally")
   }
 }

@@ -16,10 +16,14 @@ import org.apache.spark.sql.streaming.Trigger
   * (`.../Note_Projet1_RealTimeVotingDataEngineer.txt:34-36`).
   *
   * No Kafka connector jar exists offline (SURVEY §7.1), so the source seam
-  * is `MemoryStream` — same `readStream` lineage, swap of the leaf only.
-  * Each helper REALLY runs a streaming query (micro-batches, state store,
-  * output modes) and returns the final result as a batch DataFrame, which
-  * is what lets the driver's DuckDB oracle grade streaming semantics.
+  * is the parquet *file stream source* (`readStream.parquet`) — same
+  * `readStream` lineage, swap of the leaf only, and crucially the data
+  * stays distributed (no driver-side materialization, so the harness
+  * itself survives 100× scale). Each helper REALLY runs a streaming query
+  * (micro-batches, state store, output modes) and returns the final result
+  * as a batch DataFrame, which is what lets the driver's DuckDB oracle
+  * grade streaming semantics. `MemoryStream` remains only in the
+  * spec-facing [[runStream]] where tests need exact batch boundaries.
   */
 object StreamOps {
 
@@ -31,23 +35,58 @@ object StreamOps {
   private def freshName(prefix: String): String =
     s"${prefix}_${nameCounter.incrementAndGet()}"
 
-  private val replayCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Ev]]()
+  /** Streaming view of the events table via the parquet *file stream
+    * source* — the data never touches the driver (contrast: a
+    * MemoryStream feed requires a driver-side collect, an OOM at 100×
+    * scale). In production the events directory keeps receiving files and
+    * `maxFilesPerTrigger` paces micro-batches; here the fixed fixture
+    * drains in as many batches as it has files. Schema is declared (file
+    * sources require it) with `ts` as raw nanos (see
+    * [[graft.Tables.events]]) and converted to µs timestamps in-plan. */
+  private val topicDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Load events as an ordered in-memory replay log (sorted by event_id so
-    * micro-batch contents are deterministic). Memoized per directory: the
-    * four streaming queries replay the same log, no need to re-collect. */
-  def loadEvents(spark: SparkSession, dir: String): Seq[Ev] =
-    replayCache.computeIfAbsent(dir, { d =>
-      import spark.implicits._
-      graft.Tables.events(spark, d)
-        .select("event_id", "ts", "user_id", "event_type", "value")
-        .as[Ev].collect().sortBy(_.event_id).toSeq
+  /** The file stream source consumes a *directory* (a "topic" that receives
+    * files over time). The fixture is a single read-only file, so expose it
+    * through a symlinked topic dir — zero copy, driver does O(1) work. */
+  private def eventsTopicDir(dir: String): String =
+    topicDirs.computeIfAbsent(dir, { d =>
+      val topic = Files.createTempDirectory("graft_events_topic_")
+      Files.createSymbolicLink(
+        topic.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      topic.toString
     })
 
-  /** Drive `pipeline` over the events replayed in `nBatches` micro-batches
-    * and return the final result table. `outputMode` complete/update/append
-    * per the query shape. */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(eventsTopicDir(dir))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Drive `pipeline` over the file-streamed events table and return the
+    * final result table. `outputMode` complete/update/append per the query
+    * shape. The memory sink holds only the (small, aggregated) result —
+    * the input stream itself stays distributed. */
+  def runFileStream(spark: SparkSession, dir: String, outputMode: String)
+                   (pipeline: DataFrame => DataFrame): DataFrame = {
+    val table = freshName("graft_fstream")
+    val q = pipeline(eventStream(spark, dir))
+      .writeStream.format("memory").queryName(table)
+      .outputMode(outputMode)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(table)
+  }
+
+  /** MemoryStream harness for the fine-grained specs (exact micro-batch
+    * boundaries, late-data injection): drive `pipeline` over `data`
+    * replayed in `nBatches` micro-batches and return the final result
+    * table. Queries use [[runFileStream]]; this stays driver-fed by
+    * design, for tests only. */
   def runStream(spark: SparkSession, data: Seq[Ev], nBatches: Int,
                 outputMode: String)
                (pipeline: DataFrame => DataFrame): DataFrame = {
@@ -72,7 +111,7 @@ object StreamOps {
     * Complete mode: the final table equals the batch groupBy, which is the
     * prefix-consistency guarantee the oracle checks. */
   def cumulativeTally(spark: SparkSession, dir: String): DataFrame =
-    runStream(spark, loadEvents(spark, dir), nBatches = 4, "complete") { df =>
+    runFileStream(spark, dir, "complete") { df =>
       df.groupBy("event_type")
         .agg(round(sum("value"), 2).as("total_value"),
              count(lit(1)).as("n_events"))
@@ -82,7 +121,7 @@ object StreamOps {
     * the exact step the reference truncated at ("convertir l'horodatage",
     * `/root/reference/spark-streaming.py:77`). */
   def hourlyWindowCounts(spark: SparkSession, dir: String): DataFrame =
-    runStream(spark, loadEvents(spark, dir), nBatches = 4, "complete") { df =>
+    runFileStream(spark, dir, "complete") { df =>
       df.withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"))
         .agg(count(lit(1)).as("n_events"))
@@ -95,7 +134,7 @@ object StreamOps {
     * distinct-user set, which is deterministic regardless of which arrival
     * won the state race. */
   def streamingDedupUsers(spark: SparkSession, dir: String): DataFrame =
-    runStream(spark, loadEvents(spark, dir), nBatches = 4, "append") { df =>
+    runFileStream(spark, dir, "append") { df =>
       df.dropDuplicates("user_id").select("user_id")
     }
 
@@ -106,13 +145,10 @@ object StreamOps {
     * the DB write) and only then emits the JSON wire form (≈ the Kafka
     * produce); the returned frame is the re-parsed emitted stream. */
   def writeThenEmit(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val ms = MemoryStream[Ev]
     val outRoot = Files.createTempDirectory("graft_s8_").toString
     val stored = s"$outRoot/stored"
     val emitted = s"$outRoot/emitted"
-    val q = ms.toDF().writeStream
+    val q = eventStream(spark, dir).writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.persist()
         // 1) durable write (the "DB insert", voting.py:112-116)
@@ -126,11 +162,7 @@ object StreamOps {
         b.unpersist(); ()
       }
       .start()
-    try {
-      loadEvents(spark, dir).grouped(25000).foreach { b =>
-        ms.addData(b); q.processAllAvailable()
-      }
-    } finally q.stop()
+    try q.processAllAvailable() finally q.stop()
     // re-parse the emitted wire records (P1+P2+P3 on our own sink output)
     spark.read.parquet(emitted)
       .select(from_json(col("value"),
