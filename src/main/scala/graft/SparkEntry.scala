@@ -164,6 +164,10 @@ object SparkEntry {
              count(lit(1)).as("n_events"))
     }),
 
+    // ---- JDBC source/sink (SURVEY §2.1 S4/S5): real embedded-Derby trip ----
+    "s5_jdbc_roundtrip" -> ((s, d) =>
+      graft.sources.JdbcIO.roundTrip(s, Tables.events(s, d))),
+
     // ---- SQL surface / DDL (SURVEY §2.1 S6) ----
     "s6_sql_over_view" -> ((s, d) => {
       Tables.events(s, d).createOrReplaceTempView("events_v")
@@ -187,6 +191,7 @@ object SparkEntry {
     "t3_stream_cumulative" -> ((s, d) => StreamOps.cumulativeTally(s, d)),
     "t2_stream_hourly_window" -> ((s, d) => StreamOps.hourlyWindowCounts(s, d)),
     "t5_stream_dedup_users" -> ((s, d) => StreamOps.streamingDedupUsers(s, d)),
+    "t8_stream_asof" -> ((s, d) => StreamOps.streamingAsOfAttribution(s, d)),
     "s8_write_then_emit" -> ((s, d) => StreamOps.writeThenEmit(s, d)),
 
     // ---- LLM pipeline: dedup family ----
@@ -194,11 +199,15 @@ object SparkEntry {
       Dedup.exactByContent(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) =>
       DedupOps.ngramJaccardTopPairs(Tables.documents(s, d), 3, 20)),
-    "dedup_minhash_candidates" -> ((s, d) =>
-      DedupOps.minHashCandidates(Tables.documents(s, d), 3, bands = 8, rows = 2)
-        .orderBy("doc_a", "doc_b")),
-    "dedup_simhash" -> ((s, d) =>
-      DedupOps.simHashes(Tables.documents(s, d))),
+    "dedup_minhash_recall" -> ((s, d) =>
+      DedupOps.minHashRecall(Tables.documents(s, d), 3, bands = 8, rows = 2,
+                             tau = 0.5, minRecall = 0.8)),
+    // 4×16-bit banding catches ALL pairs at hamming <= 3 (pigeonhole) and
+    // most at 4-5 (a band must stay clean); the fixture's planted dups sit
+    // at hamming 0-5, so the gate recall is 23/25 = 0.92 here.
+    "dedup_simhash_recall" -> ((s, d) =>
+      DedupOps.simHashRecall(Tables.documents(s, d), maxHamming = 5, n = 3,
+                             tau = 0.5, minRecall = 0.8)),
     "dedup_embedding_cosine" -> ((s, d) =>
       SimilarityOps.nearDupPairsWithinLabel(Tables.embeddings(s, d), 20)),
 
@@ -273,6 +282,11 @@ object SparkEntry {
          ORDER BY n_events DESC, event_type LIMIT 1""",
     "a6_distinct_users" ->
       "SELECT count(DISTINCT user_id) AS n_users FROM events",
+    // the HLL sketch itself is engine-internal; the differential contract
+    // is: exact cardinality matches, and the sketch landed within its
+    // (loosened) error bound — a sketch regression flips the boolean.
+    "a6_approx_distinct_users" ->
+      "SELECT count(DISTINCT user_id) AS n_users, true AS approx_within_5pct FROM events",
     "a7_percentiles" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
                 round(quantile_cont(value, 0.9), 4) AS p90
@@ -403,6 +417,10 @@ object SparkEntry {
     "s4_csv_source" ->
       """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
          FROM events GROUP BY event_type""",
+    "s5_jdbc_roundtrip" ->
+      """SELECT count(*) AS n_users, round(sum(total_value), 2) AS sum_total
+         FROM (SELECT user_id, round(sum(value), 2) AS total_value
+               FROM events GROUP BY user_id) t""",
     "s6_sql_over_view" ->
       """SELECT event_type, count(*) AS n FROM events
          WHERE value > 10 GROUP BY event_type HAVING count(*) > 5""",
@@ -438,11 +456,72 @@ object SparkEntry {
                 count(*) AS n_events
          FROM events GROUP BY 1""",
     "t5_stream_dedup_users" -> "SELECT DISTINCT user_id FROM events",
+    // identical to j4_asof_attribution: the streaming state machine must
+    // reproduce the batch as-of join bit-for-bit
+    "t8_stream_asof" ->
+      """WITH u AS (
+           SELECT user_id, ts, event_id, 1 AS tag,
+                  CAST(NULL AS BIGINT) AS r_id, CAST(NULL AS TIMESTAMP) AS r_ts
+           FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT user_id, ts, event_id, 0 AS tag, event_id AS r_id, ts AS r_ts
+           FROM events WHERE event_type = 'click'),
+         w AS (
+           SELECT *,
+                  last_value(r_id IGNORE NULLS) OVER
+                    (PARTITION BY user_id ORDER BY ts, tag, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_r_id,
+                  last_value(r_ts IGNORE NULLS) OVER
+                    (PARTITION BY user_id ORDER BY ts, tag, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_r_ts
+           FROM u)
+         SELECT event_id AS left_id, user_id,
+                CASE WHEN last_r_ts IS NOT NULL
+                          AND date_diff('second', last_r_ts, ts) <= 3600
+                     THEN last_r_id END AS matched_right_id,
+                CASE WHEN last_r_ts IS NOT NULL
+                          AND date_diff('second', last_r_ts, ts) <= 3600
+                     THEN date_diff('second', last_r_ts, ts) END AS gap_s
+         FROM w WHERE tag = 1""",
     "s8_write_then_emit" ->
       "SELECT event_id, event_type, value FROM events",
     "dedup_exact" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS doc_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text)""",
+    // truth side (exact Jaccard >= 0.5) is DuckDB-recomputable; the
+    // engine's own MinHash/SimHash candidates must cover it (recall_ok).
+    "dedup_minhash_recall" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3),
+              sh AS (SELECT doc_id,
+                            unnest(list_distinct(list_transform(range(1, len(words) - 1),
+                              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+                     FROM w),
+              sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+              com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id),
+              j AS (SELECT n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jac
+                    FROM com
+                    JOIN sizes sa ON sa.doc_id = doc_a
+                    JOIN sizes sb ON sb.doc_id = doc_b)
+         SELECT count(*) AS n_true_pairs, true AS recall_ok FROM j WHERE jac >= 0.5""",
+    "dedup_simhash_recall" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3),
+              sh AS (SELECT doc_id,
+                            unnest(list_distinct(list_transform(range(1, len(words) - 1),
+                              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+                     FROM w),
+              sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+              com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id),
+              j AS (SELECT n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jac
+                    FROM com
+                    JOIN sizes sa ON sa.doc_id = doc_a
+                    JOIN sizes sb ON sb.doc_id = doc_b)
+         SELECT count(*) AS n_true_pairs, true AS recall_ok FROM j WHERE jac >= 0.5""",
     "dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
                     WHERE len(string_split(text, ' ')) >= 3),

@@ -29,11 +29,16 @@ object DedupOps {
           s"transform(sequence(0, size(words) - $n), i -> concat_ws(' ', slice(words, i + 1, $n)))")))
           .as("shingle"))
 
-  /** Exact n-gram Jaccard similarity of the top-`k` most similar pairs.
-    * Inverted-index join on shingle, then |A∩B| / (|A|+|B|-|A∩B|). */
-  def ngramJaccardTopPairs(docs: DataFrame, n: Int, k: Int,
-                           maxDf: Long = 1000000L): DataFrame = {
-    val sh = shingles(docs, n).cache()
+  /** Exact n-gram Jaccard over every pair sharing ≥1 shingle:
+    * inverted-index join on shingle, then |A∩B| / (|A|+|B|-|A∩B|).
+    * Cost is Σ df(shingle)², never N². */
+  def ngramJaccardPairs(docs: DataFrame, n: Int,
+                        maxDf: Long = 1000000L): DataFrame = {
+    // Deliberately NOT cached: the shingle set is corpus-sized (caching it
+    // at 100 TB is infeasible and a session-lifetime cache leaks executor
+    // memory); the three consumers re-derive it from the columnar scan,
+    // which is the cheap part — the inverted-index join dominates.
+    val sh = shingles(docs, n)
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("shingle")
     val shCapped = sh.join(rare, "shingle")
@@ -51,9 +56,50 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"),
         round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
           .as("jaccard"))
+  }
+
+  /** Top-`k` most similar pairs by exact n-gram Jaccard. */
+  def ngramJaccardTopPairs(docs: DataFrame, n: Int, k: Int,
+                           maxDf: Long = 1000000L): DataFrame =
+    ngramJaccardPairs(docs, n, maxDf)
       .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
       .limit(k)
-  }
+
+  /** Differential recall of a candidate-pair set against the exact-Jaccard
+    * truth at threshold `tau`: emits the truth size (which an external SQL
+    * oracle can recompute independently) and a recall verdict computed from
+    * the engine's own candidates. A sketch regression flips `recall_ok` to
+    * false and the differential comparison goes red. */
+  private def recallAgainstTruth(truth: DataFrame, cands: DataFrame,
+                                 minRecall: Double): DataFrame =
+    truth
+      .join(cands.withColumn("hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_true_pairs"),
+           coalesce(sum("hit"), lit(0L)).as("n_caught"))
+      .select(col("n_true_pairs"),
+        (col("n_caught") >= col("n_true_pairs") * lit(minRecall)).as("recall_ok"))
+
+  /** MinHash/LSH candidate recall vs exact Jaccard ≥ `tau`. For a pair at
+    * jaccard j, P(missed by all bands) = (1 − j^rows)^bands — at the
+    * planted-dup similarity (j ≈ 0.99, 8×2 default) that is ≈ 2e-14, so
+    * `minRecall` = 1.0 would hold; 0.8 leaves margin for corpora whose
+    * dups sit nearer tau. */
+  def minHashRecall(docs: DataFrame, n: Int, bands: Int, rows: Int,
+                    tau: Double, minRecall: Double): DataFrame =
+    recallAgainstTruth(
+      ngramJaccardPairs(docs, n).filter(col("jaccard") >= tau)
+        .select("doc_a", "doc_b"),
+      minHashCandidates(docs, n, bands, rows),
+      minRecall)
+
+  /** SimHash band-join recall vs exact Jaccard ≥ `tau`. */
+  def simHashRecall(docs: DataFrame, maxHamming: Int,
+                    n: Int, tau: Double, minRecall: Double): DataFrame =
+    recallAgainstTruth(
+      ngramJaccardPairs(docs, n).filter(col("jaccard") >= tau)
+        .select("doc_a", "doc_b"),
+      simHashNearDups(docs, maxHamming).select("doc_a", "doc_b"),
+      minRecall)
 
   /** MinHash signatures: h_i(doc) = min over shingles of xxhash64(shingle, i).
     * Shape matters at scale: explode shingles once, then `numHashes`

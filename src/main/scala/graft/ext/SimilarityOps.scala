@@ -95,36 +95,58 @@ object SimilarityOps {
   /** Lloyd-iteration refinement of the IVF coarse quantizer: start from the
     * label-cell means and run `iters` assign/recompute rounds (cosine
     * assignment). Deterministic — initialization is data-derived, no RNG.
-    * Each iteration is one broadcast of k centroids + one groupBy shuffle
-    * of 64-double partial sums per cell: O(k·d) driver state, scales to
-    * arbitrary N. Returns (vec_id, cell). */
+    *
+    * Scale shape: the k centroids (k·d doubles — bounded, independent of N)
+    * are collected to the driver each round and re-broadcast as a literal
+    * array, so the ASSIGNMENT is a pure map-side argmax projection — zero
+    * shuffle, no N×k intermediate. The only shuffle per iteration is the
+    * centroid RECOMPUTE groupBy, whose map-side partial aggregation ships
+    * k×d partial sums per task. (The previous form crossJoined N×k rows
+    * through a row_number window — a full sort-shuffle of N×k rows per
+    * iteration.) Returns (vec_id, cell). */
   def kmeansCells(embeddings: DataFrame, iters: Int): DataFrame = {
     val base = embeddings.select(col("vec_id"), col("label"),
       vecD("embedding").as("v"))
 
-    def centroidsOf(assigned: DataFrame, cellCol: String): DataFrame =
-      assigned.groupBy(col(cellCol).as("cell"))
+    def centroidsOf(assigned: DataFrame): DataFrame =
+      assigned.groupBy(col("cell"))
         .agg(count(lit(1)).as("n"),
           expr("aggregate(collect_list(v), array_repeat(0D, 64), (acc, x) -> zip_with(acc, x, (a, b) -> a + b))")
             .as("sumv"))
         .select(col("cell"),
           expr("transform(sumv, s -> s / cast(n as double))").as("cv"))
 
-    var assigned = base.withColumn("cell", col("label"))
+    /** Assignment as a map-side projection: argmax cosine over the literal
+      * centroid array. Centroids are pre-sorted by cell id and compared
+      * with strict `>`, so ties go to the smaller cell id (same tie-break
+      * as the previous windowed form). Norms are pre-divided out at the
+      * driver: maximizing dot(v, cv)/(|v|·|cv|) over cells is independent
+      * of |v|, so each centroid is pre-scaled to unit length and the inner
+      * loop is a plain dot product. */
+    def assign(cents: Array[(Long, Array[Double])]): DataFrame = {
+      val unit = cents.sortBy(_._1).map { case (cell, cv) =>
+        val n = math.sqrt(cv.map(x => x * x).sum)
+        (cell, cv.map(_ / n).toSeq)
+      }.toSeq
+      base
+        .withColumn("cents", typedLit(unit))
+        .withColumn("cell", expr(
+          """aggregate(cents,
+               named_struct('c', -1L, 's', cast('-Infinity' as double)),
+               (best, ct) -> if(aggregate(zip_with(v, ct._2, (x, y) -> x * y), 0D, (a, b) -> a + b) > best.s,
+                               named_struct('c', ct._1,
+                                 's', aggregate(zip_with(v, ct._2, (x, y) -> x * y), 0D, (a, b) -> a + b)),
+                               best),
+               best -> best.c)"""))
+        .select(col("vec_id"), col("v"), col("cell"))
+    }
+
+    var assigned = base.withColumn("cell", col("label").cast("long"))
+      .select(col("vec_id"), col("v"), col("cell"))
     (1 to iters).foreach { _ =>
-      val cents = centroidsOf(assigned, "cell")
-        .select(col("cell").as("c_cell"), col("cv"))
-      // nearest centroid by cosine; ties to the smaller cell id
-      assigned = base.crossJoin(broadcast(cents))
-        .withColumn("sim", expr(
-          """aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (a, b) -> a + b)
-             / (sqrt(aggregate(transform(v, x -> x * x), 0D, (a, b) -> a + b))
-                * sqrt(aggregate(transform(cv, x -> x * x), 0D, (a, b) -> a + b)))"""))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-            .orderBy(desc("sim"), asc("c_cell"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("label"), col("v"), col("c_cell").as("cell"))
+      val cents = centroidsOf(assigned).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      assigned = assign(cents)
     }
     assigned.select("vec_id", "cell")
   }
@@ -143,42 +165,83 @@ object SimilarityOps {
         expr("concat_ws(',', transform(v, x -> cast(round(x * (127.0 / ma)) as int)))")
           .as("q8"))
 
-  /** Random-projection LSH bucketing: `nBits` deterministic hyperplanes
+  /** Packed hyperplane-sign signature: `nBits` deterministic hyperplanes
     * (components derived arithmetically from the plane/dim index, seeded —
-    * no RNG, so fixtures are reproducible); bucket = packed sign bits.
-    * Query-time: candidates share the bucket; verify with exact cosine. */
-  def lshBuckets(embeddings: DataFrame, nBits: Int): DataFrame = {
+    * no RNG, so fixtures are reproducible); value = sign bits packed into
+    * one long. Pure column math, zero shuffle. */
+  private def packedSigns(nBits: Int): Column = {
     val mix = 2654435761L
     // plane(b)[j] = frac(((b*64 + j) * mix) mod 4096 / 4096) - 0.5
     val planes = (s"transform(sequence(0, ${nBits - 1}), b -> " +
       s"transform(sequence(0, 63), j -> ((b * 64 + j) * $mix % 4096) / 4096.0 - 0.5))")
-    embeddings
-      .select(col("vec_id"), vecD("embedding").as("v"))
-      .withColumn("bucket", expr(
-        s"""aggregate(
-              transform($planes, p -> if(aggregate(zip_with(v, p, (x, y) -> x * y), 0D, (a, b) -> a + b) > 0, 1L, 0L)),
-              named_struct('h', 0L, 'b', 0),
-              (st, bit) -> named_struct('h', st.h | shiftleft(bit, st.b), 'b', st.b + 1),
-              st -> st.h)"""))
-      .select("vec_id", "bucket")
+    expr(
+      s"""aggregate(
+            transform($planes, p -> if(aggregate(zip_with(v, p, (x, y) -> x * y), 0D, (a, b) -> a + b) > 0, 1L, 0L)),
+            named_struct('h', 0L, 'b', 0),
+            (st, bit) -> named_struct('h', st.h | shiftleft(bit, st.b), 'b', st.b + 1),
+            st -> st.h)""")
   }
 
+  /** Random-projection LSH bucketing: bucket = packed sign bits.
+    * Query-time: candidates share the bucket; verify with exact cosine. */
+  def lshBuckets(embeddings: DataFrame, nBits: Int): DataFrame =
+    embeddings
+      .select(col("vec_id"), vecD("embedding").as("v"))
+      .withColumn("bucket", packedSigns(nBits))
+      .select("vec_id", "bucket")
+
   /** Embedding-cosine near-duplicate pairs, confined to IVF cells (label
-    * buckets): top-`k` most similar same-cell pairs. The pairwise loop is
-    * the hottest path of near-dup detection, so it runs on the native
-    * codegen'd [[graft.functions.CosineSimilarity]] (3× over the
-    * higher-order formulation at bench scale; identical doubles). */
-  def nearDupPairsWithinLabel(embeddings: DataFrame, k: Int): DataFrame = {
+    * buckets) AND gated by LSH band collisions: top-`k` most similar
+    * same-cell pairs. The pairwise loop is the hottest path of near-dup
+    * detection, so it runs on the native codegen'd
+    * [[graft.functions.CosineSimilarity]] (3× over the higher-order
+    * formulation at bench scale; identical doubles).
+    *
+    * The band gate is what survives a skewed label at 100 TB: a pair is a
+    * candidate only if it agrees on ALL `bitsPerBand` hyperplane signs of
+    * at least one band, so the join fans out per (label, band, key) bucket
+    * — never label×label. Selectivity follows the data's similarity
+    * structure: on clustered corpora (real near-dups, cosine ≥ 0.9) the
+    * gate prunes the quadratic hard (see the skewed-fixture spec); on an
+    * adversarially uniform corpus (this synthetic fixture: top pair cosine
+    * ≈ 0.47) the default 32×2-bit bands degrade gracefully toward exact —
+    * a top-boundary pair (cos 0.35, bit-agree p=0.615) misses all 32 bands
+    * with probability (1−0.615²)³² ≈ 2e-7, so the gated result is the
+    * exact top-k here, deterministically (fixed hyperplanes, checked
+    * against the DuckDB oracle). */
+  def nearDupPairsWithinLabel(embeddings: DataFrame, k: Int,
+                              bands: Int = 32, bitsPerBand: Int = 2): DataFrame = {
     graft.functions.GraftExtensions.register(embeddings.sparkSession)
-    val base = embeddings.select(col("vec_id"), col("label"),
-      vecD("embedding").as("v"))
-    val a = base.select(col("label"), col("vec_id").as("vec_a"), col("v").as("va"))
-    val b = base.select(col("label"), col("vec_id").as("vec_b"), col("v").as("vb"))
-    a.join(b, "label")
-      .filter(col("vec_a") < col("vec_b"))
+    val cands = bandCandidatePairs(embeddings, bands, bitsPerBand)
+    val base = embeddings.select(col("vec_id"), vecD("embedding").as("v"))
+    cands
+      .join(base.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(base.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         round(graft.functions.CosineSimilarity(col("va"), col("vb")), 6).as("cosine"))
       .orderBy(desc("cosine"), asc("vec_a"), asc("vec_b"))
       .limit(k)
+  }
+
+  /** Same-label pairs agreeing on all `bitsPerBand` hyperplane signs of at
+    * least one of `bands` bands — the candidate set [[nearDupPairsWithinLabel]]
+    * verifies with exact cosine. Exposed for the selectivity spec:
+    * |candidates| ≪ n²/2 on clustered data. */
+  def bandCandidatePairs(embeddings: DataFrame,
+                         bands: Int, bitsPerBand: Int): DataFrame = {
+    require(bands * bitsPerBand <= 64)
+    val mask = (1L << bitsPerBand) - 1
+    val signed = embeddings
+      .select(col("vec_id"), col("label"), vecD("embedding").as("v"))
+      .withColumn("sig", packedSigns(bands * bitsPerBand))
+    val bk = signed.select(col("label"), col("vec_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> shiftright(sig, b * $bitsPerBand) & ${mask}L)"))
+        .as(Seq("band", "key")))
+    bk.select(col("label"), col("band"), col("key"), col("vec_id").as("vec_a"))
+      .join(bk.select(col("label"), col("band"), col("key"), col("vec_id").as("vec_b")),
+            Seq("label", "band", "key"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
   }
 }

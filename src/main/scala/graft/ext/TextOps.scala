@@ -86,15 +86,16 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val words = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("word"))
-    // tf is consumed twice (scores + df) — cache the aggregated form so the
-    // raw explode+shuffle runs once; tf is vocab×docs-bounded, far smaller
-    // than the exploded words.
-    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf")).cache()
-    // df derives from tf (one (doc,word) row per pair) — avoids a second
-    // scan + distinct over the raw exploded words.
-    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    // df = docs containing the word = rows of tf per word. Computed as a
+    // whole-partition window over tf rather than a second aggregation
+    // joined back: single scan lineage (no duplicated explode+shuffle —
+    // ReuseExchange can't dedupe the pruned-differently subtrees, and a
+    // session-lifetime cache would leak executor memory).
+    val tfdf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("word")))
     val nDocs = docs.agg(countDistinct("doc_id").as("n_docs"))
-    val scored = tf.join(dfreq, "word")
+    val scored = tfdf
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("word"),
         round(col("tf") * (log((col("n_docs") + 1) / (col("df") + 1)) + 1), 6)

