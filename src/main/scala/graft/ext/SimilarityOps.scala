@@ -168,8 +168,18 @@ object SimilarityOps {
   /** Packed hyperplane-sign signature: `nBits` deterministic hyperplanes
     * (components derived arithmetically from the plane/dim index, seeded —
     * no RNG, so fixtures are reproducible); value = sign bits packed into
-    * one long. Pure column math, zero shuffle. */
-  private def packedSigns(nBits: Int): Column = {
+    * one long. Runs on the native codegen'd
+    * [[graft.functions.HyperplaneSig]] — one fused loop per row, no
+    * per-row plane-matrix materialization. Zero shuffle. */
+  private def packedSigns(df: DataFrame, nBits: Int): Column = {
+    graft.functions.GraftExtensions.register(df.sparkSession)
+    call_function("hyperplane_sig", col("v"), lit(nBits))
+  }
+
+  /** The higher-order-function formulation of [[packedSigns]] — retained as
+    * the executable specification the native expression is spec-checked
+    * against (bit-identical results, same fold order). */
+  private[graft] def packedSignsHof(nBits: Int): Column = {
     val mix = 2654435761L
     // plane(b)[j] = frac(((b*64 + j) * mix) mod 4096 / 4096) - 0.5
     val planes = (s"transform(sequence(0, ${nBits - 1}), b -> " +
@@ -184,11 +194,12 @@ object SimilarityOps {
 
   /** Random-projection LSH bucketing: bucket = packed sign bits.
     * Query-time: candidates share the bucket; verify with exact cosine. */
-  def lshBuckets(embeddings: DataFrame, nBits: Int): DataFrame =
-    embeddings
-      .select(col("vec_id"), vecD("embedding").as("v"))
-      .withColumn("bucket", packedSigns(nBits))
+  def lshBuckets(embeddings: DataFrame, nBits: Int): DataFrame = {
+    val base = embeddings.select(col("vec_id"), vecD("embedding").as("v"))
+    base
+      .withColumn("bucket", packedSigns(base, nBits))
       .select("vec_id", "bucket")
+  }
 
   /** Embedding-cosine near-duplicate pairs, confined to IVF cells (label
     * buckets) AND gated by LSH band collisions: top-`k` most similar
@@ -231,9 +242,9 @@ object SimilarityOps {
                          bands: Int, bitsPerBand: Int): DataFrame = {
     require(bands * bitsPerBand <= 64)
     val mask = (1L << bitsPerBand) - 1
-    val signed = embeddings
+    val base = embeddings
       .select(col("vec_id"), col("label"), vecD("embedding").as("v"))
-      .withColumn("sig", packedSigns(bands * bitsPerBand))
+    val signed = base.withColumn("sig", packedSigns(base, bands * bitsPerBand))
     val bk = signed.select(col("label"), col("vec_id"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> shiftright(sig, b * $bitsPerBand) & ${mask}L)"))

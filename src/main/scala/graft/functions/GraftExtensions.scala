@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    ext.injectFunction(GraftExtensions.hyperplaneSigDescriptor)
     ext.injectOptimizerRule(_ => NativeVectorMathRule)
   }
 }
@@ -28,11 +29,28 @@ object GraftExtensions {
        CosineSimilarity(children(0), children(1))
      })
 
+  private[functions] val hyperplaneSigDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("hyperplane_sig"),
+     new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
+     (children: Seq[Expression]) => {
+       require(children.size == 2,
+         "hyperplane_sig(v, nBits) takes exactly 2 args")
+       val nBits = children(1) match {
+         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+         case other => throw new IllegalArgumentException(
+           s"hyperplane_sig nBits must be an int literal, got $other")
+       }
+       HyperplaneSig(children(0), nBits)
+     })
+
   /** Idempotent late registration into an existing session. */
   def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = cosineSimDescriptor
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
+    Seq(cosineSimDescriptor, hyperplaneSigDescriptor).foreach {
+      case (id, info, builder) =>
+        if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
+    }
   }
 
   /** Late install of the optimizer rewrites on a live session (extensions

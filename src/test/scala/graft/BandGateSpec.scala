@@ -53,6 +53,18 @@ class BandGateSpec extends SparkSpec {
       "exact-cosine verify must rank the planted pairs top")
   }
 
+  test("native hyperplane signature is bit-identical to the HOF specification") {
+    graft.functions.GraftExtensions.register(spark)
+    val base = Tables.embeddings(spark, sfDir).select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val native = base.select(col("vec_id"),
+      call_function("hyperplane_sig", col("v"), lit(64)).as("sig"))
+    val hof = base.select(col("vec_id"),
+      SimilarityOps.packedSignsHof(64).as("sig"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty,
+      "native and HOF signatures must agree bit-for-bit")
+  }
+
   test("default gate equals the exact within-label top-k on the uniform fixture") {
     val emb = Tables.embeddings(spark, sfDir)
     val gated = SimilarityOps.nearDupPairsWithinLabel(emb, 20)
