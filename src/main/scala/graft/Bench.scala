@@ -18,6 +18,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/codegen paths once so per-query numbers reflect the
+    // query, not whichever entry happens to run first (map order shifted
+    // multi-second JIT cost between unrelated queries across rounds).
+    try {
+      spark.range(1000000).selectExpr("sum(id)").count()
+      Tables.events(spark, sfDir).limit(10000).agg(
+        org.apache.spark.sql.functions.sum("value")).count()
+      Tables.embeddings(spark, sfDir).limit(100)
+        .selectExpr("aggregate(transform(embedding, x -> cast(x as double)), 0D, (a, b) -> a + b)")
+        .count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

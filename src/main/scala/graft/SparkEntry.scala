@@ -75,6 +75,8 @@ object SparkEntry {
     }),
     "sessionize_users" -> ((s, d) =>
       graft.ops.Sessionize.sessionsPerUser(s, Tables.events(s, d))),
+    "sessionize_users_bigkey" -> ((s, d) =>
+      graft.ops.Sessionize.sessionsPerUserSecondarySort(s, Tables.events(s, d))),
 
     // ---- joins (SURVEY §2.3) ----
     "j1_broadcast_enrich" -> ((s, d) =>
@@ -250,6 +252,10 @@ object SparkEntry {
       SampleOps.splitAssign(Tables.documents(s, d), "doc_id")
         .select("doc_id", "split")),
 
+    // ---- LLM pipeline: end-to-end corpus preparation (composition) ----
+    "corpus_prepare" -> ((s, d) =>
+      CorpusPipeline.prepare(s, Tables.documents(s, d))),
+
     // ---- LLM pipeline: multimodal columns ----
     "mm_media_meta" -> ((s, d) => MultimodalOps.mediaMeta(Tables.documents(s, d))),
     "mm_decode_stub" -> ((s, d) => MultimodalOps.decodeStub(s, Tables.documents(s, d))),
@@ -302,6 +308,17 @@ object SparkEntry {
          EXCEPT
          SELECT user_id FROM events WHERE event_type = 'error'""",
     "sessionize_users" ->
+      """WITH o AS (SELECT user_id, ts,
+                           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+                    FROM events),
+              m AS (SELECT user_id,
+                           CASE WHEN pts IS NULL
+                                  OR date_diff('second', pts, ts) > 1800
+                                THEN 1 ELSE 0 END AS new_s
+                    FROM o)
+         SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
+         FROM m GROUP BY user_id""",
+    "sessionize_users_bigkey" ->
       """WITH o AS (SELECT user_id, ts,
                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
                     FROM events),
@@ -654,6 +671,39 @@ object SparkEntry {
                      WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
                      ELSE 'test' END AS split
          FROM documents""",
+    // full pipeline replay: language gate -> quality gate -> exact dedup
+    // (min doc_id per digest) -> near-dup removal (drop doc_b of each
+    // jaccard>=0.5 pair) -> deterministic split
+    "corpus_prepare" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+              kept AS (
+                SELECT doc_id, text FROM t
+                WHERE round(len(list_filter(w, x -> x IN ('the','a')))
+                            / CAST(len(w) AS DOUBLE), 4) > 0.03
+                  AND len(w) >= 10 AND len(w) <= 10000
+                  AND round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 4) > 0.1),
+              canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+              kc AS (SELECT k.doc_id, k.text FROM kept k JOIN canon c USING (doc_id)),
+              w2 AS (SELECT doc_id, string_split(text, ' ') AS words FROM kc
+                     WHERE len(string_split(text, ' ')) >= 3),
+              sh AS (SELECT doc_id,
+                            unnest(list_distinct(list_transform(range(1, len(words) - 1),
+                              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+                     FROM w2),
+              sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+              com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id),
+              losers AS (SELECT DISTINCT doc_b AS doc_id
+                         FROM com
+                         JOIN sizes sa ON sa.doc_id = doc_a
+                         JOIN sizes sb ON sb.doc_id = doc_b
+                         WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5)
+         SELECT doc_id,
+                CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                     WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM kc WHERE doc_id NOT IN (SELECT doc_id FROM losers)""",
     "mm_media_meta" ->
       """SELECT doc_id, strlen(text) AS n_bytes, sha256(text) AS sha256_hex,
                 (length(text) % 640) + 1 AS fake_width,

@@ -68,6 +68,19 @@ object TextOps {
         when(col("en_score") > 0.03, "en").otherwise("other"))
   }
 
+  /** [[langId]]'s prediction as a scan-side predicate over a raw `text`
+    * column — for pipelines gating on language without materializing the
+    * score frame (stays a pushable filter, no join). Same expression as
+    * the oracle-checked [[langId]]. */
+  def isEnglishPredicate: org.apache.spark.sql.Column =
+    expr(s"round(size(filter(split(text, ' '), w -> w in $stopSet)) / cast(size(split(text, ' ')) as double), 4)") > lit(0.03)
+
+  /** [[quality]]'s verdict as a scan-side predicate (no join). */
+  def qualityOkPredicate: org.apache.spark.sql.Column =
+    (size(split(col("text"), " ")) >= 10) &&
+    (size(split(col("text"), " ")) <= 10000) &&
+    (expr("round(size(array_distinct(split(text, ' '))) / cast(size(split(text, ' ')) as double), 4)") > lit(0.1))
+
   /** Token counting two ways: whitespace tokens and a BPE-ish regex
     * pre-tokenizer (letters | digits | single other-symbol), the standard
     * first pass of byte-pair encoders. */
