@@ -35,8 +35,7 @@ object CorpusPipeline {
       .withColumn("__keep", col("doc_id") ===
         min("doc_id").over(Window.partitionBy(md5(col("text").cast("binary")))))
       .filter(col("__keep")).drop("__keep")
-    val nearDupLosers = DedupOps.ngramJaccardPairs(keptCanon, 3)
-      .filter(col("jaccard") >= tau)
+    val nearDupLosers = DedupOps.ngramJaccardPairsAbove(keptCanon, 3, tau)
       .select(col("doc_b").as("doc_id")).distinct()
     val survivors = keptCanon.join(nearDupLosers, Seq("doc_id"), "left_anti")
     SampleOps.splitAssign(survivors, "doc_id").select("doc_id", "split")

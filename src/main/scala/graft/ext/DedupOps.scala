@@ -65,6 +65,18 @@ object DedupOps {
       .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
       .limit(k)
 
+  /** All pairs at-or-above a Jaccard threshold. Evaluated and rejected:
+    * a PPJoin-style prefix filter (index only the first (1−tau)·|A|+1
+    * shingles in a global order). On this corpus the candidate set is
+    * dense (template-generated text shares many frequent shingles), so
+    * candidate verification — whether by a second indexed join or by
+    * shipping per-doc shingle arrays — costs more than the Σ df² it
+    * saves; the plain inverted-index join IS the floor here. Prefix
+    * filtering pays off when prefixes are selective (Zipfian shingle
+    * frequencies, high tau), which a planner can decide from df stats. */
+  def ngramJaccardPairsAbove(docs: DataFrame, n: Int, tau: Double): DataFrame =
+    ngramJaccardPairs(docs, n).filter(col("jaccard") >= tau)
+
   /** Differential recall of a candidate-pair set against the exact-Jaccard
     * truth at threshold `tau`: emits the truth size (which an external SQL
     * oracle can recompute independently) and a recall verdict computed from
@@ -87,8 +99,7 @@ object DedupOps {
   def minHashRecall(docs: DataFrame, n: Int, bands: Int, rows: Int,
                     tau: Double, minRecall: Double): DataFrame =
     recallAgainstTruth(
-      ngramJaccardPairs(docs, n).filter(col("jaccard") >= tau)
-        .select("doc_a", "doc_b"),
+      ngramJaccardPairsAbove(docs, n, tau).select("doc_a", "doc_b"),
       minHashCandidates(docs, n, bands, rows),
       minRecall)
 
@@ -96,8 +107,7 @@ object DedupOps {
   def simHashRecall(docs: DataFrame, maxHamming: Int,
                     n: Int, tau: Double, minRecall: Double): DataFrame =
     recallAgainstTruth(
-      ngramJaccardPairs(docs, n).filter(col("jaccard") >= tau)
-        .select("doc_a", "doc_b"),
+      ngramJaccardPairsAbove(docs, n, tau).select("doc_a", "doc_b"),
       simHashNearDups(docs, maxHamming).select("doc_a", "doc_b"),
       minRecall)
 

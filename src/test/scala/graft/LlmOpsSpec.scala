@@ -37,6 +37,13 @@ class LlmOpsSpec extends SparkSpec {
     assert(nearPairs.contains((0L, 1L)) || nearPairs.contains((1L, 2L)))
   }
 
+  test("threshold Jaccard pairs: crafted corpus yields exactly the planted dups") {
+    val pairs = DedupOps.ngramJaccardPairsAbove(corpus, 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 2L), (0L, 1L), (1L, 2L)),
+      "exact pair, near pair, and their transitive partner — nothing else")
+  }
+
   test("MinHash LSH candidates cover all high-Jaccard pairs (recall)") {
     val cands = DedupOps.minHashCandidates(corpus, 3, bands = 8, rows = 2)
       .as[(Long, Long)].collect().toSet
