@@ -62,6 +62,17 @@ object SparkEntry {
       Tables.events(s, d).groupBy("event_type")
         .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
              round(expr("percentile(value, 0.9)"), 4).as("p90"))),
+    // scale path: KLL/GK-style approx_percentile (bounded sketch per
+    // partition, no full sort) graded differentially — the exact median is
+    // the oracle-checkable truth, the sketch must land within 2% of it
+    "a7_approx_percentiles" -> ((s, d) =>
+      Tables.events(s, d).groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+             expr("approx_percentile(value, 0.5, 10000)").as("ap50"))
+        .select(col("event_type"), col("p50"),
+          (abs(col("ap50") - col("p50")) <=
+            greatest(abs(col("p50")) * lit(0.02), lit(0.5)))
+            .as("approx_within_2pct"))),
     "a8_rollup_turnout" -> ((s, d) =>
       Tables.customer(s, d)
         .rollup("c_mktsegment", "c_nationkey")
@@ -296,6 +307,10 @@ object SparkEntry {
     "a7_percentiles" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
                 round(quantile_cont(value, 0.9), 4) AS p90
+         FROM events GROUP BY event_type""",
+    "a7_approx_percentiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
+                true AS approx_within_2pct
          FROM events GROUP BY event_type""",
     "a8_rollup_turnout" ->
       """SELECT c_mktsegment, c_nationkey, count(*) AS n,
