@@ -233,6 +233,11 @@ object SparkEntry {
     }),
     "ann_ivf_topk" -> ((s, d) =>
       SimilarityOps.ivfTopK(Tables.embeddings(s, d), 0L, 10, nprobe = 3)),
+    // nprobe >= #cells makes IVF exhaustive, so the exact brute-force SQL
+    // oracles the whole probe machinery (the recall contract at its
+    // boundary); small-nprobe behavior is covered by the mechanism spec
+    "ann_ivf_topk_full" -> ((s, d) =>
+      SimilarityOps.ivfTopK(Tables.embeddings(s, d), 0L, 10, nprobe = 1000)),
     "ann_lsh_buckets" -> ((s, d) =>
       SimilarityOps.lshBuckets(Tables.embeddings(s, d), 8)),
     "vec_quantize_int8" -> ((s, d) =>
@@ -584,6 +589,19 @@ object SparkEntry {
          FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
          ORDER BY cosine DESC, vec_a, vec_b LIMIT 20""",
     "ann_cosine_topk" ->
+      """WITH e AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              n AS (SELECT vec_id, v,
+                           sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+                    FROM e),
+              q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = 0)
+         SELECT n.vec_id,
+                round(list_sum(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]))
+                      / (n.nrm * q.qn), 6) AS cosine
+         FROM n, q WHERE n.vec_id <> 0
+         ORDER BY cosine DESC, vec_id LIMIT 10""",
+    "ann_ivf_topk_full" ->
       """WITH e AS (SELECT vec_id,
                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                     FROM embeddings),

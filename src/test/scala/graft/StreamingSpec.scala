@@ -146,6 +146,31 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 2L, 3L), "exactly-once file sink across restart")
   }
 
+  test("T1 file-source checkpoint: restart consumes only new files, exactly once") {
+    // the production shape: a topic DIRECTORY receiving files over time;
+    // offsets (the processed-file log) live in the checkpoint
+    val topic = Files.createTempDirectory("graft_t1_topic_").toString
+    val ckpt = Files.createTempDirectory("graft_t1_ckpt_").toString
+    val out = Files.createTempDirectory("graft_t1_out_").toString
+    def append(from: Long, until: Long): Unit =
+      spark.range(from, until).toDF("id")
+        .coalesce(1).write.mode("append").parquet(topic)
+    def start() = spark.readStream.schema("id BIGINT")
+      .option("maxFilesPerTrigger", 1).parquet(topic)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    append(0L, 10L)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    append(10L, 20L)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    val ids = spark.read.parquet(out).select("id").as[Long].collect().sorted
+    assert(ids.toSeq === (0L until 20L),
+      "restart must process exactly the files appended since the checkpoint")
+  }
+
   test("T6 AvailableNow trigger drains all pending data then terminates") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Ev]
