@@ -199,6 +199,8 @@ object SparkEntry {
       graft.pipeline.VotePipeline.turnoutByState(s, 1000)),
     "vote_e2e_stream_tally" -> ((s, _) =>
       graft.pipeline.VotePipeline.streamingPartyTally(s, 1000)),
+    "vote_e2e_live_results" -> ((s, _) =>
+      graft.pipeline.VotePipeline.streamingLiveResults(s, 1000)),
 
     // ---- streaming (SURVEY §2.8) — real MemoryStream executions ----
     "t3_stream_cumulative" -> ((s, d) => StreamOps.cumulativeTally(s, d)),
@@ -485,6 +487,11 @@ object SparkEntry {
       s"""SELECT ${partyCase("(id * 31 + 7)")} AS party_affiliation,
                  count(*) AS total_votes
           FROM range(1000) t(id) GROUP BY 1""",
+    "vote_e2e_live_results" ->
+      s"""SELECT 'candidate_' || CAST((id * 31 + 7) % 3 AS VARCHAR) AS candidate_name,
+                 ${partyCase("((id * 31 + 7) % 3)")} AS party_affiliation,
+                 count(*) AS total_votes
+          FROM range(1000) t(id) GROUP BY 1, 2""",
     "t3_stream_cumulative" ->
       """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
          FROM events GROUP BY event_type""",

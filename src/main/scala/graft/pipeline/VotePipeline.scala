@@ -99,4 +99,34 @@ object VotePipeline {
     try q.processAllAvailable() finally q.stop()
     spark.table("vote_stream_tally")
   }
+
+  /** The live results board the reference serves through Streamlit
+    * (`Note_Projet1_RealTimeVotingDataEngineer.txt:36`): candidate
+    * standings updated per micro-batch. Streaming J3 — aggregate FIRST
+    * (votes per candidate_id on the stream), THEN enrich the small result
+    * with the candidate dim via a broadcast stream-static join; the dim
+    * never touches the stream's state store. Complete mode keeps the
+    * whole (3-row) board current each batch. */
+  def streamingLiveResults(spark: SparkSession, nVoters: Long): DataFrame = {
+    val topicDir = java.nio.file.Files
+      .createTempDirectory("graft_vote_topic_").toString
+    wire(spark, nVoters).repartition(4).write.mode("overwrite").parquet(topicDir)
+    val dim = Generator.candidatesFull(spark)
+      .select(concat(lit("c"), col("candidate_id")).as("candidate_id"),
+        col("candidate_name"), col("party_affiliation"))
+    val q = Decode.flatten(
+        Decode.jsonDecode(
+          Decode.castValueToString(
+            spark.readStream.schema("key STRING, value BINARY")
+              .option("maxFilesPerTrigger", 1).parquet(topicDir)),
+          Schemas.VoteSchema))
+      .groupBy("candidate_id")
+      .agg(sum("vote").as("total_votes"))
+      .join(broadcast(dim), "candidate_id")
+      .select("candidate_name", "party_affiliation", "total_votes")
+      .writeStream.format("memory").queryName("vote_live_results")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("vote_live_results")
+  }
 }

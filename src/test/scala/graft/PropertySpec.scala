@@ -50,6 +50,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  /** Skew-biased generator: ~80% of events land on one hot key. */
+  private val skewedEvGen: Gen[Ev] = for {
+    e <- evGen
+    hot <- Gen.choose(0, 9)
+  } yield if (hot < 8) e.copy(event_type = "landslide") else e
+
+  test("salted aggregation equals plain aggregation for arbitrary skews") {
+    val gen = Gen.listOfN(80, skewedEvGen)
+    val params = Gen.Parameters.default
+    Iterator.iterate(Seed(1234L))(_.next)
+      .map(s => gen.apply(params, s))
+      .collect { case Some(b) => b }
+      .take(5).foreach { batch =>
+        val df = batch.toDF()
+        def toMap(r: org.apache.spark.sql.DataFrame) =
+          r.as[(String, Double, Long)].collect()
+            .map { case (t, v, n) => t -> (v, n) }.toMap
+        assert(toMap(Aggregates.votesPerCandidateSalted(df)) ===
+               toMap(Aggregates.votesPerCandidate(df)))
+      }
+  }
+
   test("streaming complete-mode agg equals batch agg for random batches") {
     samples(3, 7L).foreach { batch =>
       val streamed = StreamOps.runStream(spark, batch, nBatches = 3, "complete") {
