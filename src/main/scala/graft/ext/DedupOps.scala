@@ -148,8 +148,21 @@ object DedupOps {
     * sign vector is re-packed into a long. Near-dups are pairs within small
     * Hamming distance (`bit_count(a ^ b)`), findable at scale by banding the
     * 64 bits into 4×16-bit keys (exact-match join per band catches all pairs
-    * within distance 3). */
-  def simHashes(docs: DataFrame): DataFrame =
+    * within distance 3). Runs on the native codegen'd
+    * [[graft.functions.SimHash64]] — the HOF form below allocates two
+    * 64-element arrays per WORD through interpreted lambdas. */
+  def simHashes(docs: DataFrame): DataFrame = {
+    graft.functions.GraftExtensions.register(docs.sparkSession)
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 1)
+      .select(col("doc_id"),
+        call_function("simhash64", col("words")).as("simhash"))
+  }
+
+  /** HOF formulation of [[simHashes]] — the executable specification the
+    * native expression is spec-checked against (bit-identical). */
+  private[graft] def simHashesHof(docs: DataFrame): DataFrame =
     docs
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 1)

@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectFunction(GraftExtensions.hyperplaneSigDescriptor)
+    ext.injectFunction(GraftExtensions.simHash64Descriptor)
     ext.injectOptimizerRule(_ => NativeVectorMathRule)
   }
 }
@@ -44,10 +45,19 @@ object GraftExtensions {
        HyperplaneSig(children(0), nBits)
      })
 
+  private[functions] val simHash64Descriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("simhash64"),
+     new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+     (children: Seq[Expression]) => {
+       require(children.size == 1, "simhash64(words) takes exactly 1 arg")
+       SimHash64(children.head)
+     })
+
   /** Idempotent late registration into an existing session. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(cosineSimDescriptor, hyperplaneSigDescriptor).foreach {
+    Seq(cosineSimDescriptor, hyperplaneSigDescriptor, simHash64Descriptor).foreach {
       case (id, info, builder) =>
         if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
     }

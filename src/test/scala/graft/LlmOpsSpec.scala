@@ -53,6 +53,14 @@ class LlmOpsSpec extends SparkSpec {
     assert(!cands.contains((3L, 4L)), "unrelated docs should not be candidates")
   }
 
+  test("native simhash64 is bit-identical to the HOF specification") {
+    val docs = Tables.documents(spark, sfDir)
+    val native = DedupOps.simHashes(docs)
+    val hof = DedupOps.simHashesHof(docs)
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty,
+      "native and HOF simhash must agree bit-for-bit")
+  }
+
   test("SimHash: near-dups within small Hamming distance, unrelated far") {
     val sigs = DedupOps.simHashes(corpus).as[(Long, Long)].collect().toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
