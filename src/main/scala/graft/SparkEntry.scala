@@ -177,6 +177,19 @@ object SparkEntry {
              count(lit(1)).as("n_events"))
     }),
 
+    // ---- storage layout: co-bucketed tables -> zero-shuffle join ----
+    "storage_bucketed_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .groupBy("user_id").agg(round(sum("value"), 2).as("total_value"))
+      graft.ops.Storage.writeBucketedPair(s,
+        ev, "g_user_totals", "user_id",
+        Tables.customer(s, d).select("c_custkey", "c_name", "c_mktsegment"),
+        "g_customers", "c_custkey", buckets = 8)
+      graft.ops.Storage.bucketedJoin(s, "g_user_totals", "user_id",
+                                     "g_customers", "c_custkey")
+        .select("c_name", "c_mktsegment", "total_value")
+    }),
+
     // ---- JDBC source/sink (SURVEY §2.1 S4/S5): real embedded-Derby trip ----
     "s5_jdbc_roundtrip" -> ((s, d) =>
       graft.sources.JdbcIO.roundTrip(s, Tables.events(s, d))),
@@ -456,6 +469,11 @@ object SparkEntry {
     "s4_csv_source" ->
       """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
          FROM events GROUP BY event_type""",
+    "storage_bucketed_join" ->
+      """SELECT c.c_name, c.c_mktsegment, t.total_value
+         FROM (SELECT user_id, round(sum(value), 2) AS total_value
+               FROM events GROUP BY user_id) t
+         JOIN customer c ON t.user_id = c.c_custkey""",
     "s5_jdbc_roundtrip" ->
       """SELECT count(*) AS n_users, round(sum(total_value), 2) AS sum_total
          FROM (SELECT user_id, round(sum(value), 2) AS total_value

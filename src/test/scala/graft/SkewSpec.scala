@@ -49,6 +49,44 @@ class SkewSpec extends SparkSpec {
     assert(hotTotal > 100000L)
   }
 
+  test("AQE splits the skewed join partition at runtime") {
+    // salting covers aggregation skew; JOIN skew is AQE's job — force a
+    // shuffle join on the hot key with thresholds scaled to the fixture
+    // and assert OptimizeSkewedJoin actually split the hot partition
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      // the fixture's hot partition is ~200k rows but RLE-compresses to a
+      // few tens of KB in the shuffle, so thresholds scale down with it
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8192",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4096",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // materialize the dim side first: OptimizeSkewedJoin pattern-matches
+      // sort-over-shuffle-stage on BOTH children, so an aggregate directly
+      // under the join's sort would disqualify the rewrite
+      val dimDir = java.nio.file.Files
+        .createTempDirectory("graft_skew_dim_").toString
+      skewed.select("event_type").distinct()
+        .withColumn("payload", lit("x"))
+        .write.mode("overwrite").parquet(dimDir)
+      val joined = skewed.join(spark.read.parquet(dimDir), "event_type")
+      // collect() drives joined's OWN QueryExecution, so the adaptive plan
+      // below is the final (post-reoptimization) one
+      assert(joined.collect().length === 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("skew"),
+        s"AQE should mark the hot partition as skewed:\n${plan.take(2000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted plan pays exactly one extra (cheap) exchange") {
     def exchanges(df: org.apache.spark.sql.DataFrame): Int =
       "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
