@@ -238,6 +238,8 @@ object SparkEntry {
                              tau = 0.5, minRecall = 0.8)),
     "dedup_embedding_cosine" -> ((s, d) =>
       SimilarityOps.nearDupPairsWithinLabel(Tables.embeddings(s, d), 20)),
+    "dedup_clusters" -> ((s, d) =>
+      DedupOps.duplicateClusters(Tables.documents(s, d), 3, tau = 0.5)),
 
     // ---- LLM pipeline: similarity search ----
     "ann_cosine_topk" -> ((s, d) =>
@@ -584,6 +586,34 @@ object SparkEntry {
                     JOIN sizes sa ON sa.doc_id = doc_a
                     JOIN sizes sb ON sb.doc_id = doc_b)
          SELECT count(*) AS n_true_pairs, true AS recall_ok FROM j WHERE jac >= 0.5""",
+    // connected components of the >=tau pair graph: DuckDB computes the
+    // exact transitive closure recursively; Spark's min-label propagation
+    // must converge to the same clustering
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+              w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3),
+              sh AS (SELECT doc_id,
+                            unnest(list_distinct(list_transform(range(1, len(words) - 1),
+                              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+                     FROM w),
+              sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+              com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id),
+              p AS (SELECT doc_a, doc_b
+                    FROM com
+                    JOIN sizes sa ON sa.doc_id = doc_a
+                    JOIN sizes sb ON sb.doc_id = doc_b
+                    WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+              e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+                    UNION SELECT doc_b, doc_a FROM p),
+              reach AS (SELECT src, dst FROM e
+                        UNION
+                        SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+         SELECT src AS doc_id,
+                CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
+         FROM reach GROUP BY src""",
     "dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
                     WHERE len(string_split(text, ' ')) >= 3),

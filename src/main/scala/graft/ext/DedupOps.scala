@@ -111,6 +111,40 @@ object DedupOps {
       simHashNearDups(docs, maxHamming).select("doc_a", "doc_b"),
       minRecall)
 
+  /** Near-dup CLUSTERS: connected components over the exact-Jaccard ≥
+    * `tau` pair graph, labels = min doc_id per component — what a real
+    * pipeline dedups by (keep one doc per cluster; pairs alone double-drop
+    * on chains A~B~C). Implemented as `iters` rounds of min-label
+    * propagation: each round is one join (neighbor labels) + one groupBy
+    * (min) — the standard large-scale CC loop; `iters` bounds the
+    * reachable diameter, which for near-dup graphs (cliques of copies,
+    * short chains) is small. Edges and per-round labels are
+    * `localCheckpoint`ed — `labels` feeds each next round TWICE (union +
+    * join), so an unevaluated lineage doubles per iteration and would
+    * re-run the whole Jaccard join 2^iters times; truncating it keeps
+    * every round O(|edges|). Output: (doc_id, cluster_id) for every doc
+    * in at least one pair. */
+  def duplicateClusters(docs: DataFrame, n: Int, tau: Double,
+                        iters: Int = 6): DataFrame = {
+    val pairs = ngramJaccardPairsAbove(docs, n, tau).select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("lbl"))
+      labels = labels.union(viaNeighbor)
+        .groupBy("node").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** MinHash signatures: h_i(doc) = min over shingles of xxhash64(shingle, i).
     * Shape matters at scale: explode shingles once, then `numHashes`
     * codegen'd min-aggregates with map-side partial aggregation — the

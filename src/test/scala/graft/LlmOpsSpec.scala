@@ -44,6 +44,23 @@ class LlmOpsSpec extends SparkSpec {
       "exact pair, near pair, and their transitive partner — nothing else")
   }
 
+  test("duplicate clusters merge chains that pairwise dedup would split") {
+    // chain: d0~d1 and d1~d2 are >= 0.5 pairs, d0~d2 is not — one cluster
+    val chain = Seq(
+      (0L, "a b c d e f g h i j k l"),
+      (1L, "a b c d e f g h i xx yy zz"),
+      (2L, "pp qq rr d e f g h i xx yy zz")
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.ngramJaccardPairsAbove(chain, 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L), (1L, 2L)),
+      s"fixture must form an open chain, got $pairs")
+    val clusters = DedupOps.duplicateClusters(chain, 3, 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters === Map(0L -> 0L, 1L -> 0L, 2L -> 0L),
+      "label propagation must close the chain into one cluster")
+  }
+
   test("MinHash LSH candidates cover all high-Jaccard pairs (recall)") {
     val cands = DedupOps.minHashCandidates(corpus, 3, bands = 8, rows = 2)
       .as[(Long, Long)].collect().toSet
