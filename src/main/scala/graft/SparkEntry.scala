@@ -272,6 +272,10 @@ object SparkEntry {
 
     "text_tfidf_top3" -> ((s, d) =>
       TextOps.tfIdfTopTerms(Tables.documents(s, d), 3)),
+    "text_chunks" -> ((s, d) =>
+      TextOps.chunks(Tables.documents(s, d), chunkSize = 64, overlap = 8)),
+    "pack_sequences" -> ((s, d) =>
+      PackOps.packSequences(Tables.documents(s, d), budget = 512, shards = 8)),
 
     // ---- LLM pipeline: sampling / split assignment ----
     "sample_systematic" -> ((s, d) =>
@@ -746,6 +750,35 @@ object SparkEntry {
                                            ORDER BY tfidf DESC, word) AS rn
            FROM sc) t
          WHERE rn <= 3""",
+    "text_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+              c AS (SELECT doc_id, words,
+                           unnest(range(0, greatest(1, CAST(ceil((len(words) - 8) / 56.0) AS BIGINT)))) AS chunk_idx
+                    FROM t)
+         SELECT doc_id, chunk_idx,
+                array_to_string(words[chunk_idx * 56 + 1 : chunk_idx * 56 + 64], ' ') AS chunk_text
+         FROM c""",
+    // greedy packing replayed exactly: linear recursion per shard over
+    // doc_id order, overflow starts a new sequence
+    "pack_sequences" ->
+      """WITH RECURSIVE
+              d AS (SELECT doc_id, (doc_id * 2654435761) % 8 AS shard,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                           row_number() OVER (PARTITION BY (doc_id * 2654435761) % 8
+                                              ORDER BY doc_id) AS rn
+                    FROM documents),
+              packed AS (
+                SELECT shard, rn, doc_id, n_tok,
+                       CAST(0 AS BIGINT) AS seq_id, n_tok AS acc
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.shard, d.rn, d.doc_id, d.n_tok,
+                       CASE WHEN p.acc + d.n_tok > 512 THEN p.seq_id + 1
+                            ELSE p.seq_id END,
+                       CASE WHEN p.acc + d.n_tok > 512 THEN d.n_tok
+                            ELSE p.acc + d.n_tok END
+                FROM packed p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
+         SELECT doc_id, shard, seq_id FROM packed""",
     "sample_systematic" ->
       """SELECT event_id, user_id, event_type FROM events
          WHERE (event_id * 2654435761) % 20 = 0""",

@@ -119,6 +119,25 @@ object TextOps {
       .filter(col("rn") <= k)
   }
 
+  /** Fixed-size chunking with overlap — the RAG/training preprocessing
+    * step that turns documents into model-window-sized pieces: chunk `i`
+    * holds words `[i·stride, i·stride + chunkSize)` with
+    * `stride = chunkSize − overlap`. Pure per-row array math, zero
+    * shuffle; a short doc yields exactly one chunk. */
+  def chunks(docs: DataFrame, chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap < chunkSize, "overlap must be smaller than the chunk")
+    val stride = chunkSize - overlap
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+              sequence(0, greatest(1, cast(ceil((size(words) - $overlap) / $stride.0) as int)) - 1),
+              i -> concat_ws(' ', slice(words, i * $stride + 1, $chunkSize)))"""))
+        .as(Seq("chunk_idx", "chunk_text")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+              col("chunk_text"))
+  }
+
   /** Document fingerprints: a content digest (md5 of whitespace-normalized
     * lowercase text) and a 31-polynomial rolling hash over characters —
     * the building block of shingle/Rabin-Karp style fingerprinting. */

@@ -152,6 +152,31 @@ class LlmOpsSpec extends SparkSpec {
       s"payload column must be pruned from the scan: $readSchema")
   }
 
+  test("sequence packing fills but never overflows the budget") {
+    val docs = Tables.documents(spark, sfDir)
+    val packed = PackOps.packSequences(docs, budget = 512, shards = 8)
+    assert(packed.count() === docs.count(), "every doc must be assigned")
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n"))
+    val seqTotals = packed.join(toks, "doc_id")
+      .groupBy("shard", "seq_id")
+      .agg(sum("n").as("total"), count(lit(1)).as("n_docs"))
+    // a sequence may exceed the budget only as a single oversized doc
+    assert(seqTotals.filter(col("total") > 512 && col("n_docs") > 1).count() === 0)
+  }
+
+  test("chunking covers every word with the declared overlap") {
+    val chain = Seq((0L, (1 to 150).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextOps.chunks(chain, chunkSize = 64, overlap = 8)
+      .orderBy("chunk_idx")
+      .select("chunk_text").as[String].collect()
+    assert(out.length === 3) // ceil((150-8)/56) = 3
+    assert(out(0).startsWith("w1 ") && out(0).endsWith(" w64"))
+    assert(out(1).startsWith("w57 "), "second chunk starts stride=56 in")
+    assert(out(2).endsWith(" w150"), "last chunk reaches the end")
+  }
+
   test("text stats: token counts consistent with distinct <= total") {
     val st = TextOps.stats(Tables.documents(spark, sfDir))
     assert(st.filter(col("n_distinct_tokens") > col("n_tokens")).count() === 0)
