@@ -102,6 +102,8 @@ object SparkEntry {
 
     "j4_asof_attribution" -> ((s, d) =>
       AsOfJoin.attribution(Tables.events(s, d), "purchase", "click", 3600L)),
+    "j4_asof_forward" -> ((s, d) =>
+      AsOfJoin.attributionForward(Tables.events(s, d), "purchase", "click", 3600L)),
     "j5_range_join" -> ((s, d) =>
       RangeJoin.trailingWindowPairs(Tables.events(s, d), "purchase", "click", 1800L)),
 
@@ -415,6 +417,31 @@ object SparkEntry {
                 CASE WHEN last_r_ts IS NOT NULL
                           AND date_diff('second', last_r_ts, ts) <= 3600
                      THEN date_diff('second', last_r_ts, ts) END AS gap_s
+         FROM w WHERE tag = 1""",
+    "j4_asof_forward" ->
+      """WITH u AS (
+           SELECT user_id, ts, event_id, 1 AS tag,
+                  CAST(NULL AS BIGINT) AS r_id, CAST(NULL AS TIMESTAMP) AS r_ts
+           FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT user_id, ts, event_id, 0 AS tag, event_id AS r_id, ts AS r_ts
+           FROM events WHERE event_type = 'click'),
+         w AS (
+           SELECT *,
+                  last_value(r_id IGNORE NULLS) OVER
+                    (PARTITION BY user_id ORDER BY ts DESC, tag, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_r_id,
+                  last_value(r_ts IGNORE NULLS) OVER
+                    (PARTITION BY user_id ORDER BY ts DESC, tag, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_r_ts
+           FROM u)
+         SELECT event_id AS left_id, user_id,
+                CASE WHEN next_r_ts IS NOT NULL
+                          AND date_diff('second', ts, next_r_ts) <= 3600
+                     THEN next_r_id END AS matched_right_id,
+                CASE WHEN next_r_ts IS NOT NULL
+                          AND date_diff('second', ts, next_r_ts) <= 3600
+                     THEN date_diff('second', ts, next_r_ts) END AS gap_s
          FROM w WHERE tag = 1""",
     "j5_range_join" ->
       """SELECT l.event_id AS left_id, r.event_id AS right_id, l.user_id,
