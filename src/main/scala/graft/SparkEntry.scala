@@ -77,6 +77,10 @@ object SparkEntry {
       Tables.customer(s, d)
         .rollup("c_mktsegment", "c_nationkey")
         .agg(count(lit(1)).as("n"), grouping_id().as("gid"))),
+    "a8_cube_turnout" -> ((s, d) =>
+      Tables.customer(s, d)
+        .cube("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))),
     "setop_combo" -> ((s, d) => {
       val e = Tables.events(s, d)
       def ids(t: String) = e.filter(col("event_type") === t).select("user_id")
@@ -222,6 +226,7 @@ object SparkEntry {
     "t2_stream_hourly_window" -> ((s, d) => StreamOps.hourlyWindowCounts(s, d)),
     "t5_stream_dedup_users" -> ((s, d) => StreamOps.streamingDedupUsers(s, d)),
     "t8_stream_asof" -> ((s, d) => StreamOps.streamingAsOfAttribution(s, d)),
+    "t9_stream_sessions" -> ((s, d) => StreamOps.streamingSessionCounts(s, d)),
     "s8_write_then_emit" -> ((s, d) => StreamOps.writeThenEmit(s, d)),
 
     // ---- LLM pipeline: dedup family ----
@@ -344,6 +349,10 @@ object SparkEntry {
       """SELECT c_mktsegment, c_nationkey, count(*) AS n,
                 GROUPING(c_mktsegment, c_nationkey) AS gid
          FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)""",
+    "a8_cube_turnout" ->
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n,
+                GROUPING(c_mktsegment, c_nationkey) AS gid
+         FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)""",
     "setop_combo" ->
       """SELECT DISTINCT user_id FROM events WHERE event_type IN ('purchase', 'signup')
          INTERSECT
@@ -551,6 +560,20 @@ object SparkEntry {
                 count(*) AS n_events
          FROM events GROUP BY 1""",
     "t5_stream_dedup_users" -> "SELECT DISTINCT user_id FROM events",
+    // session_window semantics at microsecond precision: a new session
+    // starts when the gap reaches 30 min exactly (no fixture event sits on
+    // the boundary, verified)
+    "t9_stream_sessions" ->
+      """WITH o AS (SELECT user_id, ts,
+                           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+                    FROM events),
+              m AS (SELECT user_id,
+                           CASE WHEN pts IS NULL
+                                  OR date_diff('microsecond', pts, ts) >= 1800000000
+                                THEN 1 ELSE 0 END AS new_s
+                    FROM o)
+         SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
+         FROM m GROUP BY user_id""",
     // identical to j4_asof_attribution: the streaming state machine must
     // reproduce the batch as-of join bit-for-bit
     "t8_stream_asof" ->

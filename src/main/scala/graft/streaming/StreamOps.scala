@@ -138,6 +138,19 @@ object StreamOps {
       df.dropDuplicates("user_id").select("user_id")
     }
 
+  /** T5b/T-tier: gap-based sessionization as a FIRST-CLASS streaming
+    * aggregation — `session_window` merges an event into the open session
+    * while it lands inside `[last_event, last_event + gap)`, growing state
+    * per (user, open session) only. Complete mode emits the final session
+    * set; the batch-side count per user equals the sort-based
+    * [[graft.ops.Sessionize]] result at microsecond precision. */
+  def streamingSessionCounts(spark: SparkSession, dir: String,
+                             gap: String = "30 minutes"): DataFrame =
+    runFileStream(spark, dir, "complete") { df =>
+      df.groupBy(col("user_id"), session_window(col("ts"), gap))
+        .agg(count(lit(1)).as("n_events"))
+    }.groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+
   /** Output row of the streaming as-of join. */
   final case class AsOfMatch(left_id: Long, user_id: Long,
                              matched_right_id: Option[Long], gap_s: Option[Long])
