@@ -142,7 +142,10 @@ object StreamOps {
     * aggregation — `session_window` merges an event into the open session
     * while it lands inside `[last_event, last_event + gap)`, growing state
     * per (user, open session) only. Complete mode emits the final session
-    * set; the batch-side count per user equals the sort-based
+    * set (right for this bounded replay); on an unbounded stream the
+    * production configuration is append mode + `withWatermark`, which
+    * emits and EVICTS each session once the watermark passes its close.
+    * The batch-side count per user equals the sort-based
     * [[graft.ops.Sessionize]] result at microsecond precision. */
   def streamingSessionCounts(spark: SparkSession, dir: String,
                              gap: String = "30 minutes"): DataFrame =

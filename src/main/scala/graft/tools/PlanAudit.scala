@@ -14,8 +14,9 @@ object PlanAudit {
     * the oracle + streaming specs instead). */
   private val nonStatic = Set(
     "t2_stream_hourly_window", "t3_stream_cumulative",
-    "t5_stream_dedup_users", "s8_write_then_emit",
-    "vote_e2e_stream_tally")
+    "t5_stream_dedup_users", "t8_stream_asof", "t9_stream_sessions",
+    "s8_write_then_emit",
+    "vote_e2e_stream_tally", "vote_e2e_live_results")
 
   /** `--summary <dir>`: one markdown row of physical-plan features per
     * query — shuffle count, join strategies, parquet pushdown, codegen. */
