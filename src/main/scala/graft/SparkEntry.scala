@@ -77,6 +77,27 @@ object SparkEntry {
       Tables.customer(s, d)
         .rollup("c_mktsegment", "c_nationkey")
         .agg(count(lit(1)).as("n"), grouping_id().as("gid"))),
+    // PIVOT: long->wide tally (one column per event type). Spark leaves
+    // empty cells null; coalesce to 0 to match SQL's FILTER-count semantics
+    "a9_pivot_tally" -> ((s, d) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val wide = Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      wide.select(col("user_id") +: types.map(t =>
+        coalesce(col(t), lit(0L)).as(t)): _*)
+    }),
+    "w5_lag_lead" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        lag("event_id", 1).over(w).as("prev_event_id"),
+        lead("event_id", 1).over(w).as("next_event_id"),
+        (unix_timestamp(col("ts")) -
+          unix_timestamp(lag("ts", 1).over(w))).as("gap_prev_s"))
+    }),
     "a8_cube_turnout" -> ((s, d) =>
       Tables.customer(s, d)
         .cube("c_mktsegment", "c_nationkey")
@@ -349,6 +370,21 @@ object SparkEntry {
       """SELECT c_mktsegment, c_nationkey, count(*) AS n,
                 GROUPING(c_mktsegment, c_nationkey) AS gid
          FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)""",
+    "a9_pivot_tally" ->
+      """SELECT user_id,
+                count(*) FILTER (WHERE event_type = 'click') AS click,
+                count(*) FILTER (WHERE event_type = 'view') AS view,
+                count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                count(*) FILTER (WHERE event_type = 'error') AS error
+         FROM events GROUP BY user_id""",
+    "w5_lag_lead" ->
+      """SELECT event_id, user_id,
+                lag(event_id) OVER w AS prev_event_id,
+                lead(event_id) OVER w AS next_event_id,
+                date_diff('second', lag(ts) OVER w, ts) AS gap_prev_s
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     "a8_cube_turnout" ->
       """SELECT c_mktsegment, c_nationkey, count(*) AS n,
                 GROUPING(c_mktsegment, c_nationkey) AS gid
