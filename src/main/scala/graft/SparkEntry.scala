@@ -280,8 +280,10 @@ object SparkEntry {
       SimilarityOps.ivfTopK(Tables.embeddings(s, d), 0L, 10, nprobe = 3)),
     // IVF approximation quality at small nprobe, graded like
     // dedup_minhash_recall: truth = brute-force top-10, verdict = recall@10
-    // of the nprobe=3 probe. Both sides are deterministic arithmetic, so
-    // the oracle recomputes the exact hit count, not just the boolean.
+    // of the nprobe=3 probe. The DuckDB oracle recomputes BOTH sides
+    // (brute-force truth and the probe replay) independently from the raw
+    // embeddings, so a systematic scoring bug in SimilarityOps cannot
+    // self-grade its way past the gate.
     // (nprobe=3 of 10 cells scans ~30% of this uniform corpus; measured
     // recall here is 4/10 — the bound 0.3 is the honest floor for a
     // coarse quantizer with no real cluster structure to exploit.)
@@ -775,6 +777,134 @@ object SparkEntry {
                       / (n.nrm * q.qn), 6) AS cosine
          FROM n, q WHERE n.vec_id <> 0
          ORDER BY cosine DESC, vec_id LIMIT 10""",
+    // Independent replay of the nprobe=3 probe: label-cell centroid means,
+    // top-3 cells by centroid cosine to the query, exact cosine top-10
+    // within the probed cells (SimilarityOps.ivfTopK).
+    "ann_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, label,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              n AS (SELECT vec_id, label, v,
+                           sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+                    FROM e),
+              q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+              ej AS (SELECT label, unnest(v) AS x,
+                            generate_subscripts(v, 1) AS j FROM e),
+              cm AS (SELECT label, j, sum(x) / count(*) AS cj
+                     FROM ej GROUP BY label, j),
+              cent AS (SELECT label, list(cj ORDER BY j) AS cv
+                       FROM cm GROUP BY label),
+              probe AS (SELECT cent.label
+                        FROM cent, q
+                        ORDER BY list_sum(list_transform(range(1, 65),
+                                   i -> cv[i] * q.qv[i]))
+                                 / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+                                    * q.qn) DESC,
+                                 cent.label ASC
+                        LIMIT 3)
+         SELECT n.vec_id,
+                round(list_sum(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]))
+                      / (n.nrm * q.qn), 6) AS cosine
+         FROM n JOIN probe ON n.label = probe.label, q
+         WHERE n.vec_id <> 0
+         ORDER BY cosine DESC, vec_id LIMIT 10""",
+    // recall@10 of the nprobe=3 probe vs brute-force truth — BOTH sides
+    // recomputed here from the raw embeddings, independent of the engine.
+    "ann_ivf_recall" ->
+      """WITH e AS (SELECT vec_id, label,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              n AS (SELECT vec_id, label, v,
+                           sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+                    FROM e),
+              q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+              bf AS (SELECT n.vec_id,
+                            round(list_sum(list_transform(range(1, 65),
+                                    i -> n.v[i] * q.qv[i]))
+                                  / (n.nrm * q.qn), 6) AS cosine
+                     FROM n, q WHERE n.vec_id <> 0
+                     ORDER BY cosine DESC, vec_id LIMIT 10),
+              ej AS (SELECT label, unnest(v) AS x,
+                            generate_subscripts(v, 1) AS j FROM e),
+              cm AS (SELECT label, j, sum(x) / count(*) AS cj
+                     FROM ej GROUP BY label, j),
+              cent AS (SELECT label, list(cj ORDER BY j) AS cv
+                       FROM cm GROUP BY label),
+              probe AS (SELECT cent.label
+                        FROM cent, q
+                        ORDER BY list_sum(list_transform(range(1, 65),
+                                   i -> cv[i] * q.qv[i]))
+                                 / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+                                    * q.qn) DESC,
+                                 cent.label ASC
+                        LIMIT 3),
+              iv AS (SELECT n.vec_id,
+                            round(list_sum(list_transform(range(1, 65),
+                                    i -> n.v[i] * q.qv[i]))
+                                  / (n.nrm * q.qn), 6) AS cosine
+                     FROM n JOIN probe ON n.label = probe.label, q
+                     WHERE n.vec_id <> 0
+                     ORDER BY cosine DESC, vec_id LIMIT 10)
+         SELECT count(*) AS n_hits, count(*) >= 3 AS recall_ok
+         FROM bf JOIN iv USING (vec_id)""",
+    // Deterministic hyperplane arithmetic replay (functions.HyperplaneSig):
+    // plane(b)[j] = ((b*64+j)*2654435761 mod 4096)/4096 - 0.5, bit b set
+    // iff dot(v, plane_b) > 0, 8 bits packed into one long.
+    "ann_lsh_buckets" ->
+      """WITH e AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings)
+         SELECT vec_id,
+                CAST(list_sum(list_transform(range(0, 8), b ->
+                  CASE WHEN list_sum(list_transform(range(0, 64), j ->
+                         v[j+1] * ((((b*64+j) * 2654435761) % 4096) / 4096.0 - 0.5))) > 0
+                       THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) AS bucket
+         FROM e""",
+    // 2-iteration Lloyd replay (SimilarityOps.kmeansCells): start from the
+    // label cells, per-cell mean -> unit-normalize -> argmax-dot reassign
+    // (ties to the smaller cell id), twice.
+    "ann_kmeans_cells" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS cell,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              a0 AS (SELECT vec_id, v, cell FROM e),
+              c1j AS (SELECT cell, generate_subscripts(v, 1) AS j,
+                             unnest(v) AS x FROM a0),
+              c1m AS (SELECT cell, j, sum(x) / count(*) AS cj
+                      FROM c1j GROUP BY cell, j),
+              c1 AS (SELECT cell, list(cj ORDER BY j) AS cv
+                     FROM c1m GROUP BY cell),
+              u1 AS (SELECT cell, list_transform(cv, x ->
+                       x / sqrt(list_sum(list_transform(cv, y -> y * y)))) AS uc
+                     FROM c1),
+              s1 AS (SELECT a0.vec_id, a0.v, u1.cell,
+                            list_sum(list_transform(range(1, 65),
+                              i -> a0.v[i] * u1.uc[i])) AS d
+                     FROM a0 CROSS JOIN u1),
+              a1 AS (SELECT vec_id, v, cell FROM
+                      (SELECT vec_id, v, cell,
+                              row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d DESC, cell ASC) AS rn
+                       FROM s1) WHERE rn = 1),
+              c2j AS (SELECT cell, generate_subscripts(v, 1) AS j,
+                             unnest(v) AS x FROM a1),
+              c2m AS (SELECT cell, j, sum(x) / count(*) AS cj
+                      FROM c2j GROUP BY cell, j),
+              c2 AS (SELECT cell, list(cj ORDER BY j) AS cv
+                     FROM c2m GROUP BY cell),
+              u2 AS (SELECT cell, list_transform(cv, x ->
+                       x / sqrt(list_sum(list_transform(cv, y -> y * y)))) AS uc
+                     FROM c2),
+              s2 AS (SELECT a1.vec_id, u2.cell,
+                            list_sum(list_transform(range(1, 65),
+                              i -> a1.v[i] * u2.uc[i])) AS d
+                     FROM a1 CROSS JOIN u2)
+         SELECT vec_id, cell FROM
+          (SELECT vec_id, cell,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d DESC, cell ASC) AS rn
+           FROM s2) WHERE rn = 1
+         ORDER BY vec_id""",
     "ann_cosine_topk_native" ->
       """WITH e AS (SELECT vec_id,
                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
