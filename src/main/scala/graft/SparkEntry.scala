@@ -244,6 +244,12 @@ object SparkEntry {
 
     // ---- streaming (SURVEY §2.8) — real MemoryStream executions ----
     "t3_stream_cumulative" -> ((s, d) => StreamOps.cumulativeTally(s, d)),
+    // same tally consumed through the Wire seam as binary key/value frames
+    // (S1 wire schema + P1-P3 decode chain on the graded path)
+    "t3b_wire_tally" -> ((s, d) => StreamOps.wireCumulativeTally(s, d)),
+    // checkpointed aggregate killed after batch 1 and restarted: the full
+    // tally can only come from recovered state (offset log bars a re-read)
+    "t1_stream_recover" -> ((s, d) => StreamOps.recoverableTally(s, d)),
     "t2_stream_hourly_window" -> ((s, d) => StreamOps.hourlyWindowCounts(s, d)),
     "t5_stream_dedup_users" -> ((s, d) => StreamOps.streamingDedupUsers(s, d)),
     "t8_stream_asof" -> ((s, d) => StreamOps.streamingAsOfAttribution(s, d)),
@@ -607,6 +613,14 @@ object SparkEntry {
                  count(*) AS total_votes
           FROM range(1000) t(id) GROUP BY 1, 2""",
     "t3_stream_cumulative" ->
+      """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
+         FROM events GROUP BY event_type""",
+    // the wire round-trip and the checkpoint restart must both land on the
+    // exact batch tally — same SQL, independent failure modes
+    "t3b_wire_tally" ->
+      """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
+         FROM events GROUP BY event_type""",
+    "t1_stream_recover" ->
       """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
          FROM events GROUP BY event_type""",
     "t2_stream_hourly_window" ->

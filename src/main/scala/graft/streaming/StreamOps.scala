@@ -82,6 +82,93 @@ object StreamOps {
     spark.table(table)
   }
 
+  /** Drive `pipeline` over an arbitrary wire-seam source — Kafka-shaped
+    * `key/value` binary frames ([[Wire.EventSource]]) — and return the
+    * final result table. This is [[runFileStream]] with the seam made
+    * explicit: swapping in [[Wire.KafkaEventSource]] is a constructor
+    * change, not a pipeline change. */
+  def runWireStream(spark: SparkSession, source: Wire.EventSource,
+                    outputMode: String)
+                   (pipeline: DataFrame => DataFrame): DataFrame = {
+    val table = freshName("graft_wstream")
+    val q = pipeline(source.load(spark))
+      .writeStream.format("memory").queryName(table)
+      .outputMode(outputMode)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(table)
+  }
+
+  /** S1+P1–P3+T3 on one GRADED path: consume Kafka-shaped binary frames
+    * through the [[Wire.EventSource]] seam, run the reference's decode
+    * chain (`CAST(value AS STRING)` → `from_json` → `data.*`,
+    * `/root/reference/spark-streaming.py:72-74`) and the cumulative tally
+    * on the decoded stream. Same oracle SQL as [[cumulativeTally]] — a
+    * hash match proves the wire encode/decode is lossless, not just that
+    * the tally is right. */
+  def wireCumulativeTally(spark: SparkSession, dir: String): DataFrame =
+    runWireStream(spark, new Wire.FileEventSource(dir), "complete") { kv =>
+      val decoded = graft.ops.Decode.flatten(graft.ops.Decode.jsonDecodeDdl(
+        graft.ops.Decode.castValueToString(kv),
+        "event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"))
+      decoded.groupBy("event_type")
+        .agg(round(sum("value"), 2).as("total_value"),
+             count(lit(1)).as("n_events"))
+    }
+
+  /** T1: checkpoint recovery as a graded query — the reference's
+    * durability envelope (`/root/reference/voting.py:19-21` commits
+    * consumer offsets; Structured Streaming's equivalent is the
+    * checkpoint's offset log + state store). Phase 1 streams the even half
+    * of the events into a checkpointed complete-mode aggregate, then the
+    * query is STOPPED. Phase 2 drops the odd half into the topic and
+    * restarts from the same checkpoint: the offset log prevents a re-read
+    * of file 1, so the restarted query can only produce the full tally by
+    * recovering the aggregation state — a green oracle is proof of
+    * recovery, not of a silent rescan. */
+  def recoverableTally(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_t1_")
+    val topic = root.resolve("topic")
+    Files.createDirectory(topic)
+    val ckpt = root.resolve("ckpt").toString
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+
+    // Stage one parquet file per phase into the topic dir (the file source
+    // ingests whole files; two files = two independently-offset batches).
+    def addFile(name: String, parity: Int): Unit = {
+      val staged = root.resolve(s"${name}_stage").toString
+      ev.filter(pmod(col("event_id"), lit(2)) === parity)
+        .coalesce(1).write.parquet(staged)
+      val part = new java.io.File(staged).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, topic.resolve(s"$name.parquet"))
+    }
+
+    def start(table: String) =
+      spark.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(topic.toString)
+        .groupBy("event_type")
+        .agg(round(sum("value"), 2).as("total_value"),
+             count(lit(1)).as("n_events"))
+        .writeStream.format("memory").queryName(table)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+
+    addFile("f0", 0)
+    val q1 = start(freshName("graft_t1a"))
+    try q1.processAllAvailable() finally q1.stop()
+
+    addFile("f1", 1)
+    val table2 = freshName("graft_t1b")
+    val q2 = start(table2)
+    try q2.processAllAvailable() finally q2.stop()
+    spark.table(table2)
+  }
+
   /** MemoryStream harness for the fine-grained specs (exact micro-batch
     * boundaries, late-data injection): drive `pipeline` over `data`
     * replayed in `nBatches` micro-batches and return the final result
