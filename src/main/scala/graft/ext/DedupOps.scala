@@ -34,11 +34,13 @@ object DedupOps {
     * Cost is Σ df(shingle)², never N². */
   def ngramJaccardPairs(docs: DataFrame, n: Int,
                         maxDf: Long = 1000000L): DataFrame = {
-    // Deliberately NOT cached: the shingle set is corpus-sized (caching it
-    // at 100 TB is infeasible and a session-lifetime cache leaks executor
-    // memory); the three consumers re-derive it from the columnar scan,
-    // which is the cheap part — the inverted-index join dominates.
-    val sh = shingles(docs, n)
+    // The shingle set feeds THREE consumers inside this one query (df cap,
+    // the inverted-index join, per-doc sizes), and Spark's shuffle reuse
+    // does not kick in across them — so materialize it ONCE with a
+    // query-scoped localCheckpoint (freed when the plan is GC'd, unlike a
+    // session-lifetime cache; spills to executor disk like a shuffle
+    // write, so it scales the same way the join's own shuffle does).
+    val sh = shingles(docs, n).localCheckpoint()
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("shingle")
     val shCapped = sh.join(rare, "shingle")
