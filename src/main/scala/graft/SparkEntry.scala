@@ -261,6 +261,11 @@ object SparkEntry {
     "t5b_stream_dedup_watermarked" -> ((s, d) =>
       StreamOps.streamingDedupUsersWatermarked(s, d)),
     "t8_stream_asof" -> ((s, d) => StreamOps.streamingAsOfAttribution(s, d)),
+    // stream-stream interval join: every click within the hour before the
+    // purchase, both sides streaming + watermarked (state evicted by the
+    // range condition); oracle = the batch SQL range join
+    "t10_stream_stream_join" -> ((s, d) =>
+      StreamOps.streamStreamIntervalJoin(s, d)),
     "t9_stream_sessions" -> ((s, d) => StreamOps.streamingSessionCounts(s, d)),
     "s8_write_then_emit" -> ((s, d) => StreamOps.writeThenEmit(s, d)),
 
@@ -282,6 +287,10 @@ object SparkEntry {
       SimilarityOps.nearDupPairsWithinLabel(Tables.embeddings(s, d), 20)),
     "dedup_clusters" -> ((s, d) =>
       DedupOps.duplicateClusters(Tables.documents(s, d), 3, tau = 0.5)),
+    // substring-level (13-token-window) duplicated-span mass per doc —
+    // the Lee et al. exact-substring family, inverted-index shape
+    "dedup_substring_spans" -> ((s, d) =>
+      DedupOps.substringDupSpans(Tables.documents(s, d))),
 
     // ---- LLM pipeline: similarity search ----
     "ann_cosine_topk" -> ((s, d) =>
@@ -319,6 +328,11 @@ object SparkEntry {
       SimilarityOps.lshBuckets(Tables.embeddings(s, d), 8)),
     "vec_quantize_int8" -> ((s, d) =>
       SimilarityOps.quantizeInt8(Tables.embeddings(s, d))),
+    // serving-path ANN on the int8 codes (scale cancels in cosine, no
+    // dequantize); measured 10/10 vs float truth here, bound 9 leaves
+    // one boundary flip of margin
+    "ann_int8_recall" -> ((s, d) =>
+      SimilarityOps.int8TopKRecall(Tables.embeddings(s, d), 0L, 10, minHits = 9)),
     "ann_kmeans_cells" -> ((s, d) =>
       SimilarityOps.kmeansCells(Tables.embeddings(s, d), 2)
         .orderBy("vec_id")),
@@ -332,6 +346,10 @@ object SparkEntry {
 
     "text_tfidf_top3" -> ((s, d) =>
       TextOps.tfIdfTopTerms(Tables.documents(s, d), 3)),
+    // Gopher-style repetition gates: top-bigram share + duplicate-word
+    // fraction, with the keep verdict as a composable predicate
+    "text_repetition" -> ((s, d) =>
+      TextOps.repetition(Tables.documents(s, d))),
     "text_chunks" -> ((s, d) =>
       TextOps.chunks(Tables.documents(s, d), chunkSize = 64, overlap = 8)),
     "pack_sequences" -> ((s, d) =>
@@ -661,6 +679,15 @@ object SparkEntry {
          FROM m GROUP BY user_id""",
     // identical to j4_asof_attribution: the streaming state machine must
     // reproduce the batch as-of join bit-for-bit
+    // every (purchase, click) pair of the same user with the click in the
+    // hour before the purchase — the batch form of the stream-stream join
+    "t10_stream_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+                date_diff('microsecond', c.ts, p.ts) AS gap_us
+         FROM events p JOIN events c
+           ON p.user_id = c.user_id
+          AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 3600 SECONDS
+         WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
     "t8_stream_asof" ->
       """WITH u AS (
            SELECT user_id, ts, event_id, 1 AS tag,
@@ -959,6 +986,56 @@ object SparkEntry {
                 array_to_string(list_transform(v,
                   x -> CAST(round(x * (127.0 / ma)) AS INTEGER)), ',') AS q8
          FROM m""",
+    // independent replay of the 13-token-window span accounting
+    "dedup_substring_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+                    WHERE len(string_split(text, ' ')) >= 13),
+              wins AS (SELECT doc_id,
+                              unnest(list_transform(range(0, len(words) - 12),
+                                i -> array_to_string(words[i+1:i+13], ' '))) AS win
+                       FROM w),
+              dfd AS (SELECT win, count(DISTINCT doc_id) AS n_docs
+                      FROM wins GROUP BY win)
+         SELECT doc_id, count(*) AS n_windows,
+                CAST(sum(CASE WHEN dfd.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup_windows,
+                round(sum(CASE WHEN dfd.n_docs > 1 THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+         FROM wins JOIN dfd USING (win) GROUP BY doc_id""",
+    // quantize -> cosine on codes -> top-10 -> hits vs float truth,
+    // all recomputed here
+    "ann_int8_recall" ->
+      """WITH e AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              n AS (SELECT vec_id, v,
+                           sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+                    FROM e),
+              q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+              bf AS (SELECT n.vec_id,
+                            round(list_sum(list_transform(range(1, 65),
+                                    i -> n.v[i] * q.qv[i]))
+                                  / (n.nrm * q.qn), 6) AS cosine
+                     FROM n, q WHERE n.vec_id <> 0
+                     ORDER BY cosine DESC, vec_id LIMIT 10),
+              c AS (SELECT vec_id,
+                           list_transform(v, x -> CAST(CAST(round(x * (127.0 /
+                             list_max(list_transform(v, y -> abs(y))))) AS INTEGER)
+                             AS DOUBLE)) AS cq
+                    FROM e),
+              cn AS (SELECT vec_id, cq,
+                            sqrt(list_sum(list_transform(cq, x -> x * x))) AS nrm
+                     FROM c),
+              cqv AS (SELECT cq AS qv, nrm AS qn FROM cn WHERE vec_id = 0),
+              ap AS (SELECT cn.vec_id,
+                            round(list_sum(list_transform(range(1, 65),
+                                    i -> cn.cq[i] * cqv.qv[i]))
+                                  / (cn.nrm * cqv.qn), 6) AS cosine
+                     FROM cn, cqv WHERE cn.vec_id <> 0
+                     ORDER BY cosine DESC, vec_id LIMIT 10)
+         SELECT CAST(count(*) AS BIGINT) AS n_hits,
+                count(*) >= 9 AS recall_ok
+         FROM bf JOIN ap USING (vec_id)""",
     "text_stats" ->
       """SELECT doc_id,
                 len(string_split(text, ' ')) AS n_tokens,
@@ -1000,6 +1077,27 @@ object SparkEntry {
                                  i -> CAST(ascii(text[i:i]) AS BIGINT))),
                   (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
          FROM documents""",
+    // per-doc bigram mode share + duplicate-word fraction; keep compares
+    // the ROUNDED values, matching the engine
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2),
+              b AS (SELECT doc_id, len(words) AS n_words,
+                           len(list_distinct(words)) AS n_distinct,
+                           unnest(list_transform(range(0, len(words) - 1),
+                             i -> words[i+1] || ' ' || words[i+2])) AS bigram
+                    FROM w),
+              g AS (SELECT doc_id, n_words, n_distinct, bigram, count(*) AS c
+                    FROM b GROUP BY doc_id, n_words, n_distinct, bigram),
+              t AS (SELECT doc_id, n_words, n_distinct,
+                           max(c) AS top_n, sum(c) AS n_bi
+                    FROM g GROUP BY doc_id, n_words, n_distinct)
+         SELECT doc_id,
+                round(top_n / CAST(n_bi AS DOUBLE), 6) AS top_bigram_frac,
+                round(1.0 - n_distinct / CAST(n_words AS DOUBLE), 6) AS dup_word_frac,
+                (round(top_n / CAST(n_bi AS DOUBLE), 6) <= 0.18 AND
+                 round(1.0 - n_distinct / CAST(n_words AS DOUBLE), 6) <= 0.9) AS keep
+         FROM t""",
     "text_tfidf_top3" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
               tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),

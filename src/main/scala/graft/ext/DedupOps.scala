@@ -162,6 +162,41 @@ object DedupOps {
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** Substring-level exact dedup (the Lee et al. 2022 "Deduplicating
+    * Training Data" family): a `w`-token window that appears verbatim in
+    * MORE THAN ONE document marks a duplicated span — the unit a
+    * pretraining pipeline actually cuts (cross-doc boilerplate, licenses,
+    * templated intros), finer-grained than whole-doc Jaccard. Per doc:
+    * total windows, windows shared with at least one other doc, and the
+    * duplicated fraction.
+    *
+    * Scale shape: same inverted-index discipline as [[shingles]] — explode
+    * windows, one groupBy(window) for the cross-doc document frequency,
+    * one groupBy(doc) to fold back. Cost is Σ windows (linear in corpus
+    * tokens), never pairwise; the window-frequency table is the natural
+    * seat for a Bloom/CountMin sketch at 100 TB (exact counts here).
+    * Windows are position-multiset (NOT distinct per doc): the fraction
+    * measures duplicated SPAN MASS, so a window repeated inside one doc
+    * weighs each occurrence. */
+  def substringDupSpans(docs: DataFrame, w: Int = 13): DataFrame = {
+    val wins = docs
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= w)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, size(words) - $w), i -> concat_ws(' ', slice(words, i + 1, $w)))"))
+          .as("win"))
+    val dfd = wins.groupBy("win")
+      .agg(countDistinct("doc_id").as("n_docs"))
+    wins.join(dfd, "win")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+           sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows") / col("n_windows").cast("double"), 6)
+          .as("dup_frac"))
+  }
+
   /** MinHash signatures: h_i(doc) = min over shingles of xxhash64(shingle, i).
     * Shape matters at scale: explode shingles once, then `numHashes`
     * codegen'd min-aggregates with map-side partial aggregation — the

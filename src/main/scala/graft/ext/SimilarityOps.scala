@@ -165,6 +165,42 @@ object SimilarityOps {
         expr("concat_ws(',', transform(v, x -> cast(round(x * (127.0 / ma)) as int)))")
           .as("q8"))
 
+  /** The int8 code vectors of [[quantizeInt8]] as an array column —
+    * the form a serving index actually scans. */
+  private def int8CodeVecs(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), vecD("embedding").as("v"))
+      .withColumn("ma", expr("array_max(transform(v, x -> abs(x)))"))
+      .select(col("vec_id"),
+        expr("transform(v, x -> cast(cast(round(x * (127.0 / ma)) as int) as double))")
+          .as("q"))
+
+  /** Quantized ANN, graded like [[ivfTopK]]'s recall audit: top-`k` by
+    * cosine computed ON THE INT8 CODES — cosine is scale-invariant, so the
+    * per-vector scale cancels and the scan never dequantizes (the point of
+    * int8 serving: 4× less memory bandwidth than float32 at equal
+    * recall). Emits the hit count of the quantized top-k against the
+    * float32 brute-force truth plus a recall verdict; the DuckDB oracle
+    * recomputes BOTH sides from the raw embeddings. Same zero-shuffle
+    * shape as [[bruteForceTopK]]: broadcast query codes, map-side score,
+    * TakeOrdered. */
+  def int8TopKRecall(embeddings: DataFrame, queryId: Long, k: Int,
+                     minHits: Int): DataFrame = {
+    val codes = int8CodeVecs(embeddings)
+    val q = codes.filter(col("vec_id") === queryId).select(col("q").as("qv"))
+    val approx = codes.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot("q", "qv") / (norm("q") * norm("qv")), 6).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+      .select("vec_id")
+    val truth = bruteForceTopK(embeddings, queryId, k).select("vec_id")
+    truth.join(approx, "vec_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("n_hits"), (col("n_hits") >= lit(minHits.toLong)).as("recall_ok"))
+  }
+
   /** Packed hyperplane-sign signature: `nBits` deterministic hyperplanes
     * (components derived arithmetically from the plane/dim index, seeded —
     * no RNG, so fixtures are reproducible); value = sign bits packed into

@@ -45,6 +45,44 @@ object TextOps {
         (col("n_tokens") >= 10) && (col("n_tokens") <= 10000) &&
         (col("ttr") > lit(0.1)))
 
+  /** Repetition filters (the Gopher/MassiveText rules): documents whose
+    * text is dominated by a repeated phrase or by few distinct words are
+    * generated/boilerplate and poison pretraining. Per doc: the most
+    * frequent word-bigram's share of all bigrams, and the duplicate-word
+    * fraction (1 − distinct/total). The bigram count is an explode +
+    * two-level groupBy — map-side partial aggregation ships (doc, bigram)
+    * partial counts, never the text; `keep` applies the published-style
+    * thresholds as a plan-level predicate, so downstream consumers compose
+    * it into the scan filter exactly like the [[isEnglishPredicate]] gate.
+    * This file's no-shuffle doctrine has one justified exception here: a
+    * per-doc top-1-of-group genuinely needs the (doc, bigram) partial
+    * aggregate; everything else stays map-side. */
+  def repetition(docs: DataFrame,
+                 maxTopBigramFrac: Double = 0.18,
+                 maxDupWordFrac: Double = 0.9): DataFrame = {
+    val bigrams = docs
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), size(col("words")).as("n_words"),
+        size(array_distinct(col("words"))).as("n_distinct"),
+        explode(expr(
+          "transform(sequence(0, size(words) - 2), i -> concat_ws(' ', words[i], words[i+1]))"))
+          .as("bigram"))
+    bigrams
+      .groupBy("doc_id", "n_words", "n_distinct", "bigram")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_words", "n_distinct")
+      .agg(max("c").as("top_bigram_n"), sum("c").as("n_bigrams"))
+      .select(col("doc_id"),
+        round(col("top_bigram_n") / col("n_bigrams").cast("double"), 6)
+          .as("top_bigram_frac"),
+        round(lit(1.0) - col("n_distinct") / col("n_words").cast("double"), 6)
+          .as("dup_word_frac"))
+      .withColumn("keep",
+        (col("top_bigram_frac") <= maxTopBigramFrac) &&
+        (col("dup_word_frac") <= maxDupWordFrac))
+  }
+
   /** Language-ID heuristic, two profile scores per doc: (a) stopword ratio
     * (word-level profile), (b) character-bigram profile hit rate against a
     * small English-frequency set — the classic n-gram-profile classifier

@@ -292,6 +292,43 @@ object StreamOps {
         .agg(count(lit(1)).as("n_events"))
     }.groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
 
+  /** T10: stream-stream INTERVAL join — Structured Streaming's marquee
+    * stateful operator, and the general form of the as-of join ([[
+    * streamingAsOfAttribution]] keeps ONE candidate per key; this keeps
+    * every click within the tolerance window). Both sides are streams
+    * (clicks and purchases of the same event firehose), each watermarked;
+    * the event-time range condition is what lets Spark EVICT a click's
+    * state once the watermark passes `click_ts + tolerance` — state is
+    * O(events in the tolerance horizon), not O(stream). Inner join,
+    * append mode: each qualifying (purchase, click) pair is emitted
+    * exactly once. The batch SQL range join is the oracle. */
+  def streamStreamIntervalJoin(spark: SparkSession, dir: String,
+                               toleranceSec: Long = 3600L): DataFrame = {
+    val clicks = eventStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val table = freshName("graft_ssj")
+    val q = purchases.join(clicks,
+        col("user_id") === col("click_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $toleranceSec SECONDS"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("gap_us"))
+      .writeStream.format("memory").queryName(table)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(table)
+  }
+
   /** Output row of the streaming as-of join. */
   final case class AsOfMatch(left_id: Long, user_id: Long,
                              matched_right_id: Option[Long], gap_s: Option[Long])

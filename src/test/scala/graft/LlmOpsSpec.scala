@@ -182,4 +182,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(st.filter(col("n_distinct_tokens") > col("n_tokens")).count() === 0)
     assert(st.filter(col("avg_token_len") <= 0).count() === 0)
   }
+
+  test("substring spans: a verbatim copy shares every window; unrelated docs none") {
+    val docs = Seq(
+      (0L, (1 to 20).map(i => s"w$i").mkString(" ")),
+      (1L, (1 to 20).map(i => s"w$i").mkString(" ")),          // full copy
+      (2L, ((1 to 10).map(i => s"w$i") ++ (1 to 10).map(i => s"x$i")).mkString(" ")), // shares a prefix
+      (3L, (1 to 20).map(i => s"z$i").mkString(" "))           // disjoint
+    ).toDF("doc_id", "text")
+    val out = DedupOps.substringDupSpans(docs, w = 13)
+      .select("doc_id", "n_windows", "n_dup_windows")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(0L) === ((8L, 8L)), "copy pair: all 20-13+1 windows duplicated")
+    assert(out(1L) === ((8L, 8L)))
+    assert(out(2L) === ((8L, 0L)), "10-word shared prefix < 13-token window")
+    assert(out(3L) === ((8L, 0L)))
+  }
+
+  test("repetition: phrase-looped text trips the top-bigram gate, normal text keeps") {
+    val docs = Seq(
+      (0L, Seq.fill(30)("buy now").mkString(" ")),             // one bigram dominates
+      (1L, (1 to 60).map(i => s"w$i").mkString(" "))           // all bigrams unique
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetition(docs)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(!out(0L), "looped phrase must be dropped")
+    assert(out(1L), "non-repetitive text must be kept")
+  }
+
+  test("int8 serving recall holds on the fixture") {
+    val r = SimilarityOps.int8TopKRecall(
+      Tables.embeddings(spark, sfDir), 0L, 10, minHits = 9)
+      .as[(Long, Boolean)].collect().head
+    assert(r._2, s"int8 top-10 recall ${r._1}/10 below bound")
+  }
 }

@@ -221,4 +221,23 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.count() === expected.count())
     assert(emitted.exceptAll(expected).isEmpty)
   }
+
+  test("T10 stream-stream interval join has exact batch parity") {
+    val streamed = StreamOps.streamStreamIntervalJoin(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val ev = Tables.events(spark, sfDir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("cu"), col("ts").as("cts"))
+    val batch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      .join(c, col("user_id") === col("cu") &&
+        col("cts") <= col("ts") &&
+        col("ts") <= col("cts") + expr("INTERVAL 3600 SECONDS"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("ts")) - unix_micros(col("cts"))).as("gap_us"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed === batch, "append-mode join must emit each pair once")
+    assert(streamed.nonEmpty)
+  }
 }
