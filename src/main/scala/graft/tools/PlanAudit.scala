@@ -13,10 +13,11 @@ object PlanAudit {
     * excluded from the static plan summary (their semantics are graded by
     * the oracle + streaming specs instead). */
   private val nonStatic = Set(
-    "t2_stream_hourly_window", "t3_stream_cumulative",
-    "t5_stream_dedup_users", "t8_stream_asof", "t9_stream_sessions",
-    "s8_write_then_emit",
-    "vote_e2e_stream_tally", "vote_e2e_live_results")
+    "t1_stream_recover", "t2_stream_hourly_window", "t3_stream_cumulative",
+    "t3b_wire_tally", "t5_stream_dedup_users",
+    "t5b_stream_dedup_watermarked", "t8_stream_asof", "t9_stream_sessions",
+    "t10_stream_stream_join", "s8_write_then_emit",
+    "vote_e2e_stream_tally", "vote_e2e_live_results", "vote_e2e_reemit")
 
   /** `--summary <dir>`: one markdown row of physical-plan features per
     * query — shuffle count, join strategies, parquet pushdown, codegen. */
