@@ -291,6 +291,14 @@ object SparkEntry {
     // the Lee et al. exact-substring family, inverted-index shape
     "dedup_substring_spans" -> ((s, d) =>
       DedupOps.substringDupSpans(Tables.documents(s, d))),
+    // eval-set decontamination: flag corpus docs sharing any 13-token
+    // window with the held-out split (doc_id % 20 == 0 plays the eval set)
+    "dedup_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.decontaminate(
+        docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0))
+    }),
 
     // ---- LLM pipeline: similarity search ----
     "ann_cosine_topk" -> ((s, d) =>
@@ -350,6 +358,9 @@ object SparkEntry {
     // fraction, with the keep verdict as a composable predicate
     "text_repetition" -> ((s, d) =>
       TextOps.repetition(Tables.documents(s, d))),
+    // tokenizer-prep vocabulary: top-30 words by count with df and rank
+    "text_vocabulary" -> ((s, d) =>
+      TextOps.vocabulary(Tables.documents(s, d), 30)),
     "text_chunks" -> ((s, d) =>
       TextOps.chunks(Tables.documents(s, d), chunkSize = 64, overlap = 8)),
     "pack_sequences" -> ((s, d) =>
@@ -1002,6 +1013,38 @@ object SparkEntry {
                 round(sum(CASE WHEN dfd.n_docs > 1 THEN 1 ELSE 0 END)
                       / CAST(count(*) AS DOUBLE), 6) AS dup_frac
          FROM wins JOIN dfd USING (win) GROUP BY doc_id""",
+    // full keep/drop manifest: every non-eval doc with its count of
+    // distinct windows shared with the eval split
+    "dedup_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+                    WHERE len(string_split(text, ' ')) >= 13),
+              wins AS (SELECT doc_id,
+                              unnest(list_transform(range(0, len(words) - 12),
+                                i -> array_to_string(words[i+1:i+13], ' '))) AS win
+                       FROM w),
+              ev AS (SELECT DISTINCT win FROM wins WHERE doc_id % 20 = 0),
+              hits AS (SELECT wins.doc_id, count(DISTINCT wins.win) AS n_eval_windows
+                       FROM wins JOIN ev USING (win)
+                       WHERE wins.doc_id % 20 <> 0
+                       GROUP BY wins.doc_id)
+         SELECT d.doc_id,
+                COALESCE(hits.n_eval_windows, 0) AS n_eval_windows,
+                COALESCE(hits.n_eval_windows, 0) > 0 AS contaminated
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+         LEFT JOIN hits USING (doc_id)""",
+    // top-30 vocabulary with occurrence count, document frequency, rank
+    "text_vocabulary" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+              g AS (SELECT word, count(*) AS n_occ,
+                           count(DISTINCT doc_id) AS n_docs
+                    FROM w GROUP BY word),
+              t AS (SELECT word, n_occ, n_docs FROM g
+                    ORDER BY n_occ DESC, word ASC LIMIT 30)
+         SELECT word, n_occ, n_docs,
+                CAST(row_number() OVER (ORDER BY n_occ DESC, word ASC) AS INTEGER)
+                  AS rank
+         FROM t""",
     // quantize -> cosine on codes -> top-10 -> hits vs float truth,
     // all recomputed here
     "ann_int8_recall" ->

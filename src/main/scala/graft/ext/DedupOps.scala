@@ -197,6 +197,34 @@ object DedupOps {
           .as("dup_frac"))
   }
 
+  /** Benchmark DECONTAMINATION (the GPT-3/Gopher appendix step): a corpus
+    * document is contaminated if it shares any `w`-token window verbatim
+    * with a held-out eval set — those documents must be dropped before
+    * pretraining or downstream evals are invalid. Same inverted-index
+    * shape as [[substringDupSpans]]: explode both sides' windows, distinct
+    * the eval windows, one equi-join, one per-doc fold. Eval sets are
+    * small (benchmarks, not corpora), so their window set BROADCASTS and
+    * the corpus side never shuffles; the left join keeps clean docs with
+    * n_eval_windows = 0, so the output is the full keep/drop manifest,
+    * not just the flagged tail. */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame,
+                    w: Int = 13): DataFrame = {
+    def wins(df: DataFrame): DataFrame = df
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= w)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, size(words) - $w), i -> concat_ws(' ', slice(words, i + 1, $w)))"))
+          .as("win"))
+    val ev = broadcast(wins(evalDocs).select("win").distinct())
+    val perDoc = wins(corpus).join(ev, Seq("win"), "left_semi")
+      .groupBy("doc_id").agg(countDistinct("win").as("n_eval_windows"))
+    corpus.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_eval_windows"), lit(0L)).as("n_eval_windows"))
+      .withColumn("contaminated", col("n_eval_windows") > 0)
+  }
+
   /** MinHash signatures: h_i(doc) = min over shingles of xxhash64(shingle, i).
     * Shape matters at scale: explode shingles once, then `numHashes`
     * codegen'd min-aggregates with map-side partial aggregation — the

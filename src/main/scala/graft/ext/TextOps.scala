@@ -83,6 +83,23 @@ object TextOps {
         (col("dup_word_frac") <= maxDupWordFrac))
   }
 
+  /** Tokenizer-prep VOCABULARY: global word counts + document frequency,
+    * top-`k` ranked (count desc, word asc — deterministic). The corpus
+    * pass is one explode + one groupBy whose shuffle carries map-side
+    * partial (word, count, partial-HLL) rows; the rank window runs only
+    * over the k survivors AFTER the TakeOrdered cut, so the
+    * single-partition window holds k rows, never the vocabulary. */
+  def vocabulary(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n_occ"), countDistinct("doc_id").as("n_docs"))
+      .orderBy(desc("n_occ"), asc("word")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("n_occ"), asc("word"))))
+  }
+
   /** Language-ID heuristic, two profile scores per doc: (a) stopword ratio
     * (word-level profile), (b) character-bigram profile hit rate against a
     * small English-frequency set — the classic n-gram-profile classifier

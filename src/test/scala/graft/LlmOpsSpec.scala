@@ -210,6 +210,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(1L), "non-repetitive text must be kept")
   }
 
+  test("decontamination flags exactly the docs sharing an eval window") {
+    val eval = Seq((100L, (1 to 20).map(i => s"e$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, (1 to 20).map(i => s"e$i").mkString(" ")),           // verbatim leak
+      (1L, ((1 to 12).map(i => s"e$i") ++ (1 to 8).map(i => s"c$i")).mkString(" ")), // 12-token overlap < w
+      (2L, (1 to 20).map(i => s"c$i").mkString(" "))            // clean
+    ).toDF("doc_id", "text")
+    val out = DedupOps.decontaminate(corpus, eval, w = 13)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(out === Map(0L -> true, 1L -> false, 2L -> false),
+      "only a full 13-token window counts; sub-window overlap stays clean")
+  }
+
+  test("vocabulary ranks are deterministic and df <= occurrences") {
+    val v = TextOps.vocabulary(Tables.documents(spark, sfDir), 10)
+      .select("rank", "n_occ", "n_docs").as[(Int, Long, Long)].collect()
+    assert(v.map(_._1).toSeq === (1 to 10))
+    assert(v.forall { case (_, occ, df) => df <= occ })
+    assert(v.map(_._2).toSeq === v.map(_._2).sortBy(-_).toSeq, "sorted by count")
+  }
+
   test("int8 serving recall holds on the fixture") {
     val r = SimilarityOps.int8TopKRecall(
       Tables.embeddings(spark, sfDir), 0L, 10, minHits = 9)
