@@ -255,6 +255,9 @@ object SparkEntry {
     // tally can only come from recovered state (offset log bars a re-read)
     "t1_stream_recover" -> ((s, d) => StreamOps.recoverableTally(s, d)),
     "t2_stream_hourly_window" -> ((s, d) => StreamOps.hourlyWindowCounts(s, d)),
+    // late rows (held-back fifth, delivered after the watermark advanced)
+    // are DROPPED; append mode emits only watermark-finalized windows
+    "t4_stream_late_drop" -> ((s, d) => StreamOps.lateDropHourly(s, d)),
     "t5_stream_dedup_users" -> ((s, d) => StreamOps.streamingDedupUsers(s, d)),
     // bounded-state dedup: late re-delivered duplicates (batch 2, 1h older)
     // land within the watermark and must be suppressed
@@ -264,8 +267,10 @@ object SparkEntry {
     // stream-stream interval join: every click within the hour before the
     // purchase, both sides streaming + watermarked (state evicted by the
     // range condition); oracle = the batch SQL range join
+    // state partitions sized to the key cardinality (~150 users), not the
+    // session shuffle width — see streamStreamIntervalJoin scaladoc
     "t10_stream_stream_join" -> ((s, d) =>
-      StreamOps.streamStreamIntervalJoin(s, d)),
+      StreamOps.streamStreamIntervalJoin(s, d, statePartitions = Some(8))),
     "t9_stream_sessions" -> ((s, d) => StreamOps.streamingSessionCounts(s, d)),
     "s8_write_then_emit" -> ((s, d) => StreamOps.writeThenEmit(s, d)),
 
@@ -671,6 +676,16 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
                 count(*) AS n_events
          FROM events GROUP BY 1""",
+    // batch-1 rows only (late fifth dropped), windows finalized by the
+    // batch-1 watermark (end <= max(ts) - 1h)
+    "t4_stream_late_drop" ->
+      """WITH f0 AS (SELECT * FROM events WHERE event_id % 5 <> 0),
+              wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM f0)
+         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
+                count(*) AS n_events
+         FROM f0, wm
+         WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+         GROUP BY 1""",
     "t5_stream_dedup_users" -> "SELECT DISTINCT user_id FROM events",
     // any re-emission of a late duplicate adds a row and goes red
     "t5b_stream_dedup_watermarked" -> "SELECT DISTINCT user_id FROM events",

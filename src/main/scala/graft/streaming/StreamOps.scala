@@ -225,6 +225,52 @@ object StreamOps {
       df.dropDuplicates("user_id").select("user_id")
     }
 
+  /** T4: late-data DROP on the graded path — append-mode hourly window
+    * aggregate with a 1-hour watermark, fed in two batches: batch 1 is
+    * 4/5 of the events (advancing the watermark to max(ts) − 1 h), batch
+    * 2 delivers the held-back fifth, almost all of which is now LATE and
+    * must be dropped (not re-counted — the exact failure `voting.py`'s
+    * at-least-once consumer would double-count). Append mode emits only
+    * windows finalized by the watermark, so the result is deterministic:
+    * batch-1 rows, in windows whose end ≤ the batch-1 watermark. The
+    * oracle recomputes both the watermark and the window filter in SQL. */
+  def lateDropHourly(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_t4_")
+    val topic = root.resolve("topic")
+    Files.createDirectory(topic)
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+
+    def addFile(name: String, df: DataFrame): Unit = {
+      val staged = root.resolve(s"${name}_stage").toString
+      df.coalesce(1).write.parquet(staged)
+      val part = new java.io.File(staged).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, topic.resolve(s"$name.parquet"))
+    }
+
+    addFile("f0", ev.filter(pmod(col("event_id"), lit(5)) =!= 0))
+    val table = freshName("graft_t4")
+    val q = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(topic.toString)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+        col("n_events"))
+      .writeStream.format("memory").queryName(table)
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      addFile("f1", ev.filter(pmod(col("event_id"), lit(5)) === 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(table)
+  }
+
   /** T5b: BOUNDED-state streaming dedup — `dropDuplicatesWithinWatermark`,
     * the form that survives an unbounded stream: a key's state is evicted
     * once the watermark passes its event time + delay, so state is
@@ -303,7 +349,23 @@ object StreamOps {
     * append mode: each qualifying (purchase, click) pair is emitted
     * exactly once. The batch SQL range join is the oracle. */
   def streamStreamIntervalJoin(spark: SparkSession, dir: String,
-                               toleranceSec: Long = 3600L): DataFrame = {
+                               toleranceSec: Long = 3600L,
+                               statePartitions: Option[Int] = None): DataFrame = {
+    // State partition count is fixed at query start from
+    // spark.sql.shuffle.partitions and persists in the checkpoint — size
+    // it to the KEY cardinality, not the batch width: a stream-stream join
+    // commits per-partition state stores on BOTH sides every micro-batch,
+    // so partitions ≫ keys buy nothing and pay 2×partitions store commits
+    // per batch. Temporarily scoped to this query; restored after start.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try streamStreamIntervalJoinInner(spark, dir, toleranceSec)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def streamStreamIntervalJoinInner(
+      spark: SparkSession, dir: String, toleranceSec: Long): DataFrame = {
     val clicks = eventStream(spark, dir)
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"),
