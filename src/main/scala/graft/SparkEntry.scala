@@ -314,6 +314,10 @@ object SparkEntry {
     }),
     "ann_ivf_topk" -> ((s, d) =>
       SimilarityOps.ivfTopK(Tables.embeddings(s, d), 0L, 10, nprobe = 3)),
+    // the serving shape: 10 query vectors, one corpus scan, per-query
+    // top-10 via the bounded-heap aggregator (map-side combined)
+    "ann_batch_topk" -> ((s, d) =>
+      SimilarityOps.bruteForceTopKBatch(Tables.embeddings(s, d), 0L to 9L, 10)),
     // IVF approximation quality at small nprobe, graded like
     // dedup_minhash_recall: truth = brute-force top-10, verdict = recall@10
     // of the nprobe=3 probe. The DuckDB oracle recomputes BOTH sides
@@ -861,6 +865,28 @@ object SparkEntry {
                       / (n.nrm * q.qn), 6) AS cosine
          FROM n, q WHERE n.vec_id <> 0
          ORDER BY cosine DESC, vec_id LIMIT 10""",
+    // per-query ranked id list, replayed with a window + ordered string_agg
+    "ann_batch_topk" ->
+      """WITH e AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              n AS (SELECT vec_id, v,
+                           sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+                    FROM e),
+              q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+                    FROM n WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)),
+              sc AS (SELECT q.query_id, n.vec_id,
+                            round(list_sum(list_transform(range(1, 65),
+                                    i -> n.v[i] * q.qv[i]))
+                                  / (n.nrm * q.qn), 6) AS cosine
+                     FROM n, q WHERE n.vec_id <> q.query_id),
+              rk AS (SELECT query_id, vec_id,
+                            row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id) AS rn
+                     FROM sc)
+         SELECT query_id,
+                string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY rn) AS top_ids
+         FROM rk WHERE rn <= 10 GROUP BY query_id""",
     // Independent replay of the nprobe=3 probe: label-cell centroid means,
     // top-3 cells by centroid cosine to the query, exact cosine top-10
     // within the probed cells (SimilarityOps.ivfTopK).

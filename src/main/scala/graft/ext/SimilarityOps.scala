@@ -58,6 +58,31 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** BATCHED brute-force ANN: top-k for MANY query vectors in ONE plan —
+    * the actual serving shape (per-query driver loops rescan the corpus Q
+    * times). The Q query vectors broadcast (Q·d doubles), the corpus is
+    * scanned ONCE, and the per-query top-k folds through the bounded-heap
+    * [[graft.functions.TopKAggregator]] with map-side partial aggregation:
+    * the shuffle carries at most Q·k candidates per task, never the Q·N
+    * scored matrix (contrast a `row_number` window, which shuffles and
+    * sorts all Q·N scores). Output: (query_id, rank-ordered id list). */
+  def bruteForceTopKBatch(embeddings: DataFrame, queryIds: Seq[Long],
+                          k: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val base = embeddings.select(col("vec_id"), vecD("embedding").as("v"))
+    val qs = base.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val topk = udaf(new graft.functions.TopKAggregator(k),
+                    Encoders.product[graft.functions.TopKItem])
+    base.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        round(dot("v", "qv") / (norm("v") * norm("qv")), 6).as("cosine"),
+        col("vec_id"))
+      .groupBy("query_id")
+      .agg(topk(col("cosine"), col("vec_id")).as("top_ids"))
+  }
+
   /** IVF-style search: compute real centroids per coarse cell (here the
     * `label` column plays the k-means assignment), pick the `nprobe`
     * nearest cells to the query, and scan only those cells. At 100 TB the

@@ -14,6 +14,7 @@ object PlanAudit {
     * the oracle + streaming specs instead). */
   private val nonStatic = Set(
     "t1_stream_recover", "t2_stream_hourly_window", "t3_stream_cumulative",
+    "t4_stream_late_drop",
     "t3b_wire_tally", "t5_stream_dedup_users",
     "t5b_stream_dedup_watermarked", "t8_stream_asof", "t9_stream_sessions",
     "t10_stream_stream_join", "s8_write_then_emit",
