@@ -370,6 +370,10 @@ object SparkEntry {
     // tokenizer-prep vocabulary: top-30 words by count with df and rank
     "text_vocabulary" -> ((s, d) =>
       TextOps.vocabulary(Tables.documents(s, d), 30)),
+    // unigram-LM quality signal (poor-man's perplexity): per-doc mean
+    // log-probability under the corpus's own unigram distribution
+    "text_unigram_score" -> ((s, d) =>
+      TextOps.unigramScore(Tables.documents(s, d))),
     "text_chunks" -> ((s, d) =>
       TextOps.chunks(Tables.documents(s, d), chunkSize = 64, overlap = 8)),
     "pack_sequences" -> ((s, d) =>
@@ -1073,6 +1077,17 @@ object SparkEntry {
                 COALESCE(hits.n_eval_windows, 0) > 0 AS contaminated
          FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
          LEFT JOIN hits USING (doc_id)""",
+    // per-doc mean ln(unigram probability); ln and mean replayed exactly
+    "text_unigram_score" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+              f AS (SELECT word, count(*) AS n_w FROM w GROUP BY word),
+              t AS (SELECT sum(n_w) AS n_total FROM f)
+         SELECT doc_id,
+                round(avg(ln(f.n_w / t.n_total)), 4) AS mean_logprob,
+                count(*) AS n_tokens
+         FROM w JOIN f USING (word), t
+         GROUP BY doc_id""",
     // top-30 vocabulary with occurrence count, document frequency, rank
     "text_vocabulary" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word

@@ -83,6 +83,29 @@ object TextOps {
         (col("dup_word_frac") <= maxDupWordFrac))
   }
 
+  /** CCNet-style cheap LM quality signal: per-document mean unigram
+    * log-probability under the corpus's OWN unigram distribution —
+    * documents full of corpus-atypical tokens score low and get routed to
+    * the drop/review bucket (the poor-man's perplexity filter that runs
+    * before any neural scorer). Two aggregations (vocab counts, per-doc
+    * fold) + one join; the vocabulary is Zipf-truncatable so at 100 TB
+    * the frequency table broadcasts (exact and small here — rare words
+    * would be floor-bucketed in a capped variant, noted not needed at
+    * this vocab size). `round(4)` absorbs row-order float noise in the
+    * per-doc mean. */
+  def unigramScore(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("word"))
+    val freq = words.groupBy("word").agg(count(lit(1)).as("n_w"))
+    val total = freq.agg(sum("n_w").as("n_total"))
+    words
+      .join(broadcast(freq), "word")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(round(avg(log(col("n_w") / col("n_total"))), 4).as("mean_logprob"),
+           count(lit(1)).as("n_tokens"))
+  }
+
   /** Tokenizer-prep VOCABULARY: global word counts + document frequency,
     * top-`k` ranked (count desc, word asc — deterministic). The corpus
     * pass is one explode + one groupBy whose shuffle carries map-side

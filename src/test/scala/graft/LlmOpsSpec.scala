@@ -232,6 +232,50 @@ class LlmOpsSpec extends SparkSpec {
     assert(v.map(_._2).toSeq === v.map(_._2).sortBy(-_).toSeq, "sorted by count")
   }
 
+  test("decontamination probe broadcasts the eval windows; empty eval set is a no-op") {
+    val docs = Tables.documents(spark, sfDir)
+    val plan = DedupOps.decontaminate(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval-window probe must broadcast, never shuffle the corpus:\n$plan")
+    val out = DedupOps.decontaminate(docs, docs.filter(lit(false)))
+    assert(out.filter(col("contaminated")).count() === 0)
+    assert(out.count() === docs.count(), "every doc in the manifest")
+  }
+
+  test("batched ANN matches the single-query path for each query id") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val batch = SimilarityOps.bruteForceTopKBatch(emb, Seq(0L, 1L, 2L), 5)
+      .as[(Long, String)].collect().toMap
+    (0L to 2L).foreach { qid =>
+      val single = SimilarityOps.bruteForceTopK(emb, qid, 5)
+        .select("vec_id").as[Long].collect().mkString(",")
+      assert(batch(qid) === single, s"batch/single divergence for query $qid")
+    }
+  }
+
+  test("batched ANN aggregates partially (ObjectHashAggregate, no global sort)") {
+    val plan = SimilarityOps.bruteForceTopKBatch(
+      Tables.embeddings(spark, sfDir), Seq(0L, 1L), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"bounded-heap aggregator must run as hash aggregate:\n$plan")
+    assert(!plan.toLowerCase.contains("window"),
+      s"per-query top-k must not sort the full score matrix:\n$plan")
+  }
+
+  test("unigram score: atypical-token doc scores below typical-token doc") {
+    val docs = Seq(
+      (0L, "a a a a a a a a b b"),  // common tokens
+      (1L, "q r s t u v w x y z")   // ten hapaxes
+    ).toDF("doc_id", "text")
+    val s = TextOps.unigramScore(docs)
+      .select("doc_id", "mean_logprob").as[(Long, Double)].collect().toMap
+    assert(s(1L) < s(0L), "rare-token doc must score lower")
+  }
+
   test("int8 serving recall holds on the fixture") {
     val r = SimilarityOps.int8TopKRecall(
       Tables.embeddings(spark, sfDir), 0L, 10, minHits = 9)
