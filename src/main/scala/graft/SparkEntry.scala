@@ -684,11 +684,16 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
                 count(*) AS n_events
          FROM events GROUP BY 1""",
-    // batch-1 rows only (late fifth dropped), windows finalized by the
-    // batch-1 watermark (end <= max(ts) - 1h)
+    // batch-1 rows only (the held-back late set — id-hash picked AND >= 2h
+    // older than global max ts — is dropped), windows finalized by the
+    // batch-1 watermark (end <= max(ts) - 1h; max row is in batch 1 by
+    // construction, so the watermark is the global one)
     "t4_stream_late_drop" ->
-      """WITH f0 AS (SELECT * FROM events WHERE event_id % 5 <> 0),
-              wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM f0)
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+              f0 AS (SELECT e.* FROM events e, m
+                     WHERE NOT (e.event_id % 5 = 0
+                                AND e.ts <= m.mx - INTERVAL 2 HOUR)),
+              wm AS (SELECT mx - INTERVAL 1 HOUR AS w FROM m)
          SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
                 count(*) AS n_events
          FROM f0, wm
@@ -902,9 +907,10 @@ object SparkEntry {
                            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
                     FROM e),
               q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = 0),
-              ej AS (SELECT label, unnest(v) AS x,
+              ej AS (SELECT label, vec_id, unnest(v) AS x,
                             generate_subscripts(v, 1) AS j FROM e),
-              cm AS (SELECT label, j, sum(x) / count(*) AS cj
+              cm AS (SELECT label, j,
+                            list_sum(list(x ORDER BY vec_id)) / count(*) AS cj
                      FROM ej GROUP BY label, j),
               cent AS (SELECT label, list(cj ORDER BY j) AS cv
                        FROM cm GROUP BY label),
@@ -938,9 +944,10 @@ object SparkEntry {
                                   / (n.nrm * q.qn), 6) AS cosine
                      FROM n, q WHERE n.vec_id <> 0
                      ORDER BY cosine DESC, vec_id LIMIT 10),
-              ej AS (SELECT label, unnest(v) AS x,
+              ej AS (SELECT label, vec_id, unnest(v) AS x,
                             generate_subscripts(v, 1) AS j FROM e),
-              cm AS (SELECT label, j, sum(x) / count(*) AS cj
+              cm AS (SELECT label, j,
+                            list_sum(list(x ORDER BY vec_id)) / count(*) AS cj
                      FROM ej GROUP BY label, j),
               cent AS (SELECT label, list(cj ORDER BY j) AS cv
                        FROM cm GROUP BY label),
@@ -982,9 +989,10 @@ object SparkEntry {
                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                     FROM embeddings),
               a0 AS (SELECT vec_id, v, cell FROM e),
-              c1j AS (SELECT cell, generate_subscripts(v, 1) AS j,
+              c1j AS (SELECT cell, vec_id, generate_subscripts(v, 1) AS j,
                              unnest(v) AS x FROM a0),
-              c1m AS (SELECT cell, j, sum(x) / count(*) AS cj
+              c1m AS (SELECT cell, j,
+                             list_sum(list(x ORDER BY vec_id)) / count(*) AS cj
                       FROM c1j GROUP BY cell, j),
               c1 AS (SELECT cell, list(cj ORDER BY j) AS cv
                      FROM c1m GROUP BY cell),
@@ -1000,9 +1008,10 @@ object SparkEntry {
                               row_number() OVER (PARTITION BY vec_id
                                 ORDER BY d DESC, cell ASC) AS rn
                        FROM s1) WHERE rn = 1),
-              c2j AS (SELECT cell, generate_subscripts(v, 1) AS j,
+              c2j AS (SELECT cell, vec_id, generate_subscripts(v, 1) AS j,
                              unnest(v) AS x FROM a1),
-              c2m AS (SELECT cell, j, sum(x) / count(*) AS cj
+              c2m AS (SELECT cell, j,
+                             list_sum(list(x ORDER BY vec_id)) / count(*) AS cj
                       FROM c2j GROUP BY cell, j),
               c2 AS (SELECT cell, list(cj ORDER BY j) AS cv
                      FROM c2m GROUP BY cell),

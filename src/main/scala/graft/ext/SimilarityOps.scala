@@ -93,10 +93,14 @@ object SimilarityOps {
       vecD("embedding").as("v"))
     val q = base.filter(col("vec_id") === queryId).select(col("v").as("qv"))
 
-    // centroid per cell: element-wise mean via 64-slot sum + count
+    // centroid per cell: element-wise mean via 64-slot sum + count. The
+    // fold runs over the vec_id-SORTED member list so the float summation
+    // order is a function of the data, not of shuffle fetch order — the
+    // oracle replays the identical order (list(x ORDER BY vec_id)), so
+    // the hash gate cannot flake on a last-ulp near a rounding boundary.
     val cents = base.groupBy("label")
       .agg(count(lit(1)).as("n"),
-        expr("aggregate(collect_list(v), array_repeat(0D, 64), (acc, x) -> zip_with(acc, x, (a, b) -> a + b))")
+        expr("aggregate(array_sort(collect_list(struct(vec_id, v))), array_repeat(0D, 64), (acc, x) -> zip_with(acc, x.v, (a, b) -> a + b))")
           .as("sumv"))
       .select(col("label"),
         expr("transform(sumv, s -> s / cast(n as double))").as("cv"))
@@ -133,10 +137,12 @@ object SimilarityOps {
     val base = embeddings.select(col("vec_id"), col("label"),
       vecD("embedding").as("v"))
 
+    // vec_id-sorted fold: summation order is data-determined, never
+    // fetch-order-determined — see ivfTopK's centroid comment.
     def centroidsOf(assigned: DataFrame): DataFrame =
       assigned.groupBy(col("cell"))
         .agg(count(lit(1)).as("n"),
-          expr("aggregate(collect_list(v), array_repeat(0D, 64), (acc, x) -> zip_with(acc, x, (a, b) -> a + b))")
+          expr("aggregate(array_sort(collect_list(struct(vec_id, v))), array_repeat(0D, 64), (acc, x) -> zip_with(acc, x.v, (a, b) -> a + b))")
             .as("sumv"))
         .select(col("cell"),
           expr("transform(sumv, s -> s / cast(n as double))").as("cv"))

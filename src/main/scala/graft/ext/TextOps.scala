@@ -108,8 +108,11 @@ object TextOps {
 
   /** Tokenizer-prep VOCABULARY: global word counts + document frequency,
     * top-`k` ranked (count desc, word asc — deterministic). The corpus
-    * pass is one explode + one groupBy whose shuffle carries map-side
-    * partial (word, count, partial-HLL) rows; the rank window runs only
+    * pass is one explode + one groupBy; document frequency is an EXACT
+    * countDistinct (required for the oracle's count(DISTINCT doc_id) to
+    * hash-match), so the shuffle carries the word–doc incidence through
+    * the expand — at corpus scale swap it for approx_count_distinct and
+    * grade differentially like the a6 pair. The rank window runs only
     * over the k survivors AFTER the TakeOrdered cut, so the
     * single-partition window holds k rows, never the vocabulary. */
   def vocabulary(docs: DataFrame, k: Int): DataFrame = {

@@ -76,15 +76,21 @@ object VotePipeline {
   /** The three streaming queries replay the same generated wire stream;
     * stage it once per (session, nVoters) — each query still runs its own
     * full streaming execution over the shared topic, only the staging
-    * write is deduplicated. */
+    * write is deduplicated. Keyed by the SESSION identity (a later
+    * session must not be served frames rendered under another session's
+    * config, e.g. timezone) and re-staged if the temp dir has been
+    * cleaned from under the cache. */
   private val topicDirs =
-    new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), String]()
   private def stagedWireTopic(spark: SparkSession, nVoters: Long): String =
-    topicDirs.computeIfAbsent(nVoters, { n =>
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_vote_topic_").toString
-      wire(spark, n).repartition(4).write.mode("overwrite").parquet(dir)
-      dir
+    topicDirs.compute((System.identityHashCode(spark), nVoters), { (_, cur) =>
+      if (cur != null && new java.io.File(cur).exists()) cur
+      else {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_vote_topic_").toString
+        wire(spark, nVoters).repartition(4).write.mode("overwrite").parquet(dir)
+        dir
+      }
     })
 
   /** The reference's pipeline in its actual streaming form — the lineage

@@ -58,6 +58,30 @@ object StreamOps {
       topic.toString
     })
 
+  /** Two-phase topic staging shared by the kill/restart, late-drop, and
+    * watermarked-dedup harnesses: write `df` as ONE parquet file into the
+    * topic dir (the file source ingests whole files, so each staged file
+    * is one independently-offset micro-batch). The write is distributed;
+    * only the rename happens on the driver. */
+  private[streaming] def stageTopicFile(root: java.nio.file.Path,
+                                        topic: java.nio.file.Path,
+                                        name: String, df: DataFrame): Unit = {
+    val staged = root.resolve(s"${name}_stage").toString
+    df.coalesce(1).write.parquet(staged)
+    val part = Option(new java.io.File(staged).listFiles())
+      .getOrElse(Array.empty)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no parquet part written under $staged"))
+    Files.move(part.toPath, topic.resolve(s"$name.parquet"))
+  }
+
+  private def freshTopic(prefix: String): (java.nio.file.Path, java.nio.file.Path) = {
+    val root = Files.createTempDirectory(prefix)
+    val topic = root.resolve("topic")
+    Files.createDirectory(topic)
+    (root, topic)
+  }
+
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
@@ -127,23 +151,14 @@ object StreamOps {
     * recovering the aggregation state — a green oracle is proof of
     * recovery, not of a silent rescan. */
   def recoverableTally(spark: SparkSession, dir: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_t1_")
-    val topic = root.resolve("topic")
-    Files.createDirectory(topic)
+    val (root, topic) = freshTopic("graft_t1_")
     val ckpt = root.resolve("ckpt").toString
     val ev = graft.Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
 
-    // Stage one parquet file per phase into the topic dir (the file source
-    // ingests whole files; two files = two independently-offset batches).
-    def addFile(name: String, parity: Int): Unit = {
-      val staged = root.resolve(s"${name}_stage").toString
-      ev.filter(pmod(col("event_id"), lit(2)) === parity)
-        .coalesce(1).write.parquet(staged)
-      val part = new java.io.File(staged).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      Files.move(part.toPath, topic.resolve(s"$name.parquet"))
-    }
+    def addFile(name: String, parity: Int): Unit =
+      stageTopicFile(root, topic, name,
+        ev.filter(pmod(col("event_id"), lit(2)) === parity))
 
     def start(table: String) =
       spark.readStream
@@ -235,21 +250,22 @@ object StreamOps {
     * batch-1 rows, in windows whose end ≤ the batch-1 watermark. The
     * oracle recomputes both the watermark and the window filter in SQL. */
   def lateDropHourly(spark: SparkSession, dir: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_t4_")
-    val topic = root.resolve("topic")
-    Files.createDirectory(topic)
+    val (root, topic) = freshTopic("graft_t4_")
     val ev = graft.Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
 
-    def addFile(name: String, df: DataFrame): Unit = {
-      val staged = root.resolve(s"${name}_stage").toString
-      df.coalesce(1).write.parquet(staged)
-      val part = new java.io.File(staged).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      Files.move(part.toPath, topic.resolve(s"$name.parquet"))
-    }
+    // The held-back LATE set is defined relative to the global max event
+    // time: id-hash picked AND at least 2 h older than max(ts). The time
+    // bound makes the gate fixture-independent: (a) the max-ts row always
+    // lands in batch 1, so batch 2 cannot advance the watermark and
+    // finalize windows the oracle excludes; (b) every held-back row sits
+    // below the batch-1 watermark (max − 1 h) and must be dropped as
+    // late. One bounded scalar (max ts) comes to the driver.
+    val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+    val late = pmod(col("event_id"), lit(5)) === 0 &&
+      col("ts") <= lit(maxTs) - expr("INTERVAL 2 HOURS")
 
-    addFile("f0", ev.filter(pmod(col("event_id"), lit(5)) =!= 0))
+    stageTopicFile(root, topic, "f0", ev.filter(!late))
     val table = freshName("graft_t4")
     val q = spark.readStream
       .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
@@ -265,7 +281,7 @@ object StreamOps {
       .start()
     try {
       q.processAllAvailable()
-      addFile("f1", ev.filter(pmod(col("event_id"), lit(5)) === 0))
+      stageTopicFile(root, topic, "f1", ev.filter(late))
       q.processAllAvailable()
     } finally q.stop()
     spark.table(table)
@@ -285,21 +301,11 @@ object StreamOps {
     * path (re-emission after state expiry) is pinned by a spec. */
   def streamingDedupUsersWatermarked(spark: SparkSession, dir: String,
                                      delay: String = "45 days"): DataFrame = {
-    val root = Files.createTempDirectory("graft_t5b_")
-    val topic = root.resolve("topic")
-    Files.createDirectory(topic)
+    val (root, topic) = freshTopic("graft_t5b_")
     val ev = graft.Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
 
-    def addFile(name: String, df: DataFrame): Unit = {
-      val staged = root.resolve(s"${name}_stage").toString
-      df.coalesce(1).write.parquet(staged)
-      val part = new java.io.File(staged).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      Files.move(part.toPath, topic.resolve(s"$name.parquet"))
-    }
-
-    addFile("f0", ev)
+    stageTopicFile(root, topic, "f0", ev)
     val table = freshName("graft_t5b")
     val q = spark.readStream
       .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
@@ -314,9 +320,10 @@ object StreamOps {
     try {
       q.processAllAvailable()
       // late re-delivery: same users, one hour earlier, fresh event ids
-      addFile("f1", ev.filter(pmod(col("user_id"), lit(3)) === 0)
-        .withColumn("ts", col("ts") - expr("INTERVAL 1 HOUR"))
-        .withColumn("event_id", col("event_id") + lit(10000000L)))
+      stageTopicFile(root, topic, "f1",
+        ev.filter(pmod(col("user_id"), lit(3)) === 0)
+          .withColumn("ts", col("ts") - expr("INTERVAL 1 HOUR"))
+          .withColumn("event_id", col("event_id") + lit(10000000L)))
       q.processAllAvailable()
     } finally q.stop()
     spark.table(table)
