@@ -85,4 +85,65 @@ class PropertySpec extends SparkSpec {
       assert(streamed === batched)
     }
   }
+
+  // random word-soup corpora for the text/dedup invariants
+  private val docGen: Gen[(Long, String)] = for {
+    id <- Gen.choose(0L, 1000L)
+    n <- Gen.choose(1, 40)
+    ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd", "ee", "fff"))
+  } yield (id, ws.mkString(" "))
+
+  private def corpora(n: Int, seed0: Long): Seq[Seq[(Long, String)]] = {
+    val g = Gen.listOfN(30, docGen)
+    val params = Gen.Parameters.default
+    Iterator.iterate(Seed(seed0))(_.next)
+      .map(s => g.apply(params, s))
+      .collect { case Some(b) => b.distinctBy(_._1) }
+      .take(n).toSeq
+  }
+
+  test("substring-span and decontamination invariants hold for random corpora") {
+    import graft.ext.DedupOps
+    corpora(4, 7L).foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val spans = DedupOps.substringDupSpans(df, w = 5)
+        .as[(Long, Long, Long, Double)].collect()
+      // duplicated windows never exceed total; fraction in [0, 1]
+      assert(spans.forall { case (_, n, d, f) => d <= n && f >= 0.0 && f <= 1.0 })
+      // every doc long enough to have a window appears in the output
+      val eligible = docs.count(_._2.split(" ").length >= 5)
+      assert(spans.length === eligible)
+
+      // decontaminating a corpus against ITSELF flags exactly the docs
+      // that have at least one window (every window trivially overlaps)
+      val self = DedupOps.decontaminate(df, df, w = 5)
+        .as[(Long, Long, Boolean)].collect()
+      assert(self.length === docs.size)
+      assert(self.forall { case (id, _, c) =>
+        c === (docs.find(_._1 == id).get._2.split(" ").length >= 5) })
+    }
+  }
+
+  test("repetition and unigram-score invariants hold for random corpora") {
+    import graft.ext.TextOps
+    corpora(4, 11L).foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val rep = TextOps.repetition(df)
+        .as[(Long, Double, Double, Boolean)].collect()
+      // fractions bounded; keep consistent with its own thresholds
+      assert(rep.forall { case (_, tb, dw, keep) =>
+        tb > 0.0 && tb <= 1.0 && dw >= 0.0 && dw < 1.0 &&
+          keep === (tb <= 0.18 && dw <= 0.9) })
+
+      // unigram log-probs are strictly negative unless a doc's every
+      // token is the whole corpus (impossible with >1 distinct token)
+      val us = TextOps.unigramScore(df)
+        .as[(Long, Double, Long)].collect()
+      assert(us.length === docs.size)
+      val vocabSize = docs.flatMap(_._2.split(" ")).distinct.size
+      if (vocabSize > 1) assert(us.forall(_._2 < 0.0))
+      // token counts conserved
+      assert(us.map(_._3).sum === docs.map(_._2.split(" ").length.toLong).sum)
+    }
+  }
 }
