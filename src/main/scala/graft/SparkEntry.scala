@@ -257,12 +257,13 @@ object SparkEntry {
     "t2_stream_hourly_window" -> ((s, d) => StreamOps.hourlyWindowCounts(s, d)),
     // late rows (held-back fifth, delivered after the watermark advanced)
     // are DROPPED; append mode emits only watermark-finalized windows
-    "t4_stream_late_drop" -> ((s, d) => StreamOps.lateDropHourly(s, d)),
+    "t4_stream_late_drop" -> ((s, d) =>
+      StreamOps.lateDropHourly(s, d, statePartitions = Some(8))),
     "t5_stream_dedup_users" -> ((s, d) => StreamOps.streamingDedupUsers(s, d)),
     // bounded-state dedup: late re-delivered duplicates (batch 2, 1h older)
     // land within the watermark and must be suppressed
     "t5b_stream_dedup_watermarked" -> ((s, d) =>
-      StreamOps.streamingDedupUsersWatermarked(s, d)),
+      StreamOps.streamingDedupUsersWatermarked(s, d, statePartitions = Some(8))),
     "t8_stream_asof" -> ((s, d) => StreamOps.streamingAsOfAttribution(s, d)),
     // stream-stream interval join: every click within the hour before the
     // purchase, both sides streaming + watermarked (state evicted by the
@@ -271,7 +272,8 @@ object SparkEntry {
     // session shuffle width — see streamStreamIntervalJoin scaladoc
     "t10_stream_stream_join" -> ((s, d) =>
       StreamOps.streamStreamIntervalJoin(s, d, statePartitions = Some(8))),
-    "t9_stream_sessions" -> ((s, d) => StreamOps.streamingSessionCounts(s, d)),
+    "t9_stream_sessions" -> ((s, d) =>
+      StreamOps.streamingSessionCounts(s, d, statePartitions = Some(8))),
     "s8_write_then_emit" -> ((s, d) => StreamOps.writeThenEmit(s, d)),
 
     // ---- LLM pipeline: dedup family ----

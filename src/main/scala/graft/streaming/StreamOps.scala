@@ -91,20 +91,40 @@ object StreamOps {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`, restoring the previous value after. Stateful streaming queries
+    * fix their STATE partition count from this setting at start (and pin
+    * it in the checkpoint), and every micro-batch commits one state store
+    * per partition — so a query whose key space is small (users, windows,
+    * join horizon) should size state to the keys, not inherit the
+    * session's batch shuffle width. Purely a distribution choice: results
+    * and oracle hashes are unaffected. */
+  private def withShufflePartitions[T](spark: SparkSession, n: Option[Int])
+                                      (body: => T): T = n match {
+    case None => body
+    case Some(p) =>
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+      try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Drive `pipeline` over the file-streamed events table and return the
     * final result table. `outputMode` complete/update/append per the query
     * shape. The memory sink holds only the (small, aggregated) result —
-    * the input stream itself stays distributed. */
-  def runFileStream(spark: SparkSession, dir: String, outputMode: String)
-                   (pipeline: DataFrame => DataFrame): DataFrame = {
-    val table = freshName("graft_fstream")
-    val q = pipeline(eventStream(spark, dir))
-      .writeStream.format("memory").queryName(table)
-      .outputMode(outputMode)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(table)
-  }
+    * the input stream itself stays distributed. `statePartitions`: see
+    * [[withShufflePartitions]]. */
+  def runFileStream(spark: SparkSession, dir: String, outputMode: String,
+                    statePartitions: Option[Int] = None)
+                   (pipeline: DataFrame => DataFrame): DataFrame =
+    withShufflePartitions(spark, statePartitions) {
+      val table = freshName("graft_fstream")
+      val q = pipeline(eventStream(spark, dir))
+        .writeStream.format("memory").queryName(table)
+        .outputMode(outputMode)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(table)
+    }
 
   /** Drive `pipeline` over an arbitrary wire-seam source — Kafka-shaped
     * `key/value` binary frames ([[Wire.EventSource]]) — and return the
@@ -249,7 +269,9 @@ object StreamOps {
     * windows finalized by the watermark, so the result is deterministic:
     * batch-1 rows, in windows whose end ≤ the batch-1 watermark. The
     * oracle recomputes both the watermark and the window filter in SQL. */
-  def lateDropHourly(spark: SparkSession, dir: String): DataFrame = {
+  def lateDropHourly(spark: SparkSession, dir: String,
+                     statePartitions: Option[Int] = None): DataFrame =
+      withShufflePartitions(spark, statePartitions) {
     val (root, topic) = freshTopic("graft_t4_")
     val ev = graft.Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
@@ -285,7 +307,8 @@ object StreamOps {
       q.processAllAvailable()
     } finally q.stop()
     spark.table(table)
-  }
+      }
+
 
   /** T5b: BOUNDED-state streaming dedup — `dropDuplicatesWithinWatermark`,
     * the form that survives an unbounded stream: a key's state is evicted
@@ -300,7 +323,9 @@ object StreamOps {
     * the oracle (distinct users) goes red on any re-emission. The eviction
     * path (re-emission after state expiry) is pinned by a spec. */
   def streamingDedupUsersWatermarked(spark: SparkSession, dir: String,
-                                     delay: String = "45 days"): DataFrame = {
+                                     delay: String = "45 days",
+                                     statePartitions: Option[Int] = None): DataFrame =
+      withShufflePartitions(spark, statePartitions) {
     val (root, topic) = freshTopic("graft_t5b_")
     val ev = graft.Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
@@ -327,7 +352,7 @@ object StreamOps {
       q.processAllAvailable()
     } finally q.stop()
     spark.table(table)
-  }
+      }
 
   /** T5b/T-tier: gap-based sessionization as a FIRST-CLASS streaming
     * aggregation — `session_window` merges an event into the open session
@@ -339,8 +364,9 @@ object StreamOps {
     * The batch-side count per user equals the sort-based
     * [[graft.ops.Sessionize]] result at microsecond precision. */
   def streamingSessionCounts(spark: SparkSession, dir: String,
-                             gap: String = "30 minutes"): DataFrame =
-    runFileStream(spark, dir, "complete") { df =>
+                             gap: String = "30 minutes",
+                             statePartitions: Option[Int] = None): DataFrame =
+    runFileStream(spark, dir, "complete", statePartitions) { df =>
       df.groupBy(col("user_id"), session_window(col("ts"), gap))
         .agg(count(lit(1)).as("n_events"))
     }.groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
@@ -357,19 +383,13 @@ object StreamOps {
     * exactly once. The batch SQL range join is the oracle. */
   def streamStreamIntervalJoin(spark: SparkSession, dir: String,
                                toleranceSec: Long = 3600L,
-                               statePartitions: Option[Int] = None): DataFrame = {
-    // State partition count is fixed at query start from
-    // spark.sql.shuffle.partitions and persists in the checkpoint — size
-    // it to the KEY cardinality, not the batch width: a stream-stream join
-    // commits per-partition state stores on BOTH sides every micro-batch,
-    // so partitions ≫ keys buy nothing and pay 2×partitions store commits
-    // per batch. Temporarily scoped to this query; restored after start.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    statePartitions.foreach(n =>
-      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
-    try streamStreamIntervalJoinInner(spark, dir, toleranceSec)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+                               statePartitions: Option[Int] = None): DataFrame =
+    // A stream-stream join commits per-partition state stores on BOTH
+    // sides every micro-batch, so partitions ≫ keys buy nothing — see
+    // [[withShufflePartitions]].
+    withShufflePartitions(spark, statePartitions) {
+      streamStreamIntervalJoinInner(spark, dir, toleranceSec)
+    }
 
   private def streamStreamIntervalJoinInner(
       spark: SparkSession, dir: String, toleranceSec: Long): DataFrame = {
