@@ -247,24 +247,30 @@ object SparkEntry {
       graft.pipeline.VotePipeline.streamingReEmit(s, 1000)),
 
     // ---- streaming (SURVEY §2.8) — real MemoryStream executions ----
-    "t3_stream_cumulative" -> ((s, d) => StreamOps.cumulativeTally(s, d)),
+    "t3_stream_cumulative" -> ((s, d) =>
+      StreamOps.cumulativeTally(s, d, statePartitions = Some(8))),
     // same tally consumed through the Wire seam as binary key/value frames
     // (S1 wire schema + P1-P3 decode chain on the graded path)
-    "t3b_wire_tally" -> ((s, d) => StreamOps.wireCumulativeTally(s, d)),
+    "t3b_wire_tally" -> ((s, d) =>
+      StreamOps.wireCumulativeTally(s, d, statePartitions = Some(8))),
     // checkpointed aggregate killed after batch 1 and restarted: the full
     // tally can only come from recovered state (offset log bars a re-read)
-    "t1_stream_recover" -> ((s, d) => StreamOps.recoverableTally(s, d)),
-    "t2_stream_hourly_window" -> ((s, d) => StreamOps.hourlyWindowCounts(s, d)),
+    "t1_stream_recover" -> ((s, d) =>
+      StreamOps.recoverableTally(s, d, statePartitions = Some(8))),
+    "t2_stream_hourly_window" -> ((s, d) =>
+      StreamOps.hourlyWindowCounts(s, d, statePartitions = Some(8))),
     // late rows (held-back fifth, delivered after the watermark advanced)
     // are DROPPED; append mode emits only watermark-finalized windows
     "t4_stream_late_drop" -> ((s, d) =>
       StreamOps.lateDropHourly(s, d, statePartitions = Some(8))),
-    "t5_stream_dedup_users" -> ((s, d) => StreamOps.streamingDedupUsers(s, d)),
+    "t5_stream_dedup_users" -> ((s, d) =>
+      StreamOps.streamingDedupUsers(s, d, statePartitions = Some(8))),
     // bounded-state dedup: late re-delivered duplicates (batch 2, 1h older)
     // land within the watermark and must be suppressed
     "t5b_stream_dedup_watermarked" -> ((s, d) =>
       StreamOps.streamingDedupUsersWatermarked(s, d, statePartitions = Some(8))),
-    "t8_stream_asof" -> ((s, d) => StreamOps.streamingAsOfAttribution(s, d)),
+    "t8_stream_asof" -> ((s, d) =>
+      StreamOps.streamingAsOfAttribution(s, d, statePartitions = Some(8))),
     // stream-stream interval join: every click within the hour before the
     // purchase, both sides streaming + watermarked (state evicted by the
     // range condition); oracle = the batch SQL range join

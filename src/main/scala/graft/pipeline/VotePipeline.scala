@@ -98,7 +98,9 @@ object VotePipeline {
     * flatten) continued past its truncation point (`:77-81`) with the
     * notes-specified aggregation, run for real over micro-batches of wire
     * JSON and returned as the final complete-mode table. */
-  def streamingPartyTally(spark: SparkSession, nVoters: Long): DataFrame = {
+  def streamingPartyTally(spark: SparkSession, nVoters: Long): DataFrame =
+    // 3-key aggregation state: size state partitions to keys
+    graft.streaming.StreamOps.withShufflePartitions(spark, Some(4)) {
     // Wire records staged as a 4-file parquet topic, consumed through the
     // *file stream source* (1 file per micro-batch) — the records never
     // pass through the driver, unlike a MemoryStream feed.
@@ -128,7 +130,9 @@ object VotePipeline {
     * overwrites the board topic per micro-batch (complete mode), so the
     * topic always holds exactly the latest standings — what a live board
     * polls. One graded query covers produce → wire → re-consume → enrich. */
-  def streamingReEmit(spark: SparkSession, nVoters: Long): DataFrame = {
+  def streamingReEmit(spark: SparkSession, nVoters: Long): DataFrame =
+    // 3-key aggregation state: size state partitions to keys
+    graft.streaming.StreamOps.withShufflePartitions(spark, Some(4)) {
     val topicDir = stagedWireTopic(spark, nVoters)
     val boardTopic = java.nio.file.Files
       .createTempDirectory("graft_board_topic_").toString
@@ -167,7 +171,9 @@ object VotePipeline {
     * with the candidate dim via a broadcast stream-static join; the dim
     * never touches the stream's state store. Complete mode keeps the
     * whole (3-row) board current each batch. */
-  def streamingLiveResults(spark: SparkSession, nVoters: Long): DataFrame = {
+  def streamingLiveResults(spark: SparkSession, nVoters: Long): DataFrame =
+    // 3-key aggregation state: size state partitions to keys
+    graft.streaming.StreamOps.withShufflePartitions(spark, Some(4)) {
     val topicDir = stagedWireTopic(spark, nVoters)
     val dim = Generator.candidatesFull(spark)
       .select(concat(lit("c"), col("candidate_id")).as("candidate_id"),

@@ -99,7 +99,7 @@ object StreamOps {
     * join horizon) should size state to the keys, not inherit the
     * session's batch shuffle width. Purely a distribution choice: results
     * and oracle hashes are unaffected. */
-  private def withShufflePartitions[T](spark: SparkSession, n: Option[Int])
+  private[graft] def withShufflePartitions[T](spark: SparkSession, n: Option[Int])
                                       (body: => T): T = n match {
     case None => body
     case Some(p) =>
@@ -132,16 +132,18 @@ object StreamOps {
     * explicit: swapping in [[Wire.KafkaEventSource]] is a constructor
     * change, not a pipeline change. */
   def runWireStream(spark: SparkSession, source: Wire.EventSource,
-                    outputMode: String)
-                   (pipeline: DataFrame => DataFrame): DataFrame = {
-    val table = freshName("graft_wstream")
-    val q = pipeline(source.load(spark))
-      .writeStream.format("memory").queryName(table)
-      .outputMode(outputMode)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(table)
-  }
+                    outputMode: String,
+                    statePartitions: Option[Int] = None)
+                   (pipeline: DataFrame => DataFrame): DataFrame =
+    withShufflePartitions(spark, statePartitions) {
+      val table = freshName("graft_wstream")
+      val q = pipeline(source.load(spark))
+        .writeStream.format("memory").queryName(table)
+        .outputMode(outputMode)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(table)
+    }
 
   /** S1+P1–P3+T3 on one GRADED path: consume Kafka-shaped binary frames
     * through the [[Wire.EventSource]] seam, run the reference's decode
@@ -150,8 +152,10 @@ object StreamOps {
     * on the decoded stream. Same oracle SQL as [[cumulativeTally]] — a
     * hash match proves the wire encode/decode is lossless, not just that
     * the tally is right. */
-  def wireCumulativeTally(spark: SparkSession, dir: String): DataFrame =
-    runWireStream(spark, new Wire.FileEventSource(dir), "complete") { kv =>
+  def wireCumulativeTally(spark: SparkSession, dir: String,
+                          statePartitions: Option[Int] = None): DataFrame =
+    runWireStream(spark, new Wire.FileEventSource(dir), "complete",
+                  statePartitions) { kv =>
       val decoded = graft.ops.Decode.flatten(graft.ops.Decode.jsonDecodeDdl(
         graft.ops.Decode.castValueToString(kv),
         "event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"))
@@ -170,7 +174,9 @@ object StreamOps {
     * of file 1, so the restarted query can only produce the full tally by
     * recovering the aggregation state — a green oracle is proof of
     * recovery, not of a silent rescan. */
-  def recoverableTally(spark: SparkSession, dir: String): DataFrame = {
+  def recoverableTally(spark: SparkSession, dir: String,
+                       statePartitions: Option[Int] = None): DataFrame =
+      withShufflePartitions(spark, statePartitions) {
     val (root, topic) = freshTopic("graft_t1_")
     val ckpt = root.resolve("ckpt").toString
     val ev = graft.Tables.events(spark, dir)
@@ -232,8 +238,9 @@ object StreamOps {
     * candidats au fur et à mesure des votes" semantics (`.../txt:37`).
     * Complete mode: the final table equals the batch groupBy, which is the
     * prefix-consistency guarantee the oracle checks. */
-  def cumulativeTally(spark: SparkSession, dir: String): DataFrame =
-    runFileStream(spark, dir, "complete") { df =>
+  def cumulativeTally(spark: SparkSession, dir: String,
+                      statePartitions: Option[Int] = None): DataFrame =
+    runFileStream(spark, dir, "complete", statePartitions) { df =>
       df.groupBy("event_type")
         .agg(round(sum("value"), 2).as("total_value"),
              count(lit(1)).as("n_events"))
@@ -242,8 +249,9 @@ object StreamOps {
   /** T2+T3 windowed variant: event-time tumbling window with watermark —
     * the exact step the reference truncated at ("convertir l'horodatage",
     * `/root/reference/spark-streaming.py:77`). */
-  def hourlyWindowCounts(spark: SparkSession, dir: String): DataFrame =
-    runFileStream(spark, dir, "complete") { df =>
+  def hourlyWindowCounts(spark: SparkSession, dir: String,
+                         statePartitions: Option[Int] = None): DataFrame =
+    runFileStream(spark, dir, "complete", statePartitions) { df =>
       df.withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"))
         .agg(count(lit(1)).as("n_events"))
@@ -255,8 +263,9 @@ object StreamOps {
     * user once (append mode, state store keyed by user). Output is the
     * distinct-user set, which is deterministic regardless of which arrival
     * won the state race. */
-  def streamingDedupUsers(spark: SparkSession, dir: String): DataFrame =
-    runFileStream(spark, dir, "append") { df =>
+  def streamingDedupUsers(spark: SparkSession, dir: String,
+                          statePartitions: Option[Int] = None): DataFrame =
+    runFileStream(spark, dir, "append", statePartitions) { df =>
       df.dropDuplicates("user_id").select("user_id")
     }
 
@@ -436,7 +445,9 @@ object StreamOps {
   def streamingAsOfAttribution(spark: SparkSession, dir: String,
                                leftType: String = "purchase",
                                rightType: String = "click",
-                               toleranceSec: Long = 3600L): DataFrame = {
+                               toleranceSec: Long = 3600L,
+                               statePartitions: Option[Int] = None): DataFrame =
+      withShufflePartitions(spark, statePartitions) {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val table = freshName("graft_asof")
@@ -469,7 +480,7 @@ object StreamOps {
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
     spark.table(table)
-  }
+        }
 
   /** S2+S5+S8: sink composition with write-then-emit ordering — the
     * reference produces the enriched vote to Kafka only AFTER the DB insert
