@@ -222,6 +222,18 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.exceptAll(expected).isEmpty)
   }
 
+  test("state-partition sizing: same results, session width restored") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val sized = StreamOps.streamingSessionCounts(spark, sfDir,
+        statePartitions = Some(2))
+      .as[(Long, Long)].collect().toSet
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before,
+      "session shuffle width must be restored after the query")
+    val default = StreamOps.streamingSessionCounts(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    assert(sized === default, "state partitioning must not change results")
+  }
+
   test("T10 stream-stream interval join has exact batch parity") {
     val streamed = StreamOps.streamStreamIntervalJoin(spark, sfDir)
       .as[(Long, Long, Long, Long)].collect().toSet
