@@ -143,7 +143,7 @@ object DedupOps {
     // graphs (cliques + short chains) fix in 2-3 rounds; `iters` stays the
     // hard bound for adversarial diameters.
     def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = lblSum(labels)
     var round = 0
     var converged = false

@@ -7,7 +7,6 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 /** Structured-Streaming realizations of the reference pipeline (SURVEY.md
   * §2.8). The reference's Spark job is truncated right before these stages
@@ -292,7 +291,7 @@ object StreamOps {
     // finalize windows the oracle excludes; (b) every held-back row sits
     // below the batch-1 watermark (max − 1 h) and must be dropped as
     // late. One bounded scalar (max ts) comes to the driver.
-    val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
     val late = pmod(col("event_id"), lit(5)) === 0 &&
       col("ts") <= lit(maxTs) - expr("INTERVAL 2 HOURS")
 
