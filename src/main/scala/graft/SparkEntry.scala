@@ -400,6 +400,9 @@ object SparkEntry {
         .select("doc_id", "split")),
 
     // ---- LLM pipeline: end-to-end corpus preparation (composition) ----
+    // the full modern recipe: + repetition gate + eval-set decontamination
+    "corpus_prepare_full" -> ((s, d) =>
+      CorpusPipeline.prepareFull(s, Tables.documents(s, d))),
     "corpus_prepare" -> ((s, d) =>
       CorpusPipeline.prepare(s, Tables.documents(s, d))),
 
@@ -1272,6 +1275,64 @@ object SparkEntry {
     // full pipeline replay: language gate -> quality gate -> exact dedup
     // (min doc_id per digest) -> near-dup removal (drop doc_b of each
     // jaccard>=0.5 pair) -> deterministic split
+    // prepare + repetition gate + decontamination, replayed end-to-end
+    "corpus_prepare_full" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+              ev AS (SELECT doc_id, w FROM t WHERE doc_id % 20 = 0),
+              corp AS (SELECT doc_id, text, w FROM t WHERE doc_id % 20 <> 0),
+              kept AS (
+                SELECT doc_id, text, w FROM corp
+                WHERE round(len(list_filter(w, x -> x IN ('the','a')))
+                            / CAST(len(w) AS DOUBLE), 4) > 0.03
+                  AND len(w) >= 10 AND len(w) <= 10000
+                  AND round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 4) > 0.1),
+              bg AS (SELECT doc_id, len(w) AS n_words,
+                            len(list_distinct(w)) AS n_distinct,
+                            unnest(list_transform(range(0, len(w) - 1),
+                              i -> w[i+1] || ' ' || w[i+2])) AS bigram
+                     FROM kept),
+              bgc AS (SELECT doc_id, n_words, n_distinct, bigram, count(*) AS c
+                      FROM bg GROUP BY doc_id, n_words, n_distinct, bigram),
+              rep AS (SELECT doc_id FROM (
+                        SELECT doc_id, n_words, n_distinct,
+                               max(c) AS top_n, sum(c) AS n_bi
+                        FROM bgc GROUP BY doc_id, n_words, n_distinct)
+                      WHERE round(top_n / CAST(n_bi AS DOUBLE), 6) <= 0.18
+                        AND round(1.0 - n_distinct / CAST(n_words AS DOUBLE), 6) <= 0.9),
+              kr AS (SELECT k.doc_id, k.text, k.w FROM kept k JOIN rep USING (doc_id)),
+              evwin AS (SELECT DISTINCT unnest(list_transform(range(0, len(w) - 12),
+                          i -> array_to_string(w[i+1:i+13], ' '))) AS win
+                        FROM ev WHERE len(w) >= 13),
+              contam AS (SELECT DISTINCT kw.doc_id
+                         FROM (SELECT doc_id,
+                                      unnest(list_transform(range(0, len(w) - 12),
+                                        i -> array_to_string(w[i+1:i+13], ' '))) AS win
+                               FROM kr WHERE len(w) >= 13) kw
+                         JOIN evwin USING (win)),
+              cl AS (SELECT doc_id, text FROM kr
+                     WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+              canon AS (SELECT min(doc_id) AS doc_id FROM cl GROUP BY md5(text)),
+              kc AS (SELECT c2.doc_id, c2.text FROM cl c2 JOIN canon USING (doc_id)),
+              w2 AS (SELECT doc_id, string_split(text, ' ') AS words FROM kc
+                     WHERE len(string_split(text, ' ')) >= 3),
+              sh AS (SELECT doc_id,
+                            unnest(list_distinct(list_transform(range(1, len(words) - 1),
+                              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+                     FROM w2),
+              sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+              com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id),
+              losers AS (SELECT DISTINCT doc_b AS doc_id
+                         FROM com
+                         JOIN sizes sa ON sa.doc_id = doc_a
+                         JOIN sizes sb ON sb.doc_id = doc_b
+                         WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5)
+         SELECT doc_id,
+                CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                     WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM kc WHERE doc_id NOT IN (SELECT doc_id FROM losers)""",
     "corpus_prepare" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
               kept AS (

@@ -23,6 +23,42 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
+  /** [[prepare]] extended with the round-5 gates — the full modern
+    * pretraining recipe in one declarative plan:
+    *
+    *   language → quality → repetition (Gopher, [[TextOps.repetition]])
+    *   → benchmark decontamination against the held-out eval split
+    *   ([[DedupOps.decontaminate]]) → exact dedup → near-dup removal →
+    *   deterministic split.
+    *
+    * Ordering is the cost gradient: pure scan predicates first, then the
+    * two aggregation-backed gates confined to gate survivors, then the
+    * joins. Every stage is subset-closed (a doc's repetition stats,
+    * contamination flag, digest, and pairwise Jaccard depend only on the
+    * docs involved, not on what was filtered before), which is what lets
+    * ONE differential SQL oracle grade the whole composition. */
+  def prepareFull(spark: SparkSession, docs: DataFrame,
+                  tau: Double = 0.5, evalMod: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eval = docs.filter(pmod(col("doc_id"), lit(evalMod)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
+    val kept = corpus.filter(
+      TextOps.isEnglishPredicate && TextOps.qualityOkPredicate)
+    val repKeep = TextOps.repetition(kept).filter(col("keep")).select("doc_id")
+    val keptRep = kept.join(repKeep, "doc_id")
+    val contaminated = DedupOps.decontaminate(keptRep, eval)
+      .filter(col("contaminated")).select("doc_id")
+    val clean = keptRep.join(contaminated, Seq("doc_id"), "left_anti")
+    val canon = clean
+      .withColumn("__keep", col("doc_id") ===
+        min("doc_id").over(Window.partitionBy(md5(col("text").cast("binary")))))
+      .filter(col("__keep")).drop("__keep")
+    val losers = DedupOps.ngramJaccardPairsAbove(canon, 3, tau)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val survivors = canon.join(losers, Seq("doc_id"), "left_anti")
+    SampleOps.splitAssign(survivors, "doc_id").select("doc_id", "split")
+  }
+
   def prepare(spark: SparkSession, docs: DataFrame,
               tau: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
