@@ -102,9 +102,25 @@ object StreamOps {
                                       (body: => T): T = n match {
     case None => body
     case Some(p) =>
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", p.toString)
-      try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      withConf(spark, Map("spark.sql.shuffle.partitions" -> p.toString))(body)
+  }
+
+  /** Run `body` with session confs temporarily set, restoring (or
+    * unsetting) each afterwards. Used for query-scoped state sizing and
+    * for selecting the state-store backend: the default HDFS-backed
+    * provider keeps all state on the executor HEAP (fine for small key
+    * spaces); at 100 TB of keyed state the production backend is
+    * `RocksDBStateStoreProvider` (bundled with Spark), which spills to
+    * native memory + local disk and checkpoints via changelog — the spec
+    * suite pins that results are backend-independent. */
+  private[graft] def withConf[T](spark: SparkSession,
+                                 kvs: Map[String, String])(body: => T): T = {
+    val prev = kvs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   /** Drive `pipeline` over the file-streamed events table and return the

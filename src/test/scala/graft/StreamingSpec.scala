@@ -222,6 +222,30 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.exceptAll(expected).isEmpty)
   }
 
+  test("RocksDB state store: the 100 TB state backend gives identical results") {
+    // Default HDFS-backed state lives on the executor heap; RocksDB
+    // (bundled: rocksdbjni) spills keyed state to native memory + local
+    // disk — the backend you actually run when state is corpus-sized.
+    // Results must be backend-independent for every stateful shape:
+    // dedup (keyed state), windowed agg, and session windows.
+    val rocks = Map("spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val dedupR = StreamOps.withConf(spark, rocks) {
+      StreamOps.streamingDedupUsers(spark, sfDir)
+        .as[Long].collect().toSet
+    }
+    val dedupH = StreamOps.streamingDedupUsers(spark, sfDir)
+      .as[Long].collect().toSet
+    assert(dedupR === dedupH)
+    val sessR = StreamOps.withConf(spark, rocks) {
+      StreamOps.streamingSessionCounts(spark, sfDir)
+        .as[(Long, Long)].collect().toSet
+    }
+    val sessH = StreamOps.streamingSessionCounts(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    assert(sessR === sessH)
+  }
+
   test("state-partition sizing: same results, session width restored") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val sized = StreamOps.streamingSessionCounts(spark, sfDir,
