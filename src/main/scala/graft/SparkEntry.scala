@@ -1327,7 +1327,7 @@ object SparkEntry {
                          FROM com
                          JOIN sizes sa ON sa.doc_id = doc_a
                          JOIN sizes sb ON sb.doc_id = doc_b
-                         WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5)
+                         WHERE round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) >= 0.5)
          SELECT doc_id,
                 CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
                      WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
@@ -1357,7 +1357,7 @@ object SparkEntry {
                          FROM com
                          JOIN sizes sa ON sa.doc_id = doc_a
                          JOIN sizes sb ON sb.doc_id = doc_b
-                         WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5)
+                         WHERE round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) >= 0.5)
          SELECT doc_id,
                 CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
                      WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'

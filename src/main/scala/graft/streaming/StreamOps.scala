@@ -114,14 +114,20 @@ object StreamOps {
     * native memory + local disk and checkpoints via changelog — the spec
     * suite pins that results are backend-independent. */
   private[graft] def withConf[T](spark: SparkSession,
-                                 kvs: Map[String, String])(body: => T): T = {
-    val prev = kvs.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
+                                 kvs: Map[String, String])(body: => T): T =
+    // Serialized on the session: set-then-restore on the SHARED runtime
+    // conf is not overlap-safe — two concurrent scopes could pin the
+    // wrong state width into a checkpoint or leak an override into the
+    // session. Every current driver is sequential; the lock makes the
+    // scoping hold even if one isn't.
+    spark.synchronized {
+      val prev = kvs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
     }
-  }
 
   /** Drive `pipeline` over the file-streamed events table and return the
     * final result table. `outputMode` complete/update/append per the query

@@ -244,6 +244,13 @@ class StreamingSpec extends SparkSpec {
     val sessH = StreamOps.streamingSessionCounts(spark, sfDir)
       .as[(Long, Long)].collect().toSet
     assert(sessR === sessH)
+    val winR = StreamOps.withConf(spark, rocks) {
+      StreamOps.hourlyWindowCounts(spark, sfDir)
+        .as[(String, Long)].collect().toSet
+    }
+    val winH = StreamOps.hourlyWindowCounts(spark, sfDir)
+      .as[(String, Long)].collect().toSet
+    assert(winR === winH)
   }
 
   test("state-partition sizing: same results, session width restored") {
