@@ -222,6 +222,30 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.exceptAll(expected).isEmpty)
   }
 
+  test("observe(): per-batch data-quality counters ride the streaming query") {
+    // The monitoring seat the reference serves via Streamlit polls
+    // (Note_...txt:36): Spark's native answer is observe() — metrics are
+    // computed INSIDE the running plan (no second scan, no extra action)
+    // and surface per micro-batch through the progress API.
+    val table = "graft_obs"
+    val q = StreamOps.eventStream(spark, sfDir)
+      .observe("wire_quality",
+        count(lit(1)).as("rows"),
+        sum(when(col("value") < 0, 1L).otherwise(0L)).as("neg_values"),
+        sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("null_types"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(table)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val metrics = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("wire_quality")))
+    assert(metrics.nonEmpty, "at least one batch must report metrics")
+    assert(metrics.map(_.getAs[Long]("rows")).sum ===
+      Tables.events(spark, sfDir).count())
+    assert(metrics.map(_.getAs[Long]("neg_values")).sum === 0L)
+    assert(metrics.map(_.getAs[Long]("null_types")).sum === 0L)
+  }
+
   test("RocksDB state store: the 100 TB state backend gives identical results") {
     // Default HDFS-backed state lives on the executor heap; RocksDB
     // (bundled: rocksdbjni) spills keyed state to native memory + local
