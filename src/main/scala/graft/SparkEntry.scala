@@ -57,6 +57,48 @@ object SparkEntry {
                 col("l_discount").between(0.02, 0.08))
         .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
           .as("revenue"))),
+    // TPC-H q3 shape: the canonical 3-table join — selective dim filter
+    // (customer segment) broadcasts into the orders scan, the fact-side
+    // lineitem join shuffles on the key it aggregates on (one exchange
+    // serves both), TakeOrdered caps the result. The shape whose join
+    // ORDER matters at 100 TB: filter-first, small-side broadcast.
+    "q3_shipping_priority" -> ((s, d) => {
+      val cutoff = "1998-01-01"
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    }),
+    // the ANALYZE seat: one-pass per-column profile of the fact table —
+    // min/max/null-count/approx-distinct computed as ONE multi-aggregate
+    // projection (no per-column scans); the exact stats a CBO or a data
+    // catalog collects before planning 100 TB
+    "profile_lineitem" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        round(min("l_quantity"), 2).as("min_qty"),
+        round(max("l_quantity"), 2).as("max_qty"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("null_qty"),
+        round(min("l_extendedprice"), 2).as("min_price"),
+        round(max("l_extendedprice"), 2).as("max_price"),
+        countDistinct("l_returnflag").as("n_returnflags"),
+        countDistinct("l_orderkey").as("n_orders"),
+        date_format(min("l_shipdate"), "yyyy-MM-dd").as("min_shipdate"),
+        date_format(max("l_shipdate"), "yyyy-MM-dd").as("max_shipdate"))),
 
     "a7_percentiles" -> ((s, d) =>
       Tables.events(s, d).groupBy("event_type")
@@ -502,6 +544,31 @@ object SparkEntry {
                     FROM o)
          SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
          FROM m GROUP BY user_id""",
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "profile_lineitem" ->
+      """SELECT count(*) AS n_rows,
+                round(min(l_quantity), 2) AS min_qty,
+                round(max(l_quantity), 2) AS max_qty,
+                CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS null_qty,
+                round(min(l_extendedprice), 2) AS min_price,
+                round(max(l_extendedprice), 2) AS max_price,
+                count(DISTINCT l_returnflag) AS n_returnflags,
+                count(DISTINCT l_orderkey) AS n_orders,
+                strftime(min(l_shipdate), '%Y-%m-%d') AS min_shipdate,
+                strftime(max(l_shipdate), '%Y-%m-%d') AS max_shipdate
+         FROM lineitem""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 round(sum(l_quantity), 2) AS sum_qty,
