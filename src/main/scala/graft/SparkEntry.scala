@@ -247,6 +247,18 @@ object SparkEntry {
     }),
 
     // ---- storage layout: co-bucketed tables -> zero-shuffle join ----
+    // Hive-partitioned write + directory-pruned read: the filter resolves
+    // against the partition listing (PartitionFilters), zero bytes read
+    // from other event types — asserted by a plan spec
+    "storage_partition_pruning" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value")
+      val dir = Storage.partitionedRoundTrip(s, ev, "event_type")
+      Storage.prunedScan(s, dir, "event_type", "click")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_clicks"),
+             round(sum("value"), 2).as("click_value"))
+    }),
     "storage_bucketed_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .groupBy("user_id").agg(round(sum("value"), 2).as("total_value"))
@@ -699,6 +711,10 @@ object SparkEntry {
     "s4_csv_source" ->
       """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
          FROM events GROUP BY event_type""",
+    "storage_partition_pruning" ->
+      """SELECT user_id, count(*) AS n_clicks,
+                round(sum(value), 2) AS click_value
+         FROM events WHERE event_type = 'click' GROUP BY user_id""",
     "storage_bucketed_join" ->
       """SELECT c.c_name, c.c_mktsegment, t.total_value
          FROM (SELECT user_id, round(sum(value), 2) AS total_value

