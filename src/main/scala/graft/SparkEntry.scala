@@ -84,9 +84,10 @@ object SparkEntry {
         .limit(10)
     }),
     // the ANALYZE seat: one-pass per-column profile of the fact table —
-    // min/max/null-count/approx-distinct computed as ONE multi-aggregate
-    // projection (no per-column scans); the exact stats a CBO or a data
-    // catalog collects before planning 100 TB
+    // min/max/null-count/EXACT-distinct as ONE multi-aggregate projection
+    // (no per-column scans; exact distinct costs an Expand and is what
+    // the DuckDB oracle can replay — at 100 TB swap for
+    // approx_count_distinct and grade differentially like the a6 pair)
     "profile_lineitem" -> ((s, d) =>
       Tables.lineitem(s, d).agg(
         count(lit(1)).as("n_rows"),
@@ -253,7 +254,7 @@ object SparkEntry {
     "storage_partition_pruning" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select("event_id", "user_id", "event_type", "value")
-      val dir = Storage.partitionedRoundTrip(s, ev, "event_type")
+      val dir = Storage.partitionedRoundTrip(ev, "event_type")
       Storage.prunedScan(s, dir, "event_type", "click")
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_clicks"),

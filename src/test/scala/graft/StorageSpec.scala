@@ -51,7 +51,7 @@ class StorageSpec extends SparkSpec {
   test("partitioned layout: the type filter prunes at the directory level") {
     val ev = Tables.events(spark, sfDir)
       .select("event_id", "user_id", "event_type", "value")
-    val dir = Storage.partitionedRoundTrip(spark, ev, "event_type")
+    val dir = Storage.partitionedRoundTrip(ev, "event_type")
     // one subdirectory per event type on disk
     val partDirs = new java.io.File(dir).listFiles()
       .filter(_.getName.startsWith("event_type=")).map(_.getName).sorted
@@ -59,7 +59,10 @@ class StorageSpec extends SparkSpec {
 
     val scan = Storage.prunedScan(spark, dir, "event_type", "click")
     val plan = scan.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+    // the predicate must appear INSIDE the PartitionFilters bracket —
+    // 'PartitionFilters: []' plus a post-scan Filter would be a full scan
+    val pf = "PartitionFilters: \\[[^\\]]*event_type".r
+    assert(pf.findFirstIn(plan).isDefined,
       s"filter must resolve against the partition listing:\n$plan")
     assert(scan.count() ===
       ev.filter(col("event_type") === "click").count())
