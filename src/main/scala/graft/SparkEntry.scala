@@ -83,6 +83,30 @@ object SparkEntry {
         .orderBy(desc("revenue"), asc("l_orderkey"))
         .limit(10)
     }),
+    // TPC-H q18 shape: the AGGREGATE-BUILDS-THE-FILTER pattern — the
+    // large-order key set comes from a groupBy+HAVING over the fact table
+    // itself, then semi-joins back as a broadcast (84 keys here; at scale
+    // a bloom-filter side-channel). No second full-fact shuffle.
+    "q18_large_orders" -> ((s, d) => {
+      val big = Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("q")).filter(col("q") > 280)
+        .select(col("l_orderkey").as("big_okey"))
+      val ord = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .join(broadcast(big), col("o_orderkey") === col("big_okey"), "left_semi")
+        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_name")),
+              col("o_custkey") === col("c_custkey"))
+      Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+        .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(round(sum("l_quantity"), 2).as("total_qty"))
+        .select(col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          round(col("o_totalprice"), 2).as("total_price"),
+          col("total_qty"))
+        .orderBy(desc("total_qty"), asc("o_orderkey"))
+        .limit(20)
+    }),
     // the ANALYZE seat: one-pass per-column profile of the fact table —
     // min/max/null-count/EXACT-distinct as ONE multi-aggregate projection
     // (no per-column scans; exact distinct costs an Expand and is what
@@ -569,6 +593,19 @@ object SparkEntry {
            AND l_shipdate > TIMESTAMP '1998-01-01'
          GROUP BY l_orderkey, o_orderdate
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey FROM lineitem
+                      GROUP BY l_orderkey HAVING sum(l_quantity) > 280)
+         SELECT c_name, o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                round(o_totalprice, 2) AS total_price,
+                round(sum(l_quantity), 2) AS total_qty
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+         GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY total_qty DESC, o_orderkey LIMIT 20""",
     "profile_lineitem" ->
       """SELECT count(*) AS n_rows,
                 round(min(l_quantity), 2) AS min_qty,
