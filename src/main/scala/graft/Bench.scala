@@ -29,7 +29,16 @@ object Bench {
         .selectExpr("aggregate(transform(embedding, x -> cast(x as double)), 0D, (a, b) -> a + b)")
         .count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated name-prefix filter for local profiling runs
+    // (unset in the driver's invocation → full surface, contract unchanged).
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(',').toSeq.filter(_.nonEmpty))
+    val selected = filter match {
+      case Some(prefixes) =>
+        SparkEntry.queries.filter { case (n, _) => prefixes.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

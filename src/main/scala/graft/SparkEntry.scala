@@ -107,6 +107,41 @@ object SparkEntry {
         .orderBy(desc("total_qty"), asc("o_orderkey"))
         .limit(20)
     }),
+    // TPC-H q5 shape: the 6-table star-with-a-twist — lineitem joined to
+    // orders→customer AND supplier, with the LOCAL-supplier cross-branch
+    // predicate c_nationkey = s_nationkey tying the two dimension arms
+    // together. Dims (region→nation→customer / →supplier) reduce and
+    // broadcast; at 100 TB orders no longer broadcasts and the
+    // lineitem⋈orders leg becomes the one shuffle on orderkey — every
+    // other edge stays a broadcast hash join, so the plan has exactly one
+    // wide exchange regardless of scale.
+    "q5_local_supplier" -> ((s, d) => {
+      val nr = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val cust = Tables.customer(s, d)
+        .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_nationkey")
+      val ordc = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(broadcast(ordc), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    }),
     // the ANALYZE seat: one-pass per-column profile of the fact table —
     // min/max/null-count/EXACT-distinct as ONE multi-aggregate projection
     // (no per-column scans; exact distinct costs an Expand and is what
@@ -477,6 +512,19 @@ object SparkEntry {
     "split_assign" -> ((s, d) =>
       SampleOps.splitAssign(Tables.documents(s, d), "doc_id")
         .select("doc_id", "split")),
+    // data-mix rebalancing on the skewed column (lang: en is ~3x the
+    // others at every SF, so the cap genuinely binds — `source` is
+    // uniform and would grade nothing)
+    "mix_rebalance" -> ((s, d) =>
+      SampleOps.rebalanceToMeanShare(Tables.documents(s, d), "lang", "doc_id")),
+    // fill half the corpus token budget with the most lexically diverse
+    // documents first (two-level prefix sum — see PackOps)
+    "token_budget_select" -> ((s, d) =>
+      PackOps.tokenBudgetSelect(Tables.documents(s, d), 0.5)),
+    // PII scrub: deterministic injection (fixture carries no PII), then
+    // regex count + redact — engine and oracle replay the same injection
+    "pii_redact" -> ((s, d) =>
+      PiiOps.redact(PiiOps.withInjectedPii(Tables.documents(s, d)))),
 
     // ---- LLM pipeline: end-to-end corpus preparation (composition) ----
     // the full modern recipe: + repetition gate + eval-set decontamination
@@ -606,6 +654,62 @@ object SparkEntry {
          WHERE o_orderkey IN (SELECT l_orderkey FROM big)
          GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
          ORDER BY total_qty DESC, o_orderkey LIMIT 20""",
+    "q5_local_supplier" ->
+      """SELECT n_name,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name""",
+    "mix_rebalance" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+              cap AS (SELECT CAST(floor(avg(n)) AS BIGINT) AS cap FROM c),
+              r AS (SELECT doc_id, lang,
+                           row_number() OVER (PARTITION BY lang
+                             ORDER BY (doc_id * 2654435761) % 1000000007,
+                                      doc_id) AS rk
+                    FROM documents)
+         SELECT doc_id, lang FROM r, cap WHERE rk <= cap""",
+    "token_budget_select" ->
+      """WITH t AS (SELECT doc_id,
+                           round(len(list_distinct(string_split(text, ' ')))
+                                 / CAST(len(string_split(text, ' ')) AS DOUBLE),
+                                 4) AS ttr,
+                           len(string_split(text, ' ')) AS n_tok
+                    FROM documents),
+              b AS (SELECT CAST(floor(0.5 * sum(n_tok)) AS BIGINT) AS budget
+                    FROM t),
+              c AS (SELECT doc_id, n_tok,
+                           sum(n_tok) OVER (ORDER BY ttr DESC, doc_id
+                                            ROWS UNBOUNDED PRECEDING) AS cum
+                    FROM t)
+         SELECT doc_id, n_tok, cum AS cum_tokens FROM c, b
+         WHERE cum <= budget""",
+    "pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+                           text || ' reach u' || doc_id
+                                || '@mail.example.org or call 555-'
+                                || lpad(CAST((doc_id * 7919) % 10000 AS VARCHAR),
+                                        4, '0') AS t
+                    FROM documents)
+         SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(t,
+                    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                    '<EMAIL>', 'g'),
+                  '555-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g') AS text_redacted,
+                len(regexp_extract_all(t,
+                  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+                len(regexp_extract_all(t,
+                  '555-[0-9][0-9][0-9][0-9]')) AS n_phones
+         FROM p""",
     "profile_lineitem" ->
       """SELECT count(*) AS n_rows,
                 round(min(l_quantity), 2) AS min_qty,

@@ -21,6 +21,46 @@ object PackOps {
 
   private val Mix = 2654435761L
 
+  /** Global token-budget selection: take documents in priority order
+    * (type-token-ratio desc — the cheap lexical-diversity signal from
+    * [[TextOps.quality]] — tie-break doc_id) until the running token total
+    * reaches `frac` of the corpus. The "fill the training budget with the
+    * best data first" step of corpus assembly.
+    *
+    * A naive global cumulative sum is a single-partition window — the
+    * classic scale killer. Here the prefix sum is TWO-LEVEL: documents are
+    * bucketed by a monotone coarsening of the priority (floor(ttr·B)), the
+    * per-bucket token totals (B rows) produce broadcast prefix OFFSETS, and
+    * the exact cumulative position is offset + a within-bucket window —
+    * each bucket sorts independently, parallelism B. IEEE multiply and
+    * floor are weakly monotone, so bucket order can never contradict ttr
+    * order and the two-level sum equals the global one exactly (integer
+    * token counts — no float drift in the running total).
+    */
+  def tokenBudgetSelect(docs: DataFrame, frac: Double,
+                        buckets: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"),
+        expr("round(size(array_distinct(words)) / cast(size(words) as double), 4)")
+          .as("ttr"),
+        size(col("words")).cast("long").as("n_tok"))
+    val budget = t.agg(floor(sum("n_tok") * frac).cast("long").as("budget"))
+    val bucketed = t.withColumn("bucket", floor(col("ttr") * buckets).cast("long"))
+    val offsets = bucketed.groupBy("bucket").agg(sum("n_tok").as("btok"))
+      .withColumn("off", coalesce(
+        sum("btok").over(Window.orderBy(desc("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "off")
+    val w = Window.partitionBy("bucket").orderBy(desc("ttr"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(offsets), "bucket")
+      .withColumn("cum_tokens", col("off") + sum("n_tok").over(w))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("doc_id"), col("n_tok"), col("cum_tokens"))
+  }
+
   def packSequences(docs: DataFrame, budget: Int, shards: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -35,6 +35,34 @@ object SampleOps {
     df.filter(pmod(col(key) * Mix, kCol.cast("long")) === 0)
   }
 
+  /** Data-mix rebalancing: cap every over-represented group (language,
+    * source domain, …) at the MEAN group size, keeping under-represented
+    * groups whole — the deterministic form of the "don't let one crawl
+    * domain dominate the mix" step in corpus assembly. Membership is the
+    * `cap` smallest keyed hashes per group (tie-break on the key), so the
+    * kept set is stable across runs and engines — re-running on appended
+    * data keeps previously-kept rows kept until the cap binds.
+    *
+    * Scale shape: one groupBy for the per-group counts (tiny result — one
+    * row per group), the cap broadcast, and a rank-per-group window. The
+    * window is a sort within each group partition; group count bounds the
+    * parallelism, group size bounds the sort. At extreme group sizes swap
+    * the exact rank for a hash-threshold pass (keep `hash < cap/n · M`),
+    * which is shuffle-free but only approximately hits the cap.
+    */
+  def rebalanceToMeanShare(df: DataFrame, groupCol: String,
+                           key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_before"))
+    val cap = counts.agg(floor(avg("n_before")).cast("long").as("cap"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(pmod(col(key) * Mix, lit(1000000007L)), col(key))
+    df.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(cap))
+      .filter(col("rk") <= col("cap"))
+      .select(col(key), col(groupCol))
+  }
+
   /** Train/val/test split assignment: hash-bucket into percent space,
     * 80/10/10. Stable per key forever — the property that keeps a document
     * out of the eval set no matter when it re-enters the pipeline. */

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{PackOps, PiiOps, SampleOps}
+
+/** Round-5 corpus-assembly additions: PII scrub, data-mix rebalancing,
+  * global token-budget selection, and the q5 join-shape plan. */
+class CorpusAssemblySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PII redact: crafted emails and phones are counted and replaced") {
+    val df = Seq(
+      (1L, "mail me at bob.smith+x@foo-bar.org today"),
+      (2L, "call 555-1234 or 555-9999 now"),
+      (3L, "nothing sensitive here")).toDF("doc_id", "text")
+    val out = PiiOps.redact(df).orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out(0) == ((1L, "mail me at <EMAIL> today", 1L, 0L)))
+    assert(out(1) == ((2L, "call <PHONE> or <PHONE> now", 0L, 2L)))
+    assert(out(2) == ((3L, "nothing sensitive here", 0L, 0L)))
+  }
+
+  test("PII injection makes the fixture grading non-vacuous: every row hits") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = PiiOps.redact(PiiOps.withInjectedPii(docs))
+    val n = docs.count()
+    assert(out.filter(col("n_emails") >= 1 && col("n_phones") >= 1)
+      .count() == n)
+    assert(out.filter(col("text_redacted").contains("<EMAIL>") &&
+      col("text_redacted").contains("<PHONE>")).count() == n)
+    // nothing PII-shaped survives redaction
+    assert(out.filter(PiiOps.hasPiiPredicate(col("text_redacted"))).count() == 0)
+  }
+
+  test("mix rebalance: cap binds on the over-represented group only") {
+    val df = (1L to 4L).map(i => (i, "a")).++(Seq((5L, "b"), (6L, "b")))
+      .toDF("doc_id", "lang")
+    // mean group size = 3 -> a capped at 3, b (2 rows) kept whole
+    val kept = SampleOps.rebalanceToMeanShare(df, "lang", "doc_id")
+    val byLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang == Map("a" -> 3L, "b" -> 2L))
+    // deterministic: a second run selects the identical rows
+    val again = SampleOps.rebalanceToMeanShare(df, "lang", "doc_id")
+    assert(kept.except(again).count() == 0 && again.except(kept).count() == 0)
+  }
+
+  test("token budget select: two-level prefix sum equals the global window") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val t = docs.withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"),
+        expr("round(size(array_distinct(words)) / cast(size(words) as double), 4)")
+          .as("ttr"),
+        size(col("words")).cast("long").as("n_tok"))
+    val budget = t.agg(floor(sum("n_tok") * 0.5).cast("long")).as[Long].head()
+    val naive = t.withColumn("cum_tokens",
+        sum("n_tok").over(Window.orderBy(desc("ttr"), asc("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= budget)
+      .select("doc_id", "n_tok", "cum_tokens")
+    val twoLevel = PackOps.tokenBudgetSelect(docs, 0.5)
+    assert(twoLevel.except(naive).count() == 0 &&
+      naive.except(twoLevel).count() == 0)
+    assert(twoLevel.agg(max("cum_tokens")).as[Long].head() <= budget)
+  }
+
+  test("q5 shape: all join edges broadcast, no sort-merge join") {
+    val plan = SparkEntry.queries("q5_local_supplier")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
+}
