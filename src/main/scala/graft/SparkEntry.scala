@@ -418,6 +418,20 @@ object SparkEntry {
     // the Lee et al. exact-substring family, inverted-index shape
     "dedup_substring_spans" -> ((s, d) =>
       DedupOps.substringDupSpans(Tables.documents(s, d))),
+    // incremental ingest: doc_id % 5 == 0 plays the new crawl batch, the
+    // rest is the existing corpus. The fixture has no verbatim cross-set
+    // copies, so the increment also carries deterministic RECRAWLS
+    // (corpus docs re-keyed at doc_id + 10000) — both the exact gate and
+    // the cross-set near-dup gate bind; the oracle replays the injection
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val increment = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select("doc_id", "text")
+        .union(corpus.filter(pmod(col("doc_id"), lit(7)) === 3)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      DedupOps.incrementalDedup(increment, corpus, 3, tau = 0.5)
+    }),
     // eval-set decontamination: flag corpus docs sharing any 13-token
     // window with the held-out split (doc_id % 20 == 0 plays the eval set)
     "dedup_decontaminate" -> ((s, d) => {
@@ -993,6 +1007,43 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS doc_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text)""",
+    "dedup_incremental" ->
+      """WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+                      UNION ALL
+                      SELECT doc_id + 10000 AS doc_id, text FROM documents
+                      WHERE doc_id % 5 <> 0 AND doc_id % 7 = 3),
+              corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+              ed AS (SELECT DISTINCT doc_id FROM inc
+                     WHERE md5(text) IN (SELECT md5(text) FROM corp)),
+              wi AS (SELECT doc_id, string_split(text, ' ') AS words FROM inc
+                     WHERE len(string_split(text, ' ')) >= 3),
+              shi AS (SELECT doc_id,
+                             unnest(list_distinct(list_transform(range(1, len(words) - 1),
+                               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+                      FROM wi),
+              wc AS (SELECT doc_id, string_split(text, ' ') AS words FROM corp
+                     WHERE len(string_split(text, ' ')) >= 3),
+              shc AS (SELECT doc_id,
+                             unnest(list_distinct(list_transform(range(1, len(words) - 1),
+                               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+                      FROM wc),
+              szi AS (SELECT doc_id, count(*) AS n FROM shi GROUP BY doc_id),
+              szc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+              cm AS (SELECT a.doc_id AS ia, b.doc_id AS cb, count(*) AS c
+                     FROM shi a JOIN shc b ON a.shingle = b.shingle
+                     GROUP BY a.doc_id, b.doc_id),
+              nd AS (SELECT DISTINCT ia AS doc_id
+                     FROM cm
+                     JOIN szi ON ia = szi.doc_id
+                     JOIN szc ON cb = szc.doc_id
+                     WHERE round(c / CAST(szi.n + szc.n - c AS DOUBLE), 6) >= 0.5)
+         SELECT i.doc_id,
+                CASE WHEN ed.doc_id IS NOT NULL THEN 'exact_dup'
+                     WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+                     ELSE 'kept' END AS status
+         FROM inc i
+         LEFT JOIN ed ON i.doc_id = ed.doc_id
+         LEFT JOIN nd ON i.doc_id = nd.doc_id""",
     // truth side (exact Jaccard >= 0.5) is DuckDB-recomputable; the
     // engine's own MinHash/SimHash candidates must cover it (recall_ok).
     "dedup_minhash_recall" ->

@@ -225,6 +225,48 @@ object DedupOps {
       .withColumn("contaminated", col("n_eval_windows") > 0)
   }
 
+  /** Incremental corpus ingest: dedup a crawl INCREMENT against the
+    * existing corpus — the daily-batch shape of a production pipeline
+    * (the full-corpus operators above re-score everything; this one
+    * touches only increment × corpus). Two gates, cheapest first:
+    *  1. exact: drop increment docs whose content digest already exists
+    *     in the corpus (recrawls, mirrors) — one anti-join on digest; at
+    *     100 TB the corpus digest set is served to the join as a Bloom
+    *     filter and only probable hits rejoin exactly.
+    *  2. near-dup: exact n-gram Jaccard of each survivor against corpus
+    *     docs sharing ≥1 shingle — the same inverted-index discipline as
+    *     [[ngramJaccardPairs]] but CROSS-SET, so cost is
+    *     Σ df_inc(s)·df_corp(s), never |inc|·|corpus|.
+    * Output: the full triage manifest (doc_id, status ∈ exact_dup |
+    * near_dup | kept) — exact wins when both fire. */
+  def incrementalDedup(increment: DataFrame, corpus: DataFrame,
+                       n: Int, tau: Double): DataFrame = {
+    val exactDup = increment.select(col("doc_id"), md5(col("text")).as("dig"))
+      .join(corpus.select(md5(col("text")).as("dig")).distinct(), "dig")
+      .select("doc_id").distinct()
+
+    val shInc = shingles(increment, n)
+    val shCorp = shingles(corpus, n)
+    val szInc = shInc.groupBy("doc_id").agg(count(lit(1)).as("n_a"))
+    val szCorp = shCorp.groupBy("doc_id").agg(count(lit(1)).as("n_b"))
+    val nearDup = shInc.select(col("doc_id").as("inc_id"), col("shingle"))
+      .join(shCorp.select(col("doc_id").as("corp_id"), col("shingle")), "shingle")
+      .groupBy("inc_id", "corp_id").agg(count(lit(1)).as("n_common"))
+      .join(szInc.select(col("doc_id").as("inc_id"), col("n_a")), "inc_id")
+      .join(szCorp.select(col("doc_id").as("corp_id"), col("n_b")), "corp_id")
+      .filter(round(col("n_common")
+        / (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6) >= tau)
+      .select(col("inc_id").as("doc_id")).distinct()
+
+    increment.select("doc_id")
+      .join(exactDup.withColumn("is_exact", lit(true)), Seq("doc_id"), "left")
+      .join(nearDup.withColumn("is_near", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact"), "exact_dup")
+          .when(col("is_near"), "near_dup")
+          .otherwise("kept").as("status"))
+  }
+
   /** MinHash signatures: h_i(doc) = min over shingles of xxhash64(shingle, i).
     * Shape matters at scale: explode shingles once, then `numHashes`
     * codegen'd min-aggregates with map-side partial aggregation — the

@@ -64,6 +64,27 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(twoLevel.agg(max("cum_tokens")).as[Long].head() <= budget)
   }
 
+  test("incremental dedup: crafted increment triages exact/near/kept") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val increment = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // verbatim recrawl
+      (11L, "one two three four five six EIGHT"),   // near-dup of 2
+      (12L, "totally different words entirely here now")) // novel
+      .toDF("doc_id", "text")
+    val out = graft.ext.DedupOps.incrementalDedup(increment, corpus, 3, 0.5)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(out.toSeq == Seq((10L, "exact_dup"), (11L, "near_dup"), (12L, "kept")))
+  }
+
+  test("incremental dedup query: every status present on the fixture") {
+    val statuses = SparkEntry.queries("dedup_incremental")(spark, sfDir)
+      .groupBy("status").count().as[(String, Long)].collect().toMap
+    assert(Set("exact_dup", "near_dup", "kept").subsetOf(statuses.keySet),
+      s"vacuous grading: $statuses")
+  }
+
   test("q5 shape: all join edges broadcast, no sort-merge join") {
     val plan = SparkEntry.queries("q5_local_supplier")(spark, sfDir)
       .queryExecution.executedPlan.toString
