@@ -19,6 +19,48 @@ class JdbcSpec extends SparkSpec {
     assert(back === Set((1L, "alpha", 1.5), (2L, "beta", 2.5), (3L, "gamma", -4.0)))
   }
 
+  test("upsert sink is idempotent under micro-batch replay and converges on update") {
+    val url = JdbcIO.freshUrl()
+    JdbcIO.createTotalsTable(url, "t_totals")
+    val batch = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      .toDF("user_id", "total_value")
+    JdbcIO.upsertTotals(batch, url, "t_totals")
+    // exactly-once envelope: foreachBatch re-delivers the SAME batch
+    // after a failure — the sink must converge, not append
+    JdbcIO.upsertTotals(batch, url, "t_totals")
+    val afterReplay = JdbcIO.readTable(spark, url, "t_totals")
+      .as[(Long, Double)].collect().toSet
+    assert(afterReplay === Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    // a LATER batch updates in place (complete-mode tally semantics)
+    val next = Seq((2L, 25.0), (4L, 40.0)).toDF("user_id", "total_value")
+    JdbcIO.upsertTotals(next, url, "t_totals")
+    val afterNext = JdbcIO.readTable(spark, url, "t_totals")
+      .as[(Long, Double)].collect().toSet
+    assert(afterNext === Set((1L, 10.0), (2L, 25.0), (3L, 30.0), (4L, 40.0)))
+  }
+
+  test("streaming foreachBatch drives the upsert sink to the batch truth") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val url = JdbcIO.freshUrl()
+    JdbcIO.createTotalsTable(url, "t_stream_totals")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    in.addData((1L, 1.0), (2L, 2.0), (1L, 3.0))
+    val q = in.toDF().toDF("user_id", "value")
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        JdbcIO.upsertTotals(
+          df.groupBy("user_id").agg(sum("value").as("total_value")),
+          url, "t_stream_totals")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val stored = JdbcIO.readTable(spark, url, "t_stream_totals")
+      .as[(Long, Double)].collect().toSet
+    assert(stored === Set((1L, 4.0), (2L, 2.0)))
+  }
+
   test("roundTrip aggregate equals the direct in-memory aggregate") {
     val events = Tables.events(spark, sfDir)
     val viaJdbc = JdbcIO.roundTrip(spark, events)
