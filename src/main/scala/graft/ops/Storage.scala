@@ -80,6 +80,17 @@ object Storage {
                  partCol: String, value: String): DataFrame =
     spark.read.parquet(dir).filter(col(partCol) === value)
 
+  /** Schema-evolving read: union the schemas of every parquet batch in
+    * `dir` (columns added over a table's life appear as nulls in old
+    * batches) — the ingest reality of a long-lived 100 TB table whose
+    * producers gain fields. `mergeSchema` costs a footer read per FILE at
+    * planning time, which is why it's opt-in per read here rather than
+    * session-global (`spark.sql.parquet.mergeSchema` stays false): at
+    * millions of files you pin the merged schema in a catalog/metastore
+    * once and serve reads from that instead. */
+  def evolvingRead(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
+
   /** Compact a directory of (potentially many small) parquet files to
     * ~`targetRowsPerFile` rows per output file. At scale, writers that
     * emit one file per task per partition produce millions of KB-sized

@@ -48,6 +48,29 @@ class StorageSpec extends SparkSpec {
            spark.read.parquet(small).count())
   }
 
+  test("schema evolution: merged read unions batch schemas, null-fills old rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve_").toString
+    // batch 1: the producer's original shape
+    Seq((1L, 10.0), (2L, 20.0)).toDF("user_id", "value")
+      .write.mode("append").parquet(dir)
+    // batch 2: the producer gained a column
+    Seq((3L, 30.0, "mobile"), (4L, 40.0, "web"))
+      .toDF("user_id", "value", "channel")
+      .write.mode("append").parquet(dir)
+
+    val merged = Storage.evolvingRead(spark, dir)
+    assert(merged.columns.sorted.toSeq == Seq("channel", "user_id", "value"))
+    val rows = merged.select("user_id", "channel")
+      .as[(Long, Option[String])].collect().toMap
+    assert(rows == Map(1L -> None, 2L -> None,
+      3L -> Some("mobile"), 4L -> Some("web")))
+    // a plain read pins ONE batch's schema — the new column is invisible,
+    // which is exactly the silent data loss mergeSchema exists to prevent
+    val plain = spark.read.parquet(dir)
+    assert(plain.columns.length <= 3)
+  }
+
   test("partitioned layout: the type filter prunes at the directory level") {
     val ev = Tables.events(spark, sfDir)
       .select("event_id", "user_id", "event_type", "value")
