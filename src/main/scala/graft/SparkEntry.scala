@@ -142,6 +142,37 @@ object SparkEntry {
           .as("revenue"))
         .orderBy(desc("revenue"), asc("n_name"))
     }),
+    // TPC-H q7 shape: the SAME dimension in TWO ROLES — nation joined once
+    // through the supplier arm and once through the customer arm, with the
+    // pair predicate across roles. Role-specific aliases keep the two
+    // broadcasts independent; the nation filter pushes into each arm
+    // BEFORE its join (the pair disjunction alone would defeat pushdown)
+    "q7_volume_shipping" -> ((s, d) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+        .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+          "l_extendedprice", "l_discount")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+                (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .select(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(round(sum("volume"), 2).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
     // the ANALYZE seat: one-pass per-column profile of the fact table —
     // min/max/null-count/EXACT-distinct as ONE multi-aggregate projection
     // (no per-column scans; exact distinct costs an Expand and is what
@@ -724,6 +755,22 @@ object SparkEntry {
                 len(regexp_extract_all(t,
                   '555-[0-9][0-9][0-9][0-9]')) AS n_phones
          FROM p""",
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+                round(sum(volume), 2) AS revenue
+         FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                      year(l_shipdate) AS l_year,
+                      l_extendedprice * (1 - l_discount) AS volume
+               FROM supplier
+               JOIN lineitem ON s_suppkey = l_suppkey
+               JOIN orders ON o_orderkey = l_orderkey
+               JOIN customer ON c_custkey = o_custkey
+               JOIN nation n1 ON s_nationkey = n1.n_nationkey
+               JOIN nation n2 ON c_nationkey = n2.n_nationkey
+               WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) t
+         GROUP BY supp_nation, cust_nation, l_year
+         ORDER BY supp_nation, cust_nation, l_year""",
     "profile_lineitem" ->
       """SELECT count(*) AS n_rows,
                 round(min(l_quantity), 2) AS min_qty,
