@@ -190,6 +190,32 @@ object SparkEntry {
         countDistinct("l_orderkey").as("n_orders"),
         date_format(min("l_shipdate"), "yyyy-MM-dd").as("min_shipdate"),
         date_format(max("l_shipdate"), "yyyy-MM-dd").as("max_shipdate"))),
+    // statistical profile: the relationship/centrality aggregates an
+    // ANALYZE-style pass adds on top of min/max/distinct — all one-pass
+    // streaming aggregates except median (percentile holds a per-group
+    // digest; at 100 TB swap for approx_percentile like the a7 pair)
+    "profile_stats" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+          .as("covar_qty_price"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 2)
+          .as("slope_price_on_qty"),
+        round(median(col("l_extendedprice")), 2).as("median_price"),
+        mode(col("l_returnflag")).as("mode_returnflag"))),
+    // histogram: fixed-width binning as pure arithmetic (portable to any
+    // engine — no reliance on a width_bucket builtin), one groupBy over
+    // 16 bins; the shape every profiler/quality dashboard draws
+    "profile_histogram" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(least(floor(col("l_extendedprice") / 7000).cast("long"),
+          lit(15L)).as("bin"),
+          col("l_extendedprice"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("bin")),
 
     "a7_percentiles" -> ((s, d) =>
       Tables.events(s, d).groupBy("event_type")
@@ -784,6 +810,19 @@ object SparkEntry {
                 strftime(min(l_shipdate), '%Y-%m-%d') AS min_shipdate,
                 strftime(max(l_shipdate), '%Y-%m-%d') AS max_shipdate
          FROM lineitem""",
+    "profile_stats" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+                round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+                round(regr_slope(l_extendedprice, l_quantity), 2) AS slope_price_on_qty,
+                round(median(l_extendedprice), 2) AS median_price,
+                mode(l_returnflag) AS mode_returnflag
+         FROM lineitem""",
+    "profile_histogram" ->
+      """SELECT least(CAST(floor(l_extendedprice / 7000) AS BIGINT), 15) AS bin,
+                count(*) AS n_rows,
+                round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem
+         GROUP BY 1 ORDER BY 1""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 round(sum(l_quantity), 2) AS sum_qty,
