@@ -257,6 +257,8 @@ object SparkEntry {
         (unix_timestamp(col("ts")) -
           unix_timestamp(lag("ts", 1).over(w))).as("gap_prev_s"))
     }),
+    "w6_ntile_deciles" -> ((s, d) =>
+      Windows.ntileDeciles(Tables.events(s, d))),
     "a8_cube_turnout" -> ((s, d) =>
       Tables.customer(s, d)
         .cube("c_mktsegment", "c_nationkey")
@@ -668,6 +670,16 @@ object SparkEntry {
                 date_diff('second', lag(ts) OVER w, ts) AS gap_prev_s
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "w6_ntile_deciles" ->
+      """SELECT event_type, decile, count(*) AS n,
+                round(min(value), 2) AS min_value,
+                round(max(value), 2) AS max_value
+         FROM (SELECT event_type, value,
+                      ntile(10) OVER (PARTITION BY event_type
+                                      ORDER BY value DESC, event_id) AS decile
+               FROM events) t
+         GROUP BY event_type, decile
+         ORDER BY event_type, decile""",
     "a8_cube_turnout" ->
       """SELECT c_mktsegment, c_nationkey, count(*) AS n,
                 GROUPING(c_mktsegment, c_nationkey) AS gid

@@ -31,6 +31,25 @@ object Windows {
       .orderBy(desc("total_value"), asc("user_id"))
       .limit(k)
 
+  /** Decile assignment per group — the scoring-pipeline step that turns a
+    * continuous quality/value signal into ranked buckets ("train on the
+    * top three deciles per language"). `ntile` runs PARTITIONED by the
+    * group column, so each group sorts independently — the unpartitioned
+    * form would funnel the whole table through one task. The total order
+    * inside a group is made deterministic with the unique-id tie-break,
+    * which is what lets an oracle replay tile boundaries exactly. */
+  def ntileDeciles(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(desc("value"), asc("event_id"))
+    events
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy("event_type", "decile")
+      .agg(count(lit(1)).as("n"),
+        round(min("value"), 2).as("min_value"),
+        round(max("value"), 2).as("max_value"))
+      .orderBy("event_type", "decile")
+  }
+
   /** Running/cumulative total per key — the [X] trend-line window from
     * SURVEY §2.5 ("évolution des candidats au fur et à mesure des votes",
     * `.../txt:37`). Partitioned by key so it scales horizontally; ordered by

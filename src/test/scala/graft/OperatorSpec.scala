@@ -76,6 +76,25 @@ class OperatorSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("join strategy hints override the planner's default choice") {
+    // At 100 TB the tuning knob runs the other way from local tests: a
+    // dim that misses the broadcast threshold by a little is still far
+    // cheaper as a shuffled-hash build than a full sort-merge, and a
+    // hint pins that choice per-join without touching session confs.
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id")
+    val cust = Tables.customer(spark, sfDir).select("c_custkey")
+    def planWith(hint: String): String =
+      ev.join(cust.hint(hint), col("user_id") === col("c_custkey"))
+        .queryExecution.executedPlan.toString
+    assert(planWith("shuffle_hash").contains("ShuffledHashJoin"))
+    val merge = planWith("merge")
+    assert(merge.contains("SortMergeJoin") && !merge.contains("BroadcastHashJoin"))
+    // and the default on this tiny dim is broadcast — the hint really
+    // changed the plan, not the data
+    assert(ev.join(cust, col("user_id") === col("c_custkey"))
+      .queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("J2 1-of-N assignment is total and deterministic") {
     val df = spark.range(100).withColumnRenamed("id", "user_id")
     val a = Joins.assignOneOfN(df, "user_id", Generator.Parties, "party")

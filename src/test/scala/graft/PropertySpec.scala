@@ -146,4 +146,67 @@ class PropertySpec extends SparkSpec {
       assert(us.map(_._3).sum === docs.map(_._2.split(" ").length.toLong).sum)
     }
   }
+
+  test("corpus-assembly invariants hold for random corpora") {
+    import graft.ext.{PackOps, PiiOps, SampleOps}
+    import org.apache.spark.sql.expressions.Window
+    corpora(4, 13L).foreach { docs =>
+      val langs = Array("en", "de", "fr")
+      val df = docs.toDF("doc_id", "text")
+        .withColumn("lang",
+          element_at(lit(langs), (pmod(col("doc_id"), lit(3)) + 1).cast("int")))
+
+      // rebalance: per-group kept = min(n_before, floor(mean group size))
+      val before = df.groupBy("lang").count().as[(String, Long)].collect().toMap
+      val cap = before.values.sum / before.size
+      val kept = SampleOps.rebalanceToMeanShare(df, "lang", "doc_id")
+        .groupBy("lang").count().as[(String, Long)].collect().toMap
+      before.foreach { case (l, n) =>
+        assert(kept.getOrElse(l, 0L) === math.min(n, cap), s"lang $l") }
+
+      // token budget: two-level == naive global window, budget respected
+      val t = df.withColumn("words", split(col("text"), " "))
+        .select(col("doc_id"),
+          expr("round(size(array_distinct(words)) / cast(size(words) as double), 4)").as("ttr"),
+          size(col("words")).cast("long").as("n_tok"))
+      val budget = t.agg(floor(sum("n_tok") * 0.5).cast("long")).as[Long].head()
+      val naive = t.withColumn("cum_tokens",
+          sum("n_tok").over(Window.orderBy(desc("ttr"), asc("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cum_tokens") <= budget)
+        .select("doc_id", "n_tok", "cum_tokens")
+      val two = PackOps.tokenBudgetSelect(df, 0.5)
+      assert(two.except(naive).count() === 0 && naive.except(two).count() === 0)
+
+      // PII redaction is a fixpoint: a second pass finds nothing
+      val once = PiiOps.redact(PiiOps.withInjectedPii(df))
+        .select(col("doc_id"), col("text_redacted").as("text"))
+      val twice = PiiOps.redact(once)
+      assert(twice.agg(sum("n_emails") + sum("n_phones")).as[Long].head() === 0L)
+    }
+  }
+
+  test("incremental dedup statuses partition the increment for random corpora") {
+    import graft.ext.DedupOps
+    corpora(4, 17L).foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val corpus = df.filter(col("doc_id") % 2 === 0)
+      val increment = df.filter(col("doc_id") % 2 === 1)
+        // plant one guaranteed recrawl when the corpus is non-empty
+        .union(corpus.orderBy("doc_id").limit(1)
+          .select(col("doc_id") + 100000, col("text")))
+      val out = DedupOps.incrementalDedup(increment, corpus, 3, 0.5)
+      // statuses partition the increment: one verdict per input row
+      assert(out.count() === increment.count())
+      assert(out.select("doc_id").distinct().count() === increment.count())
+      // exact_dup <=> digest present in the corpus
+      val corpDigests = corpus.select(md5(col("text"))).as[String].collect().toSet
+      val verdicts = increment.select(col("doc_id"), md5(col("text")).as("dig"))
+        .join(out, "doc_id").as[(Long, String, String)].collect()
+      verdicts.foreach { case (id, dig, status) =>
+        assert((status == "exact_dup") === corpDigests.contains(dig),
+          s"doc $id: status $status vs digest-in-corpus ${corpDigests.contains(dig)}")
+      }
+    }
+  }
 }
