@@ -598,6 +598,10 @@ object SparkEntry {
     // regex count + redact — engine and oracle replay the same injection
     "pii_redact" -> ((s, d) =>
       PiiOps.redact(PiiOps.withInjectedPii(Tables.documents(s, d)))),
+    // reproducible global shuffle: contiguous 0..N-1 training order in
+    // keyed-hash order, assigned via the two-level prefix pattern
+    "corpus_shuffle" -> ((s, d) =>
+      PackOps.shuffleOrder(Tables.documents(s, d))),
 
     // ---- LLM pipeline: end-to-end corpus preparation (composition) ----
     // the full modern recipe: + repetition gate + eval-set decontamination
@@ -775,6 +779,11 @@ object SparkEntry {
                     FROM t)
          SELECT doc_id, n_tok, cum AS cum_tokens FROM c, b
          WHERE cum <= budget""",
+    "corpus_shuffle" ->
+      """SELECT doc_id,
+                row_number() OVER (ORDER BY (doc_id * 2654435761) % 1048576,
+                                   doc_id) - 1 AS pos
+         FROM documents""",
     "pii_redact" ->
       """WITH p AS (SELECT doc_id,
                            text || ' reach u' || doc_id

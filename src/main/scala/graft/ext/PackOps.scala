@@ -61,6 +61,33 @@ object PackOps {
       .select(col("doc_id"), col("n_tok"), col("cum_tokens"))
   }
 
+  /** Deterministic GLOBAL shuffle order: every document gets a contiguous
+    * position 0..N-1 in keyed-hash order — the "shuffle the corpus before
+    * packing/epoching" step, reproducible across runs and engines (rerun
+    * with the same keys → the same training order; contrast `rand()` or
+    * RDD zipWithIndex, which pin nothing). Same two-level discipline as
+    * [[tokenBudgetSelect]]: the hash's high bits form the bucket (exact
+    * integer division — trivially monotone), bucket counts produce
+    * broadcast prefix offsets, and positions are offset + within-bucket
+    * row_number. No single-partition window, no RDD round-trip. */
+  def shuffleOrder(docs: DataFrame, buckets: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = 1048576L
+    val per = m / buckets
+    val b = docs.select(col("doc_id"),
+        pmod(col("doc_id") * Mix, lit(m)).as("h"))
+      .withColumn("bucket", expr(s"h div $per"))
+    val offsets = b.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(
+        sum("n").over(Window.orderBy(asc("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "off")
+    val w = Window.partitionBy("bucket").orderBy(asc("h"), asc("doc_id"))
+    b.join(broadcast(offsets), "bucket")
+      .withColumn("pos", col("off") + row_number().over(w) - 1)
+      .select("doc_id", "pos")
+  }
+
   def packSequences(docs: DataFrame, budget: Int, shards: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

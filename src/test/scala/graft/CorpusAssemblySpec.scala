@@ -64,6 +64,22 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(twoLevel.agg(max("cum_tokens")).as[Long].head() <= budget)
   }
 
+  test("shuffle order: contiguous 0..N-1 permutation equal to the global window") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val out = PackOps.shuffleOrder(docs)
+    val n = docs.count()
+    val (mn, mx, distinct) = out
+      .agg(min("pos"), max("pos"), countDistinct("pos"))
+      .as[(Long, Long, Long)].head()
+    assert((mn, mx, distinct) == ((0L, n - 1, n)))
+    val naive = docs.select(col("doc_id"),
+      (row_number().over(Window.orderBy(
+        pmod(col("doc_id") * 2654435761L, lit(1048576L)), col("doc_id")))
+        - 1).cast("long").as("pos"))
+    assert(out.except(naive).count() == 0 && naive.except(out).count() == 0)
+  }
+
   test("incremental dedup: crafted increment triages exact/near/kept") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
