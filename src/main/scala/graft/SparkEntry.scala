@@ -173,6 +173,150 @@ object SparkEntry {
         .agg(round(sum("volume"), 2).as("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
+    // TPC-H q4 shape: EXISTS as a LEFT SEMI join with a non-equi residual
+    // (l_shipdate > o_orderdate rides the l_orderkey equi key). The date
+    // window prunes the probe side at the scan; at 100 TB both sides
+    // shuffle once on orderkey and the residual evaluates inside the
+    // join — no decorrelation materializes the subquery.
+    // (This dataset has no l_commitdate/l_receiptdate, so the "late
+    // delivery" predicate becomes returned-after-order-date.)
+    "q4_order_priority" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val returned = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_shipdate")
+      ord.join(returned,
+          col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+    // TPC-H q13 shape: outer-join count distribution. The scale-correct
+    // order: aggregate orders per custkey FIRST (shuffle carries one row
+    // per customer, not per order), THEN left-join customers so the
+    // zero-order customers survive as coalesce(0). Joining raw orders and
+    // counting after would drag every order row through the outer join.
+    // The URGENT-only filter keeps the zero bucket populated at every SF
+    // (the unfiltered distribution has no empty customers in this data,
+    // which would leave the outer join's null-extension ungraded).
+    "q13_customer_distribution" -> ((s, d) => {
+      val ordc = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      Tables.customer(s, d).select("c_custkey")
+        .join(ordc, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+    // TPC-H q16 shape: NOT IN as a broadcast LEFT ANTI join. The part
+    // predicate reduces 2000 parts to ~300 and broadcasts into the fact
+    // scan; the excluded-supplier set broadcasts as the anti side; the
+    // one exchange is the final count-distinct aggregate. lineitem's
+    // (partkey, suppkey) pairs stand in for partsupp; countDistinct
+    // absorbs the duplicate pairs without a pre-distinct shuffle.
+    // (No s_comment here, so "customer complaints" becomes negative
+    // account balance.)
+    "q16_supplier_count" -> ((s, d) => {
+      val parts = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#5" &&
+                !col("p_type").startsWith("MEDIUM") &&
+                col("p_size").isin(1, 4, 9, 14, 19, 24, 28, 35))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val badSupp = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey").as("bad_skey"))
+      Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(badSupp), col("l_suppkey") === col("bad_skey"),
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"),
+                 asc("p_size"))
+    }),
+    // TPC-H q17 shape: correlated scalar subquery (per-part average over
+    // the WHOLE lineitem history of that part) decorrelated into a window
+    // over the brand-restricted slice — legal because the correlation key
+    // is l_partkey, so restricting by partkey-set keeps each group
+    // complete. ONE shuffle on l_partkey serves both the average and the
+    // filter; the two-pass groupBy+self-join alternative would shuffle
+    // twice.
+    "q17_small_quantity" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val brandParts = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#3").select("p_partkey")
+      Tables.lineitem(s, d)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        .withColumn("avg_qty",
+          avg("l_quantity").over(Window.partitionBy("l_partkey")))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+    }),
+    // TPC-H q21 shape: the EXISTS + NOT EXISTS pair of correlated
+    // self-joins on the fact table, decorrelated into ONE per-order
+    // aggregate — exists(other supplier) ⇔ distinct suppliers > 1;
+    // not-exists(other supplier also returned) ⇔ distinct RETURNING
+    // suppliers = 1 (given this row returned). Two fact-table self-joins
+    // collapse into one groupBy whose output arrives at the probe join
+    // already partitioned on orderkey — one wide exchange total.
+    "q21_waiting_supplier" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      // two cascaded plain aggregates instead of a dual countDistinct:
+      // the (orderkey, suppkey) pre-aggregate map-side-combines, where
+      // countDistinct×2 would Expand the fact table to 2 copies before
+      // its shuffle — the distinct-supplier counts come out identical
+      val orderStats = li
+        .groupBy(col("l_orderkey").as("so_okey"), col("l_suppkey").as("so_skey"))
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
+        .groupBy("so_okey")
+        .agg(count(lit(1)).as("n_supp"), sum("has_r").as("n_rsupp"))
+      val fOrders = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F").select("o_orderkey")
+      li.filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(broadcast(fOrders), col("l_orderkey") === col("o_orderkey"))
+        .join(orderStats, col("l_orderkey") === col("so_okey"))
+        .filter(col("n_supp") > 1 && col("n_rsupp") === 1)
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+              col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), asc("s_name"))
+        .limit(10)
+    }),
+    // TPC-H q22 shape: global scalar subquery + anti join. The average
+    // is a 1-row aggregate broadcast as a nested-loop join (1×N is a
+    // map-side compare, not a real cross product); customers-without-
+    // urgent-orders is a LEFT ANTI on custkey — the one shuffle that
+    // must happen, since orders cannot broadcast at scale. (No c_phone
+    // column, so "country code" becomes the last digit of c_name; the
+    // urgent-only anti side keeps the result non-empty at every SF —
+    // every customer in this data has SOME order.)
+    "q22_sales_opportunity" -> ((s, d) => {
+      val codes = Seq("1", "3", "5", "7")
+      val cust = Tables.customer(s, d)
+        .select(expr("right(c_name, 1)").as("cntrycode"),
+                col("c_acctbal"), col("c_custkey"))
+        .filter(col("cntrycode").isin(codes: _*))
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg(avg("c_acctbal").as("avg_bal"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(Tables.orders(s, d)
+                .filter(col("o_orderpriority") === "1-URGENT")
+                .select("o_custkey"),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(count(lit(1)).as("numcust"),
+             round(sum("c_acctbal"), 2).as("totacctbal"))
+        .orderBy("cntrycode")
+    }),
     // the ANALYZE seat: one-pass per-column profile of the fact table —
     // min/max/null-count/EXACT-distinct as ONE multi-aggregate projection
     // (no per-column scans; exact distinct costs an Expand and is what
@@ -818,6 +962,83 @@ object SparkEntry {
                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) t
          GROUP BY supp_nation, cust_nation, l_year
          ORDER BY supp_nation, cust_nation, l_year""",
+    // the oracle states q4 as the literal correlated EXISTS the Spark
+    // side expresses as a semi join — independent formulations, same rows
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1997-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_returnflag = 'R'
+                         AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
+    "q13_customer_distribution" ->
+      """WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count
+                     FROM customer
+                     LEFT OUTER JOIN orders
+                       ON c_custkey = o_custkey
+                      AND o_orderpriority = '1-URGENT'
+                     GROUP BY c_custkey)
+         SELECT c_count, count(*) AS custdist
+         FROM co GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+    // the oracle states q16 as the literal NOT IN the Spark side
+    // expresses as a broadcast anti join
+    "q16_supplier_count" ->
+      """SELECT p_brand, p_type, p_size,
+                count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand <> 'Brand#5'
+           AND p_type NOT LIKE 'MEDIUM%'
+           AND p_size IN (1, 4, 9, 14, 19, 24, 28, 35)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    // the oracle keeps the CORRELATED scalar subquery q17 is defined by;
+    // the Spark side decorrelates it into a partition window
+    "q17_small_quantity" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand = 'Brand#3'
+           AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                             FROM lineitem l2
+                             WHERE l2.l_partkey = p_partkey)""",
+    // the oracle keeps q21's literal EXISTS / NOT EXISTS self-join pair;
+    // the Spark side proves the per-order-aggregate decorrelation
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM supplier
+         JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+         JOIN orders ON o_orderkey = l1.l_orderkey
+         WHERE o_orderstatus = 'F'
+           AND l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name LIMIT 10""",
+    "q22_sales_opportunity" ->
+      """SELECT cntrycode, count(*) AS numcust,
+                round(sum(c_acctbal), 2) AS totacctbal
+         FROM (SELECT right(c_name, 1) AS cntrycode, c_acctbal, c_custkey
+               FROM customer
+               WHERE right(c_name, 1) IN ('1', '3', '5', '7')) c
+         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                            WHERE c_acctbal > 0
+                              AND right(c_name, 1) IN ('1', '3', '5', '7'))
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+         GROUP BY cntrycode
+         ORDER BY cntrycode""",
     "profile_lineitem" ->
       """SELECT count(*) AS n_rows,
                 round(min(l_quantity), 2) AS min_qty,

@@ -15,7 +15,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration filter, same contract as Bench's: comma-separated
+    // name prefixes; unset = everything (the driver always runs unset)
+    val selected = sys.env.get("SPARK_GRAFT_VERIFY_FILTER") match {
+      case Some(p) =>
+        val prefixes = p.split(",").map(_.trim).filter(_.nonEmpty)
+        SparkEntry.queries.filter { case (n, _) => prefixes.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
