@@ -360,6 +360,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           round(sum("l_extendedprice"), 2).as("sum_price"))
         .orderBy("bin")),
+    // event analytics (ops/EventAnalytics): the dashboard-consumer seat —
+    // ordered funnel (per-stage correlated first-after decorrelated into
+    // user_id-partitioned min-aggregates), cohort retention triangle,
+    // and zero-filled hourly time series
+    "funnel_stages" -> ((s, d) =>
+      EventAnalytics.funnel(Tables.events(s, d),
+        Seq("view", "click", "purchase"))),
+    "retention_cohorts" -> ((s, d) =>
+      EventAnalytics.retentionCohorts(Tables.events(s, d), "2024-01-01")),
+    "ts_gapfill_hourly" -> ((s, d) =>
+      EventAnalytics.gapfillHourly(Tables.events(s, d))),
+    // schema-on-read over the semi-structured props column: JSON path
+    // extraction as a pure projection (no UDF, codegen'd GetJsonObject),
+    // then a keyed aggregate — ints sum exactly under 2^53 so the
+    // cross-engine avg is bit-stable
+    "props_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(avg("k"), 4).as("avg_k"),
+          min("k").as("min_k"),
+          max("k").as("max_k"))
+        .orderBy("event_type")),
 
     "a7_percentiles" -> ((s, d) =>
       Tables.events(s, d).groupBy("event_type")
@@ -1065,6 +1090,53 @@ object SparkEntry {
                 round(sum(l_extendedprice), 2) AS sum_price
          FROM lineitem
          GROUP BY 1 ORDER BY 1""",
+    // the oracle states the funnel as the correlated first-X-after-Y
+    // CTE chain the Spark side decorrelates
+    "funnel_stages" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+              c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                    JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+                    WHERE e.event_type = 'click' GROUP BY e.user_id),
+              p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                    JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+                    WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+         SELECT (SELECT count(*) FROM v) AS n_view,
+                (SELECT count(*) FROM c) AS n_click,
+                (SELECT count(*) FROM p) AS n_purchase""",
+    "retention_cohorts" ->
+      """WITH f AS (SELECT user_id,
+                           CAST(floor(datediff('day', DATE '2024-01-01',
+                             CAST(min(ts) AS DATE)) / 7) AS BIGINT)
+                             AS cohort_week
+                    FROM events GROUP BY user_id)
+         SELECT f.cohort_week,
+                CAST(floor(datediff('day', DATE '2024-01-01',
+                  CAST(e.ts AS DATE)) / 7) AS BIGINT) - f.cohort_week
+                  AS week_offset,
+                count(DISTINCT e.user_id) AS n_users
+         FROM events e JOIN f ON e.user_id = f.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "ts_gapfill_hourly" ->
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                           date_trunc('hour', max(ts)) AS h1 FROM events),
+              spine AS (SELECT unnest(generate_series(h0, h1,
+                          INTERVAL 1 HOUR)) AS hour FROM b),
+              types AS (SELECT DISTINCT event_type FROM events),
+              hourly AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+                                count(*) AS n
+                         FROM events GROUP BY 1, 2)
+         SELECT strftime(s.hour, '%Y-%m-%d %H:00') AS hour, t.event_type,
+                CAST(coalesce(h.n, 0) AS BIGINT) AS n
+         FROM spine s CROSS JOIN types t
+         LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
+         ORDER BY 1, 2""",
+    "props_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+                round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k,
+                min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+                max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 round(sum(l_quantity), 2) AS sum_qty,

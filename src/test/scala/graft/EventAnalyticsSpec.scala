@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.EventAnalytics
+
+/** Event-analytics operators: crafted-ordering semantics for the funnel
+  * (strictly-after is what distinguishes it from a per-type count) and
+  * conservation invariants for retention / gap-fill computed
+  * independently of the implementation.
+  */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = new Timestamp(m * 60000L)
+
+  test("funnel: stage order is strict — click before view doesn't count") {
+    val ev = Seq(
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      (2L, ts(1), "click"), (2L, ts(2), "view"), // click precedes view
+      (3L, ts(1), "view"), (3L, ts(2), "purchase") // skips click
+    ).toDF("user_id", "ts", "event_type")
+    val row = EventAnalytics.funnel(ev, Seq("view", "click", "purchase"))
+      .collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == (3L, 1L, 1L))
+  }
+
+  test("funnel on the fixture: monotone non-increasing stages") {
+    val row = SparkEntry.queries("funnel_stages")(spark, sfDir).collect()(0)
+    val (v, c, p) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(v >= c && c >= p, s"funnel not monotone: $v, $c, $p")
+    assert(p > 0, "vacuous: nobody completes the funnel")
+  }
+
+  test("retention: offset-0 diagonal partitions the user base") {
+    val df = SparkEntry.queries("retention_cohorts")(spark, sfDir)
+    val diag = df.filter(col("week_offset") === 0)
+      .agg(sum("n_users")).collect()(0).getLong(0)
+    val users = Tables.events(spark, sfDir)
+      .select(countDistinct("user_id")).collect()(0).getLong(0)
+    assert(diag == users,
+      s"every user is active in their own first week: $diag != $users")
+    assert(df.filter(col("week_offset") < 0).isEmpty,
+      "no activity before a user's first week")
+  }
+
+  test("gap-fill: dense spine, conserved totals, real zeros") {
+    val df = SparkEntry.queries("ts_gapfill_hourly")(spark, sfDir).cache()
+    try {
+      val types = Tables.events(spark, sfDir)
+        .select("event_type").distinct().count()
+      val hours = df.select("hour").distinct().count()
+      assert(df.count() == hours * types, "spine must be dense")
+      val total = df.agg(sum("n")).collect()(0).getLong(0)
+      val events = Tables.events(spark, sfDir).count()
+      assert(total == events, s"counts conserved: $total != $events")
+      assert(df.filter(col("n") === 0).count() > 0,
+        "vacuous: no gaps were filled at this SF")
+    } finally df.unpersist()
+  }
+
+  test("props extraction: group counts conserve the event count") {
+    val df = SparkEntry.queries("props_json_extract")(spark, sfDir)
+    val total = df.agg(sum("n")).collect()(0).getLong(0)
+    assert(total == Tables.events(spark, sfDir).count())
+    assert(df.filter(col("avg_k").isNull).isEmpty, "props must parse")
+  }
+}
