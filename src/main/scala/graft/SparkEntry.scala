@@ -432,6 +432,17 @@ object SparkEntry {
       Tables.customer(s, d)
         .cube("c_mktsegment", "c_nationkey")
         .agg(count(lit(1)).as("n"), grouping_id().as("gid"))),
+    // explicit GROUPING SETS (not the full cube): only the asked-for
+    // rollup levels expand — the Expand factor is |sets|, not 2^cols,
+    // which is what you want when a 100 TB fact table only needs three
+    // of the eight cube slices
+    "a8_grouping_sets" -> ((s, d) =>
+      Tables.customer(s, d)
+        .groupingSets(
+          Seq(Seq(col("c_mktsegment"), col("c_nationkey")),
+              Seq(col("c_mktsegment")), Seq()),
+          col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))),
     "setop_combo" -> ((s, d) => {
       val e = Tables.events(s, d)
       def ids(t: String) = e.filter(col("event_type") === t).select("user_id")
@@ -481,6 +492,10 @@ object SparkEntry {
       Windows.topKByAggregate(Tables.events(s, d), 10)),
     "w3_running_total" -> ((s, d) =>
       Windows.runningTotalPerUser(Tables.events(s, d))),
+    // RANGE frame (value-based trailing hour) — the moving-average
+    // semantics a ROWS frame can't express; see Windows.movingAvgTrailing
+    "w7_moving_avg_range" -> ((s, d) =>
+      Windows.movingAvgTrailing(Tables.events(s, d), 3600L)),
     "w4_topk_aggregator" -> ((s, d) => {
       val topk = udaf(new graft.functions.TopKAggregator(3),
                       Encoders.product[graft.functions.TopKItem])
@@ -857,6 +872,12 @@ object SparkEntry {
       """SELECT c_mktsegment, c_nationkey, count(*) AS n,
                 GROUPING(c_mktsegment, c_nationkey) AS gid
          FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)""",
+    "a8_grouping_sets" ->
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n,
+                GROUPING(c_mktsegment, c_nationkey) AS gid
+         FROM customer
+         GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey),
+                                 (c_mktsegment), ())""",
     "setop_combo" ->
       """SELECT DISTINCT user_id FROM events WHERE event_type IN ('purchase', 'signup')
          INTERSECT
@@ -1237,6 +1258,15 @@ object SparkEntry {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                   AS running_value
          FROM events""",
+    "w7_moving_avg_range" ->
+      """WITH t AS (SELECT event_id, user_id, value,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+                    FROM events)
+         SELECT event_id, user_id,
+                round(avg(value) OVER (PARTITION BY user_id ORDER BY ts_s
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4)
+                  AS mov_avg
+         FROM t""",
     "w4_topk_aggregator" ->
       """WITH r AS (SELECT event_type, event_id,
                            row_number() OVER (PARTITION BY event_type

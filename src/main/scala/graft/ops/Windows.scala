@@ -61,4 +61,20 @@ object Windows {
       col("event_id"), col("user_id"),
       round(sum("value").over(w), 2).as("running_value"))
   }
+
+  /** Trailing-interval moving average: a RANGE frame over epoch seconds —
+    * value-based, so rows sharing a timestamp are peers and the frame is
+    * deterministic REGARDLESS of tie order (a ROWS frame would need a
+    * tie-break to be well-defined). The window partitions on user_id;
+    * epoch seconds come from a truncating cast, identical across engines.
+    */
+  def movingAvgTrailing(events: DataFrame, seconds: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_s"))
+      .rangeBetween(-seconds, 0)
+    events
+      .select(col("event_id"), col("user_id"), col("value"),
+              col("ts").cast("long").as("ts_s"))
+      .select(col("event_id"), col("user_id"),
+              round(avg("value").over(w), 4).as("mov_avg"))
+  }
 }
