@@ -637,6 +637,10 @@ object SparkEntry {
       StreamOps.streamStreamIntervalJoin(s, d, statePartitions = Some(8))),
     "t9_stream_sessions" -> ((s, d) =>
       StreamOps.streamingSessionCounts(s, d, statePartitions = Some(8))),
+    // streaming funnel: the batch funnel_stages semantics as a keyed
+    // monotone stage machine (O(1) state per user); same oracle SQL
+    "t11_stream_funnel" -> ((s, d) =>
+      StreamOps.streamingFunnel(s, d, statePartitions = Some(8))),
     "s8_write_then_emit" -> ((s, d) => StreamOps.writeThenEmit(s, d)),
 
     // ---- LLM pipeline: dedup family ----
@@ -1114,6 +1118,20 @@ object SparkEntry {
     // the oracle states the funnel as the correlated first-X-after-Y
     // CTE chain the Spark side decorrelates
     "funnel_stages" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+              c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                    JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+                    WHERE e.event_type = 'click' GROUP BY e.user_id),
+              p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                    JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+                    WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+         SELECT (SELECT count(*) FROM v) AS n_view,
+                (SELECT count(*) FROM c) AS n_click,
+                (SELECT count(*) FROM p) AS n_purchase""",
+    // the streaming funnel must land on the BATCH funnel's exact counts —
+    // same oracle, reached through the keyed state machine
+    "t11_stream_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
                     WHERE event_type = 'view' GROUP BY user_id),
               c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e

@@ -503,6 +503,56 @@ object StreamOps {
     spark.table(table)
         }
 
+  /** T11: the ordered funnel incrementalized as a keyed state machine —
+    * `mapGroupsWithState` holding ONE monotone stage counter per user
+    * (0 = nothing, k = reached `stages(k-1)`). Because events are
+    * processed in event-time order (same single-file-topic guarantee as
+    * [[streamingAsOfAttribution]]; watermark + reorder buffer upstream
+    * in production), "first stage-k event strictly after the stage-(k-1)
+    * event" degenerates to "advance on match" — O(1) state per key, no
+    * per-user timestamp history. The stage counter is MONOTONE, so the
+    * update-mode memory sink's row history aggregates with max() and the
+    * batch funnel's oracle grades the stream bit-for-bit. */
+  /** The t11 state transition, shared with the MemoryStream spec: fold a
+    * user's batch slice (sorted by event time) over the monotone stage
+    * counter. */
+  private[graft] def funnelStep(stages: Seq[String])(
+      user: Long, evs: Iterator[Ev],
+      state: org.apache.spark.sql.streaming.GroupState[Int]): (Long, Int) = {
+    val stageOf = stages.zipWithIndex.toMap
+    var stage = state.getOption.getOrElse(0)
+    evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      if (stage < stages.size && stageOf.get(e.event_type).contains(stage))
+        stage += 1
+    }
+    state.update(stage)
+    (user, stage)
+  }
+
+  def streamingFunnel(spark: SparkSession, dir: String,
+                      stages: Seq[String] = Seq("view", "click", "purchase"),
+                      statePartitions: Option[Int] = None): DataFrame =
+      withShufflePartitions(spark, statePartitions) {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val table = freshName("graft_funnel")
+    val progressed = eventStream(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Int, (Long, Int)](GroupStateTimeout.NoTimeout)(
+        funnelStep(stages))
+    val q = progressed.toDF("user_id", "stage")
+      .writeStream.format("memory").queryName(table)
+      .outputMode(OutputMode.Update).start()
+    try q.processAllAvailable() finally q.stop()
+    val last = spark.table(table)
+      .groupBy("user_id").agg(max("stage").as("stage"))
+    val counts = stages.zipWithIndex.map { case (st, i) =>
+      count(when(col("stage") >= i + 1, 1)).as(s"n_$st")
+    }
+    last.agg(counts.head, counts.tail: _*)
+  }
+
   /** S2+S5+S8: sink composition with write-then-emit ordering — the
     * reference produces the enriched vote to Kafka only AFTER the DB insert
     * succeeds (`/root/reference/voting.py:109-134`, rationale `:120-126`).

@@ -146,4 +146,31 @@ class WireSpec extends SparkSpec {
       assert(out.contains((1L, 2L)), s"user-1 session (2 events) should have closed: $out")
     } finally q.stop()
   }
+
+  test("streaming funnel: stage state advances across micro-batches, never regresses") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val staged = ms.toDS().groupByKey(_.user_id)
+      .mapGroupsWithState[Int, (Long, Int)](GroupStateTimeout.NoTimeout)(
+        StreamOps.funnelStep(Seq("view", "click", "purchase")))
+    val q = staged.toDF("user_id", "stage")
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: user 1 views; user 2 clicks (click BEFORE any view)
+      ms.addData(ev(1, "2024-01-01 10:00:00", 1, "view", 0.0),
+                 ev(2, "2024-01-01 10:00:00", 2, "click", 0.0))
+      q.processAllAvailable()
+      // batch 2: user 1 click+purchase completes via batch-1 state;
+      // user 2's view starts a funnel its earlier click must NOT satisfy
+      ms.addData(ev(3, "2024-01-01 10:05:00", 1, "click", 0.0),
+                 ev(4, "2024-01-01 10:10:00", 1, "purchase", 5.0),
+                 ev(5, "2024-01-01 10:05:00", 2, "view", 0.0))
+      q.processAllAvailable()
+      val last = spark.table("funnel_stream").as[(Long, Int)].collect()
+        .groupBy(_._1).map { case (u, rows) => (u, rows.map(_._2).max) }
+      assert(last(1L) == 3, s"user 1 completed the funnel cross-batch: $last")
+      assert(last(2L) == 1, s"user 2's pre-view click must not count: $last")
+    } finally q.stop()
+  }
 }
