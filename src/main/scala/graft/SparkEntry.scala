@@ -44,6 +44,10 @@ object SparkEntry {
       Aggregates.distinctUsers(Tables.events(s, d))),
     "a6_approx_distinct_users" -> ((s, d) =>
       Aggregates.approxDistinctUsers(Tables.events(s, d))),
+    // approximate heavy hitters: exact counts + freqItems verdict
+    // (differential sketch grading, same contract as a6/a7)
+    "a10_heavy_hitters" -> ((s, d) =>
+      Aggregates.heavyHittersApprox(Tables.events(s, d))),
     "q1_pricing_summary" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag", "l_linestatus")
@@ -835,6 +839,19 @@ object SparkEntry {
     // (loosened) error bound — a sketch regression flips the boolean.
     "a6_approx_distinct_users" ->
       "SELECT count(DISTINCT user_id) AS n_users, true AS approx_within_5pct FROM events",
+    // the sketch's candidate set is engine-internal; the differential
+    // contract is: exact heavy-hitter counts match, and freqItems found
+    // every one of them (its no-false-negative guarantee) — a sketch
+    // regression flips the boolean
+    "a10_heavy_hitters" ->
+      """WITH k AS (SELECT CASE WHEN user_id % 5 < 2 THEN 7
+                                WHEN user_id % 5 = 2 THEN 13
+                                ELSE user_id % 1000 END AS hot_key
+                    FROM events),
+              t AS (SELECT count(*) AS total FROM k),
+              c AS (SELECT hot_key, count(*) AS n FROM k GROUP BY hot_key)
+         SELECT hot_key, n, true AS found_by_sketch
+         FROM c, t WHERE n * 20 >= total ORDER BY hot_key""",
     "a7_percentiles" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
                 round(quantile_cont(value, 0.9), 4) AS p90

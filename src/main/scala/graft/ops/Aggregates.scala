@@ -95,4 +95,33 @@ object Aggregates {
   def emptyGuardCount(events: DataFrame): DataFrame =
     events.filter(col("event_type") === lit("__nonexistent__"))
       .agg(count(lit(1)).as("n_matching"))
+
+  /** Approximate heavy hitters, graded differentially like the A6/A7
+    * sketches: exact counts of every key with share ≥ 1/`denom` (integer
+    * arithmetic `n * denom >= total` — no float threshold to diverge at a
+    * boundary), plus a verdict that `freqItems` (one pass, bounded
+    * per-partition maps — the 100 TB path; the exact side costs a full
+    * groupBy) surfaced each of them. The Karp–Papadimitriou–Shenker
+    * sketch guarantees NO FALSE NEGATIVES at its support level regardless
+    * of partitioning/order, so the boolean is replay-stable; its false
+    * POSITIVES vary and are deliberately not graded. The fixture keyspace
+    * is uniform, so the hot keys are injected deterministically (7 at
+    * ~40%, 13 at ~20%) — the established inject-then-detect pattern. */
+  def heavyHittersApprox(events: DataFrame, denom: Int = 20): DataFrame = {
+    val keyed = events.select(
+      when(col("user_id") % 5 < 2, lit(7L))
+        .when(col("user_id") % 5 === 2, lit(13L))
+        .otherwise(col("user_id") % 1000).as("hot_key"))
+    val totals = keyed.agg(count(lit(1)).as("total"))
+    val sketch = keyed.stat.freqItems(Seq("hot_key"), 1.0 / denom)
+      .select(col("hot_key_freqItems").as("sketch_keys"))
+    keyed.groupBy("hot_key").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(totals))
+      .filter(col("n") * denom >= col("total"))
+      .crossJoin(broadcast(sketch))
+      .select(col("hot_key"), col("n"),
+              array_contains(col("sketch_keys"), col("hot_key"))
+                .as("found_by_sketch"))
+      .orderBy("hot_key")
+  }
 }

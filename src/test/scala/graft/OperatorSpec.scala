@@ -157,4 +157,20 @@ class OperatorSpec extends SparkSpec {
       .as[(Long, Double)].collect().take(5)
     assert(topk.toSeq === full.toSeq)
   }
+
+  test("A10 heavy hitters: injected hot keys found; verdict partition-stable") {
+    val out = Aggregates.heavyHittersApprox(Tables.events(spark, sfDir))
+      .as[(Long, Long, Boolean)].collect()
+    // at tiny SFs the residual ~150-key space legitimately crosses 5%
+    // too; the injected pair must always be there, 7 with the top count
+    assert(Set(7L, 13L).subsetOf(out.map(_._1).toSet),
+      s"the injected hot keys must qualify: ${out.toSeq}")
+    assert(out.maxBy(_._2)._1 == 7L, s"key 7 carries ~40%: ${out.toSeq}")
+    assert(out.forall(_._3), s"freqItems must surface every true HH: ${out.toSeq}")
+    // the no-false-negative guarantee must hold regardless of layout
+    val repartitioned = Aggregates.heavyHittersApprox(
+      Tables.events(spark, sfDir).repartition(13)).as[(Long, Long, Boolean)]
+      .collect()
+    assert(repartitioned.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
 }
