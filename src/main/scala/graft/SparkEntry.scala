@@ -420,6 +420,22 @@ object SparkEntry {
       wide.select(col("user_id") +: types.map(t =>
         coalesce(col(t), lit(0L)).as(t)): _*)
     }),
+    // UNPIVOT: the inverse melt — wide per-type counts back to long
+    // (metric, n) rows. Round-trips through the SAME pivot, so the pair
+    // proves pivot∘unpivot is lossless; zero cells are kept (ids must
+    // survive the melt) and the unpivot itself is a pure Expand — no
+    // shuffle beyond the pivot's own aggregate.
+    "a9_unpivot_tally" -> ((s, d) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val wide = Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      wide.select(col("user_id") +: types.map(t =>
+          coalesce(col(t), lit(0L)).as(t)): _*)
+        .unpivot(Array(col("user_id")), types.map(col).toArray, "metric", "n")
+        .orderBy("user_id", "metric")
+    }),
     "w5_lag_lead" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("ts", "event_id")
@@ -872,6 +888,20 @@ object SparkEntry {
                 count(*) FILTER (WHERE event_type = 'signup') AS signup,
                 count(*) FILTER (WHERE event_type = 'error') AS error
          FROM events GROUP BY user_id""",
+    "a9_unpivot_tally" ->
+      """WITH wide AS (
+           SELECT user_id,
+                  count(*) FILTER (WHERE event_type = 'click') AS click,
+                  count(*) FILTER (WHERE event_type = 'view') AS view,
+                  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                  count(*) FILTER (WHERE event_type = 'error') AS error
+           FROM events GROUP BY user_id)
+         SELECT user_id, metric, n
+         FROM wide
+         UNPIVOT INCLUDE NULLS (n FOR metric IN (click, view, purchase,
+                                                 signup, error))
+         ORDER BY user_id, metric""",
     "w5_lag_lead" ->
       """SELECT event_id, user_id,
                 lag(event_id) OVER w AS prev_event_id,

@@ -173,4 +173,18 @@ class OperatorSpec extends SparkSpec {
       .collect()
     assert(repartitioned.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
+
+  test("A9 unpivot: the melt recovers every (user, type) count incl. zeros") {
+    val melted = SparkEntry.queries("a9_unpivot_tally")(spark, sfDir)
+      .filter(col("n") > 0)
+      .as[(Long, String, Long)].collect().toSet
+    val long = Tables.events(spark, sfDir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(melted == long, "pivot∘unpivot must be lossless on the nonzeros")
+    val users = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(SparkEntry.queries("a9_unpivot_tally")(spark, sfDir).count()
+      == users * 5, "every user emits all 5 metric rows, zeros included")
+  }
 }
