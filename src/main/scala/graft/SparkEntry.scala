@@ -470,6 +470,37 @@ object SparkEntry {
         .intersect(ids("view"))
         .except(ids("error"))
     }),
+    // BAG-semantics set ops: INTERSECT ALL / EXCEPT ALL keep
+    // multiplicities (min / truncated difference of per-key counts) —
+    // a different operator from the distinct forms above, planned as a
+    // count-compare, not a dedup. Result: each user's click-ids
+    // multiset ∩ view-count, minus their error-count — aggregated back
+    // to counts so the oracle is order-free.
+    "setop_bag_combo" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      def ids(t: String) = e.filter(col("event_type") === t).select("user_id")
+      ids("click").intersectAll(ids("view"))
+        .exceptAll(ids("error"))
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .orderBy("user_id")
+    }),
+    // FULL OUTER join: users totalled on either side survive with the
+    // other side null→0 — at scale both derived aggregates shuffle once
+    // on user_id and the outer join reuses that partitioning (the only
+    // join type where neither side can be the broadcast build side)
+    "j6_full_outer_totals" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("cu")).agg(count(lit(1)).as("n_clicks"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("pu"))
+        .agg(round(sum("value"), 2).as("purchase_value"))
+      clicks.join(purchases, col("cu") === col("pu"), "full_outer")
+        .select(coalesce(col("cu"), col("pu")).as("user_id"),
+                coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+                coalesce(col("purchase_value"), lit(0.0)).as("purchase_value"))
+        .orderBy("user_id")
+    }),
     "sessionize_users" -> ((s, d) =>
       graft.ops.Sessionize.sessionsPerUser(s, Tables.events(s, d))),
     "sessionize_users_bigkey" -> ((s, d) =>
@@ -935,6 +966,26 @@ object SparkEntry {
          SELECT user_id FROM events WHERE event_type = 'view'
          EXCEPT
          SELECT user_id FROM events WHERE event_type = 'error'""",
+    "setop_bag_combo" ->
+      """WITH m AS (SELECT user_id FROM events WHERE event_type = 'click'
+                    INTERSECT ALL
+                    SELECT user_id FROM events WHERE event_type = 'view'),
+              d AS (SELECT user_id FROM m
+                    EXCEPT ALL
+                    SELECT user_id FROM events WHERE event_type = 'error')
+         SELECT user_id, count(*) AS n FROM d
+         GROUP BY user_id ORDER BY user_id""",
+    "j6_full_outer_totals" ->
+      """WITH c AS (SELECT user_id, count(*) AS n_clicks FROM events
+                    WHERE event_type = 'click' GROUP BY user_id),
+              p AS (SELECT user_id, round(sum(value), 2) AS purchase_value
+                    FROM events
+                    WHERE event_type = 'purchase' GROUP BY user_id)
+         SELECT coalesce(c.user_id, p.user_id) AS user_id,
+                coalesce(n_clicks, 0) AS n_clicks,
+                coalesce(purchase_value, 0.0) AS purchase_value
+         FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+         ORDER BY 1""",
     "sessionize_users" ->
       """WITH o AS (SELECT user_id, ts,
                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts

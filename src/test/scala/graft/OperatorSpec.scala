@@ -187,4 +187,28 @@ class OperatorSpec extends SparkSpec {
     assert(SparkEntry.queries("a9_unpivot_tally")(spark, sfDir).count()
       == users * 5, "every user emits all 5 metric rows, zeros included")
   }
+
+  test("bag set ops: INTERSECT ALL keeps min multiplicity, EXCEPT ALL subtracts") {
+    val a = Seq(1L, 1L, 1L, 2L).toDF("user_id") // 1×3, 2×1
+    val b = Seq(1L, 1L, 3L).toDF("user_id")     // 1×2, 3×1
+    val c = Seq(1L).toDF("user_id")             // 1×1
+    val out = a.intersectAll(b).exceptAll(c)
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    // min(3,2)=2 ones, minus 1 → one 1; user 2 and 3 never intersect
+    assert(out == Map(1L -> 1L), s"bag algebra: $out")
+  }
+
+  test("full outer totals: both null-extension directions are real") {
+    val df = SparkEntry.queries("j6_full_outer_totals")(spark, sfDir).cache()
+    try {
+      assert(df.filter(col("n_clicks") === 0).count() > 0,
+        "purchasers who never clicked must survive")
+      assert(df.filter(col("purchase_value") === 0.0).count() > 0,
+        "clickers who never purchased must survive")
+      val either = Tables.events(spark, sfDir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select("user_id").distinct().count()
+      assert(df.count() == either, "exactly the union of both key sets")
+    } finally df.unpersist()
+  }
 }
