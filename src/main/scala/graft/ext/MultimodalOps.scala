@@ -67,11 +67,19 @@ object MultimodalOps {
 
   /** Frame sampling stub for "video" payloads: every `stride`-th byte of
     * the first `nFrames` strides — the access pattern of keyframe sampling,
-    * as pure column ops (no UDF). */
+    * as pure column ops (no UDF). The payload cast and length are hoisted
+    * to a projection BEFORE the `transform` — a lambda body is re-evaluated
+    * per element, so an un-hoisted `cast(media_bytes as string)` would pay
+    * the full-payload copy nFrames times per row. */
   def frameSample(docs: DataFrame, nFrames: Int, stride: Int): DataFrame =
-    asMedia(docs).select(
-      col("doc_id"),
-      expr(s"transform(sequence(0, ${nFrames - 1}), i -> " +
-        s"if(i * $stride < length(media_bytes), ascii(substring(cast(media_bytes as string), i * $stride + 1, 1)), -1))")
-        .as("frame_bytes"))
+    asMedia(docs)
+      .select(
+        col("doc_id"),
+        col("media_bytes").cast("string").as("media_str"),
+        length(col("media_bytes")).as("n_bytes"))
+      .select(
+        col("doc_id"),
+        expr(s"transform(sequence(0, ${nFrames - 1}), i -> " +
+          s"if(i * $stride < n_bytes, ascii(substring(media_str, i * $stride + 1, 1)), -1))")
+          .as("frame_bytes"))
 }

@@ -27,32 +27,40 @@ object PackOps {
     * reaches `frac` of the corpus. The "fill the training budget with the
     * best data first" step of corpus assembly.
     *
+    * The priority key is the EXACT integer-scaled ttr
+    * `(distinct_words * 10000) div words` — basis-point precision with no
+    * floating-point round anywhere, so the ordering (and therefore every
+    * cumulative token count) is bit-identical across engines. A double
+    * `round(ttr, 4)` here is a correctness trap: Spark rounds doubles
+    * HALF_UP via BigDecimal while other engines round the IEEE value, and
+    * one ulp at a .5 boundary reorders documents and shifts the whole
+    * prefix sum after that point.
+    *
     * A naive global cumulative sum is a single-partition window — the
     * classic scale killer. Here the prefix sum is TWO-LEVEL: documents are
-    * bucketed by a monotone coarsening of the priority (floor(ttr·B)), the
-    * per-bucket token totals (B rows) produce broadcast prefix OFFSETS, and
-    * the exact cumulative position is offset + a within-bucket window —
-    * each bucket sorts independently, parallelism B. IEEE multiply and
-    * floor are weakly monotone, so bucket order can never contradict ttr
-    * order and the two-level sum equals the global one exactly (integer
-    * token counts — no float drift in the running total).
+    * bucketed by a monotone coarsening of the priority
+    * ((ttr_i·B) div 10000 — pure integer arithmetic, trivially monotone),
+    * the per-bucket token totals (B rows) produce broadcast prefix
+    * OFFSETS, and the exact cumulative position is offset + a
+    * within-bucket window — each bucket sorts independently, parallelism
+    * B, and the two-level sum equals the global one exactly.
     */
   def tokenBudgetSelect(docs: DataFrame, frac: Double,
                         buckets: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = docs.withColumn("words", split(col("text"), " "))
       .select(col("doc_id"),
-        expr("round(size(array_distinct(words)) / cast(size(words) as double), 4)")
-          .as("ttr"),
+        expr("(size(array_distinct(words)) * 10000L) div size(words)")
+          .as("ttr_i"),
         size(col("words")).cast("long").as("n_tok"))
     val budget = t.agg(floor(sum("n_tok") * frac).cast("long").as("budget"))
-    val bucketed = t.withColumn("bucket", floor(col("ttr") * buckets).cast("long"))
+    val bucketed = t.withColumn("bucket", expr(s"(ttr_i * $buckets) div 10000"))
     val offsets = bucketed.groupBy("bucket").agg(sum("n_tok").as("btok"))
       .withColumn("off", coalesce(
         sum("btok").over(Window.orderBy(desc("bucket"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("bucket", "off")
-    val w = Window.partitionBy("bucket").orderBy(desc("ttr"), asc("doc_id"))
+    val w = Window.partitionBy("bucket").orderBy(desc("ttr_i"), asc("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bucketed.join(broadcast(offsets), "bucket")
       .withColumn("cum_tokens", col("off") + sum("n_tok").over(w))

@@ -83,6 +83,30 @@ object SimilarityOps {
       .agg(topk(col("cosine"), col("vec_id")).as("top_ids"))
   }
 
+  /** Element-wise mean centroid per cell with BOUNDED aggregation state.
+    * Each component is scaled to a fixed-point long (2^24 — float32's full
+    * significand width, so the scaled values stay exact integers for any
+    * |x| < 128) and summed per (cell, dim): integer addition is exact and
+    * order-INsensitive, so the centroid is hash-deterministic under any
+    * shuffle fetch order with no ordered fold needed. The d-element vector
+    * is reassembled with a d-bounded collect (64 structs — constant).
+    *
+    * Contrast the collect_list(struct(vec_id, v))-then-sorted-fold form
+    * this replaces: its per-group buffer was O(|cell|·d), so one hot cell
+    * OOMs the aggregation buffer at 100 TB. Here every buffer is O(1) per
+    * (cell, dim) and O(d) per cell. Long headroom: |Σ xq| < 2^63 holds for
+    * cells up to ~5·10^12 members at |x| ≤ 64. */
+  private def centroidsOf(assigned: DataFrame, cellCol: String): DataFrame =
+    assigned
+      .select(col(cellCol).as("cell"),
+        posexplode(expr("transform(v, x -> cast(round(x * 16777216.0) as bigint))"))
+          .as(Seq("j", "xq")))
+      .groupBy("cell", "j")
+      .agg(sum("xq").as("sq"), count(lit(1)).as("n"))
+      .groupBy("cell")
+      .agg(expr("transform(array_sort(collect_list(struct(j, sq, n))), s -> (cast(s.sq as double) / 16777216.0) / s.n)")
+        .as("cv"))
+
   /** IVF-style search: compute real centroids per coarse cell (here the
     * `label` column plays the k-means assignment), pick the `nprobe`
     * nearest cells to the query, and scan only those cells. At 100 TB the
@@ -93,17 +117,8 @@ object SimilarityOps {
       vecD("embedding").as("v"))
     val q = base.filter(col("vec_id") === queryId).select(col("v").as("qv"))
 
-    // centroid per cell: element-wise mean via 64-slot sum + count. The
-    // fold runs over the vec_id-SORTED member list so the float summation
-    // order is a function of the data, not of shuffle fetch order — the
-    // oracle replays the identical order (list(x ORDER BY vec_id)), so
-    // the hash gate cannot flake on a last-ulp near a rounding boundary.
-    val cents = base.groupBy("label")
-      .agg(count(lit(1)).as("n"),
-        expr("aggregate(array_sort(collect_list(struct(vec_id, v))), array_repeat(0D, 64), (acc, x) -> zip_with(acc, x.v, (a, b) -> a + b))")
-          .as("sumv"))
-      .select(col("label"),
-        expr("transform(sumv, s -> s / cast(n as double))").as("cv"))
+    val cents = centroidsOf(base, "label")
+      .select(col("cell").as("label"), col("cv"))
 
     val probed = cents.crossJoin(broadcast(q))
       .select(col("label"),
@@ -121,6 +136,45 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** [[ivfTopK]] executed against the partition-pruned layout the IVF
+    * docstring promises: the corpus is written Hive-partitioned by cell id
+    * ([[graft.ops.Storage.partitionedRoundTrip]] — one directory per
+    * cell), the probe picks the `nprobe` nearest cells (bounded driver
+    * collect — nprobe ids, same k-bounded discipline as the Lloyd
+    * centroids), and the scan reads ONLY those cell directories: the
+    * filter resolves against the partition LISTING (`PartitionFilters` in
+    * the scan node, asserted by spec), zero bytes from unprobed cells.
+    * At 100 TB this is the difference between scanning nprobe/k of the
+    * corpus and scanning all of it. Semantically identical to
+    * [[ivfTopK]]; same oracle. */
+  def ivfTopKPruned(embeddings: DataFrame, queryId: Long, k: Int,
+                    nprobe: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    val base = embeddings.select(col("vec_id"), col("label"),
+      vecD("embedding").as("v"))
+    val q = base.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val cents = centroidsOf(base, "label")
+      .select(col("cell").as("label"), col("cv"))
+    val probed = cents.crossJoin(broadcast(q))
+      .select(col("label"),
+        (dot("cv", "qv") / (norm("cv") * norm("qv"))).as("ccos"))
+      .orderBy(desc("ccos"), asc("label"))
+      .limit(nprobe)
+      .select("label")
+      .collect().map(_.getInt(0))
+
+    val dir = graft.ops.Storage.partitionedRoundTrip(embeddings, "label")
+    spark.read.parquet(dir)
+      .filter(col("label").isin(probed.map(Integer.valueOf): _*))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), vecD("embedding").as("v"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot("v", "qv") / (norm("v") * norm("qv")), 6).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Lloyd-iteration refinement of the IVF coarse quantizer: start from the
     * label-cell means and run `iters` assign/recompute rounds (cosine
     * assignment). Deterministic — initialization is data-derived, no RNG.
@@ -128,24 +182,14 @@ object SimilarityOps {
     * Scale shape: the k centroids (k·d doubles — bounded, independent of N)
     * are collected to the driver each round and re-broadcast as a literal
     * array, so the ASSIGNMENT is a pure map-side argmax projection — zero
-    * shuffle, no N×k intermediate. The only shuffle per iteration is the
-    * centroid RECOMPUTE groupBy, whose map-side partial aggregation ships
-    * k×d partial sums per task. (The previous form crossJoined N×k rows
-    * through a row_number window — a full sort-shuffle of N×k rows per
-    * iteration.) Returns (vec_id, cell). */
+    * shuffle, no N×k intermediate. The only shuffles per iteration are the
+    * centroid RECOMPUTE groupBys ([[centroidsOf]]), whose map-side partial
+    * aggregation ships k·d bounded partial sums per task. (The previous
+    * form crossJoined N×k rows through a row_number window — a full
+    * sort-shuffle of N×k rows per iteration.) Returns (vec_id, cell). */
   def kmeansCells(embeddings: DataFrame, iters: Int): DataFrame = {
     val base = embeddings.select(col("vec_id"), col("label"),
       vecD("embedding").as("v"))
-
-    // vec_id-sorted fold: summation order is data-determined, never
-    // fetch-order-determined — see ivfTopK's centroid comment.
-    def centroidsOf(assigned: DataFrame): DataFrame =
-      assigned.groupBy(col("cell"))
-        .agg(count(lit(1)).as("n"),
-          expr("aggregate(array_sort(collect_list(struct(vec_id, v))), array_repeat(0D, 64), (acc, x) -> zip_with(acc, x.v, (a, b) -> a + b))")
-            .as("sumv"))
-        .select(col("cell"),
-          expr("transform(sumv, s -> s / cast(n as double))").as("cv"))
 
     /** Assignment as a map-side projection: argmax cosine over the literal
       * centroid array. Centroids are pre-sorted by cell id and compared
@@ -175,7 +219,7 @@ object SimilarityOps {
     var assigned = base.withColumn("cell", col("label").cast("long"))
       .select(col("vec_id"), col("v"), col("cell"))
     (1 to iters).foreach { _ =>
-      val cents = centroidsOf(assigned).collect()
+      val cents = centroidsOf(assigned, "cell").collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       assigned = assign(cents)
     }

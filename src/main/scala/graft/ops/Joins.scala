@@ -33,6 +33,23 @@ object Joins {
       element_at(arr, (pmod(col(key), lit(choices.size)) + 1).cast("int")))
   }
 
+  /** J6: FULL OUTER totals — users totalled on either side survive with
+    * the other side null→0. At scale both derived aggregates shuffle once
+    * on user_id and the outer join reuses that partitioning (the only join
+    * type where neither side can be the broadcast build side). */
+  def fullOuterTotals(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("cu")).agg(count(lit(1)).as("n_clicks"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("pu"))
+      .agg(round(sum("value"), 2).as("purchase_value"))
+    clicks.join(purchases, col("cu") === col("pu"), "full_outer")
+      .select(coalesce(col("cu"), col("pu")).as("user_id"),
+              coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+              coalesce(col("purchase_value"), lit(0.0)).as("purchase_value"))
+      .orderBy("user_id")
+  }
+
   /** J3: post-aggregation result join back to dim metadata for display
     * (`.../Note_Projet1_...txt:36-37`): aggregate the fact first (shrinks
     * it to key-cardinality), then broadcast-join the dim — never join before

@@ -56,12 +56,18 @@ object Storage {
     * one event type and scanning the firehose; the date/type/tenant
     * column every big fact table partitions by. The pruning is asserted
     * by a plan spec; the query result is oracle-graded. */
-  private val partDirs =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
+  private val partDirs = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, Int, String), String]()
   def partitionedRoundTrip(df: DataFrame, partCol: String): String =
-    // one layout per (session, column): repeated bench/verify executions
-    // reuse the written copy instead of leaking a fresh one per run
-    partDirs.compute((System.identityHashCode(df.sparkSession), partCol),
+    // one layout per (session, dataset, column): repeated bench/verify
+    // executions reuse the written copy instead of leaking a fresh one per
+    // run. The key includes the ANALYZED PLAN's semanticHash — content
+    // identity — so a second caller with different data but the same
+    // partition column gets its own directory, never a stale one; holding
+    // the session object itself (not identityHashCode) rules out
+    // hash collisions across GC'd sessions.
+    partDirs.compute(
+      (df.sparkSession, df.queryExecution.analyzed.semanticHash(), partCol),
       { (_, cur) =>
         if (cur != null && new java.io.File(cur).exists()) cur
         else {

@@ -513,19 +513,33 @@ object StreamOps {
     * per-user timestamp history. The stage counter is MONOTONE, so the
     * update-mode memory sink's row history aggregates with max() and the
     * batch funnel's oracle grades the stream bit-for-bit. */
+  /** Full-precision event time in unix MICROS — `ts.getTime` alone is
+    * millisecond-truncated, and the batch funnel/oracle compare full
+    * timestamps, so two same-user events within 1 ms must still order
+    * (and compare strictly) the same way here. */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+
   /** The t11 state transition, shared with the MemoryStream spec: fold a
-    * user's batch slice (sorted by event time) over the monotone stage
-    * counter. */
+    * user's batch slice (sorted by full-precision event time) over the
+    * monotone (stage, last-advanced-ts) state. The advance condition is
+    * STRICTLY greater than the timestamp that completed the previous
+    * stage — the batch funnel's `ts > prev.t` semantics
+    * ([[graft.ops.EventAnalytics.funnel]]); advancing on an equal
+    * timestamp would grade the stream differently from the oracle. */
   private[graft] def funnelStep(stages: Seq[String])(
       user: Long, evs: Iterator[Ev],
-      state: org.apache.spark.sql.streaming.GroupState[Int]): (Long, Int) = {
+      state: org.apache.spark.sql.streaming.GroupState[(Int, Long)]): (Long, Int) = {
     val stageOf = stages.zipWithIndex.toMap
-    var stage = state.getOption.getOrElse(0)
-    evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-      if (stage < stages.size && stageOf.get(e.event_type).contains(stage))
-        stage += 1
+    var (stage, lastTs) = state.getOption.getOrElse((0, Long.MinValue))
+    evs.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+      val m = tsMicros(e.ts)
+      if (stage < stages.size && stageOf.get(e.event_type).contains(stage)
+          && m > lastTs) {
+        stage += 1; lastTs = m
+      }
     }
-    state.update(stage)
+    state.update((stage, lastTs))
     (user, stage)
   }
 
@@ -539,7 +553,7 @@ object StreamOps {
     val progressed = eventStream(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
       .groupByKey(_.user_id)
-      .mapGroupsWithState[Int, (Long, Int)](GroupStateTimeout.NoTimeout)(
+      .mapGroupsWithState[(Int, Long), (Long, Int)](GroupStateTimeout.NoTimeout)(
         funnelStep(stages))
     val q = progressed.toDF("user_id", "stage")
       .writeStream.format("memory").queryName(table)

@@ -49,12 +49,12 @@ class CorpusAssemblySpec extends SparkSpec {
     val docs = Tables.documents(spark, sfDir)
     val t = docs.withColumn("words", split(col("text"), " "))
       .select(col("doc_id"),
-        expr("round(size(array_distinct(words)) / cast(size(words) as double), 4)")
-          .as("ttr"),
+        expr("(size(array_distinct(words)) * 10000L) div size(words)")
+          .as("ttr_i"),
         size(col("words")).cast("long").as("n_tok"))
     val budget = t.agg(floor(sum("n_tok") * 0.5).cast("long")).as[Long].head()
     val naive = t.withColumn("cum_tokens",
-        sum("n_tok").over(Window.orderBy(desc("ttr"), asc("doc_id"))
+        sum("n_tok").over(Window.orderBy(desc("ttr_i"), asc("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("cum_tokens") <= budget)
       .select("doc_id", "n_tok", "cum_tokens")

@@ -13,8 +13,10 @@ class KMeansSpec extends SparkSpec {
   private lazy val emb = Tables.embeddings(spark, sfDir)
 
   /** Driver-side reference: identical init (label cells) and identical
-    * update rule (mean centroid, unit-normalize, dot-product argmax with
-    * strict > in ascending cell order). */
+    * update rule (fixed-point 2^24 long-summed mean centroid — the
+    * engine's order-insensitive form, HALF_UP ties like Spark's round —
+    * unit-normalize, dot-product argmax with strict > in ascending cell
+    * order). */
   private def referenceAssign(iters: Int): Map[Long, Long] = {
     val rows = emb.select($"vec_id", $"label".cast("long"), $"embedding")
       .as[(Long, Long, Seq[Float])].collect()
@@ -24,9 +26,11 @@ class KMeansSpec extends SparkSpec {
     val dim = rows.head._3.length
     (1 to iters).foreach { _ =>
       val cents = rows.groupBy(r => cells(r._1)).map { case (cell, rs) =>
-        val sum = new Array[Double](dim)
-        rs.foreach(r => (0 until dim).foreach(i => sum(i) += r._3(i)))
-        val mean = sum.map(_ / rs.length)
+        val sum = new Array[Long](dim)
+        rs.foreach(r => (0 until dim).foreach(i => sum(i) +=
+          BigDecimal(r._3(i) * 16777216.0)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+        val mean = sum.map(s => (s.toDouble / 16777216.0) / rs.length)
         val n = math.sqrt(mean.map(x => x * x).sum)
         cell -> mean.map(_ / n)
       }.toSeq.sortBy(_._1)

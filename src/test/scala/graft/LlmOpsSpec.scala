@@ -121,6 +121,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(scanned === expected)
   }
 
+  test("ivfTopKPruned: result equals ivfTopK and the scan is partition-pruned") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val pruned = SimilarityOps.ivfTopKPruned(emb, 0L, 10, nprobe = 3)
+    // same probe, same scoring, different storage layout → identical rows
+    val viaBase = SimilarityOps.ivfTopK(emb, 0L, 10, nprobe = 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(pruned.as[(Long, Double)].collect().toSeq === viaBase)
+    // the cell filter must resolve against the partition LISTING — a
+    // non-empty PartitionFilters on the scan, nothing pushed as data
+    // filters for label
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*label".r.findFirstIn(plan).isDefined,
+      s"cell filter must prune at the directory level:\n$plan")
+  }
+
   test("LSH buckets put identical vectors in the same bucket") {
     val emb = Tables.embeddings(spark, sfDir)
     val buckets = SimilarityOps.lshBuckets(emb, 8)

@@ -199,13 +199,28 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("full outer totals: both null-extension directions are real") {
-    val df = SparkEntry.queries("j6_full_outer_totals")(spark, sfDir).cache()
+    // inject-then-detect (the a10/PII pattern): the fixture alone can be
+    // vacuous — at some SFs every purchaser also clicked — so add one
+    // deterministic purchase-only user and one click-only user
+    val base = Tables.events(spark, sfDir)
+    val injected = Seq(
+      (9000001L, 999001L, "purchase", 42.5),
+      (9000002L, 999002L, "click", 0.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .withColumn("props", lit(null).cast("string"))
+    val events = base.unionByName(injected.select(base.columns.map(col): _*))
+    val df = graft.ops.Joins.fullOuterTotals(events).cache()
     try {
-      assert(df.filter(col("n_clicks") === 0).count() > 0,
-        "purchasers who never clicked must survive")
-      assert(df.filter(col("purchase_value") === 0.0).count() > 0,
-        "clickers who never purchased must survive")
-      val either = Tables.events(spark, sfDir)
+      val pOnly = df.filter(col("user_id") === 999001L)
+        .as[(Long, Long, Double)].head()
+      assert(pOnly == ((999001L, 0L, 42.5)),
+        "a purchaser who never clicked survives with n_clicks=0")
+      val cOnly = df.filter(col("user_id") === 999002L)
+        .as[(Long, Long, Double)].head()
+      assert(cOnly == ((999002L, 1L, 0.0)),
+        "a clicker who never purchased survives with purchase_value=0")
+      val either = events
         .filter(col("event_type").isin("click", "purchase"))
         .select("user_id").distinct().count()
       assert(df.count() == either, "exactly the union of both key sets")

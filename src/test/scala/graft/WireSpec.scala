@@ -151,7 +151,7 @@ class WireSpec extends SparkSpec {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Ev]
     val staged = ms.toDS().groupByKey(_.user_id)
-      .mapGroupsWithState[Int, (Long, Int)](GroupStateTimeout.NoTimeout)(
+      .mapGroupsWithState[(Int, Long), (Long, Int)](GroupStateTimeout.NoTimeout)(
         StreamOps.funnelStep(Seq("view", "click", "purchase")))
     val q = staged.toDF("user_id", "stage")
       .writeStream.format("memory").queryName("funnel_stream")
