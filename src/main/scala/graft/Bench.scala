@@ -39,6 +39,13 @@ object Bench {
       graft.ext.DedupOps.ngramJaccardTopPairs(docs30, 3, 5).count()
       graft.ext.TextOps.quality(docs30).count()
       graft.ext.TextOps.langId(docs30).count()
+      // The vote wire decode chain (generator → to_json → from_json over
+      // the 21-field VoteSchema → flatten) compiles a multi-second codegen
+      // family; whichever vote_e2e_* query the Map ordered first was
+      // paying it (r4: 0.62 s vs r5: 4.44 s for the SAME query). A tiny
+      // run here pins that one-time cost outside the timed region.
+      graft.pipeline.VotePipeline.partyTally(spark, 64).count()
+      graft.pipeline.VotePipeline.turnoutByState(spark, 64).count()
     } catch { case _: Throwable => () }
     // Optional comma-separated name-prefix filter for local profiling runs
     // (unset in the driver's invocation → full surface, contract unchanged).
