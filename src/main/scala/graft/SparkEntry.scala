@@ -177,6 +177,109 @@ object SparkEntry {
         .agg(round(sum("volume"), 2).as("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
+    // TPC-H q8 shape: national market share — a conditional-sum ratio
+    // over a 6-table star. Every dimension edge (part-type filter,
+    // customer→nation→region chain, supplier→nation) broadcasts; the
+    // lineitem fact streams through unshuffled into the single final
+    // 2-row aggregate. At 100 TB the date-filtered orders leg is the one
+    // edge that outgrows the broadcast threshold and becomes the plan's
+    // wide exchange on orderkey (same note as q5/q7).
+    "q8_market_share" -> ((s, d) => {
+      val nat = Tables.nation(s, d)
+      val partEco = Tables.part(s, d)
+        .filter(col("p_type") === "ECONOMY").select("p_partkey")
+      val custAsia = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        .join(broadcast(nat.select("n_nationkey", "n_regionkey")),
+              col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)
+                .filter(col("r_name") === "ASIA").select("r_regionkey")),
+              col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(broadcast(custAsia), col("o_custkey") === col("c_custkey"))
+      val supN = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+        .join(broadcast(nat.select(col("n_nationkey").as("sn_key"),
+                col("n_name").as("supp_nation"))),
+              col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount")
+        .join(broadcast(partEco), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .select(year(col("o_orderdate")).as("o_year"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"),
+          col("supp_nation"))
+        .groupBy("o_year")
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_2", col("volume"))
+            .otherwise(0.0)) / sum("volume"), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+    // TPC-H q10 shape: returned-item revenue per customer — aggregate the
+    // fact FIRST (J3 discipline: the returnflag+quarter filters shrink
+    // lineitem to the quarter's customers before any dim join), THEN
+    // broadcast-enrich with customer/nation. TakeOrdered caps at 20.
+    "q10_returned_items" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-10-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .join(broadcast(Tables.customer(s, d)
+                .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+              col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+              col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    }),
+    // TPC-H q14 shape: promotion revenue share — one broadcast dim edge
+    // (part type), one conditional-sum ratio, zero exchanges beyond the
+    // final 1-row fold. The month filter pushes to the lineitem scan.
+    "q14_promo_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+              col("l_partkey") === col("p_partkey"))
+        .select((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("volume"), col("p_type"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", col("volume")).otherwise(0.0))
+          / sum("volume"), 2).as("promo_revenue"))),
+    // TPC-H q15 shape: top supplier — the revenue "view" computed once,
+    // its 1-row max broadcast back as the filter (the correlated
+    // scalar-subquery decorrelation), winner(s) enriched from the
+    // supplier dim. Revenue is rounded BEFORE the max/equality compare on
+    // both engine and oracle sides, so the tie semantics are exact.
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      rev.join(broadcast(rev.agg(max("total_revenue").as("mx"))),
+               col("total_revenue") === col("mx"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+              col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    }),
     // TPC-H q4 shape: EXISTS as a LEFT SEMI join with a non-equi residual
     // (l_shipdate > o_orderdate rides the l_orderkey equi key). The date
     // window prunes the probe side at the scan; at 100 TB both sides
@@ -1103,6 +1206,65 @@ object SparkEntry {
                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) t
          GROUP BY supp_nation, cust_nation, l_year
          ORDER BY supp_nation, cust_nation, l_year""",
+    "q8_market_share" ->
+      """WITH v AS (SELECT year(o.o_orderdate) AS o_year,
+                           l.l_extendedprice * (1 - l.l_discount) AS volume,
+                           sn.n_name AS supp_nation
+                    FROM lineitem l
+                    JOIN part p ON l.l_partkey = p.p_partkey
+                     AND p.p_type = 'ECONOMY'
+                    JOIN orders o ON l.l_orderkey = o.o_orderkey
+                    JOIN customer c ON o.o_custkey = c.c_custkey
+                    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+                    JOIN region r ON cn.n_regionkey = r.r_regionkey
+                     AND r.r_name = 'ASIA'
+                    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+                    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+                      AND o.o_orderdate < TIMESTAMP '1997-01-01')
+         SELECT o_year,
+                round(sum(CASE WHEN supp_nation = 'NATION_2'
+                               THEN volume ELSE 0 END) / sum(volume), 6)
+                  AS mkt_share
+         FROM v GROUP BY o_year ORDER BY o_year""",
+    "q10_returned_items" ->
+      """WITH rev AS (SELECT o.o_custkey,
+                             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                               AS revenue
+                      FROM lineitem l
+                      JOIN orders o ON l.l_orderkey = o.o_orderkey
+                      WHERE l.l_returnflag = 'R'
+                        AND o.o_orderdate >= TIMESTAMP '1995-10-01'
+                        AND o.o_orderdate < TIMESTAMP '1996-01-01'
+                      GROUP BY o.o_custkey)
+         SELECT c.c_custkey, c.c_name, rev.revenue, c.c_acctbal, n.n_name
+         FROM rev
+         JOIN customer c ON rev.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         ORDER BY rev.revenue DESC, c.c_custkey LIMIT 20""",
+    "q14_promo_revenue" ->
+      """SELECT round(100.0 *
+                      sum(CASE WHEN p.p_type = 'PROMO'
+                               THEN l.l_extendedprice * (1 - l.l_discount)
+                               ELSE 0 END)
+                      / sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                  AS promo_revenue
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+           AND l.l_shipdate < TIMESTAMP '1996-10-01'""",
+    // revenue rounded BEFORE max/equality on both sides — exact ties
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+                             round(sum(l_extendedprice * (1 - l_discount)), 2)
+                               AS total_revenue
+                      FROM lineitem
+                      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                        AND l_shipdate < TIMESTAMP '1996-04-01'
+                      GROUP BY l_suppkey)
+         SELECT s.s_suppkey, s.s_name, r.total_revenue
+         FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+         WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+         ORDER BY s.s_suppkey""",
     // the oracle states q4 as the literal correlated EXISTS the Spark
     // side expresses as a semi join — independent formulations, same rows
     "q4_order_priority" ->

@@ -136,6 +136,23 @@ class LlmOpsSpec extends SparkSpec {
       s"cell filter must prune at the directory level:\n$plan")
   }
 
+  test("shared Jaccard truth: content-keyed memo serves all recall consumers") {
+    // same corpus, same params → the SAME checkpointed plan (built once);
+    // different corpus or params → a different truth, never a stale one
+    val t1 = DedupOps.truthPairsAbove(corpus, 3, 0.5)
+    val t2 = DedupOps.truthPairsAbove(corpus, 3, 0.5)
+    assert(t1 eq t2, "identical (corpus, n, tau) must hit the memo")
+    val other = corpus.filter(col("doc_id") =!= 2L)
+    val t3 = DedupOps.truthPairsAbove(other, 3, 0.5)
+    assert(!(t3 eq t1), "a different corpus must get its own truth")
+    val t4 = DedupOps.truthPairsAbove(corpus, 3, 0.9)
+    assert(!(t4 eq t1), "a different tau must get its own truth")
+    // and the served truth is correct: 0~1 (near), 0~2 (exact), 1~2
+    val pairs = t1.as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)), s"truth: $pairs")
+    assert(t3.as[(Long, Long)].collect().toSet == Set((0L, 1L)))
+  }
+
   test("LSH buckets put identical vectors in the same bucket") {
     val emb = Tables.embeddings(spark, sfDir)
     val buckets = SimilarityOps.lshBuckets(emb, 8)
