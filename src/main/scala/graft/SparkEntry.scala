@@ -822,6 +822,19 @@ object SparkEntry {
           .select((col("doc_id") + 10000).as("doc_id"), col("text")))
       DedupOps.incrementalDedup(increment, corpus, 3, tau = 0.5)
     }),
+    // the same triage with the exact gate served through an explicit
+    // Bloom pre-filter (no false negatives; false positives die in the
+    // exact rejoin) — bit-identical result, shared oracle; the 100 TB
+    // form where the corpus digest set rides a broadcastable sketch
+    "dedup_incremental_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val increment = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select("doc_id", "text")
+        .union(corpus.filter(pmod(col("doc_id"), lit(7)) === 3)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      DedupOps.incrementalDedupBloom(increment, corpus, 3, tau = 0.5)
+    }),
     // eval-set decontamination: flag corpus docs sharing any 13-token
     // window with the held-out split (doc_id % 20 == 0 plays the eval set)
     "dedup_decontaminate" -> ((s, d) => {
@@ -2369,8 +2382,13 @@ object SparkEntry {
          FROM documents d, range(0, 8) t(i)"""
   )
 
-  // the pruned IVF variant is the identical computation over a different
-  // storage layout — it shares ann_ivf_topk's replay verbatim
+  // layout/execution variants compute identical results to their base
+  // queries and share the base replay verbatim: the pruned IVF reads a
+  // different storage layout; the Bloom-gated incremental dedup swaps
+  // how the exact gate is SERVED (sketch pre-filter + exact rejoin),
+  // never what it returns
   def oracleSql: Map[String, String] =
-    oracleSqlBase + ("ann_ivf_topk_pruned" -> oracleSqlBase("ann_ivf_topk"))
+    oracleSqlBase +
+      ("ann_ivf_topk_pruned" -> oracleSqlBase("ann_ivf_topk")) +
+      ("dedup_incremental_bloom" -> oracleSqlBase("dedup_incremental"))
 }

@@ -264,7 +264,48 @@ object DedupOps {
     val exactDup = increment.select(col("doc_id"), md5(col("text")).as("dig"))
       .join(corpus.select(md5(col("text")).as("dig")).distinct(), "dig")
       .select("doc_id").distinct()
+    incrementalTriage(increment, corpus, n, tau, exactDup)
+  }
 
+  /** [[incrementalDedup]] with the exact gate served through a BLOOM
+    * filter — the executable form of the "at 100 TB the corpus digest set
+    * is served to the join as a Bloom filter" claim in the docstring
+    * above. The corpus digests fold into one Bloom aggregate (a few MB —
+    * broadcastable regardless of corpus size); increment rows probe it
+    * map-side, and only PROBABLE hits reach the exact digest join. Bloom
+    * filters have no false negatives, so the definite misses the probe
+    * discards could never have joined; the false positives the probe lets
+    * through are eliminated by the exact rejoin — the result is
+    * bit-identical to [[incrementalDedup]] (shared oracle), while the
+    * join's probe side shrinks from |increment| to ~|dups|.
+    * Uses Spark's own BloomFilterAggregate/BloomFilterMightContain
+    * (registered as `graft_bloom_agg`/`graft_might_contain` — the same
+    * machinery InjectRuntimeFilter plans automatically, here explicit). */
+  def incrementalDedupBloom(increment: DataFrame, corpus: DataFrame,
+                            n: Int, tau: Double): DataFrame = {
+    graft.functions.GraftExtensions.register(increment.sparkSession)
+    val corpDigests = corpus.select(md5(col("text")).as("dig")).distinct()
+    // the sketch folds distributed (map-side partial bloom merges) down
+    // to ONE bounded binary — numBits/8 bytes (100 KB here) regardless
+    // of corpus size — which `might_contain` requires as a constant, so
+    // it ships to the probe side as a literal (the driver round-trip is
+    // the sketch, never the digest set)
+    val bf = corpDigests.agg(
+      expr("graft_bloom_agg(xxhash64(dig), 100000L, 800000L)").as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val probable = increment.select(col("doc_id"), md5(col("text")).as("dig"))
+      .filter(call_function("graft_might_contain",
+        lit(bf), xxhash64(col("dig"))))
+    val exactDup = probable.join(corpDigests, "dig")
+      .select("doc_id").distinct()
+    incrementalTriage(increment, corpus, n, tau, exactDup)
+  }
+
+  /** Shared triage tail of the incremental-dedup pair: near-dup gate +
+    * status fold, parameterized by how the exact-dup set was computed. */
+  private def incrementalTriage(increment: DataFrame, corpus: DataFrame,
+                                n: Int, tau: Double,
+                                exactDup: DataFrame): DataFrame = {
     val shInc = shingles(increment, n)
     val shCorp = shingles(corpus, n)
     val szInc = shInc.groupBy("doc_id").agg(count(lit(1)).as("n_a"))

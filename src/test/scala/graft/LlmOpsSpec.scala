@@ -136,6 +136,32 @@ class LlmOpsSpec extends SparkSpec {
       s"cell filter must prune at the directory level:\n$plan")
   }
 
+  test("bloom-gated incremental dedup: identical triage, bloom probe in plan") {
+    val corpus2 = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (1L, "spark catalyst rewrites logical plans into efficient physical operators"),
+      (3L, "columnar parquet files compress well and scan fast on modern hardware")
+    ).toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and runs far away home"), // exact
+      (11L, "spark catalyst rewrites logical plans into efficient physical engines"), // near
+      (12L, "a totally unrelated sentence about cooking pasta with fresh tomatoes")  // kept
+    ).toDF("doc_id", "text")
+    val plain = DedupOps.incrementalDedup(inc, corpus2, 3, 0.5)
+      .as[(Long, String)].collect().toMap
+    val bloomed = DedupOps.incrementalDedupBloom(inc, corpus2, 3, 0.5)
+    assert(bloomed.as[(Long, String)].collect().toMap === plain,
+      "the bloom gate must never change the triage")
+    assert(plain === Map(10L -> "exact_dup", 11L -> "near_dup", 12L -> "kept"))
+    // the ANALYZED plan carries the probe; over this LocalRelation
+    // fixture the optimizer then constant-folds it away entirely
+    // (ConvertToLocalRelation) — itself proof the gate is a pure
+    // filter the engine can evaluate anywhere, including at the scan
+    val planStr = bloomed.queryExecution.analyzed.toString
+    assert(planStr.contains("might_contain"),
+      s"expected the bloom probe in the analyzed plan:\n${planStr.take(1200)}")
+  }
+
   test("shared Jaccard truth: content-keyed memo serves all recall consumers") {
     // same corpus, same params → the SAME checkpointed plan (built once);
     // different corpus or params → a different truth, never a stale one
