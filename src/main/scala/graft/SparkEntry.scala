@@ -478,6 +478,11 @@ object SparkEntry {
       EventAnalytics.retentionCohorts(Tables.events(s, d), "2024-01-01")),
     "ts_gapfill_hourly" -> ((s, d) =>
       EventAnalytics.gapfillHourly(Tables.events(s, d))),
+    // fixed-width OHLC downsampling (15-min bars): open/close via
+    // min_by/max_by on event time, six map-side-combinable scalars per
+    // bar — the shuffle never carries a bar's rows
+    "ts_ohlc_bars" -> ((s, d) =>
+      EventAnalytics.ohlcBars(Tables.events(s, d))),
     // schema-on-read over the semi-structured props column: JSON path
     // extraction as a pure projection (no UDF, codegen'd GetJsonObject),
     // then a keyed aggregate — ints sum exactly under 2^53 so the
@@ -1422,6 +1427,21 @@ object SparkEntry {
                 count(DISTINCT e.user_id) AS n_users
          FROM events e JOIN f ON e.user_id = f.user_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // 900 s buckets: DuckDB time_bucket's 2000-01-01 origin and Spark
+    // window()'s 1970 epoch alignment coincide (946684800 ≡ 0 mod 900)
+    "ts_ohlc_bars" ->
+      """SELECT event_type,
+                strftime(time_bucket(INTERVAL 900 SECONDS, ts),
+                         '%Y-%m-%d %H:%M') AS bar_start,
+                round(arg_min(value, ts), 2) AS open,
+                round(max(value), 2) AS high,
+                round(min(value), 2) AS low,
+                round(arg_max(value, ts), 2) AS close,
+                count(*) AS n_events,
+                round(sum(value), 2) AS volume
+         FROM events
+         GROUP BY event_type, time_bucket(INTERVAL 900 SECONDS, ts)
+         ORDER BY event_type, bar_start""",
     "ts_gapfill_hourly" ->
       """WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
                            date_trunc('hour', max(ts)) AS h1 FROM events),

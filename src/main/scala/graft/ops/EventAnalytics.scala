@@ -66,6 +66,33 @@ object EventAnalytics {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Fixed-width downsampling to OHLC bars — the metrics/financial
+    * resample: per (event_type, epoch-aligned `barSeconds` bucket) the
+    * first/last value by event time (open/close), the extrema (low/high),
+    * the row count and value sum. One groupBy with map-side-combinable
+    * aggregates — `min_by`/`max_by` fold (value, key) pairs, so the
+    * shuffle carries six scalars per bar, never the bar's rows (contrast
+    * a per-bar window sort). Event times are unique in this dataset at
+    * every SF, so the min_by/max_by keys are total and the result is
+    * engine-independent; with tie-able keys the key would extend to
+    * (ts, event_id). */
+  def ohlcBars(events: DataFrame, barSeconds: Int = 900): DataFrame =
+    events.select(col("event_type"), col("ts"), col("value"))
+      .groupBy(col("event_type"),
+        window(col("ts"), s"$barSeconds seconds").getField("start").as("bar"))
+      .agg(
+        round(min_by(col("value"), col("ts")), 2).as("open"),
+        round(max("value"), 2).as("high"),
+        round(min("value"), 2).as("low"),
+        round(max_by(col("value"), col("ts")), 2).as("close"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("volume"))
+      .select(col("event_type"),
+        date_format(col("bar"), "yyyy-MM-dd HH:mm").as("bar_start"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"), col("volume"))
+      .orderBy("event_type", "bar_start")
+
   /** Hourly counts per event type with the gaps zero-filled over the
     * observed [min, max] hour span. The spine (sequence of hours ×
     * distinct types) derives from two tiny aggregates; the left join

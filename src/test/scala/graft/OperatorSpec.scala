@@ -198,6 +198,18 @@ class OperatorSpec extends SparkSpec {
     assert(out == Map(1L -> 1L), s"bag algebra: $out")
   }
 
+  test("OHLC bars: bounds hold and bars partition the events") {
+    val bars = SparkEntry.queries("ts_ohlc_bars")(spark, sfDir).cache()
+    try {
+      assert(bars.filter(col("low") > col("open") || col("low") > col("close") ||
+        col("high") < col("open") || col("high") < col("close")).count() == 0,
+        "low <= open/close <= high must hold in every bar")
+      val total = Tables.events(spark, sfDir).count()
+      assert(bars.agg(sum("n_events")).as[Long].head() == total,
+        "every event lands in exactly one bar")
+    } finally bars.unpersist()
+  }
+
   test("full outer totals: both null-extension directions are real") {
     // inject-then-detect (the a10/PII pattern): the fixture alone can be
     // vacuous — at some SFs every purchaser also clicked — so add one
