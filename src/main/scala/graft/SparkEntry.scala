@@ -246,6 +246,50 @@ object SparkEntry {
         .orderBy(desc("revenue"), asc("c_custkey"))
         .limit(20)
     }),
+    // TPC-H q9 SHAPE (adapted: the testdata has no partsupp, so
+    // p_retailprice plays the unit-cost leg): profit per (nation, year) =
+    // revenue − cost over the part+supplier star. Both dim edges
+    // broadcast; the fact shuffles once into the 125-row group fold.
+    "q9_profit_shape" -> ((s, d) => {
+      val supN = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+        .join(broadcast(Tables.nation(s, d)
+                .select("n_nationkey", "n_name")),
+              col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+      Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey", "l_shipdate",
+          "l_quantity", "l_extendedprice", "l_discount")
+        .join(broadcast(Tables.part(s, d)
+                .select("p_partkey", "p_retailprice")),
+              col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .select(col("n_name").as("nation"),
+          year(col("l_shipdate")).as("o_year"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))
+            - col("p_retailprice") * col("l_quantity")).as("amount"))
+        .groupBy("nation", "o_year")
+        .agg(round(sum("amount"), 2).as("sum_profit"))
+        .orderBy(asc("nation"), desc("o_year"))
+    }),
+    // TPC-H q12 SHAPE (adapted: no l_shipmode/commitdate in the testdata):
+    // late shipments — lineitems shipped > 90 days after their order date
+    // counted per order priority, with the on-time share alongside. The
+    // non-equi lateness predicate rides the orderkey equi join.
+    "q12_late_shipments" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_shipdate")
+        .join(Tables.orders(s, d)
+                .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+              col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L)
+            .otherwise(0L)).as("n_late"),
+          sum(when(col("l_shipdate") <=
+            col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L)
+            .otherwise(0L)).as("n_on_time"))
+        .orderBy("o_orderpriority")),
     // TPC-H q14 shape: promotion revenue share — one broadcast dim edge
     // (part type), one conditional-sum ratio, zero exchanges beyond the
     // final 1-row fold. The month filter pushes to the lineitem scan.
@@ -644,6 +688,10 @@ object SparkEntry {
     // semantics a ROWS frame can't express; see Windows.movingAvgTrailing
     "w7_moving_avg_range" -> ((s, d) =>
       Windows.movingAvgTrailing(Tables.events(s, d), 3600L)),
+    // percent_rank + cume_dist over the per-user aggregate (key
+    // cardinality — the unpartitioned window never sees the fact table)
+    "w8_percent_rank" -> ((s, d) =>
+      Windows.relativeSpendRank(Tables.events(s, d))),
     "w4_topk_aggregator" -> ((s, d) => {
       val topk = udaf(new graft.functions.TopKAggregator(3),
                       Encoders.product[graft.functions.TopKItem])
@@ -1260,6 +1308,24 @@ object SparkEntry {
          JOIN customer c ON rev.o_custkey = c.c_custkey
          JOIN nation n ON c.c_nationkey = n.n_nationkey
          ORDER BY rev.revenue DESC, c.c_custkey LIMIT 20""",
+    "q9_profit_shape" ->
+      """SELECT n.n_name AS nation, year(l.l_shipdate) AS o_year,
+                round(sum(l.l_extendedprice * (1 - l.l_discount)
+                          - p.p_retailprice * l.l_quantity), 2) AS sum_profit
+         FROM lineitem l
+         JOIN part p ON l.l_partkey = p.p_partkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         GROUP BY n.n_name, year(l.l_shipdate)
+         ORDER BY nation, o_year DESC""",
+    "q12_late_shipments" ->
+      """SELECT o.o_orderpriority,
+                sum(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                         THEN 1 ELSE 0 END) AS n_late,
+                sum(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+                         THEN 1 ELSE 0 END) AS n_on_time
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
     "q14_promo_revenue" ->
       """SELECT round(100.0 *
                       sum(CASE WHEN p.p_type = 'PROMO'
@@ -1571,6 +1637,14 @@ object SparkEntry {
                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4)
                   AS mov_avg
          FROM t""",
+    "w8_percent_rank" ->
+      """WITH s AS (SELECT user_id, round(sum(value), 2) AS spend
+                    FROM events GROUP BY user_id)
+         SELECT user_id, spend,
+                round(percent_rank() OVER (ORDER BY spend, user_id), 6)
+                  AS pct_rank,
+                round(cume_dist() OVER (ORDER BY spend, user_id), 6) AS cume
+         FROM s ORDER BY user_id""",
     "w4_topk_aggregator" ->
       """WITH r AS (SELECT event_type, event_id,
                            row_number() OVER (PARTITION BY event_type

@@ -62,6 +62,22 @@ object Windows {
       round(sum("value").over(w), 2).as("running_value"))
   }
 
+  /** Relative-rank pair (percent_rank + cume_dist) over per-user spend —
+    * the distribution-position seat of §2.5. Like [[leaderboard]], the
+    * unpartitioned window runs over the AGGREGATED frame (one row per
+    * user — key cardinality, never the fact table). The order includes
+    * the unique key, so tied spends take distinct deterministic
+    * positions and both engines assign identical fractions. */
+  def relativeSpendRank(events: DataFrame): DataFrame = {
+    val spend = events.groupBy("user_id")
+      .agg(round(sum("value"), 2).as("spend"))
+    val w = Window.orderBy(asc("spend"), asc("user_id"))
+    spend.select(col("user_id"), col("spend"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("user_id")
+  }
+
   /** Trailing-interval moving average: a RANGE frame over epoch seconds —
     * value-based, so rows sharing a timestamp are peers and the frame is
     * deterministic REGARDLESS of tie order (a ROWS frame would need a
