@@ -992,6 +992,18 @@ object SparkEntry {
     // uniform and would grade nothing)
     "mix_rebalance" -> ((s, d) =>
       SampleOps.rebalanceToMeanShare(Tables.documents(s, d), "lang", "doc_id")),
+    // quality-weighted importance sampling: keep probability = the
+    // integer basis-point ttr (the token_budget_select priority signal),
+    // realized deterministically as hash(key) mod scale < weight
+    "sample_importance" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .withColumn("words", split(col("text"), " "))
+        .select(col("doc_id"),
+          expr("(size(array_distinct(words)) * 10000L) div size(words)")
+            .as("w"))
+      SampleOps.importanceSample(scored, "doc_id", col("w"), 10000)
+        .select("doc_id", "w")
+    }),
     // fill half the corpus token budget with the most lexically diverse
     // documents first (two-level prefix sum — see PackOps)
     "token_budget_select" -> ((s, d) =>
@@ -1219,6 +1231,13 @@ object SparkEntry {
                                       doc_id) AS rk
                     FROM documents)
          SELECT doc_id, lang FROM r, cap WHERE rk <= cap""",
+    "sample_importance" ->
+      """WITH t AS (SELECT doc_id,
+                           (len(list_distinct(string_split(text, ' '))) * 10000)
+                             // len(string_split(text, ' ')) AS w
+                    FROM documents)
+         SELECT doc_id, w FROM t
+         WHERE (doc_id * 2654435761) % 10000 < w""",
     "token_budget_select" ->
       """WITH t AS (SELECT doc_id,
                            (len(list_distinct(string_split(text, ' '))) * 10000)

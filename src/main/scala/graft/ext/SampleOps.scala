@@ -71,4 +71,20 @@ object SampleOps {
       when(bucketOf(col(key), 100) < 80, "train")
         .when(bucketOf(col(key), 100) < 90, "val")
         .otherwise("test"))
+
+  /** Importance sampling: keep each row with probability proportional to
+    * a per-row integer WEIGHT in [0, `scale`] — the quality-weighted
+    * resampling step of corpus curation (upweight diverse/clean text,
+    * downweight boilerplate) made DETERMINISTIC: keep iff
+    * `hash(key) mod scale < weight`, so the kept set is a pure function
+    * of (key, weight) — reproducible across runs, engines, and partition
+    * layouts, and stable under appends (a new document never flips an old
+    * one's fate). The expected kept fraction per stratum is
+    * Σ weight / (N·scale) — exact in distribution, no RNG, no shuffle;
+    * the whole op is one codegen'd map+filter. */
+  def importanceSample(df: DataFrame, key: String, weight: Column,
+                       scale: Int): DataFrame =
+    df.withColumn("__w", weight.cast("long"))
+      .filter(pmod(col(key) * Mix, lit(scale.toLong)) < col("__w"))
+      .drop("__w")
 }

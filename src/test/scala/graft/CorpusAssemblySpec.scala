@@ -44,6 +44,23 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(kept.except(again).count() == 0 && again.except(kept).count() == 0)
   }
 
+  test("importance sampling: weight bounds are exact and assignment is stable") {
+    val df = (1L to 200L).toDF("doc_id")
+      .withColumn("w", when(col("doc_id") <= 100, lit(0)).otherwise(lit(10000)))
+    val kept = SampleOps.importanceSample(df, "doc_id", col("w"), 10000)
+    assert(kept.filter(col("doc_id") <= 100).count() == 0,
+      "weight 0 must never be kept")
+    assert(kept.filter(col("doc_id") > 100).count() == 100,
+      "weight = scale must always be kept")
+    // half-weight keeps a deterministic subset, identical on re-run
+    val half = df.withColumn("w", lit(5000))
+    val k1 = SampleOps.importanceSample(half, "doc_id", col("w"), 10000)
+    val k2 = SampleOps.importanceSample(half, "doc_id", col("w"), 10000)
+    assert(k1.except(k2).count() == 0 && k2.except(k1).count() == 0)
+    val n = k1.count()
+    assert(n > 50 && n < 150, s"half weight should keep roughly half, got $n")
+  }
+
   test("token budget select: two-level prefix sum equals the global window") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
