@@ -749,6 +749,21 @@ object SparkEntry {
     // Hive-partitioned write + directory-pruned read: the filter resolves
     // against the partition listing (PartitionFilters), zero bytes read
     // from other event types — asserted by a plan spec
+    // schema-evolving table: batch 2's producer gained a column; the
+    // mergeSchema read unions the generations (old rows null-fill) and
+    // the aggregate proves no generation was silently dropped
+    "storage_evolving_read" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val b1 = ev.filter(pmod(col("user_id"), lit(2)) === 0)
+        .select("event_id", "user_id", "value")
+      val b2 = ev.filter(pmod(col("user_id"), lit(2)) === 1)
+        .select("event_id", "user_id", "value", "event_type")
+      val dir = Storage.evolvingRoundTrip(b1, b2)
+      Storage.evolvingRead(s, dir)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("event_type")).as("n_with_type"),
+          round(sum("value"), 2).as("sum_value"))
+    }),
     "storage_partition_pruning" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select("event_id", "user_id", "event_type", "value")
@@ -1694,6 +1709,14 @@ object SparkEntry {
     "s4_csv_source" ->
       """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
          FROM events GROUP BY event_type""",
+    // replayed from the source table: the odd-user batch is the one
+    // whose generation carries event_type
+    "storage_evolving_read" ->
+      """SELECT count(*) AS n_rows,
+                sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS n_with_type,
+                round(sum(value), 2) AS sum_value
+         FROM events""",
     "storage_partition_pruning" ->
       """SELECT user_id, count(*) AS n_clicks,
                 round(sum(value), 2) AS click_value

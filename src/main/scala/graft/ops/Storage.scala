@@ -86,6 +86,28 @@ object Storage {
                  partCol: String, value: String): DataFrame =
     spark.read.parquet(dir).filter(col(partCol) === value)
 
+  /** Write two producer generations into one table directory — batch 2
+    * carries columns batch 1 lacks (the long-lived-table reality
+    * [[evolvingRead]] exists for). Memoized per (session, both batches'
+    * plan identity), same discipline as [[partitionedRoundTrip]]. */
+  private val evolveDirs = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, Int, Int), String]()
+  def evolvingRoundTrip(batch1: DataFrame, batch2: DataFrame): String =
+    evolveDirs.compute(
+      (batch1.sparkSession,
+        batch1.queryExecution.analyzed.semanticHash(),
+        batch2.queryExecution.analyzed.semanticHash()),
+      { (_, cur) =>
+        if (cur != null && new java.io.File(cur).exists()) cur
+        else {
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft_evolve_").toString
+          batch1.write.mode("overwrite").parquet(dir)
+          batch2.write.mode("append").parquet(dir)
+          dir
+        }
+      })
+
   /** Schema-evolving read: union the schemas of every parquet batch in
     * `dir` (columns added over a table's life appear as nulls in old
     * batches) — the ingest reality of a long-lived 100 TB table whose
