@@ -749,6 +749,18 @@ object SparkEntry {
     // Hive-partitioned write + directory-pruned read: the filter resolves
     // against the partition listing (PartitionFilters), zero bytes read
     // from other event types — asserted by a plan spec
+    // small-files compaction: a 64-file writer layout compacted to
+    // ~2500-row files; the file count is arithmetic (ceil(rows/target) —
+    // oracle-replayable) and the aggregate proves the data survived
+    "storage_compact" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+      val (outDir, nFiles) = Storage.compactRoundTrip(ev, 64, 2500L)
+      s.read.parquet(outDir)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("value"), 2).as("sum_value"))
+        .withColumn("n_files", lit(nFiles))
+        .select("n_files", "n_rows", "sum_value")
+    }),
     // schema-evolving table: batch 2's producer gained a column; the
     // mergeSchema read unions the generations (old rows null-fill) and
     // the aggregate proves no generation was silently dropped
@@ -1709,6 +1721,11 @@ object SparkEntry {
     "s4_csv_source" ->
       """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
          FROM events GROUP BY event_type""",
+    "storage_compact" ->
+      """SELECT CAST(ceil(count(*) / 2500.0) AS BIGINT) AS n_files,
+                count(*) AS n_rows,
+                round(sum(value), 2) AS sum_value
+         FROM events""",
     // replayed from the source table: the odd-user batch is the one
     // whose generation carries event_type
     "storage_evolving_read" ->

