@@ -209,4 +209,54 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("OHLC bars match a driver-side per-bar replay for random batches") {
+    import graft.ops.EventAnalytics
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm")
+      .withZone(java.time.ZoneOffset.UTC)
+    samples(4, 99L).foreach { batch =>
+      // unique per-row timestamps: min_by/max_by keys must be total
+      val uniq = batch.zipWithIndex.map { case (e, i) =>
+        e.copy(ts = new Timestamp(1704067200000L + i * 1237L))
+      }
+      val got = EventAnalytics.ohlcBars(uniq.toDF(), 900)
+        .as[(String, String, Double, Double, Double, Double, Long, Double)]
+        .collect().map(r => ((r._1, r._2), (r._3, r._4, r._5, r._6, r._7)))
+        .toMap
+      val want = uniq.groupBy(e => (e.event_type,
+          fmt.format(java.time.Instant.ofEpochSecond(
+            e.ts.getTime / 1000 / 900 * 900))))
+        .map { case (k, es) =>
+          val sorted = es.sortBy(_.ts.getTime)
+          def r2(x: Double) = BigDecimal(x)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+          k -> (r2(sorted.head.value), r2(es.map(_.value).max),
+            r2(es.map(_.value).min), r2(sorted.last.value), es.size.toLong)
+        }
+      assert(got === want)
+    }
+  }
+
+  test("importance sampling keeps exactly the hash-below-weight rows, monotone in weight") {
+    import graft.ext.SampleOps
+    val mix = 2654435761L
+    samples(4, 123L).foreach { batch =>
+      val df = batch.toDF()
+        .select(col("event_id").as("doc_id"),
+          (col("user_id") * 200L % 10001L).cast("int").as("w"))
+        .distinct()
+      val kept = SampleOps.importanceSample(df, "doc_id", col("w"), 10000)
+        .select("doc_id").as[Long].collect().toSet
+      val want = df.as[(Long, Int)].collect()
+        .filter { case (id, w) => java.lang.Math.floorMod(id * mix, 10000L) < w }
+        .map(_._1).toSet
+      assert(kept === want)
+      // raising every weight only ever ADDS rows
+      val boosted = SampleOps.importanceSample(
+        df.withColumn("w", least(col("w") + 2000, lit(10000))),
+        "doc_id", col("w"), 10000)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept.subsetOf(boosted))
+    }
+  }
 }
