@@ -860,6 +860,10 @@ object SparkEntry {
       StreamOps.streamStreamIntervalJoin(s, d, statePartitions = Some(8))),
     "t9_stream_sessions" -> ((s, d) =>
       StreamOps.streamingSessionCounts(s, d, statePartitions = Some(8))),
+    // streaming corpus curation: the language+quality scan gates applied
+    // to a document stream, per-lang survivor counts in complete mode
+    "t12_stream_quality_gate" -> ((s, d) =>
+      StreamOps.streamingQualityGate(s, d, statePartitions = Some(4))),
     // streaming funnel: the batch funnel_stages semantics as a keyed
     // monotone stage machine (O(1) state per user); same oracle SQL
     "t11_stream_funnel" -> ((s, d) =>
@@ -2484,6 +2488,15 @@ object SparkEntry {
                      WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
                      ELSE 'test' END AS split
          FROM kc WHERE doc_id NOT IN (SELECT doc_id FROM losers)""",
+    // batch replay of the stream's gates — identical predicate arithmetic
+    "t12_stream_quality_gate" ->
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS w FROM documents)
+         SELECT lang, count(*) AS n_kept FROM t
+         WHERE round(len(list_filter(w, x -> x IN ('the','a')))
+                     / CAST(len(w) AS DOUBLE), 4) > 0.03
+           AND len(w) >= 10 AND len(w) <= 10000
+           AND round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 4) > 0.1
+         GROUP BY lang ORDER BY lang""",
     "corpus_prepare" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
               kept AS (

@@ -567,6 +567,42 @@ object StreamOps {
     last.agg(counts.head, counts.tail: _*)
   }
 
+  /** T12: streaming corpus curation — the LLM tier's scan-side gates
+    * (language-ID + quality, [[graft.ext.TextOps.isEnglishPredicate]] /
+    * [[graft.ext.TextOps.qualityOkPredicate]]) applied to a document
+    * STREAM, with per-language survivor counts maintained in complete
+    * mode. The production shape of "filter the crawl as it lands" —
+    * the gates are pure scan predicates, so they pipeline inside each
+    * micro-batch with zero extra state; the only stateful op is the
+    * small keyed count. Batch/stream parity is exact (same predicate
+    * expressions), which is what lets the batch SQL oracle grade the
+    * streaming execution. */
+  private val docTopicDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def streamingQualityGate(spark: SparkSession, dir: String,
+                           statePartitions: Option[Int] = None): DataFrame =
+      withShufflePartitions(spark, statePartitions) {
+    val topic = docTopicDirs.computeIfAbsent(dir, { d =>
+      val t = Files.createTempDirectory("graft_docs_topic_")
+      Files.createSymbolicLink(
+        t.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$d/documents.parquet"))
+      t.toString
+    })
+    val table = freshName("graft_t12")
+    val q = spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(topic)
+      .filter(graft.ext.TextOps.isEnglishPredicate &&
+              graft.ext.TextOps.qualityOkPredicate)
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      .writeStream.format("memory").queryName(table)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(table).orderBy("lang")
+  }
+
   /** S2+S5+S8: sink composition with write-then-emit ordering — the
     * reference produces the enriched vote to Kafka only AFTER the DB insert
     * succeeds (`/root/reference/voting.py:109-134`, rationale `:120-126`).

@@ -17,7 +17,8 @@ object PlanAudit {
     "t4_stream_late_drop",
     "t3b_wire_tally", "t5_stream_dedup_users",
     "t5b_stream_dedup_watermarked", "t8_stream_asof", "t9_stream_sessions",
-    "t10_stream_stream_join", "t11_stream_funnel", "s8_write_then_emit",
+    "t10_stream_stream_join", "t11_stream_funnel", "t12_stream_quality_gate",
+    "s8_write_then_emit",
     "vote_e2e_stream_tally", "vote_e2e_live_results", "vote_e2e_reemit")
 
   /** `--summary <dir>`: one markdown row of physical-plan features per
