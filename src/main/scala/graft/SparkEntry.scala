@@ -1047,6 +1047,12 @@ object SparkEntry {
     // keyed-hash order, assigned via the two-level prefix pattern
     "corpus_shuffle" -> ((s, d) =>
       PackOps.shuffleOrder(Tables.documents(s, d))),
+    // padding-minimizing batch assignment: similar-length docs batched
+    // together in deterministic keyed-hash order (two-level prefix —
+    // no bucket ever sorts in one task)
+    "pack_length_batches" -> ((s, d) =>
+      PackOps.lengthBatches(Tables.documents(s, d),
+        bucketWidth = 32, batchSize = 8)),
 
     // ---- LLM pipeline: end-to-end corpus preparation (composition) ----
     // the full modern recipe: + repetition gate + eval-set decontamination
@@ -1288,6 +1294,18 @@ object SparkEntry {
                 row_number() OVER (ORDER BY (doc_id * 2654435761) % 1048576,
                                    doc_id) - 1 AS pos
          FROM documents""",
+    // the sub-bucket split is monotone in the hash, so the oracle's
+    // single per-bucket window replays the engine's two-level positions
+    "pack_length_batches" ->
+      """WITH t AS (SELECT doc_id,
+                           len(string_split(text, ' ')) // 32 AS bucket,
+                           (doc_id * 2654435761) % 1048576 AS h
+                    FROM documents),
+              r AS (SELECT doc_id, bucket,
+                           row_number() OVER (PARTITION BY bucket
+                             ORDER BY h, doc_id) - 1 AS pos
+                    FROM t)
+         SELECT doc_id, bucket, pos // 8 AS batch_id FROM r""",
     "pii_redact" ->
       """WITH p AS (SELECT doc_id,
                            text || ' reach u' || doc_id

@@ -96,6 +96,41 @@ object PackOps {
       .select("doc_id", "pos")
   }
 
+  /** Length-bucketed batch assignment: group documents of similar token
+    * length into fixed-size training batches — the padding-minimization
+    * step (a batch's cost is its LONGEST member, so mixing lengths wastes
+    * compute on pad tokens). bucket = n_tok div `bucketWidth`; within a
+    * bucket documents take a deterministic keyed-hash order (reproducible
+    * epochs, no rand()) realized with the same TWO-LEVEL prefix pattern
+    * as [[shuffleOrder]]: sub-bucket on the hash's high bits (exact
+    * integer division — monotone in the hash, so sub order can never
+    * contradict hash order), broadcast per-(bucket, sub) offsets, and
+    * position = offset + within-sub row_number. No bucket ever sorts in
+    * one task; parallelism is buckets × subBuckets regardless of corpus
+    * size. batch_id = position div `batchSize`. */
+  def lengthBatches(docs: DataFrame, bucketWidth: Int, batchSize: Int,
+                    subBuckets: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = 1048576L
+    val per = m / subBuckets
+    val t = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("bucket", expr(s"n_tok div $bucketWidth"))
+      .withColumn("h", pmod(col("doc_id") * Mix, lit(m)))
+      .withColumn("sub", expr(s"h div $per"))
+    val offsets = t.groupBy("bucket", "sub").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(
+        sum("n").over(Window.partitionBy("bucket").orderBy(asc("sub"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "sub", "off")
+    val w = Window.partitionBy("bucket", "sub")
+      .orderBy(asc("h"), asc("doc_id"))
+    t.join(broadcast(offsets), Seq("bucket", "sub"))
+      .withColumn("pos", col("off") + row_number().over(w) - 1)
+      .select(col("doc_id"), col("bucket"),
+        expr(s"pos div $batchSize").as("batch_id"))
+  }
+
   def packSequences(docs: DataFrame, budget: Int, shards: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -61,6 +61,27 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(n > 50 && n < 150, s"half weight should keep roughly half, got $n")
   }
 
+  test("length batches: full batches except per-bucket tails, bounded spread") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = PackOps.lengthBatches(docs, 32, 8).cache()
+    try {
+      assert(out.count() === docs.count(), "every doc lands in a batch")
+      val sizes = out.groupBy("bucket", "batch_id").count()
+      assert(sizes.filter(col("count") > 8).count() === 0,
+        "no batch exceeds batchSize")
+      val partials = sizes.filter(col("count") < 8)
+        .groupBy("bucket").count().filter(col("count") > 1)
+      assert(partials.count() === 0, "at most one partial batch per bucket")
+      // bucket membership really is length-homogeneous: span < bucketWidth
+      val spread = docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .join(out, "doc_id")
+        .groupBy("bucket").agg((max("n_tok") - min("n_tok")).as("span"))
+        .filter(col("span") >= 32)
+      assert(spread.count() === 0, "lengths within a bucket span < width")
+    } finally out.unpersist()
+  }
+
   test("token budget select: two-level prefix sum equals the global window") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
