@@ -888,6 +888,19 @@ object SparkEntry {
       SimilarityOps.nearDupPairsWithinLabel(Tables.embeddings(s, d), 20)),
     "dedup_clusters" -> ((s, d) =>
       DedupOps.duplicateClusters(Tables.documents(s, d), 3, tau = 0.5)),
+    // two-stage semantic near-dup: the embedding band gate proposes the
+    // top-20 pairs, the lexical exact-Jaccard verifies each — the verify
+    // cost follows the CANDIDATES (semi-joined corpus), never the corpus
+    "dedup_semantic_verified" -> ((s, d) => {
+      val pairs = SimilarityOps
+        .nearDupPairsWithinLabel(Tables.embeddings(s, d), 20)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
+          col("cosine"))
+      DedupOps.jaccardForPairs(Tables.documents(s, d), pairs, 3)
+        .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
+          col("cosine"), col("jaccard"))
+        .orderBy(desc("cosine"), asc("vec_a"), asc("vec_b"))
+    }),
     // substring-level (13-token-window) duplicated-span mass per doc —
     // the Lee et al. exact-substring family, inverted-index shape
     "dedup_substring_spans" -> ((s, d) =>
@@ -2037,6 +2050,49 @@ object SparkEntry {
                       / (n.nrm * q.qn), 6) AS cosine
          FROM n, q WHERE n.vec_id <> 0
          ORDER BY cosine DESC, vec_id LIMIT 10""",
+    // embedding top-20 replay + exact lexical Jaccard for those pairs
+    "dedup_semantic_verified" ->
+      """WITH e AS (SELECT vec_id, label,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              nn AS (SELECT vec_id, label, v,
+                            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+                     FROM e),
+              top AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                             round(list_sum(list_transform(range(1, 65),
+                                     i -> a.v[i] * b.v[i]))
+                                   / (a.nrm * b.nrm), 6) AS cosine
+                      FROM nn a JOIN nn b
+                        ON a.label = b.label AND a.vec_id < b.vec_id
+                      ORDER BY cosine DESC, vec_a, vec_b LIMIT 20),
+              ids AS (SELECT vec_a AS doc_id FROM top
+                      UNION SELECT vec_b FROM top),
+              w AS (SELECT doc_id, string_split(text, ' ') AS words
+                    FROM documents
+                    WHERE doc_id IN (SELECT doc_id FROM ids)
+                      AND len(string_split(text, ' ')) >= 3),
+              sh AS (SELECT doc_id,
+                            unnest(list_distinct(list_transform(range(1, len(words) - 1),
+                              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+                     FROM w),
+              sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+              com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             count(*) AS n_common
+                      FROM sh a JOIN sh b
+                        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id),
+              j AS (SELECT doc_a, doc_b,
+                           round(n_common
+                                 / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6)
+                             AS jaccard
+                    FROM com
+                    JOIN sizes sa ON sa.doc_id = doc_a
+                    JOIN sizes sb ON sb.doc_id = doc_b)
+         SELECT t.vec_a, t.vec_b, t.cosine,
+                coalesce(j.jaccard, 0.0) AS jaccard
+         FROM top t
+         LEFT JOIN j ON j.doc_a = t.vec_a AND j.doc_b = t.vec_b
+         ORDER BY t.cosine DESC, t.vec_a, t.vec_b""",
     "ann_ivf_topk_full" ->
       """WITH e AS (SELECT vec_id,
                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -328,6 +328,34 @@ object DedupOps {
           .otherwise("kept").as("status"))
   }
 
+  /** Exact n-gram Jaccard for a GIVEN (small) candidate-pair set — the
+    * verify stage of a two-stage near-dup pipeline where a cheap gate
+    * (embedding bands, minhash buckets) already shrank the pair space.
+    * The corpus is semi-joined down to just the candidate documents
+    * (broadcast — the pair set is top-k-bounded) before any shingle
+    * explodes, so cost follows the CANDIDATES, not the corpus; pairs
+    * sharing zero shingles keep jaccard 0 via the left join. */
+  def jaccardForPairs(docs: DataFrame, pairs: DataFrame, n: Int): DataFrame = {
+    val ids = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = shingles(docs.join(broadcast(ids), Seq("doc_id"), "left_semi"), n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+            Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    val j = common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_common")
+          / (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+    pairs.join(j, Seq("doc_a", "doc_b"), "left")
+      .withColumn("jaccard", coalesce(col("jaccard"), lit(0.0)))
+  }
+
   /** MinHash signatures: h_i(doc) = min over shingles of xxhash64(shingle, i).
     * Shape matters at scale: explode shingles once, then `numHashes`
     * codegen'd min-aggregates with map-side partial aggregation — the
