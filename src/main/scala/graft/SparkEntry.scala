@@ -527,6 +527,10 @@ object SparkEntry {
     // bar — the shuffle never carries a bar's rows
     "ts_ohlc_bars" -> ((s, d) =>
       EventAnalytics.ohlcBars(Tables.events(s, d))),
+    // trailing-24h 3-sigma anomaly flags in cross-multiplied INTEGER
+    // arithmetic — no float variance recursion to diverge between engines
+    "ts_anomaly_flags" -> ((s, d) =>
+      EventAnalytics.anomalyFlags(Tables.events(s, d))),
     // schema-on-read over the semi-structured props column: JSON path
     // extraction as a pure projection (no UDF, codegen'd GetJsonObject),
     // then a keyed aggregate — ints sum exactly under 2^53 so the
@@ -1574,6 +1578,30 @@ object SparkEntry {
                 count(DISTINCT e.user_id) AS n_users
          FROM events e JOIN f ON e.user_id = f.user_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // integer replay of the cross-multiplied 3-sigma test — HUGEINT keeps
+    // every term exact, mirroring the engine's decimal(38,0)
+    "ts_anomaly_flags" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                           count(*) AS n
+                    FROM events GROUP BY 1, 2),
+              t AS (SELECT event_type, hour, n,
+                           CAST(floor(epoch(hour)) AS BIGINT) AS hs FROM h),
+              wd AS (SELECT event_type, hour, n,
+                            count(*) OVER w AS c,
+                            sum(n) OVER w AS s,
+                            sum(n * n) OVER w AS sq
+                     FROM t
+                     WINDOW w AS (PARTITION BY event_type ORDER BY hs
+                       RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, strftime(hour, '%Y-%m-%d %H:00') AS hour, n,
+                (c >= 2 AND
+                 CAST(n * c - s AS HUGEINT) * CAST(n * c - s AS HUGEINT)
+                   * (c - 1)
+                 > 9 * CAST(c AS HUGEINT)
+                     * (CAST(sq AS HUGEINT) * c
+                        - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)))
+                  AS is_anomaly
+         FROM wd ORDER BY event_type, hour""",
     // 900 s buckets: DuckDB time_bucket's 2000-01-01 origin and Spark
     // window()'s 1970 epoch alignment coincide (946684800 ≡ 0 mod 900)
     "ts_ohlc_bars" ->

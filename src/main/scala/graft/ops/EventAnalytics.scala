@@ -93,6 +93,46 @@ object EventAnalytics {
         col("n_events"), col("volume"))
       .orderBy("event_type", "bar_start")
 
+  /** Anomaly flags over the hourly count series: an hour is anomalous
+    * when its count exceeds the trailing-24h mean by more than `sigmas`
+    * sample standard deviations. The entire test is INTEGER arithmetic:
+    * with s = Σn, sq = Σn², c = window size over the trailing frame,
+    *
+    *   (n − s/c)² > σ²·(sq − s²/c)/(c−1)
+    *   ⟺ (n·c − s)²·(c−1) > σ²·c·(sq·c − s²)   [× c²(c−1), c ≥ 2]
+    *
+    * so no division, no sqrt, no float — the flag is bit-identical across
+    * engines (a stddev_samp-based form would hinge on each engine's
+    * variance recursion agreeing to the last ulp). Computed in
+    * decimal(38,0): counts are exact integers, and the cross-multiplied
+    * terms stay exact far past long range. The trailing RANGE frame
+    * excludes the current hour (no self-masking); hours with fewer than
+    * 2 trailing observations can't be judged and emit flag = false. */
+  def anomalyFlags(events: DataFrame, sigmas: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .select(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .groupBy("event_type", "hour").agg(count(lit(1)).as("n"))
+      .withColumn("hs", col("hour").cast("long"))
+    val w = Window.partitionBy("event_type").orderBy(col("hs"))
+      .rangeBetween(-24L * 3600, -1)
+    val d = "decimal(38,0)"
+    hourly
+      .withColumn("c", count(lit(1)).over(w))
+      .withColumn("s", sum("n").over(w))
+      .withColumn("sq", sum(col("n") * col("n")).over(w))
+      .select(col("event_type"),
+        date_format(col("hour"), "yyyy-MM-dd HH:00").as("hour"),
+        col("n"),
+        (col("c") >= 2 &&
+          (col("n").cast(d) * col("c") - col("s"))
+            * (col("n").cast(d) * col("c") - col("s")) * (col("c") - 1)
+          > lit(sigmas * sigmas).cast(d) * col("c")
+            * (col("sq").cast(d) * col("c") - col("s").cast(d) * col("s")))
+          .as("is_anomaly"))
+      .orderBy("event_type", "hour")
+  }
+
   /** Hourly counts per event type with the gaps zero-filled over the
     * observed [min, max] hour span. The spine (sequence of hours ×
     * distinct types) derives from two tiny aggregates; the left join
