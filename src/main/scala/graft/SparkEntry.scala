@@ -468,6 +468,131 @@ object SparkEntry {
              round(sum("c_acctbal"), 2).as("totacctbal"))
         .orderBy("cntrycode")
     }),
+    // TPC-H q2 shape: min-cost supplier — the correlated MIN subquery
+    // over a derived "supplycost" table (no partsupp here; unit cost =
+    // min(l_extendedprice/l_quantity) per (part,supplier), the same
+    // lineitem stand-in q16 uses). Decorrelation: the EUROPE-filtered
+    // cost table computes min-per-part as a partition window — legal
+    // because the correlation key is p_partkey and the subquery's own
+    // region filter is applied BEFORE the window, so each partkey group
+    // is exactly the subquery's group. Supplycost stays a RAW double:
+    // both engines do the identical IEEE division and an exact MIN, so
+    // equality and the output hash are bit-deterministic (rounding, per
+    // round-5's token_budget_select lesson, is where engines diverge).
+    // At 100 TB: one shuffle for the (part,supp) groupBy, one for the
+    // per-part window; suppliers+nations+region and the filtered part
+    // list broadcast. LIMIT is TakeOrdered with a total tiebreak key.
+    "q2_min_cost_supplier" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val eur = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+              col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)
+                .filter(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+      val cost = Tables.lineitem(s, d)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("supplycost"))
+      cost.join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("min_cost",
+          min("supplycost").over(Window.partitionBy("l_partkey")))
+        .filter(col("supplycost") === col("min_cost"))
+        .join(broadcast(Tables.part(s, d)
+                .filter(col("p_type") === "LARGE" && col("p_size") < 15)
+                .select("p_partkey")),
+              col("l_partkey") === col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "supplycost")
+        .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"),
+                 asc("p_partkey"))
+        .limit(100)
+    }),
+    // TPC-H q11 shape: important stock — per-part value share vs a
+    // GLOBAL scalar aggregate. Value is EXACT INTEGER cents
+    // (round(price*100)::long × qty::long) so the HAVING compare and the
+    // output hash are fold-order-independent on both engines; the share
+    // threshold is the cross-multiplied rational
+    // val·nparts·2 > total·3 (i.e. > 1.5× mean share) — scale-free, so
+    // the predicate binds at every SF where TPC-H's 0.0001/SF constant
+    // would not. At 100 TB: region-filtered suppliers broadcast into the
+    // fact scan, ONE shuffle on partkey builds the value table, the
+    // 1-row total broadcasts back as a nested-loop compare.
+    "q11_important_stock" -> ((s, d) => {
+      val asiaSupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+              col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)
+                .filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey")
+      val value = Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+                 col("l_quantity").cast("long")).as("val_cents"))
+      value.crossJoin(broadcast(
+          value.agg(sum("val_cents").as("total"),
+                    count(lit(1)).as("nparts"))))
+        .filter(col("val_cents") * col("nparts") * 2 > col("total") * 3)
+        .select("l_partkey", "val_cents")
+        .orderBy(desc("val_cents"), asc("l_partkey"))
+    }),
+    // TPC-H q19 shape: the DISJUNCTIVE join — three (brand, size,
+    // quantity) conjunct groups OR'ed together. The part side pre-filters
+    // to the UNION of the brand/size predicates (pushed to its scan) and
+    // broadcasts; the quantity legs can't split from the join key, so
+    // they evaluate as the post-join residual inside the ONE broadcast
+    // hash join — no union-of-three-joins, the fact table is scanned
+    // once. Revenue follows the q3/q6 green precedent: round(sum, 2).
+    "q19_disjunctive_revenue" -> ((s, d) => {
+      val parts = Tables.part(s, d)
+        .filter((col("p_brand") === "Brand#1" && col("p_size").between(1, 15)) ||
+                (col("p_brand") === "Brand#2" && col("p_size").between(10, 25)) ||
+                (col("p_brand") === "Brand#3" && col("p_size").between(20, 40)))
+        .select("p_partkey", "p_brand", "p_size")
+      Tables.lineitem(s, d)
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+             col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 25) &&
+             col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 40) &&
+             col("l_quantity").between(20, 40)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+    // TPC-H q20 shape: potential part promotion — the nested
+    // subquery chain (suppliers ⊇ partsupp ⊇ correlated lineitem sum)
+    // collapsed to ONE conditional aggregate: per (part,supp) the
+    // all-time and 1996 shipped quantities come from the same groupBy
+    // (exact long sums — quantity is integral), the HAVING
+    // qty_all > 10·qty_1996 marks 1996-dormant pairs, and suppliers
+    // arrive via LEFT SEMI join (the IN). The name-filtered part list
+    // broadcasts into the fact scan, so the one shuffle carries only
+    // widget rows keyed by (part,supp). Threshold 10 (data spans 7
+    // years) keeps the predicate selective-but-non-empty at every SF.
+    "q20_potential_promotion" -> ((s, d) => {
+      val widgetParts = Tables.part(s, d)
+        .filter(col("p_name").endsWith("widget")).select("p_partkey")
+      val dormant = Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+        .join(broadcast(widgetParts), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity").cast("long")).as("qty_all"),
+             sum(when(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                      col("l_shipdate") < lit("1997-01-01").cast("timestamp"),
+                      col("l_quantity").cast("long")).otherwise(0L))
+               .as("qty_1996"))
+        .filter(col("qty_1996") > 0 && col("qty_all") > lit(10) * col("qty_1996"))
+        .select("l_suppkey")
+      Tables.supplier(s, d)
+        .join(dormant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    }),
     // the ANALYZE seat: one-pass per-column profile of the fact table —
     // min/max/null-count/EXACT-distinct as ONE multi-aggregate projection
     // (no per-column scans; exact distinct costs an Expand and is what
@@ -1497,6 +1622,70 @@ object SparkEntry {
                              AND l3.l_returnflag = 'R')
          GROUP BY s_name
          ORDER BY numwait DESC, s_name LIMIT 10""",
+    // the oracle keeps q2's literal correlated MIN subquery; the Spark
+    // side proves the window decorrelation. supplycost is a RAW double —
+    // identical IEEE division + exact MIN on both engines, no rounding
+    "q2_min_cost_supplier" ->
+      """WITH cost AS (SELECT l_partkey, l_suppkey,
+                              min(l_extendedprice / l_quantity) AS supplycost
+                       FROM lineitem GROUP BY 1, 2),
+              eur AS (SELECT s_suppkey, s_acctbal, s_name, n_name
+                      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+                      WHERE r_name = 'EUROPE')
+         SELECT s_acctbal, s_name, n_name, p_partkey, supplycost
+         FROM cost JOIN eur ON l_suppkey = s_suppkey
+         JOIN part ON p_partkey = l_partkey
+         WHERE p_type = 'LARGE' AND p_size < 15
+           AND supplycost = (SELECT min(c2.supplycost)
+                             FROM cost c2
+                             JOIN eur e2 ON c2.l_suppkey = e2.s_suppkey
+                             WHERE c2.l_partkey = p_partkey)
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+    // exact integer cents on both sides; share threshold cross-multiplied
+    "q11_important_stock" ->
+      """WITH val AS (SELECT l_partkey,
+                             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                 * CAST(l_quantity AS BIGINT)) AS val_cents
+                      FROM lineitem
+                      JOIN supplier ON l_suppkey = s_suppkey
+                      JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+                      WHERE r_name = 'ASIA'
+                      GROUP BY l_partkey),
+              tot AS (SELECT sum(val_cents) AS total, count(*) AS nparts
+                      FROM val)
+         SELECT l_partkey, val_cents
+         FROM val, tot
+         WHERE val_cents * nparts * 2 > total * 3
+         ORDER BY val_cents DESC, l_partkey""",
+    "q19_disjunctive_revenue" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+                AND l_quantity BETWEEN 10 AND 30)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40
+                AND l_quantity BETWEEN 20 AND 40)""",
+    // the oracle keeps q20's literal IN-chain; the Spark side proves the
+    // one-aggregate collapse + semi join
+    "q20_potential_promotion" ->
+      """SELECT s_name, s_acctbal
+         FROM supplier
+         WHERE s_suppkey IN (
+           SELECT l_suppkey
+           FROM lineitem JOIN part ON p_partkey = l_partkey
+           WHERE p_name LIKE '%widget'
+           GROUP BY l_partkey, l_suppkey
+           HAVING sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                            AND l_shipdate < TIMESTAMP '1997-01-01'
+                           THEN CAST(l_quantity AS BIGINT) ELSE 0 END) > 0
+              AND sum(CAST(l_quantity AS BIGINT)) >
+                  10 * sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                                 AND l_shipdate < TIMESTAMP '1997-01-01'
+                                THEN CAST(l_quantity AS BIGINT) ELSE 0 END))
+         ORDER BY s_name""",
     "q22_sales_opportunity" ->
       """SELECT cntrycode, count(*) AS numcust,
                 round(sum(c_acctbal), 2) AS totacctbal
