@@ -1165,6 +1165,33 @@ object SparkEntry {
     // uniform and would grade nothing)
     "mix_rebalance" -> ((s, d) =>
       SampleOps.rebalanceToMeanShare(Tables.documents(s, d), "lang", "doc_id")),
+    // temperature mixing (α=1/2): per-language targets ∝ sqrt(n) —
+    // upweights small languages without flattening the mix; all-integer
+    // target arithmetic (floor∘sqrt is exact for counts < 2^50)
+    "mix_temperature" -> ((s, d) =>
+      SampleOps.temperatureMix(Tables.documents(s, d), "lang", "doc_id")),
+    // SCD Type 2 over the event log: every change becomes a versioned
+    // [valid_from, valid_to) interval per user — epoch-micros longs, so
+    // the cross-engine compare is integer-exact
+    "cdc_scd2_history" -> ((s, d) =>
+      Cdc.scd2History(Tables.events(s, d))),
+    // MERGE as a full outer join: the latest-wins-compacted change batch
+    // (key remapped ×11 so some changes target ids OUTSIDE the dimension
+    // — both the insert and the keep branch stay populated at every SF)
+    // applied onto the customer dim; values pass through UNROUNDED (stored
+    // doubles, no arithmetic to diverge)
+    "cdc_merge_upsert" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(desc("ts"), desc("event_id"))
+      val changes = Tables.events(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select((col("user_id") * 11).as("ckey"), col("value").as("cval"))
+      Cdc.mergeUpsert(
+        Tables.customer(s, d).select("c_custkey", "c_acctbal"),
+        changes, "c_custkey", "ckey", "c_acctbal", "cval")
+    }),
     // quality-weighted importance sampling: keep probability = the
     // integer basis-point ttr (the token_budget_select priority signal),
     // realized deterministically as hash(key) mod scale < weight
@@ -1410,6 +1437,43 @@ object SparkEntry {
                                       doc_id) AS rk
                     FROM documents)
          SELECT doc_id, lang FROM r, cap WHERE rk <= cap""",
+    "mix_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n,
+                           CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+                    FROM documents GROUP BY lang),
+              t AS (SELECT lang,
+                           least(n, ((SELECT sum(n) FROM c) // 2) * w
+                                    // (SELECT sum(w) FROM c)) AS target
+                    FROM c),
+              r AS (SELECT doc_id, lang,
+                           row_number() OVER (PARTITION BY lang
+                             ORDER BY (doc_id * 2654435761) % 1000000007,
+                                      doc_id) AS rk
+                    FROM documents)
+         SELECT r.doc_id, r.lang
+         FROM r JOIN t ON r.lang = t.lang WHERE r.rk <= t.target""",
+    "cdc_scd2_history" ->
+      """SELECT user_id, event_id, event_type,
+                epoch_us(ts) AS valid_from_us,
+                epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id))
+                  AS valid_to_us,
+                lead(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL AS is_current
+         FROM events""",
+    "cdc_merge_upsert" ->
+      """WITH r AS (SELECT user_id, value,
+                           row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) AS rk
+                    FROM events),
+              ch AS (SELECT user_id * 11 AS ckey, value AS cval
+                     FROM r WHERE rk = 1)
+         SELECT coalesce(c_custkey, ckey) AS key,
+                CASE WHEN c_custkey IS NULL THEN 'insert'
+                     WHEN ckey IS NULL THEN 'keep'
+                     ELSE 'update' END AS action,
+                coalesce(cval, c_acctbal) AS value
+         FROM customer FULL OUTER JOIN ch ON c_custkey = ckey""",
     "sample_importance" ->
       """WITH t AS (SELECT doc_id,
                            (len(list_distinct(string_split(text, ' '))) * 10000)

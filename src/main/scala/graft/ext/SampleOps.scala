@@ -63,6 +63,37 @@ object SampleOps {
       .select(col(key), col(groupCol))
   }
 
+  /** Temperature mixing at α = 1/2: per-group keep targets proportional
+    * to n_g^α — the multilingual-corpus recipe that upweights small
+    * groups without flattening the mix entirely (α=1 keeps proportions,
+    * α=0 is uniform). All arithmetic is INTEGER-exact across engines:
+    * the group weight is floor(sqrt(n_g)) (exact for counts < 2^50 under
+    * IEEE sqrt), the target is `keepTotal·w_g div Σw` capped at n_g, and
+    * membership is the target-smallest keyed hashes per group — the same
+    * deterministic selection as [[rebalanceToMeanShare]], so appends
+    * never flip an old row's fate until the target binds.
+    *
+    * Scale shape: one tiny groupBy for counts, targets broadcast, one
+    * rank-per-group window. `keepTotal` = half the corpus, derived from
+    * the same counts — no data-dependent driver constant. */
+  def temperatureMix(df: DataFrame, groupCol: String,
+                     key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_before"))
+      .withColumn("w", floor(sqrt(col("n_before"))).cast("long"))
+    val targets = counts.crossJoin(broadcast(
+        counts.agg(sum("w").as("sw"), sum("n_before").as("n_total"))))
+      .withColumn("target",
+        least(col("n_before"), expr("((n_total div 2) * w) div sw")))
+      .select(col(groupCol).as("__g"), col("target"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(pmod(col(key) * Mix, lit(1000000007L)), col(key))
+    df.withColumn("rk", row_number().over(w))
+      .join(broadcast(targets), col(groupCol) === col("__g"))
+      .filter(col("rk") <= col("target"))
+      .select(col(key), col(groupCol))
+  }
+
   /** Train/val/test split assignment: hash-bucket into percent space,
     * 80/10/10. Stable per key forever — the property that keeps a document
     * out of the eval set no matter when it re-enters the pipeline. */

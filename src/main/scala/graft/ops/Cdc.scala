@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture shapes: dimension-history assembly (SCD Type 2)
+  * and MERGE-style upsert — the two ops that turn an append-only change
+  * log into a queryable dimension at warehouse scale. The reference's
+  * pipeline treats its vote stream as exactly such a log (one row per
+  * state change, latest-wins compaction in `voting.py:120-126`); these
+  * give the log the standard dimension treatments instead of only the
+  * latest-wins one ([[Dedup.firstPerKey]] covers that).
+  *
+  * Scale shape: both ops are ONE shuffle on the business key. SCD2 is a
+  * per-key window (lead); merge is a full outer join where the change
+  * side has already been compacted to one row per key — at 100 TB the
+  * compacted change batch is usually small enough to broadcast, and when
+  * it isn't, both sides hash-partition on the key once.
+  */
+object Cdc {
+
+  /** SCD Type 2 history assembly: each change row becomes a versioned
+    * interval `[valid_from, valid_to)` per key, `valid_to` = the next
+    * change's timestamp (open-ended for the current version). Ordering is
+    * (ts, event_id) so same-timestamp changes version deterministically.
+    * Timestamps are emitted as epoch MICROS (long) — integer-exact across
+    * engines, no format/round divergence. */
+  def scd2History(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+              col("event_type"))
+      .withColumn("valid_from_us", unix_micros(col("ts")))
+      .withColumn("valid_to_us", unix_micros(lead("ts", 1).over(w)))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select("user_id", "event_id", "event_type",
+              "valid_from_us", "valid_to_us", "is_current")
+  }
+
+  /** MERGE-style upsert: apply a change batch onto a base dimension as a
+    * FULL OUTER join — the scalable MERGE plan (matched → update,
+    * change-only → insert, base-only → keep). The change batch must
+    * arrive pre-compacted to one row per key ([[Dedup]] / latest-wins);
+    * this op is pure set logic on top. */
+  def mergeUpsert(base: DataFrame, changes: DataFrame,
+                  baseKey: String, changeKey: String,
+                  baseVal: String, changeVal: String): DataFrame =
+    base.join(changes, col(baseKey) === col(changeKey), "full_outer")
+      .select(
+        coalesce(col(baseKey), col(changeKey)).as("key"),
+        when(col(baseKey).isNull, lit("insert"))
+          .when(col(changeKey).isNull, lit("keep"))
+          .otherwise(lit("update")).as("action"),
+        coalesce(col(changeVal), col(baseVal)).as("value"))
+}
