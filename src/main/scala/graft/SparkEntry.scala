@@ -914,6 +914,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_clicks"),
              round(sum("value"), 2).as("click_value"))
     }),
+    // Z-order clustering: lineitem rewritten in Morton order of
+    // (partkey, suppkey), then a two-dimensional box scan — each file
+    // covers a key-space rectangle, so the box prunes most files via
+    // parquet min/max stats (the skipping itself is asserted by
+    // ZorderSpec; the result here is layout-transparent and oracled)
+    "storage_zorder_scan" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey", "l_quantity", "l_returnflag")
+      val dir = Storage.zorderRoundTrip(li, "l_partkey", "l_suppkey", 16)
+      s.read.parquet(dir)
+        .filter(col("l_partkey").between(50, 149) &&
+                col("l_suppkey").between(2, 7))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+             sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
     "storage_bucketed_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .groupBy("user_id").agg(round(sum("value"), 2).as("total_value"))
@@ -2054,6 +2071,16 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_clicks,
                 round(sum(value), 2) AS click_value
          FROM events WHERE event_type = 'click' GROUP BY user_id""",
+    // the z-order layout is result-transparent: the oracle replays the
+    // box scan against the source table
+    "storage_zorder_scan" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+                sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+         FROM lineitem
+         WHERE l_partkey BETWEEN 50 AND 149
+           AND l_suppkey BETWEEN 2 AND 7
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
     "storage_bucketed_join" ->
       """SELECT c.c_name, c.c_mktsegment, t.total_value
          FROM (SELECT user_id, round(sum(value), 2) AS total_value

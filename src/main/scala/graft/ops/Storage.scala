@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Storage-layout operators — the part of a 100 TB pipeline that lives
@@ -158,4 +158,49 @@ object Storage {
       .write.mode("overwrite").parquet(outDir)
     nFiles
   }
+
+  /** Morton (Z-order) value over the low 16 bits of two non-negative
+    * integer columns: bit-interleaved so that rows close in BOTH
+    * dimensions land close in the one-dimensional sort order. Pure
+    * shift/mask arithmetic — codegen'd, no UDF. */
+  private def spread16(x: Column): Column = {
+    val a = x.bitwiseAND(lit(0xFFFFL))
+    val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val c = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val d = c.bitwiseOR(shiftleft(c, 2)).bitwiseAND(lit(0x33333333L))
+    d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(0x55555555L))
+  }
+  def zValue(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** Z-order clustering: range-partition + sort the data by the Morton
+    * value of two filter columns, so each output file covers a small
+    * RECTANGLE of the (a, b) key space and its parquet min/max footer
+    * stats become tight on BOTH columns. A two-dimensional box predicate
+    * then prunes most files/row-groups at scan time — the data-skipping
+    * layout for the second-most-selective filter column, where
+    * directory partitioning ([[partitionedRoundTrip]]) is already spent
+    * on the first. A linear sort by (a, b) would leave b's per-file
+    * ranges as wide as the table; interleaving bounds both. Memoized per
+    * (session, plan identity, params) like the other layout caches. */
+  private val zorderDirs = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, Int, String, String, Int), String]()
+  def zorderRoundTrip(df: DataFrame, colA: String, colB: String,
+                      nFiles: Int): String =
+    zorderDirs.compute(
+      (df.sparkSession, df.queryExecution.analyzed.semanticHash(),
+        colA, colB, nFiles),
+      { (_, cur) =>
+        if (cur != null && new java.io.File(cur).exists()) cur
+        else {
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft_zorder_").toString
+          df.withColumn("__z", zValue(col(colA), col(colB)))
+            .repartitionByRange(nFiles, col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite").parquet(dir)
+          dir
+        }
+      })
 }
