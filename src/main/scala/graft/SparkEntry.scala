@@ -793,6 +793,20 @@ object SparkEntry {
       AsOfJoin.attributionForward(Tables.events(s, d), "purchase", "click", 3600L)),
     "j5_range_join" -> ((s, d) =>
       RangeJoin.trailingWindowPairs(Tables.events(s, d), "purchase", "click", 1800L)),
+    // salted shuffle join: the skew fix when a hot probe key would
+    // straggle one task and the build side can't broadcast — probe rows
+    // salt by row-id hash, build replicates once per salt, join on
+    // (key, salt). Semantics-transparent: the oracle replays the
+    // UNSALTED join (row multiplicity provably identical)
+    "j7_salted_join" -> ((s, d) =>
+      Joins.saltedJoin(
+          Tables.events(s, d).select("event_id", "user_id", "value"),
+          Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+          "user_id", "c_custkey", "event_id", 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+             round(sum("value"), 2).as("total_value"))
+        .orderBy("c_mktsegment")),
 
     // ---- decode chain / projections (SURVEY §2.2) ----
     "p1p3_decode_flatten" -> ((s, d) =>
@@ -1384,6 +1398,14 @@ object SparkEntry {
                 coalesce(purchase_value, 0.0) AS purchase_value
          FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
          ORDER BY 1""",
+    // the salted join is semantics-transparent: the oracle is the plain
+    // unsalted join
+    "j7_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+                round(sum(value), 2) AS total_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""",
     "sessionize_users" ->
       """WITH o AS (SELECT user_id, ts,
                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts

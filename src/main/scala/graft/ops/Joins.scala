@@ -60,4 +60,32 @@ object Joins {
       .join(broadcast(customer),
             col("user_id") === col("c_custkey"), "inner")
       .select(col("c_name"), col("total_value"))
+
+  /** J7: SALTED shuffle join — the skew fix when one probe-side key
+    * dominates and the build side is too big to broadcast (the join
+    * mirror of [[Aggregates.votesPerCandidateSalted]]'s two-phase agg).
+    * The probe side gets a deterministic per-row salt in [0, salts); the
+    * build side is replicated once per salt value via an exploded
+    * sequence; the join key becomes (key, salt), so the hot key's rows
+    * spread across `salts` shuffle partitions instead of one straggler
+    * task. Row multiplicity is EXACTLY that of the plain join — each
+    * probe row meets each matching build row in precisely one salt
+    * bucket — so the op is semantics-transparent (the oracle replays the
+    * UNSALTED join). Replication costs `salts×` the build side: size it
+    * to the hot keys' spread, not the cluster. AQE's skew-join split is
+    * the runtime alternative ([[graft.tools.PlanAudit]] pins it); the
+    * salt is the plan-level form that also works under joins AQE can't
+    * split (e.g. under a required distribution). */
+  def saltedJoin(probe: DataFrame, build: DataFrame,
+                 probeKey: String, buildKey: String,
+                 probeRowId: String, salts: Int): DataFrame = {
+    val saltedProbe = probe.withColumn("__salt",
+      pmod(hash(col(probeRowId)), lit(salts)).cast("int"))
+    val saltedBuild = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedProbe.join(saltedBuild,
+        saltedProbe(probeKey) === saltedBuild(buildKey) &&
+        saltedProbe("__salt") === saltedBuild("__salt"))
+      .drop("__salt")
+  }
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Joins
+
+/** Salted shuffle join: semantics must be EXACTLY the unsalted join
+  * (row multiplicity included), while the mechanism — salt in the join
+  * key, build side replicated per salt, hot key spread across salt
+  * buckets — is what the spec pins; the oracle only sees the
+  * transparent result.
+  */
+class JoinSaltSpec extends SparkSpec {
+
+  private def probe = Tables.events(spark, sfDir)
+    .select("event_id", "user_id", "value")
+  private def build = Tables.customer(spark, sfDir)
+    .select("c_custkey", "c_mktsegment")
+
+  test("salted join is row-for-row the plain join") {
+    val salted = Joins.saltedJoin(probe, build,
+      "user_id", "c_custkey", "event_id", 8)
+      .select("event_id", "user_id", "c_custkey", "c_mktsegment")
+    val plain = probe.join(build, col("user_id") === col("c_custkey"))
+      .select("event_id", "user_id", "c_custkey", "c_mktsegment")
+    // multiset compare: group by full row
+    def bag(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(df.columns.map(col): _*).count().collect().toSet
+    assert(bag(salted) == bag(plain))
+    assert(plain.count() > 0, "vacuous: empty join")
+  }
+
+  test("salt rides the join key and the hot key spreads across buckets") {
+    val salted = Joins.saltedJoin(probe, build,
+      "user_id", "c_custkey", "event_id", 8)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"),
+      s"salt must participate in the join keys:\n$plan")
+    // the hottest probe key's rows must occupy several salt buckets —
+    // the whole point of the construction
+    val hot = probe.groupBy("user_id").count()
+      .orderBy(desc("count"), asc("user_id")).limit(1)
+      .collect()(0).getLong(0)
+    val buckets = probe.filter(col("user_id") === hot)
+      .select(pmod(hash(col("event_id")), lit(8)).as("s"))
+      .distinct().count()
+    assert(buckets >= 4, s"hot key $hot spread over only $buckets/8 buckets")
+  }
+}
