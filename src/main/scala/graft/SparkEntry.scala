@@ -1011,6 +1011,11 @@ object SparkEntry {
       StreamOps.streamingDedupUsersWatermarked(s, d, statePartitions = Some(8))),
     "t8_stream_asof" -> ((s, d) =>
       StreamOps.streamingAsOfAttribution(s, d, statePartitions = Some(8))),
+    // streaming SCD2: each change CLOSES the key's open version (append
+    // mode); open versions live in state, so the oracle is the batch
+    // lead() assembly filtered to closed intervals
+    "t13_stream_scd2" -> ((s, d) =>
+      StreamOps.streamingScd2(s, d, statePartitions = Some(8))),
     // stream-stream interval join: every click within the hour before the
     // purchase, both sides streaming + watermarked (state evicted by the
     // range condition); oracle = the batch SQL range join
@@ -1500,6 +1505,15 @@ object SparkEntry {
                 lead(ts) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) IS NULL AS is_current
          FROM events""",
+    "t13_stream_scd2" ->
+      """WITH h AS (SELECT user_id, event_id, event_type,
+                           epoch_us(ts) AS valid_from_us,
+                           epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id))
+                             AS valid_to_us
+                    FROM events)
+         SELECT user_id, event_id, event_type, valid_from_us, valid_to_us
+         FROM h WHERE valid_to_us IS NOT NULL""",
     "cdc_merge_upsert" ->
       """WITH r AS (SELECT user_id, value,
                            row_number() OVER (PARTITION BY user_id

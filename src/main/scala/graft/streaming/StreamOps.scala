@@ -567,6 +567,55 @@ object StreamOps {
     last.agg(counts.head, counts.tail: _*)
   }
 
+  /** Output row of the streaming SCD2: one CLOSED version interval. */
+  final case class ScdClosed(user_id: Long, event_id: Long,
+                             event_type: String, valid_from_us: Long,
+                             valid_to_us: Long)
+
+  /** T13: SCD Type 2 ([[graft.ops.Cdc.scd2History]]) incrementalized as a
+    * keyed state machine — `flatMapGroupsWithState` holding exactly the
+    * OPEN version per key (valid_from µs, event_id, event_type). Each
+    * arriving change CLOSES the key's previous version — emitted
+    * immediately, append mode — and opens its own, which lives on in
+    * state rather than output. State is O(keys); emitted rows are
+    * bit-identical to the batch assembly's closed intervals (the batch
+    * `is_current` rows are precisely what the stream still holds open),
+    * so the same lead()-based SQL oracle grades both, filtered to
+    * `valid_to IS NOT NULL`. Same event-time-ordered-batches contract as
+    * [[streamingAsOfAttribution]]. */
+  def streamingScd2(spark: SparkSession, dir: String,
+                    statePartitions: Option[Int] = None): DataFrame =
+      withShufflePartitions(spark, statePartitions) {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val table = freshName("graft_scd2")
+    val closed = eventStream(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, String), ScdClosed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long, String)]) =>
+          val sorted = evs.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[ScdClosed]()
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val m = tsMicros(e.ts)
+            cur.foreach { case (from, id, tpe) =>
+              out += ScdClosed(user, id, tpe, from, m)
+            }
+            cur = Some((m, e.event_id, e.event_type))
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+    val q = closed.toDF()
+      .writeStream.format("memory").queryName(table)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(table)
+  }
+
   /** T12: streaming corpus curation — the LLM tier's scan-side gates
     * (language-ID + quality, [[graft.ext.TextOps.isEnglishPredicate]] /
     * [[graft.ext.TextOps.qualityOkPredicate]]) applied to a document

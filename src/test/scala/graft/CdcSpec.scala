@@ -55,6 +55,68 @@ class CdcSpec extends SparkSpec {
       "updates must actually change values (fixture sanity)")
   }
 
+  test("streaming scd2 emits exactly the batch assembly's closed intervals") {
+    val streamed = graft.streaming.StreamOps
+      .streamingScd2(spark, sfDir, statePartitions = Some(4))
+      .select("user_id", "event_id", "event_type",
+              "valid_from_us", "valid_to_us")
+      .collect().toSet
+    val batch = SparkEntry.queries("cdc_scd2_history")(spark, sfDir)
+      .filter(!col("is_current"))
+      .select("user_id", "event_id", "event_type",
+              "valid_from_us", "valid_to_us")
+      .collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty, "vacuous: no closed intervals")
+  }
+
+  test("streaming scd2 closes a version opened in an EARLIER batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import graft.streaming.StreamOps.Ev
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, t: String, user: Long, typ: String) =
+      Ev(id, java.sql.Timestamp.valueOf(t), user, typ, 0.0)
+    val ms = MemoryStream[Ev]
+    // same state transition as StreamOps.streamingScd2 (open version per
+    // key; each change closes the previous one)
+    val closed = ms.toDS().groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, String), (Long, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev],
+         state: GroupState[(Long, Long, String)]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur.foreach { case (from, id, _) =>
+              out += ((id, from, e.ts.getTime)) }
+            cur = Some((e.ts.getTime, e.event_id, e.event_type))
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+    val q = closed.toDF("version_id", "from_ms", "to_ms")
+      .writeStream.format("memory").queryName("scd2_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00", 1, "signup"))
+      q.processAllAvailable()
+      assert(spark.table("scd2_stream").count() == 0,
+        "open version must not emit")
+      ms.addData(ev(2, "2024-01-01 11:00:00", 1, "upgrade"))
+      q.processAllAvailable()
+      val rows = spark.table("scd2_stream")
+        .as[(Long, Long, Long)].collect().toSet
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 11:00:00").getTime
+      assert(rows == Set((1L, t0, t1)),
+        s"batch-1 version must close at batch-2's change: $rows")
+    } finally q.stop()
+  }
+
   test("temperature mix: keep-rate tilts toward small groups, total ~ half") {
     val kept = SparkEntry.queries("mix_temperature")(spark, sfDir)
       .groupBy("lang").count().withColumnRenamed("count", "n_kept")
