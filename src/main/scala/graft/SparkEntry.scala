@@ -1016,6 +1016,18 @@ object SparkEntry {
     // lead() assembly filtered to closed intervals
     "t13_stream_scd2" -> ((s, d) =>
       StreamOps.streamingScd2(s, d, statePartitions = Some(8))),
+    // streaming decontamination feed: per-batch window explode + broadcast
+    // eval-window semi join (stateless), per-lang contaminated counts in
+    // complete mode; the batch decontaminate's quarantine side, live
+    "t14_stream_decontaminate" -> ((s, d) =>
+      StreamOps.streamingDecontaminationFeed(s, d, statePartitions = Some(4))
+        .orderBy("lang")),
+    // incremental aggregate maintenance: per-batch PARTIAL aggregates
+    // (integer cents — associative, so two-level == one-level exactly)
+    // merged by re-aggregation, never recomputed from raw history — the
+    // materialized-view refresh shape at 100 TB
+    "incr_agg_merge" -> ((s, d) =>
+      Aggregates.incrementalMerge(Tables.events(s, d))),
     // stream-stream interval join: every click within the hour before the
     // purchase, both sides streaming + watermarked (state evicted by the
     // range condition); oracle = the batch SQL range join
@@ -1514,6 +1526,30 @@ object SparkEntry {
                     FROM events)
          SELECT user_id, event_id, event_type, valid_from_us, valid_to_us
          FROM h WHERE valid_to_us IS NOT NULL""",
+    // the stream's per-batch window explode + broadcast semi join uses
+    // the same window expression as the batch decontaminate, so this
+    // batch replay grades the streaming execution
+    "t14_stream_decontaminate" ->
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words
+                    FROM documents
+                    WHERE len(string_split(text, ' ')) >= 13),
+              wins AS (SELECT doc_id, lang,
+                              unnest(list_transform(range(0, len(words) - 12),
+                                i -> array_to_string(words[i+1:i+13], ' '))) AS win
+                       FROM w),
+              ev AS (SELECT DISTINCT win FROM wins WHERE doc_id % 20 = 0)
+         SELECT lang, count(DISTINCT w2.doc_id) AS n_contaminated
+         FROM wins w2 JOIN ev USING (win)
+         WHERE w2.doc_id % 20 <> 0
+         GROUP BY lang ORDER BY lang""",
+    // the oracle aggregates the raw history in ONE level; the engine's
+    // two-level partial merge matches bit-for-bit because the sums are
+    // integer cents (associative) and min/max/count fold freely
+    "incr_agg_merge" ->
+      """SELECT user_id, count(*) AS n_events,
+                sum(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+                min(value) AS min_value, max(value) AS max_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "cdc_merge_upsert" ->
       """WITH r AS (SELECT user_id, value,
                            row_number() OVER (PARTITION BY user_id

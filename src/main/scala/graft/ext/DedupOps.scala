@@ -227,15 +227,22 @@ object DedupOps {
     * the corpus side never shuffles; the left join keeps clean docs with
     * n_eval_windows = 0, so the output is the full keep/drop manifest,
     * not just the flagged tail. */
+  /** Explode a document table into its `w`-token windows — the shared
+    * vocabulary of [[decontaminate]] and the streaming gate
+    * ([[graft.streaming.StreamOps.streamingDecontaminationFeed]]): the
+    * extra projected columns ride along (`keep` lists them). */
+  private[graft] def tokenWindows(df: DataFrame, w: Int,
+                                  keep: Seq[String] = Nil): DataFrame = df
+    .withColumn("words", split(col("text"), " "))
+    .filter(size(col("words")) >= w)
+    .select((col("doc_id") +: keep.map(col)) :+
+      explode(expr(
+        s"transform(sequence(0, size(words) - $w), i -> concat_ws(' ', slice(words, i + 1, $w)))"))
+        .as("win"): _*)
+
   def decontaminate(corpus: DataFrame, evalDocs: DataFrame,
                     w: Int = 13): DataFrame = {
-    def wins(df: DataFrame): DataFrame = df
-      .withColumn("words", split(col("text"), " "))
-      .filter(size(col("words")) >= w)
-      .select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(0, size(words) - $w), i -> concat_ws(' ', slice(words, i + 1, $w)))"))
-          .as("win"))
+    def wins(df: DataFrame): DataFrame = tokenWindows(df, w)
     val ev = broadcast(wins(evalDocs).select("win").distinct())
     val perDoc = wins(corpus).join(ev, Seq("win"), "left_semi")
       .groupBy("doc_id").agg(countDistinct("win").as("n_eval_windows"))

@@ -616,6 +616,44 @@ object StreamOps {
     spark.table(table)
   }
 
+  /** T14: streaming decontamination feed — the quarantine side of
+    * [[graft.ext.DedupOps.decontaminate]] run as documents LAND: each
+    * micro-batch's docs explode into 13-token windows, semi-join the
+    * BROADCAST eval-set window table (stream-static, stateless per
+    * batch — eval sets are benchmarks, not corpora), and the per-language
+    * contaminated-doc counts accumulate in complete mode (the only
+    * stateful op, O(langs × docs-hit) keys in the countDistinct). Window
+    * construction is the exact expression the batch op uses
+    * ([[graft.ext.DedupOps.tokenWindows]]), so batch/stream verdict
+    * parity is by construction and the batch SQL oracle grades the
+    * streaming execution. */
+  def streamingDecontaminationFeed(spark: SparkSession, dir: String,
+                                   w: Int = 13, evalMod: Int = 20,
+                                   statePartitions: Option[Int] = None): DataFrame =
+      withShufflePartitions(spark, statePartitions) {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val evalWins = broadcast(
+      graft.ext.DedupOps.tokenWindows(
+          docs.filter(pmod(col("doc_id"), lit(evalMod)) === 0), w)
+        .select("win").distinct())
+    val table = freshName("graft_t14")
+    val stream = docStream(spark, dir)
+      .filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
+    // countDistinct is not a streaming aggregate; the distinct-doc fold
+    // is the stateful dropDuplicates (t5's machinery, keyed on doc_id —
+    // O(contaminated docs) state), then a plain count per language
+    val q = graft.ext.DedupOps.tokenWindows(stream, w, keep = Seq("lang"))
+      .join(evalWins, Seq("win"), "left_semi")
+      .select("doc_id", "lang")
+      .dropDuplicates("doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_contaminated"))
+      .writeStream.format("memory").queryName(table)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(table)
+  }
+
   /** T12: streaming corpus curation — the LLM tier's scan-side gates
     * (language-ID + quality, [[graft.ext.TextOps.isEnglishPredicate]] /
     * [[graft.ext.TextOps.qualityOkPredicate]]) applied to a document
@@ -628,9 +666,9 @@ object StreamOps {
     * streaming execution. */
   private val docTopicDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  def streamingQualityGate(spark: SparkSession, dir: String,
-                           statePartitions: Option[Int] = None): DataFrame =
-      withShufflePartitions(spark, statePartitions) {
+  /** The documents table as a file-stream source (symlinked topic dir,
+    * same discipline as [[eventsTopicDir]]). */
+  private def docStream(spark: SparkSession, dir: String): DataFrame = {
     val topic = docTopicDirs.computeIfAbsent(dir, { d =>
       val t = Files.createTempDirectory("graft_docs_topic_")
       Files.createSymbolicLink(
@@ -638,11 +676,17 @@ object StreamOps {
         java.nio.file.Paths.get(s"$d/documents.parquet"))
       t.toString
     })
-    val table = freshName("graft_t12")
-    val q = spark.readStream
+    spark.readStream
       .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
       .option("maxFilesPerTrigger", 1)
       .parquet(topic)
+  }
+
+  def streamingQualityGate(spark: SparkSession, dir: String,
+                           statePartitions: Option[Int] = None): DataFrame =
+      withShufflePartitions(spark, statePartitions) {
+    val table = freshName("graft_t12")
+    val q = docStream(spark, dir)
       .filter(graft.ext.TextOps.isEnglishPredicate &&
               graft.ext.TextOps.qualityOkPredicate)
       .groupBy("lang").agg(count(lit(1)).as("n_kept"))
