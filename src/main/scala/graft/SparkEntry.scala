@@ -1022,6 +1022,12 @@ object SparkEntry {
     "t14_stream_decontaminate" -> ((s, d) =>
       StreamOps.streamingDecontaminationFeed(s, d, statePartitions = Some(4))
         .orderBy("lang")),
+    // timer-based session close (EventTimeTimeout): in-batch closes on
+    // gap-exceed, tail sessions close when the watermark passes
+    // last + gap — the oracle replays the exec's exact ms fire condition
+    "t15_stream_timeout_sessions" -> ((s, d) =>
+      StreamOps.streamingTimeoutSessions(s, d, statePartitions = Some(8))
+        .orderBy("user_id", "start_us")),
     // incremental aggregate maintenance: per-batch PARTIAL aggregates
     // (integer cents — associative, so two-level == one-level exactly)
     // merged by re-aggregation, never recomputed from raw history — the
@@ -1542,6 +1548,30 @@ object SparkEntry {
          FROM wins w2 JOIN ev USING (win)
          WHERE w2.doc_id % 20 <> 0
          GROUP BY lang ORDER BY lang""",
+    // sessions replayed in µs arithmetic; the tail session's timeout uses
+    // the exec's fire condition — timeout MS strictly below watermark MS
+    "t15_stream_timeout_sessions" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+                           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS pus
+                    FROM events),
+              m AS (SELECT user_id, us,
+                           sum(CASE WHEN pus IS NULL OR us - pus > 1800000000
+                                    THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM o),
+              s AS (SELECT user_id, sid, min(us) AS start_us,
+                           max(us) AS end_us, count(*) AS n_events
+                    FROM m GROUP BY user_id, sid),
+              mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+              tl AS (SELECT user_id, max(sid) AS last_sid FROM s
+                     GROUP BY user_id)
+         SELECT s.user_id, s.start_us, s.end_us, s.n_events
+         FROM s JOIN tl USING (user_id) CROSS JOIN mx
+         WHERE s.sid < tl.last_sid
+            OR (s.end_us + 1800000000) // 1000 < mx.max_us // 1000
+         ORDER BY s.user_id, s.start_us""",
     // the oracle aggregates the raw history in ONE level; the engine's
     // two-level partial merge matches bit-for-bit because the sums are
     // integer cents (associative) and min/max/count fold freely

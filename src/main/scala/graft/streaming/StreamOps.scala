@@ -616,6 +616,74 @@ object StreamOps {
     spark.table(table)
   }
 
+  /** A closed session emitted by [[streamingTimeoutSessions]]. */
+  final case class ClosedSession(user_id: Long, start_us: Long,
+                                 end_us: Long, n_events: Long)
+
+  /** T15: sessionization with TIMER-based close — the streaming API
+    * surface none of the other ops exercise (`EventTimeTimeout`): a
+    * session closes either in-batch, when the next event's gap exceeds
+    * `gapSec` (µs arithmetic, matching the batch sessionizer), or by
+    * TIMEOUT, when the event-time watermark passes the open session's
+    * last event + gap — Spark fires the group's callback with
+    * `hasTimedOut` in the no-data batch after the watermark advances.
+    * State is one open session per key, removed on timeout; emitted rows
+    * are append-mode closed sessions. The oracle replays the same
+    * sessions in SQL and applies the exec's exact fire condition
+    * (timeout MS strictly below watermark MS) to each user's tail
+    * session — sessions still within the gap of the stream's end stay
+    * open in state, exactly as a live pipeline would leave them. */
+  def streamingTimeoutSessions(spark: SparkSession, dir: String,
+                               gapSec: Long = 1800L,
+                               statePartitions: Option[Int] = None): DataFrame =
+      withShufflePartitions(spark, statePartitions) {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gapUs = gapSec * 1000000L
+    val table = freshName("graft_t15")
+    val closed = eventStream(spark, dir)
+      .withWatermark("ts", "0 seconds")
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[Ev],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (start, last, n) = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, start, last, n))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val m = tsMicros(e.ts)
+              cur match {
+                case Some((start, last, n)) if m - last > gapUs =>
+                  out += ClosedSession(user, start, last, n)
+                  cur = Some((m, m, 1L))
+                case Some((start, _, n)) =>
+                  cur = Some((start, m, n + 1L))
+                case None =>
+                  cur = Some((m, m, 1L))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              // event-time timers are millisecond-epoch
+              state.setTimeoutTimestamp(Math.floorDiv(c._2 + gapUs, 1000L))
+            }
+            out.iterator
+          }
+      }
+    val q = closed.toDF()
+      .writeStream.format("memory").queryName(table)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(table)
+  }
+
   /** T14: streaming decontamination feed — the quarantine side of
     * [[graft.ext.DedupOps.decontaminate]] run as documents LAND: each
     * micro-batch's docs explode into 13-token windows, semi-join the

@@ -19,6 +19,7 @@ object PlanAudit {
     "t5b_stream_dedup_watermarked", "t8_stream_asof", "t9_stream_sessions",
     "t10_stream_stream_join", "t11_stream_funnel", "t12_stream_quality_gate",
     "t13_stream_scd2", "t14_stream_decontaminate",
+    "t15_stream_timeout_sessions",
     "s8_write_then_emit",
     "vote_e2e_stream_tally", "vote_e2e_live_results", "vote_e2e_reemit")
 

@@ -28,6 +28,41 @@ class IncrementalSpec extends SparkSpec {
       s"degenerate batch split: ${batches.toSeq}")
   }
 
+  test("timeout sessions: closed + still-open partition the batch sessions") {
+    val gapUs = 1800L * 1000000L
+    val closed = graft.streaming.StreamOps
+      .streamingTimeoutSessions(spark, sfDir, statePartitions = Some(4))
+      .cache()
+    // batch replay of all sessions in the same µs arithmetic
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val all = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+              col("event_id"))
+      .withColumn("pus", lag("us", 1).over(w))
+      .withColumn("new_s",
+        when(col("pus").isNull || col("us") - col("pus") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(max("us").as("end_us"))
+    val maxUs = Tables.events(spark, sfDir)
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val nAll = all.count()
+    val nOpenTails = all
+      .withColumn("last_sid",
+        max("sid").over(Window.partitionBy("user_id")))
+      .filter(col("sid") === col("last_sid") &&
+        !(((col("end_us") + gapUs) / 1000).cast("long") < lit(maxUs / 1000)))
+      .count()
+    assert(nOpenTails > 0, "no session survives to stream end: vacuous")
+    assert(closed.count() + nOpenTails == nAll,
+      s"closed ${closed.count()} + open $nOpenTails != $nAll sessions")
+    // timed-out tails really emitted (the timer branch is exercised)
+    assert(closed.count() > 0)
+  }
+
   test("streaming decontamination feed matches the batch quarantine") {
     val docs = Tables.documents(spark, sfDir)
     val corpus = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
