@@ -1194,6 +1194,10 @@ object SparkEntry {
     // tokenizer-prep vocabulary: top-30 words by count with df and rank
     "text_vocabulary" -> ((s, d) =>
       TextOps.vocabulary(Tables.documents(s, d), 30)),
+    // vocabulary APPLICATION (the encode step): word → top-30 rank,
+    // OOV → 0; per-doc integer invariants pin the full id sequence
+    "text_tokenize_ids" -> ((s, d) =>
+      TextOps.tokenizeStats(Tables.documents(s, d), 30)),
     // unigram-LM quality signal (poor-man's perplexity): per-doc mean
     // log-probability under the corpus's own unigram distribution
     "text_unigram_score" -> ((s, d) =>
@@ -2760,6 +2764,23 @@ object SparkEntry {
                 CAST(row_number() OVER (ORDER BY n_occ DESC, word ASC) AS INTEGER)
                   AS rank
          FROM t""",
+    // same vocabulary, applied: LEFT JOIN keeps OOV words as NULL rank
+    // (counted, contributing 0 to the checksum)
+    "text_tokenize_ids" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+              g AS (SELECT word, count(*) AS n_occ FROM w GROUP BY word),
+              v AS (SELECT word,
+                           CAST(row_number() OVER (ORDER BY n_occ DESC,
+                                                   word ASC) AS BIGINT)
+                             AS rank
+                    FROM (SELECT word, n_occ FROM g
+                          ORDER BY n_occ DESC, word ASC LIMIT 30)),
+              j AS (SELECT w.doc_id, v.rank FROM w LEFT JOIN v USING (word))
+         SELECT doc_id, count(*) AS n_tokens,
+                count(*) FILTER (WHERE rank IS NULL) AS n_unk,
+                COALESCE(sum(rank), 0) AS ids_sum
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
     // quantize -> cosine on codes -> top-10 -> hits vs float truth,
     // all recomputed here
     "ann_int8_recall" ->

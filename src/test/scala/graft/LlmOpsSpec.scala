@@ -340,4 +340,17 @@ class LlmOpsSpec extends SparkSpec {
       .as[(Long, Boolean)].collect().head
     assert(r._2, s"int8 top-10 recall ${r._1}/10 below bound")
   }
+
+  test("tokenize ids: crafted corpus pins rank mapping and OOV handling") {
+    // vocab@k=2 of this corpus: a (3 occ → rank 1), b (2 occ, ties c but
+    // wins alphabetically → rank 2); c and zzz are OOV
+    val docs = Seq((0L, "a a b"), (1L, "b c c a"), (2L, "zzz"))
+      .toDF("doc_id", "text")
+    val got = TextOps.tokenizeStats(docs, 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 3L, 0L, 1L + 1L + 2L),
+      (1L, 4L, 2L, 2L + 0L + 0L + 1L),
+      (2L, 1L, 1L, 0L)), s"unexpected encode invariants: $got")
+  }
 }
