@@ -997,6 +997,11 @@ object SparkEntry {
     // tally can only come from recovered state (offset log bars a re-read)
     "t1_stream_recover" -> ((s, d) =>
       StreamOps.recoverableTally(s, d, statePartitions = Some(8))),
+    // exactly-once parquet sink across a kill-restart: the sink's
+    // _spark_metadata log is what the re-read trusts; match vs the
+    // source is proof of no loss AND no reprocessing
+    "s9_file_sink_exactly_once" -> ((s, d) =>
+      StreamOps.fileSinkExactlyOnce(s, d, statePartitions = Some(8))),
     "t2_stream_hourly_window" -> ((s, d) =>
       StreamOps.hourlyWindowCounts(s, d, statePartitions = Some(8))),
     // late rows (held-back fifth, delivered after the watermark advanced)
@@ -1028,6 +1033,31 @@ object SparkEntry {
     "t15_stream_timeout_sessions" -> ((s, d) =>
       StreamOps.streamingTimeoutSessions(s, d, statePartitions = Some(8))
         .orderBy("user_id", "start_us")),
+    // data-quality audit: scan rules fold in ONE multi-aggregate pass,
+    // referential integrity is the one anti join; the fixture is clean,
+    // so violations are INJECTED deterministically (the pii/a10
+    // inject-then-detect pattern) — identical VALUES on the oracle side
+    "dq_audit" -> ((s, d) => {
+      val bad = s.sql(
+        """SELECT * FROM VALUES
+             (CAST(NULL AS BIGINT), 1L, 1L, 1, 10.0D, 100.0D, 0.05D, 0.02D,
+              'N', 'O', TIMESTAMP '1996-06-01'),
+             (-999L, 1L, 1L, 1, 10.0D, 100.0D, 0.05D, 0.02D,
+              'N', 'O', TIMESTAMP '1996-06-01'),
+             (0L, 1L, 1L, 1, 10.0D, -5.0D, 0.05D, 0.02D,
+              'N', 'O', TIMESTAMP '1996-06-01'),
+             (0L, 1L, 1L, 1, 10.0D, 100.0D, 2.0D, 0.02D,
+              'N', 'O', TIMESTAMP '1996-06-01'),
+             (0L, 1L, 1L, 1, 0.0D, 100.0D, 0.05D, 0.02D,
+              'N', 'O', TIMESTAMP '1996-06-01'),
+             (0L, 1L, 1L, 1, 10.0D, 100.0D, 0.05D, 0.02D,
+              'N', 'O', TIMESTAMP '1990-01-01')
+           AS t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+                l_extendedprice, l_discount, l_tax, l_returnflag,
+                l_linestatus, l_shipdate)""")
+      Quality.auditLineitem(
+        Tables.lineitem(s, d).unionByName(bad), Tables.orders(s, d))
+    }),
     // incremental aggregate maintenance: per-batch PARTIAL aggregates
     // (integer cents — associative, so two-level == one-level exactly)
     // merged by re-aggregation, never recomputed from raw history — the
@@ -1576,6 +1606,56 @@ object SparkEntry {
          WHERE s.sid < tl.last_sid
             OR (s.end_us + 1800000000) // 1000 < mx.max_us // 1000
          ORDER BY s.user_id, s.start_us""",
+    // identical injected VALUES; the null-key row counts under BOTH
+    // null_orderkey and orphan_orderkey (null never matches the parent)
+    "dq_audit" ->
+      """WITH bad(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+                  l_extendedprice, l_discount, l_tax, l_returnflag,
+                  l_linestatus, l_shipdate) AS (VALUES
+             (CAST(NULL AS BIGINT), 1, 1, 1, 10.0, 100.0, 0.05, 0.02,
+              'N', 'O', TIMESTAMP '1996-06-01'),
+             (-999, 1, 1, 1, 10.0, 100.0, 0.05, 0.02,
+              'N', 'O', TIMESTAMP '1996-06-01'),
+             (0, 1, 1, 1, 10.0, -5.0, 0.05, 0.02,
+              'N', 'O', TIMESTAMP '1996-06-01'),
+             (0, 1, 1, 1, 10.0, 100.0, 2.0, 0.02,
+              'N', 'O', TIMESTAMP '1996-06-01'),
+             (0, 1, 1, 1, 0.0, 100.0, 0.05, 0.02,
+              'N', 'O', TIMESTAMP '1996-06-01'),
+             (0, 1, 1, 1, 10.0, 100.0, 0.05, 0.02,
+              'N', 'O', TIMESTAMP '1990-01-01')),
+              li AS (SELECT l_orderkey, l_quantity, l_extendedprice,
+                            l_discount, l_shipdate FROM lineitem
+                     UNION ALL
+                     SELECT l_orderkey, l_quantity, l_extendedprice,
+                            l_discount, l_shipdate FROM bad),
+              scan AS (
+                SELECT 'null_orderkey' AS rule,
+                       sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                         AS n_violations FROM li
+                UNION ALL
+                SELECT 'nonpositive_price',
+                       sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+                  FROM li
+                UNION ALL
+                SELECT 'quantity_out_of_range',
+                       sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50
+                                THEN 1 ELSE 0 END) FROM li
+                UNION ALL
+                SELECT 'discount_out_of_range',
+                       sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                                THEN 1 ELSE 0 END) FROM li
+                UNION ALL
+                SELECT 'shipdate_out_of_range',
+                       sum(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01'
+                                  OR l_shipdate >= TIMESTAMP '2010-01-01'
+                                THEN 1 ELSE 0 END) FROM li
+                UNION ALL
+                SELECT 'orphan_orderkey',
+                       count(*) FROM li
+                WHERE NOT EXISTS (SELECT 1 FROM orders
+                                  WHERE o_orderkey = li.l_orderkey))
+         SELECT rule, n_violations FROM scan ORDER BY rule""",
     // the oracle aggregates the raw history in ONE level; the engine's
     // two-level partial merge matches bit-for-bit because the sums are
     // integer cents (associative) and min/max/count fold freely
@@ -2246,6 +2326,12 @@ object SparkEntry {
     "t1_stream_recover" ->
       """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
          FROM events GROUP BY event_type""",
+    // the fold over the SINK directory must equal the fold over the
+    // source: exactly-once across the restart
+    "s9_file_sink_exactly_once" ->
+      """SELECT event_type, count(*) AS n_events,
+                sum(CAST(round(value * 100) AS BIGINT)) AS cents
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "t2_stream_hourly_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
                 count(*) AS n_events

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality audit — the constraint layer a production table carries
+  * (the reference trusts its generator implicitly; at 100 TB ingest you
+  * verify instead). One rule table out, two plan shapes in: every
+  * scan-expressible rule folds in a SINGLE pass over the fact table
+  * (one multi-aggregate projection, no per-rule scans), and referential
+  * integrity is the one rule that genuinely needs a second relation —
+  * an anti join against the parent keys, which at scale rides a
+  * broadcast/bloom of the parent key set. */
+object Quality {
+
+  /** Audit `lineitem` against its implicit contract; `orders` is the
+    * RI parent. Output: (rule, n_violations) — zero rows are kept so
+    * the audit's COVERAGE is visible, not just its failures. */
+  def auditLineitem(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val scanRules = lineitem.agg(
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L))
+        .as("null_orderkey"),
+      sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L))
+        .as("nonpositive_price"),
+      sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L))
+        .as("quantity_out_of_range"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+        .otherwise(0L)).as("discount_out_of_range"),
+      sum(when(col("l_shipdate") < lit("1992-01-01").cast("timestamp") ||
+               col("l_shipdate") >= lit("2010-01-01").cast("timestamp"), 1L)
+        .otherwise(0L)).as("shipdate_out_of_range"))
+    val melted = scanRules.selectExpr(
+      """stack(5,
+           'null_orderkey', null_orderkey,
+           'nonpositive_price', nonpositive_price,
+           'quantity_out_of_range', quantity_out_of_range,
+           'discount_out_of_range', discount_out_of_range,
+           'shipdate_out_of_range', shipdate_out_of_range)
+         AS (rule, n_violations)""")
+    val orphans = lineitem.select("l_orderkey")
+      .join(orders.select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("orphan_orderkey").as("rule"), col("n_violations"))
+    melted.unionByName(orphans).orderBy("rule")
+  }
+}

@@ -231,6 +231,55 @@ object StreamOps {
     spark.table(table2)
   }
 
+  /** S9: exactly-once FILE SINK — the durability seat t1 proves for
+    * STATE, proven for OUTPUT: the parquet sink's `_spark_metadata`
+    * transaction log makes the output directory exactly-once across
+    * restarts. Phase 1 streams the even half of the events into an
+    * append-mode parquet sink and STOPS; phase 2 stages the odd half and
+    * restarts from the same checkpoint. The batch read of the sink dir
+    * consults the sink log (ignoring any files an interrupted batch
+    * might have orphaned), so the fold over the sink can only match the
+    * source oracle if every event landed exactly once — loss would
+    * undercount, reprocessing would overcount. Sums are integer cents
+    * (fold-order-free). */
+  def fileSinkExactlyOnce(spark: SparkSession, dir: String,
+                          statePartitions: Option[Int] = None): DataFrame =
+      withShufflePartitions(spark, statePartitions) {
+    val (root, topic) = freshTopic("graft_s9_")
+    val ckpt = root.resolve("ckpt").toString
+    val out = root.resolve("out").toString
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+
+    def addFile(name: String, parity: Int): Unit =
+      stageTopicFile(root, topic, name,
+        ev.filter(pmod(col("event_id"), lit(2)) === parity))
+
+    def start() =
+      spark.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(topic.toString)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+
+    addFile("f0", 0)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    addFile("f1", 1)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    spark.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           sum(round(col("value") * 100).cast("long")).as("cents"))
+      .orderBy("event_type")
+  }
+
   /** MemoryStream harness for the fine-grained specs (exact micro-batch
     * boundaries, late-data injection): drive `pipeline` over `data`
     * replayed in `nBatches` micro-batches and return the final result

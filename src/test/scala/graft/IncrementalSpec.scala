@@ -63,6 +63,35 @@ class IncrementalSpec extends SparkSpec {
     assert(closed.count() > 0)
   }
 
+  test("file sink read trusts _spark_metadata, ignoring orphan files") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps.Ev
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sink_spec_")
+    val out = root.resolve("out").toString
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF().writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .outputMode("append").start()
+    def ev(id: Long) = Ev(id, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+                          1L, "click", 1.0)
+    try { ms.addData(ev(1), ev(2), ev(3)); q.processAllAvailable() }
+    finally q.stop()
+    assert(spark.read.parquet(out).count() == 3)
+    // an interrupted batch leaves files the sink log never committed —
+    // simulate one and prove the committed view doesn't change
+    val stage = root.resolve("stage").toString
+    Seq(ev(98), ev(99)).toDF().coalesce(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(out, "part-orphan.parquet"))
+    assert(spark.read.parquet(out).count() == 3,
+      "read must consult the sink transaction log, not the listing")
+  }
+
   test("streaming decontamination feed matches the batch quarantine") {
     val docs = Tables.documents(spark, sfDir)
     val corpus = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
