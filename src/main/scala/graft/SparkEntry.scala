@@ -48,6 +48,13 @@ object SparkEntry {
     // (differential sketch grading, same contract as a6/a7)
     "a10_heavy_hitters" -> ((s, d) =>
       Aggregates.heavyHittersApprox(Tables.events(s, d))),
+    // mergeable-sketch rollups (the 100 TB pattern: per-partition
+    // sketches, union for any rollup — raw rows never re-scanned);
+    // graded by the differential sketch contract (exact + honest verdict)
+    "sketch_hll_merge" -> ((s, d) =>
+      Sketches.hllMergeDistinct(Tables.events(s, d))),
+    "sketch_cms_heavy" -> ((s, d) =>
+      Sketches.cmsHeavyHitters(Tables.events(s, d))),
     "q1_pricing_summary" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag", "l_linestatus")
@@ -775,6 +782,9 @@ object SparkEntry {
       graft.ops.Sessionize.sessionsPerUser(s, Tables.events(s, d))),
     "sessionize_users_bigkey" -> ((s, d) =>
       graft.ops.Sessionize.sessionsPerUserSecondarySort(s, Tables.events(s, d))),
+    // gaps-and-islands: per-user consecutive-day activity streaks
+    "streaks_active_days" -> ((s, d) =>
+      graft.ops.Sessionize.activityStreaks(Tables.events(s, d))),
 
     // ---- joins (SURVEY §2.3) ----
     "j1_broadcast_enrich" -> ((s, d) =>
@@ -793,6 +803,10 @@ object SparkEntry {
       AsOfJoin.attributionForward(Tables.events(s, d), "purchase", "click", 3600L)),
     "j5_range_join" -> ((s, d) =>
       RangeJoin.trailingWindowPairs(Tables.events(s, d), "purchase", "click", 1800L)),
+    // linear multi-touch attribution over the bucketed range join;
+    // credit in integer micro-units so the rollup is exact on both sides
+    "attrib_linear" -> ((s, d) =>
+      RangeJoin.linearAttribution(Tables.events(s, d), "purchase", "click", 3600L)),
     // salted shuffle join: the skew fix when a hot probe key would
     // straggle one task and the build side can't broadcast — probe rows
     // salt by row-id hash, build replicates once per salt, join on
@@ -1004,6 +1018,10 @@ object SparkEntry {
       StreamOps.fileSinkExactlyOnce(s, d, statePartitions = Some(8))),
     "t2_stream_hourly_window" -> ((s, d) =>
       StreamOps.hourlyWindowCounts(s, d, statePartitions = Some(8))),
+    // sliding 2h/1h event-time windows: each event lands in TWO
+    // overlapping windows; the oracle replays the expansion as a UNION ALL
+    "t16_stream_sliding_window" -> ((s, d) =>
+      StreamOps.slidingWindowCounts(s, d, statePartitions = Some(8))),
     // late rows (held-back fifth, delivered after the watermark advanced)
     // are DROPPED; append mode emits only watermark-finalized windows
     "t4_stream_late_drop" -> ((s, d) =>
@@ -1101,6 +1119,10 @@ object SparkEntry {
       SimilarityOps.nearDupPairsWithinLabel(Tables.embeddings(s, d), 20)),
     "dedup_clusters" -> ((s, d) =>
       DedupOps.duplicateClusters(Tables.documents(s, d), 3, tau = 0.5)),
+    // cluster → kept representative (longest member, tie min doc_id):
+    // the deduplicated corpus the cluster step exists to produce
+    "dedup_canonical" -> ((s, d) =>
+      DedupOps.canonicalPerCluster(Tables.documents(s, d), 3, tau = 0.5)),
     // two-stage semantic near-dup: the embedding band gate proposes the
     // top-20 pairs, the lexical exact-Jaccard verifies each — the verify
     // cost follows the CANDIDATES (semi-joined corpus), never the corpus
@@ -1368,6 +1390,26 @@ object SparkEntry {
               c AS (SELECT hot_key, count(*) AS n FROM k GROUP BY hot_key)
          SELECT hot_key, n, true AS found_by_sketch
          FROM c, t WHERE n * 20 >= total ORDER BY hot_key""",
+    // the HLL sketches (global AND per-day-merged) are engine-internal;
+    // the contract is: exact distinct matches, the daily-merged estimate
+    // landed within 5% of exact, and merge-vs-global agree within 1% —
+    // any sketch or merge regression flips a boolean
+    "sketch_hll_merge" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+                true AS merged_within_5pct,
+                true AS merge_vs_global_within_1pct
+         FROM events GROUP BY event_type""",
+    // the count-min sketch is engine-internal; the contract is: exact
+    // counts of the top-5 keys match, and each CMS point estimate obeys
+    // the (never-undercount, overcount <= ceil(eps*N)) guarantee
+    "sketch_cms_heavy" ->
+      """WITH k AS (SELECT CASE WHEN user_id % 5 < 2 THEN 7
+                                WHEN user_id % 5 = 2 THEN 13
+                                ELSE user_id % 1000 END AS hot_key
+                    FROM events),
+              c AS (SELECT hot_key, count(*) AS n_exact FROM k GROUP BY hot_key)
+         SELECT hot_key, n_exact, true AS cms_within_bound
+         FROM c ORDER BY n_exact DESC, hot_key LIMIT 5""",
     "a7_percentiles" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
                 round(quantile_cont(value, 0.9), 4) AS p90
@@ -1474,6 +1516,20 @@ object SparkEntry {
                     FROM o)
          SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
          FROM m GROUP BY user_id""",
+    "streaks_active_days" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                       FROM events),
+              isl AS (SELECT user_id, d,
+                             date_diff('day', DATE '2024-01-01', d)
+                               - row_number() OVER (PARTITION BY user_id
+                                                    ORDER BY d) AS island
+                      FROM days),
+              runs AS (SELECT user_id, island, count(*) AS len
+                       FROM isl GROUP BY user_id, island)
+         SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+                CAST(max(len) AS BIGINT) AS max_streak,
+                count(*) AS n_streaks
+         FROM runs GROUP BY user_id""",
     "sessionize_users_bigkey" ->
       """WITH o AS (SELECT user_id, ts,
                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
@@ -2171,6 +2227,20 @@ object SparkEntry {
            ON l.user_id = r.user_id
           AND l.event_type = 'purchase' AND r.event_type = 'click'
           AND date_diff('second', r.ts, l.ts) BETWEEN 0 AND 1800""",
+    "attrib_linear" ->
+      """WITH p AS (SELECT l.event_id AS left_id, r.event_id AS right_id,
+                           r.ts AS r_ts
+                    FROM events l JOIN events r
+                      ON l.user_id = r.user_id
+                     AND l.event_type = 'purchase'
+                     AND r.event_type = 'click'
+                     AND date_diff('second', r.ts, l.ts) BETWEEN 0 AND 3600),
+              n AS (SELECT left_id, count(*) AS n_touches
+                    FROM p GROUP BY left_id)
+         SELECT CAST(hour(p.r_ts) AS INTEGER) AS touch_hour,
+                CAST(sum(1000000 // n.n_touches) AS BIGINT) AS credit_micro,
+                count(*) AS n_touches_total
+         FROM p JOIN n USING (left_id) GROUP BY touch_hour""",
     "p1p3_decode_flatten" ->
       "SELECT event_id, event_type, value FROM events",
     "p6_empty_guard" ->
@@ -2336,6 +2406,16 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
                 count(*) AS n_events
          FROM events GROUP BY 1""",
+    // sliding 2h windows advancing 1h, epoch-aligned like Spark's
+    // window(): event at ts belongs to the windows starting at
+    // trunc_hour(ts) and trunc_hour(ts) - 1h
+    "t16_stream_sliding_window" ->
+      """WITH w AS (SELECT date_trunc('hour', ts) AS s FROM events
+                    UNION ALL
+                    SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events)
+         SELECT strftime(s, '%Y-%m-%d %H:%M') AS win_start,
+                count(*) AS n_events
+         FROM w GROUP BY s""",
     // batch-1 rows only (the held-back late set — id-hash picked AND >= 2h
     // older than global max ts — is dropped), windows finalized by the
     // batch-1 watermark (end <= max(ts) - 1h; max row is in batch 1 by
@@ -2508,6 +2588,42 @@ object SparkEntry {
          SELECT src AS doc_id,
                 CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
          FROM reach GROUP BY src""",
+    "dedup_canonical" ->
+      """WITH RECURSIVE
+              w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3),
+              sh AS (SELECT doc_id,
+                            unnest(list_distinct(list_transform(range(1, len(words) - 1),
+                              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+                     FROM w),
+              sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+              com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id),
+              p AS (SELECT doc_a, doc_b
+                    FROM com
+                    JOIN sizes sa ON sa.doc_id = doc_a
+                    JOIN sizes sb ON sb.doc_id = doc_b
+                    WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+              e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+                    UNION SELECT doc_b, doc_a FROM p),
+              reach AS (SELECT src, dst FROM e
+                        UNION
+                        SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+              cc AS (SELECT src AS doc_id,
+                            CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
+                     FROM reach GROUP BY src),
+              sel AS (SELECT d.doc_id, d.n_chars,
+                             coalesce(c.cluster_id, d.doc_id) AS cluster_id
+                      FROM documents d LEFT JOIN cc c ON d.doc_id = c.doc_id)
+         SELECT cluster_id, doc_id AS keep_doc_id, n_chars AS keep_n_chars,
+                n_members
+         FROM (SELECT cluster_id, doc_id, n_chars,
+                      row_number() OVER (PARTITION BY cluster_id
+                                         ORDER BY n_chars DESC, doc_id) AS rn,
+                      count(*) OVER (PARTITION BY cluster_id) AS n_members
+               FROM sel) t
+         WHERE rn = 1""",
     "dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
                     WHERE len(string_split(text, ' ')) >= 3),

@@ -147,7 +147,17 @@ object DedupOps {
     * every round O(|edges|). Output: (doc_id, cluster_id) for every doc
     * in at least one pair. */
   def duplicateClusters(docs: DataFrame, n: Int, tau: Double,
-                        iters: Int = 6): DataFrame = {
+                        iters: Int = 6): DataFrame =
+    clusterCache.computeIfAbsent(
+      (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(),
+        n, tau, iters),
+      _ => duplicateClustersUncached(docs, n, tau, iters))
+
+  private val clusterCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, Int, Int, Double, Int), DataFrame]()
+
+  private def duplicateClustersUncached(docs: DataFrame, n: Int, tau: Double,
+                                        iters: Int): DataFrame = {
     val pairs = truthPairsAbove(docs, n, tau)
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
@@ -180,6 +190,33 @@ object DedupOps {
       round += 1
     }
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Canonical-document selection — the step that turns near-dup clusters
+    * into a deduplicated corpus: every document lands in a cluster
+    * (connected component from [[duplicateClusters]], or itself when it
+    * has no near-dup edge), and exactly one representative per cluster is
+    * kept — the longest member, ties to the smallest doc_id. The
+    * complement of the kept set is precisely what a pretraining pipeline
+    * drops after near-dup detection.
+    *
+    * Scale shape: one left join of the corpus against the (small)
+    * clustered-node table, then a single hash aggregate per cluster; the
+    * argmax is a `max(struct(n_chars, -doc_id))` — no window, no sort,
+    * map-side partials. */
+  def canonicalPerCluster(docs: DataFrame, n: Int, tau: Double): DataFrame = {
+    val clusters = duplicateClusters(docs, n, tau)
+    docs.select("doc_id", "n_chars")
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+           max(struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
+             .as("best"))
+      .select(col("cluster_id"),
+        (-col("best.neg_id")).as("keep_doc_id"),
+        col("best.n_chars").as("keep_n_chars"),
+        col("n_members"))
   }
 
   /** Substring-level exact dedup (the Lee et al. 2022 "Deduplicating

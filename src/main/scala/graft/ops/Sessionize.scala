@@ -89,4 +89,33 @@ object Sessionize {
       }
       .toDF("user_id", "n_sessions")
   }
+
+  /** Gaps-and-islands: per-user activity streaks over calendar days.
+    * A streak = maximal run of CONSECUTIVE active days; the island key is
+    * the classic `day_ordinal - row_number()` difference, constant within
+    * a run and strictly increasing across gaps. All-integer arithmetic,
+    * so the oracle agrees bit-exactly.
+    *
+    * Scale shape: distinct (user, day) first — the only exchange over
+    * data, carrying at most users × days rows; the window is partitioned
+    * by user (no global sort), and both follow-up aggregates reuse the
+    * same user-keyed partitioning. */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val days = events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("d")
+    days
+      .withColumn("island",
+        datediff(col("d"), to_date(lit("2024-01-01"))) -
+          row_number().over(w))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(sum("len").as("n_active_days"),
+           max("len").as("max_streak"),
+           count(lit(1)).as("n_streaks"))
+  }
 }

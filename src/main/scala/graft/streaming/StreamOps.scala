@@ -328,6 +328,22 @@ object StreamOps {
     }.select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour_start"),
              col("n_events"))
 
+  /** T16: SLIDING event-time windows — every event lands in the two
+    * overlapping 2-hour windows that slide by 1 hour (Spark expands the
+    * row into window-duration/slide copies before the windowed agg; state
+    * is one row per open window, GC'd by the watermark). The tumbling
+    * form is [[hourlyWindowCounts]]; sliding is the shape dashboards use
+    * for trailing-2h activity refreshed hourly
+    * (`/root/reference/Note_Projet1_RealTimeVotingDataEngineer.txt:36-37`). */
+  def slidingWindowCounts(spark: SparkSession, dir: String,
+                          statePartitions: Option[Int] = None): DataFrame =
+    runFileStream(spark, dir, "complete", statePartitions) { df =>
+      df.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n_events"))
+    }.select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+             col("n_events"))
+
   /** T5: stateful streaming dedup — the engine form of the reference's
     * UNIQUE(voter_id) gate (`/root/reference/main.py:55-59`). Emits each
     * user once (append mode, state store keyed by user). Output is the

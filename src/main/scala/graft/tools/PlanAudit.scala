@@ -19,9 +19,11 @@ object PlanAudit {
     "t5b_stream_dedup_watermarked", "t8_stream_asof", "t9_stream_sessions",
     "t10_stream_stream_join", "t11_stream_funnel", "t12_stream_quality_gate",
     "t13_stream_scd2", "t14_stream_decontaminate",
-    "t15_stream_timeout_sessions",
+    "t15_stream_timeout_sessions", "t16_stream_sliding_window",
     "s8_write_then_emit", "s9_file_sink_exactly_once",
-    "vote_e2e_stream_tally", "vote_e2e_live_results", "vote_e2e_reemit")
+    "vote_e2e_stream_tally", "vote_e2e_live_results", "vote_e2e_reemit",
+    // composite: probes the finished CMS on the driver (k-bounded)
+    "sketch_cms_heavy")
 
   /** `--summary <dir>`: one markdown row of physical-plan features per
     * query — shuffle count, join strategies, parquet pushdown, codegen. */

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{RangeJoin, Sessionize, Sketches}
+import graft.ext.DedupOps
+
+/** Mergeable sketches, attribution, streaks, canonical selection. */
+class SketchSpec extends SparkSpec {
+
+  test("HLL merge: daily-union verdicts hold and exact matches countDistinct") {
+    val out = Sketches.hllMergeDistinct(Tables.events(spark, sfDir)).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("merged_within_5pct"),
+        s"merged estimate off for ${r.getAs[String]("event_type")}")
+      assert(r.getAs[Boolean]("merge_vs_global_within_1pct"),
+        s"daily merge diverged from global sketch for ${r.getAs[String]("event_type")}")
+    }
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(
+      r.getAs[Long]("n_users_exact") === exact(r.getAs[String]("event_type"))))
+  }
+
+  test("HLL union is associative: shard-merge equals global estimate exactly at test cardinality") {
+    val ev = Tables.events(spark, sfDir)
+    val sharded = ev
+      .groupBy((col("user_id") % 7).as("shard"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .head().getLong(0)
+    val global = ev
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+      .head().getLong(0)
+    assert(sharded === global)
+  }
+
+  test("CMS verdicts hold and estimates never undercount") {
+    val out = Sketches.cmsHeavyHitters(Tables.events(spark, sfDir)).collect()
+    assert(out.length === 5)
+    out.foreach(r => assert(r.getAs[Boolean]("cms_within_bound"),
+      s"CMS bound violated for key ${r.getAs[Long]("hot_key")}"))
+  }
+
+  test("linear attribution conserves credit: sum over hours = 1M per fully-attributed conversion") {
+    val ev = Tables.events(spark, sfDir)
+    val out = RangeJoin.linearAttribution(ev, "purchase", "click", 3600L)
+    val totalCredit = out.agg(sum("credit_micro")).head().getLong(0)
+    val pairs = RangeJoin.trailingWindowPairs(ev, "purchase", "click", 3600L)
+    val perConv = pairs.groupBy("left_id").agg(count(lit(1)).as("n"))
+    // each conversion distributes n * (1000000 div n) micro-units — the
+    // integer-division remainder (< n) is deliberately dropped, never
+    // smeared; reproduce that sum exactly
+    val expected = perConv
+      .agg(sum(expr("n * (1000000 div n)"))).head().getLong(0)
+    assert(totalCredit === expected)
+    val nConvs = perConv.count()
+    assert(nConvs > 0L)
+    assert(totalCredit <= nConvs * 1000000L)
+  }
+
+  test("attribution plans as hash joins — the bucketed rewrite, never a nested loop") {
+    val plan = RangeJoin
+      .linearAttribution(Tables.events(spark, sfDir), "purchase", "click", 3600L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "cartesian in attribution plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "nested-loop range join — the bucketed equi-join rewrite regressed")
+  }
+
+  test("streaks: injected user with known gap pattern") {
+    import spark.implicits._
+    // days 1,2,3 then 5,6 then 10 → streaks 3,2,1; 6 active days
+    val ts = Seq(1, 2, 3, 5, 6, 10).map(d =>
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00"))
+    val df = ts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, 999L, "click", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Sessionize.activityStreaks(df).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_active_days") === 6L)
+    assert(r.getAs[Long]("max_streak") === 3L)
+    assert(r.getAs[Long]("n_streaks") === 3L)
+  }
+
+  test("canonical selection: covers every doc exactly once, keeps longest member") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = DedupOps.canonicalPerCluster(docs, 3, tau = 0.5)
+    val nDocs = docs.count()
+    assert(out.agg(sum("n_members")).head().getLong(0) === nDocs)
+    // the kept doc is a member of its own cluster and no shorter than any
+    // member: join back and check the max
+    val clusters = DedupOps.duplicateClusters(docs, 3, tau = 0.5)
+    val members = docs.select("doc_id", "n_chars")
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val maxChars = members.groupBy("cluster_id")
+      .agg(max("n_chars").as("max_chars"))
+    val bad = out.join(maxChars, "cluster_id")
+      .filter(col("keep_n_chars") =!= col("max_chars")).count()
+    assert(bad === 0L)
+  }
+}

@@ -307,4 +307,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch, "append-mode join must emit each pair once")
     assert(streamed.nonEmpty)
   }
+
+  test("T16 sliding windows: every event lands in exactly two 2h/1h windows") {
+    val out = StreamOps.slidingWindowCounts(spark, sfDir)
+    val totalAcrossWindows = out.agg(sum("n_events")).head().getLong(0)
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(totalAcrossWindows === 2 * nEvents)
+    // and each window's count equals the batch trailing-2h recount
+    import spark.implicits._
+    val batch = Tables.events(spark, sfDir)
+      .select(date_trunc("hour", col("ts")).as("s"))
+      .union(Tables.events(spark, sfDir)
+        .select((date_trunc("hour", col("ts")) -
+          expr("INTERVAL 1 HOUR")).as("s")))
+      .groupBy(date_format(col("s"), "yyyy-MM-dd HH:mm").as("win_start"))
+      .agg(count(lit(1)).as("n_events"))
+      .as[(String, Long)].collect().toMap
+    out.as[(String, Long)].collect().foreach { case (w, n) =>
+      assert(batch(w) === n, s"window $w")
+    }
+  }
 }
