@@ -654,6 +654,11 @@ object SparkEntry {
       EventAnalytics.retentionCohorts(Tables.events(s, d), "2024-01-01")),
     "ts_gapfill_hourly" -> ((s, d) =>
       EventAnalytics.gapfillHourly(Tables.events(s, d))),
+    // trailing-7-day distinct actives: dedup to (user, day), bounded
+    // explode to the 7 window-days each contributes to — the fact table
+    // is touched once; never a per-day trailing self-join of events
+    "trailing_active_users" -> ((s, d) =>
+      EventAnalytics.trailingActiveUsers(Tables.events(s, d), 7)),
     // fixed-width OHLC downsampling (15-min bars): open/close via
     // min_by/max_by on event time, six map-side-combinable scalars per
     // bar — the shuffle never carries a bar's rows
@@ -1314,6 +1319,10 @@ object SparkEntry {
       SampleOps.importanceSample(scored, "doc_id", col("w"), 10000)
         .select("doc_id", "w")
     }),
+    // deterministic negative sampling for contrastive pairs: pure index
+    // arithmetic probes, first different-label hit kept
+    "sample_negatives" -> ((s, d) =>
+      SampleOps.negativePairs(Tables.embeddings(s, d), "vec_id", "label")),
     // fill half the corpus token budget with the most lexically diverse
     // documents first (two-level prefix sum — see PackOps)
     "token_budget_select" -> ((s, d) =>
@@ -1740,6 +1749,19 @@ object SparkEntry {
                     FROM documents)
          SELECT doc_id, w FROM t
          WHERE (doc_id * 2654435761) % 10000 < w""",
+    "sample_negatives" ->
+      """WITH n AS (SELECT count(*) AS n_total FROM embeddings),
+              pr AS (SELECT e.vec_id AS anchor_id, e.label AS anchor_label,
+                            p.j,
+                            (e.vec_id * 37 + 11 * p.j + 1) % n.n_total
+                              AS cand_id
+                     FROM embeddings e, n, (VALUES (0), (1), (2)) AS p(j)),
+              v AS (SELECT pr.*, b.label AS neg_label
+                    FROM pr JOIN embeddings b ON b.vec_id = pr.cand_id
+                    WHERE b.label <> pr.anchor_label),
+              best AS (SELECT anchor_id, min(j) AS j FROM v GROUP BY anchor_id)
+         SELECT v.anchor_id, v.anchor_label, v.cand_id AS neg_id, v.neg_label
+         FROM v JOIN best USING (anchor_id, j)""",
     "token_budget_select" ->
       """WITH t AS (SELECT doc_id,
                            (len(list_distinct(string_split(text, ' '))) * 10000)
@@ -2077,6 +2099,15 @@ object SparkEntry {
          SELECT (SELECT count(*) FROM v) AS n_view,
                 (SELECT count(*) FROM c) AS n_click,
                 (SELECT count(*) FROM p) AS n_purchase""",
+    "trailing_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+                            date_diff('day', DATE '2024-01-01',
+                              CAST(ts AS DATE)) AS day
+                     FROM events),
+              spine AS (SELECT DISTINCT day AS win_day FROM ud)
+         SELECT s.win_day, count(DISTINCT u.user_id) AS n_active
+         FROM spine s JOIN ud u ON u.day BETWEEN s.win_day - 6 AND s.win_day
+         GROUP BY s.win_day""",
     "retention_cohorts" ->
       """WITH f AS (SELECT user_id,
                            CAST(floor(datediff('day', DATE '2024-01-01',

@@ -118,4 +118,38 @@ object SampleOps {
     df.withColumn("__w", weight.cast("long"))
       .filter(pmod(col(key) * Mix, lit(scale.toLong)) < col("__w"))
       .drop("__w")
+
+  /** Deterministic negative sampling for contrastive training: each
+    * anchor probes `nProbes` pseudo-random candidate ids
+    * (`(anchor·37 + 11·j + 1) mod N`, pure index arithmetic — no RNG, so
+    * the pairing is reproducible across runs, engines, and partition
+    * layouts) and keeps the FIRST candidate whose label differs. With L
+    * balanced labels the miss chance is ~(1/L)^nProbes, and anchors whose
+    * probes all collide with their own label drop out (counted by spec).
+    *
+    * Scale shape: N arrives as a 1-row broadcast scalar (the q22
+    * pattern); probing is a bounded explode (×nProbes) followed by one
+    * hash join on candidate id against the id→label projection; first-hit
+    * selection is `min(struct(j, …))` — one aggregate, no window. */
+  def negativePairs(vectors: DataFrame, idCol: String, labelCol: String,
+                    nProbes: Int = 3): DataFrame = {
+    val nRow = vectors.agg(count(lit(1)).as("n_total"))
+    val probes = vectors.select(col(idCol).as("anchor_id"),
+        col(labelCol).as("anchor_label"))
+      .crossJoin(broadcast(nRow))
+      .select(col("anchor_id"), col("anchor_label"),
+        posexplode(array((0 until nProbes).map(j =>
+          (col("anchor_id") * 37 + lit(11 * j + 1)) % col("n_total")): _*))
+          .as(Seq("j", "cand_id")))
+    val labels = vectors.select(col(idCol).as("cand_id"),
+      col(labelCol).as("neg_label"))
+    probes.join(labels, "cand_id")
+      .filter(col("neg_label") =!= col("anchor_label"))
+      .groupBy("anchor_id", "anchor_label")
+      .agg(min(struct(col("j"), col("cand_id"), col("neg_label")))
+        .as("best"))
+      .select(col("anchor_id"), col("anchor_label"),
+        col("best.cand_id").as("neg_id"),
+        col("best.neg_label").as("neg_label"))
+  }
 }

@@ -85,6 +85,45 @@ class SketchSpec extends SparkSpec {
     assert(r.getAs[Long]("n_streaks") === 3L)
   }
 
+  test("trailing actives: windowed rewrite equals the brute trailing self-join") {
+    import graft.ops.EventAnalytics
+    val ev = Tables.events(spark, sfDir)
+    val out = EventAnalytics.trailingActiveUsers(ev, 7)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ud = ev.select(col("user_id"),
+      datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("day"))
+      .distinct()
+    val brute = ud.select(col("day").as("win_day")).distinct()
+      .join(ud, col("day").between(col("win_day") - 6, col("win_day")))
+      .groupBy("win_day").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out === brute)
+    assert(out.nonEmpty)
+  }
+
+  test("negative sampling: different label, first probe wins, high coverage") {
+    import graft.ext.SampleOps
+    val emb = Tables.embeddings(spark, sfDir)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val n = labels.size.toLong
+    val out = SampleOps.negativePairs(emb, "vec_id", "label").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val a = r.getAs[Long]("anchor_id"); val neg = r.getAs[Long]("neg_id")
+      assert(r.getAs[Int]("anchor_label") !== r.getAs[Int]("neg_label"))
+      assert(labels(neg) === r.getAs[Int]("neg_label"))
+      // the kept negative is the FIRST different-label probe
+      val expected = (0 until 3).iterator
+        .map(j => (a * 37 + 11 * j + 1) % n)
+        .find(c => labels(c) != labels(a))
+      assert(expected.contains(neg), s"anchor $a")
+    }
+    // with ~10 balanced labels, missing anchors (all 3 probes same-label)
+    // should be rare
+    assert(out.length >= (n * 9) / 10)
+  }
+
   test("canonical selection: covers every doc exactly once, keeps longest member") {
     val docs = Tables.documents(spark, sfDir)
     val out = DedupOps.canonicalPerCluster(docs, 3, tau = 0.5)
