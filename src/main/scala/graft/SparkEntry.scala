@@ -659,6 +659,11 @@ object SparkEntry {
     // is touched once; never a per-day trailing self-join of events
     "trailing_active_users" -> ((s, d) =>
       EventAnalytics.trailingActiveUsers(Tables.events(s, d), 7)),
+    // linear interpolation of gap cells on the hourly series — exact
+    // integer arithmetic ((pv*(nh-hx) + nv*(hx-ph)) div gap, all terms
+    // non-negative), where gapfill zero-fills
+    "ts_interpolate_hourly" -> ((s, d) =>
+      EventAnalytics.interpolateHourly(Tables.events(s, d))),
     // fixed-width OHLC downsampling (15-min bars): open/close via
     // min_by/max_by on event time, six map-side-combinable scalars per
     // bar — the shuffle never carries a bar's rows
@@ -1261,6 +1266,10 @@ object SparkEntry {
       TextOps.unigramScore(Tables.documents(s, d))),
     "text_chunks" -> ((s, d) =>
       TextOps.chunks(Tables.documents(s, d), chunkSize = 64, overlap = 8)),
+    // content-defined chunking: boundaries where the trailing-3-word
+    // rolling hash ≡ 0 mod 16 — edit-robust chunk dedup units
+    "text_cdc_chunks" -> ((s, d) =>
+      TextOps.cdcChunks(Tables.documents(s, d), 16)),
     "pack_sequences" -> ((s, d) =>
       PackOps.packSequences(Tables.documents(s, d), budget = 512, shards = 8)),
 
@@ -2174,6 +2183,49 @@ object SparkEntry {
          FROM spine s CROSS JOIN types t
          LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
          ORDER BY 1, 2""",
+    // same spine as gapfill; interpolation replayed in the same
+    // non-negative integer arithmetic ((pv*(nh-hx)+nv*(hx-ph)) // gap —
+    // truncating and flooring division coincide on non-negatives)
+    "ts_interpolate_hourly" ->
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                           date_trunc('hour', max(ts)) AS h1 FROM events),
+              spine AS (SELECT unnest(generate_series(h0, h1,
+                          INTERVAL 1 HOUR)) AS hour FROM b),
+              types AS (SELECT DISTINCT event_type FROM events),
+              hourly AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+                                CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                                  AS BIGINT) AS v
+                         FROM events GROUP BY 1, 2),
+              s AS (SELECT sp.hour, t.event_type, h.v,
+                           CAST(epoch(sp.hour) AS BIGINT) // 3600 AS hx
+                    FROM spine sp CROSS JOIN types t
+                    LEFT JOIN hourly h ON h.hour = sp.hour
+                                      AND h.event_type = t.event_type),
+              wnd AS (SELECT *,
+                        last_value(v IGNORE NULLS) OVER
+                          (PARTITION BY event_type ORDER BY hx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS pv,
+                        last_value(CASE WHEN v IS NOT NULL THEN hx END
+                                   IGNORE NULLS) OVER
+                          (PARTITION BY event_type ORDER BY hx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS ph,
+                        first_value(v IGNORE NULLS) OVER
+                          (PARTITION BY event_type ORDER BY hx
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                          AS nv,
+                        first_value(CASE WHEN v IS NOT NULL THEN hx END
+                                    IGNORE NULLS) OVER
+                          (PARTITION BY event_type ORDER BY hx
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                          AS nh
+                      FROM s)
+         SELECT strftime(hour, '%Y-%m-%d %H:00') AS hour, event_type,
+                CAST(coalesce(v, (pv * (nh - hx) + nv * (hx - ph))
+                                   // (nh - ph)) AS BIGINT) AS v_cents,
+                (v IS NULL) AS interpolated
+         FROM wnd""",
     "props_json_extract" ->
       """SELECT event_type, count(*) AS n,
                 round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k,
@@ -3081,6 +3133,44 @@ object SparkEntry {
                 len(string_split(text, ' ')) AS n_ws_tokens,
                 len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
          FROM documents""",
+    // same polynomial char hash as text_fingerprints; boundary and
+    // running chunk count replayed with lag/sum windows per doc
+    "text_cdc_chunks" ->
+      """WITH w AS (SELECT doc_id,
+                           list_filter(string_split(text, ' '),
+                                       x -> x <> '') AS words
+                    FROM documents),
+              wh AS (SELECT doc_id,
+                            list_transform(words, wd ->
+                              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                list_transform(range(1, length(wd) + 1),
+                                  i -> CAST(ascii(wd[i:i]) AS BIGINT))),
+                                (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+                     FROM w WHERE len(words) > 0),
+              pos AS (SELECT doc_id,
+                             unnest(range(0, len(hs))) AS pos,
+                             unnest(hs) AS h
+                      FROM wh),
+              lagd AS (SELECT doc_id, pos, h,
+                              lag(h, 1) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS h1,
+                              lag(h, 2) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS h2
+                       FROM pos),
+              bnd AS (SELECT doc_id, pos,
+                             CASE WHEN h2 IS NOT NULL
+                                   AND ((h2 * 961 + h1 * 31 + h)
+                                        % 1000000007) % 16 = 0
+                                  THEN 1 ELSE 0 END AS boundary
+                      FROM lagd),
+              ck AS (SELECT doc_id, pos,
+                            sum(boundary) OVER (PARTITION BY doc_id
+                              ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS chunk_id
+                     FROM bnd)
+         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                count(*) AS n_tokens, CAST(min(pos) AS INTEGER) AS start_pos
+         FROM ck GROUP BY doc_id, chunk_id""",
     "text_fingerprints" ->
       """SELECT doc_id,
                 md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_md5,

@@ -251,4 +251,39 @@ object TextOps {
       md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("content_md5"),
       expr("aggregate(filter(split(text, ''), c -> c <> ''), 0L, (acc, c) -> pmod(acc * 31 + ascii(c), 1000000007L))")
         .as("rolling_hash"))
+
+  /** Content-defined chunking — variable-size chunk boundaries placed
+    * where the rolling hash of the trailing 3-word window hits
+    * `0 mod divisor` (the rsync/LBFS family: boundaries follow CONTENT,
+    * so an insertion early in a document shifts at most one chunk's
+    * boundary instead of re-slicing everything — what makes chunk-level
+    * dedup robust to edits, unlike the fixed-width [[chunk]]).
+    * Same polynomial char hash as [[fingerprints]], so the oracle can
+    * replay it bit-exactly; all arithmetic stays in non-negative longs
+    * (no float, no sign-dependent division).
+    *
+    * Scale shape: per-word hashes via HOFs (one codegen'd map), then
+    * posexplode + a doc-partitioned window for the trailing-3 hash and
+    * the running boundary count — every frame is confined to one
+    * document; the final fold is a (doc, chunk) hash aggregate. */
+  def cdcChunks(docs: DataFrame, divisor: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs
+      .withColumn("wh",
+        expr("""transform(filter(split(text, ' '), w -> w <> ''),
+                w -> aggregate(filter(split(w, ''), c -> c <> ''), 0L,
+                               (a, c) -> pmod(a * 31 + ascii(c), 1000000007L)))"""))
+      .select(col("doc_id"), posexplode(col("wh")).as(Seq("pos", "h")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    pos
+      .withColumn("h1", lag("h", 1).over(w))
+      .withColumn("h2", lag("h", 2).over(w))
+      .withColumn("boundary",
+        when(col("h2").isNotNull &&
+             pmod(col("h2") * 961 + col("h1") * 31 + col("h"),
+               lit(1000000007L)) % divisor === 0, 1L).otherwise(0L))
+      .withColumn("chunk_id", sum("boundary").over(w))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_tokens"), min("pos").as("start_pos"))
+  }
 }

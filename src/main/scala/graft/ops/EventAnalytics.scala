@@ -167,6 +167,52 @@ object EventAnalytics {
     * the fact table is touched once, and everything after is
     * users×days-sized. Only window-days that actually occur in the data
     * are emitted (spine semi-join), mirroring the oracle's spine. */
+  /** Linear interpolation over the hourly (event_type, hour) series —
+    * where [[gapfillHourly]] zero-fills a missing cell, this fills it on
+    * the line between its nearest observed neighbors. The interpolation
+    * is exact integer arithmetic: with the series in value-cents, a gap
+    * cell at offset k of a g-hour gap gets `(prev·(g−k) + next·k) div g`
+    * — every term non-negative, so truncating division agrees between
+    * engines (no float, no negative-division semantics).
+    *
+    * Scale shape: the window runs over the AGGREGATED hours × types
+    * series (the facts fold map-side first), partitioned by event_type;
+    * `last(_, ignoreNulls)` / `first(_, ignoreNulls)` carry the
+    * neighbors — one pass each direction, never a per-gap self-join. */
+  def interpolateHourly(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .select(date_trunc("hour", col("ts")).as("hour"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy("hour", "event_type").agg(sum("cents").as("v"))
+    val spine = events
+      .agg(date_trunc("hour", min("ts")).as("h0"),
+           date_trunc("hour", max("ts")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("interval 1 hour"))).as("hour"))
+      .crossJoin(events.select("event_type").distinct())
+    val series = spine.join(hourly, Seq("hour", "event_type"), "left_outer")
+      .withColumn("hx", expr("unix_timestamp(hour) div 3600"))
+    val back = Window.partitionBy("event_type").orderBy("hx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("event_type").orderBy("hx")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    series
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn("ph", last(when(col("v").isNotNull, col("hx")),
+        ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("nh", first(when(col("v").isNotNull, col("hx")),
+        ignoreNulls = true).over(fwd))
+      .select(
+        date_format(col("hour"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"),
+        coalesce(col("v"),
+          expr("(pv * (nh - hx) + nv * (hx - ph)) div (nh - ph)"))
+          .as("v_cents"),
+        col("v").isNull.as("interpolated"))
+  }
+
   def trailingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
     val userDays = events
       .select(col("user_id"),

@@ -124,6 +124,51 @@ class SketchSpec extends SparkSpec {
     assert(out.length >= (n * 9) / 10)
   }
 
+  test("CDC chunks: token conservation and edit-robust boundaries") {
+    import graft.ext.TextOps
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextOps.cdcChunks(docs, 16)
+    // conservation: chunk tokens re-assemble each doc's word count
+    val perDoc = out.groupBy("doc_id").agg(sum("n_tokens").as("n"))
+    val words = docs.select(col("doc_id"),
+      size(expr("filter(split(text, ' '), w -> w <> '')")).as("n_words"))
+    val bad = perDoc.join(words, "doc_id")
+      .filter(col("n") =!= col("n_words")).count()
+    assert(bad === 0L)
+    // THE content-defined property: prepending one word shifts boundaries
+    // by exactly one position instead of re-slicing the document
+    val text = docs.orderBy("doc_id").select("text").head().getString(0)
+    def boundaries(t: String): Set[Int] =
+      TextOps.cdcChunks(Seq((0L, t)).toDF("doc_id", "text"), 16)
+        .filter(col("chunk_id") > 0).select("start_pos")
+        .collect().map(_.getInt(0)).toSet
+    val orig = boundaries(text)
+    val prefixed = boundaries("zzz " + text)
+    assert(orig.nonEmpty, "fixture doc produced no boundaries; pick another")
+    assert(prefixed.filter(_ >= 3).map(_ - 1) === orig.filter(_ >= 2),
+      "boundaries did not shift rigidly under a single-word prepend")
+  }
+
+  test("interpolation: known cells untouched, gap cells on the exact integer line") {
+    import graft.ops.EventAnalytics
+    import spark.implicits._
+    val out = EventAnalytics.interpolateHourly(Tables.events(spark, sfDir))
+    assert(out.filter(col("interpolated") &&
+      col("v_cents").isNotNull).count() > 0, "no interior gaps at this SF")
+    // crafted series: hours 0 and 3 observed, 1-2 missing → exact thirds
+    val ts = Seq(("2024-01-01 00:30:00", 3.00), ("2024-01-01 03:10:00", 9.00))
+      .map { case (t, v) => (java.sql.Timestamp.valueOf(t), v) }
+    val df = ts.zipWithIndex.map { case ((t, v), i) =>
+      (i.toLong, t, 1L, "click", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventAnalytics.interpolateHourly(df)
+      .orderBy("hour").select("v_cents", "interpolated")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(got === Seq((300L, false), (500L, true), (700L, true),
+      (900L, false)))
+  }
+
   test("canonical selection: covers every doc exactly once, keeps longest member") {
     val docs = Tables.documents(spark, sfDir)
     val out = DedupOps.canonicalPerCluster(docs, 3, tau = 0.5)
