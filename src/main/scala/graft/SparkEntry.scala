@@ -859,6 +859,10 @@ object SparkEntry {
     // cardinality — the unpartitioned window never sees the fact table)
     "w8_percent_rank" -> ((s, d) =>
       Windows.relativeSpendRank(Tables.events(s, d))),
+    // group-wise top-k over the aggregated (group, user) totals — each
+    // group ranks only its own key-cardinality slice
+    "w9_topk_per_group" -> ((s, d) =>
+      Windows.topKPerGroup(Tables.events(s, d), 3)),
     "w4_topk_aggregator" -> ((s, d) => {
       val topk = udaf(new graft.functions.TopKAggregator(3),
                       Encoders.product[graft.functions.TopKItem])
@@ -1244,6 +1248,9 @@ object SparkEntry {
     "text_stats" -> ((s, d) => TextOps.stats(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
+    // classifier-eval rollup: langid prediction vs the labeled lang column
+    "text_langid_confusion" -> ((s, d) =>
+      TextOps.langIdConfusion(Tables.documents(s, d))),
     "text_token_counts" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
     "text_fingerprints" -> ((s, d) => TextOps.fingerprints(Tables.documents(s, d))),
 
@@ -1297,6 +1304,11 @@ object SparkEntry {
     // SCD Type 2 over the event log: every change becomes a versioned
     // [valid_from, valid_to) interval per user — epoch-micros longs, so
     // the cross-engine compare is integer-exact
+    // point-in-time correct enrichment (the feature-store join): each
+    // purchase inherits the tier version valid AT ITS EVENT TIME —
+    // equi-join on user + interval residual, never a later version
+    "pit_enrich" -> ((s, d) =>
+      Cdc.pitEnrich(Tables.events(s, d))),
     "cdc_scd2_history" -> ((s, d) =>
       Cdc.scd2History(Tables.events(s, d))),
     // MERGE as a full outer join: the latest-wins-compacted change batch
@@ -1622,6 +1634,20 @@ object SparkEntry {
                     FROM documents)
          SELECT r.doc_id, r.lang
          FROM r JOIN t ON r.lang = t.lang WHERE r.rk <= t.target""",
+    "pit_enrich" ->
+      """WITH dim AS (SELECT user_id, event_id % 5 AS tier,
+                             epoch_us(ts) AS valid_from_us,
+                             epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id))
+                               AS valid_to_us
+                      FROM events WHERE event_type = 'signup'),
+              f AS (SELECT event_id AS purchase_id, user_id,
+                           epoch_us(ts) AS ts_us
+                    FROM events WHERE event_type = 'purchase')
+         SELECT f.purchase_id, f.user_id, dim.tier
+         FROM f JOIN dim ON f.user_id = dim.user_id
+          AND f.ts_us >= dim.valid_from_us
+          AND (dim.valid_to_us IS NULL OR f.ts_us < dim.valid_to_us)""",
     "cdc_scd2_history" ->
       """SELECT user_id, event_id, event_type,
                 epoch_us(ts) AS valid_from_us,
@@ -2363,6 +2389,16 @@ object SparkEntry {
                   AS pct_rank,
                 round(cume_dist() OVER (ORDER BY spend, user_id), 6) AS cume
          FROM s ORDER BY user_id""",
+    "w9_topk_per_group" ->
+      """WITH t AS (SELECT event_type, user_id,
+                           round(sum(value), 2) AS total_value
+                    FROM events GROUP BY event_type, user_id)
+         SELECT event_type, user_id, total_value,
+                rnk
+         FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                         ORDER BY total_value DESC, user_id) AS rnk
+               FROM t) r
+         WHERE rnk <= 3""",
     "w4_topk_aggregator" ->
       """WITH r AS (SELECT event_type, event_id,
                            row_number() OVER (PARTITION BY event_type
@@ -3128,6 +3164,20 @@ object SparkEntry {
                                             g -> g IN ('th','he','in','er','an','re')))
                             / CAST(length(text) - 1 AS DOUBLE), 4) AS en_bigram_score
                FROM documents) t""",
+    // same stop-word score as text_langid, folded to the (label,
+    // prediction) confusion counts
+    "text_langid_confusion" ->
+      """WITH pred AS (SELECT doc_id, lang,
+                              CASE WHEN round(len(list_filter(
+                                       string_split(text, ' '),
+                                       x -> x IN ('the','a')))
+                                     / CAST(len(string_split(text, ' '))
+                                            AS DOUBLE), 4) > 0.03
+                                   THEN 'en' ELSE 'other' END
+                                AS predicted_lang
+                       FROM documents)
+         SELECT lang AS label_lang, predicted_lang, count(*) AS n
+         FROM pred GROUP BY lang, predicted_lang""",
     "text_token_counts" ->
       """SELECT doc_id,
                 len(string_split(text, ' ')) AS n_ws_tokens,

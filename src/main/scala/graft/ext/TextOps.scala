@@ -172,6 +172,16 @@ object TextOps {
         when(col("en_score") > 0.03, "en").otherwise("other"))
   }
 
+  /** Confusion matrix of [[langId]]'s prediction against the corpus's
+    * labeled `lang` column — the classifier-eval rollup a curation
+    * pipeline runs before trusting a gate. One hash aggregate over the
+    * (label, prediction) pairs; cardinality = |langs|². */
+  def langIdConfusion(docs: DataFrame): DataFrame =
+    langId(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang").as("label_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+
   /** [[langId]]'s prediction as a scan-side predicate over a raw `text`
     * column — for pipelines gating on language without materializing the
     * score frame (stays a pushable filter, no join). Same expression as

@@ -43,6 +43,32 @@ object Cdc {
     * change-only → insert, base-only → keep). The change batch must
     * arrive pre-compacted to one row per key ([[Dedup]] / latest-wins);
     * this op is pure set logic on top. */
+  /** Point-in-time correct enrichment — the feature-store primitive: each
+    * fact row joins the dimension VERSION that was valid at the fact's
+    * event time (never a later one — the leakage a naive latest-value
+    * join introduces into training data). The dimension is the SCD2
+    * interval table assembled from the key's change stream
+    * ([[scd2History]] shape); the join is an equi-join on the key with
+    * the interval containment as a residual filter — hash-partitioned
+    * once on the key, never an interval explosion, because a key's
+    * versions partition time (exactly one interval covers each fact). */
+  def pitEnrich(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val dim = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("tier", pmod(col("event_id"), lit(5)))
+      .withColumn("valid_from_us", unix_micros(col("ts")))
+      .withColumn("valid_to_us", unix_micros(lead("ts", 1).over(w)))
+      .select("user_id", "tier", "valid_from_us", "valid_to_us")
+    events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .join(dim, Seq("user_id"))
+      .filter(col("ts_us") >= col("valid_from_us") &&
+        (col("valid_to_us").isNull || col("ts_us") < col("valid_to_us")))
+      .select("purchase_id", "user_id", "tier")
+  }
+
   def mergeUpsert(base: DataFrame, changes: DataFrame,
                   baseKey: String, changeKey: String,
                   baseVal: String, changeVal: String): DataFrame =

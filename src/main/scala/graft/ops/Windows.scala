@@ -93,4 +93,19 @@ object Windows {
       .select(col("event_id"), col("user_id"),
               round(avg("value").over(w), 4).as("mov_avg"))
   }
+
+  /** Group-wise top-k ("the 3 biggest spenders per event type") — the
+    * window runs PARTITIONED by the group over the already-aggregated
+    * (group, user) totals, so no group ever funnels the raw fact table
+    * through one task: the aggregate is one map-side-combined exchange,
+    * and each group sorts only its own key-cardinality slice. The
+    * unique-id tie-break keeps the cut deterministic for the oracle. */
+  def topKPerGroup(events: DataFrame, k: Int): DataFrame = {
+    val totals = events.groupBy("event_type", "user_id")
+      .agg(round(sum("value"), 2).as("total_value"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(desc("total_value"), asc("user_id"))
+    totals.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
 }

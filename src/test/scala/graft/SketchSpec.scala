@@ -169,6 +169,67 @@ class SketchSpec extends SparkSpec {
       (900L, false)))
   }
 
+  test("group top-k: each group cut at k, members equal brute per-group top") {
+    import graft.ops.Windows
+    val out = Windows.topKPerGroup(Tables.events(spark, sfDir), 3)
+    val sizes = out.groupBy("event_type").count().collect()
+    assert(sizes.nonEmpty)
+    sizes.foreach(r => assert(r.getLong(1) <= 3L))
+    // brute: per group, sort totals and take 3
+    val totals = Tables.events(spark, sfDir)
+      .groupBy("event_type", "user_id")
+      .agg(round(sum("value"), 2).as("tv")).collect()
+      .groupBy(_.getString(0))
+    val expected = totals.toSeq.flatMap { case (g, rows) =>
+      rows.sortBy(r => (-r.getDouble(2), r.getLong(1))).take(3)
+        .map(r => (g, r.getLong(1))).toSeq
+    }.toSet
+    val got = out.select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === expected)
+  }
+
+  test("PIT enrich: every purchase inherits its as-of version, never a later one") {
+    import graft.ops.Cdc
+    val ev = Tables.events(spark, sfDir)
+    val out = Cdc.pitEnrich(ev).collect()
+      .map(r => r.getAs[Long]("purchase_id") -> r.getAs[Long]("tier")).toMap
+    // brute as-of: latest signup at-or-before each purchase, per user
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")))
+      .collect()
+    var covered = 0
+    purchases.foreach { r =>
+      val pid = r.getLong(0); val u = r.getLong(1)
+      val pts = r.getLong(2)
+      val prior = signups.getOrElse(u, Array.empty[(Long, Long, Long)])
+        .filter(_._2 <= pts)
+      if (prior.nonEmpty) {
+        covered += 1
+        val latest = prior.maxBy(s => (s._2, s._3))
+        assert(out.get(pid).contains(latest._3 % 5), s"purchase $pid")
+      } else assert(!out.contains(pid), s"leakage: pre-signup purchase $pid")
+    }
+    assert(covered > 0 && out.size === covered)
+  }
+
+  test("langid confusion matrix conserves the corpus") {
+    import graft.ext.TextOps
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextOps.langIdConfusion(docs)
+    assert(out.agg(sum("n")).head().getLong(0) === docs.count())
+    val enPredicted = out.filter(col("predicted_lang") === "en")
+      .agg(sum("n")).head().getLong(0)
+    val direct = TextOps.langId(docs)
+      .filter(col("predicted_lang") === "en").count()
+    assert(enPredicted === direct)
+  }
+
   test("canonical selection: covers every doc exactly once, keeps longest member") {
     val docs = Tables.documents(spark, sfDir)
     val out = DedupOps.canonicalPerCluster(docs, 3, tau = 0.5)
