@@ -664,6 +664,11 @@ object SparkEntry {
     // non-negative), where gapfill zero-fills
     "ts_interpolate_hourly" -> ((s, d) =>
       EventAnalytics.interpolateHourly(Tables.events(s, d))),
+    // time-series similarity search: top-k users by hour-of-day profile
+    // cosine vs the query user — sparse dot via hour equi-join, integer
+    // dot/norms, one rounded float at the end
+    "ts_profile_topk" -> ((s, d) =>
+      EventAnalytics.profileTopK(Tables.events(s, d), 10)),
     // fixed-width OHLC downsampling (15-min bars): open/close via
     // min_by/max_by on event time, six map-side-combinable scalars per
     // bar — the shuffle never carries a bar's rows
@@ -2209,6 +2214,24 @@ object SparkEntry {
          FROM spine s CROSS JOIN types t
          LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
          ORDER BY 1, 2""",
+    // sparse-join dot equals the dense profile dot (missing hours are 0);
+    // dot and norms integer-exact, cosine one identical float expression
+    "ts_profile_topk" ->
+      """WITH c AS (SELECT user_id, CAST(hour(ts) AS INTEGER) AS h,
+                           count(*) AS n
+                    FROM events GROUP BY 1, 2),
+              q AS (SELECT min(user_id) AS qu FROM events),
+              cq AS (SELECT c.h, c.n AS qn FROM c, q WHERE c.user_id = q.qu),
+              qn2 AS (SELECT sum(qn * qn) AS q2 FROM cq),
+              dots AS (SELECT c.user_id, sum(c.n * cq.qn) AS dot
+                       FROM c JOIN cq USING (h) GROUP BY c.user_id),
+              norms AS (SELECT user_id, sum(n * n) AS n2
+                        FROM c GROUP BY user_id)
+         SELECT d.user_id AS other_user,
+                round(d.dot / sqrt(CAST(n.n2 AS DOUBLE) * q2), 6) AS cosine
+         FROM dots d JOIN norms n USING (user_id), qn2, q
+         WHERE d.user_id <> q.qu
+         ORDER BY cosine DESC, other_user LIMIT 10""",
     // same spine as gapfill; interpolation replayed in the same
     // non-negative integer arithmetic ((pv*(nh-hx)+nv*(hx-ph)) // gap —
     // truncating and flooring division coincide on non-negatives)

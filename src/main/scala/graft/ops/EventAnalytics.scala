@@ -213,6 +213,37 @@ object EventAnalytics {
         col("v").isNull.as("interpolated"))
   }
 
+  /** Time-series similarity search (the distributed top-k
+    * profile-similarity shape of "Time Series Similarity Search for
+    * Streaming Data in Distributed Systems", EDBT 2019): find the k users
+    * whose hour-of-day activity profile is most cosine-similar to a query
+    * user's. Profiles are SPARSE (user, hour, count) rows — the dot
+    * product is an equi-join on the hour key (missing hours contribute
+    * 0), so the computation is Σ nnz, never users × 24 dense vectors; at
+    * 100 TB the query profile (≤ 24 rows) broadcasts and the fact table
+    * folds map-side into the per-(user, hour) counts first. Dot and both
+    * norms stay exact integers; the only float is the final
+    * one-expression cosine, rounded identically on both engines. */
+  def profileTopK(events: DataFrame, k: Int = 10): DataFrame = {
+    val c = events
+      .groupBy(col("user_id"), hour(col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val qu = events.agg(min("user_id").as("qu"))
+    val cq = c.join(broadcast(qu), col("user_id") === col("qu"))
+      .select(col("h"), col("n").as("qn"))
+    val q2 = cq.agg(sum(col("qn") * col("qn")).as("q2"))
+    val dots = c.join(broadcast(cq), Seq("h"))
+      .groupBy("user_id").agg(sum(col("n") * col("qn")).as("dot"))
+    val norms = c.groupBy("user_id").agg(sum(col("n") * col("n")).as("n2"))
+    dots.join(norms, Seq("user_id"))
+      .crossJoin(broadcast(q2)).crossJoin(broadcast(qu))
+      .filter(col("user_id") =!= col("qu"))
+      .select(col("user_id").as("other_user"),
+        expr("round(dot / sqrt(cast(n2 as double) * q2), 6)").as("cosine"))
+      .orderBy(desc("cosine"), asc("other_user"))
+      .limit(k)
+  }
+
   def trailingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
     val userDays = events
       .select(col("user_id"),

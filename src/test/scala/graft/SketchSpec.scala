@@ -230,6 +230,34 @@ class SketchSpec extends SparkSpec {
     assert(enPredicted === direct)
   }
 
+  test("profile similarity: sparse-join top-k equals dense brute cosine") {
+    import graft.ops.EventAnalytics
+    val ev = Tables.events(spark, sfDir)
+    val out = EventAnalytics.profileTopK(ev, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.length === 10)
+    assert(out.forall(_._2 <= 1.0) && out.forall(_._2 >= -1.0))
+    // brute: dense 24-dim profiles on the driver
+    val counts = ev.select(col("user_id"), hour(col("ts")).as("h"))
+      .groupBy("user_id", "h").count().collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    val users = counts.keys.map(_._1).toSeq.distinct.sorted
+    def prof(u: Long): Array[Long] =
+      (0 until 24).map(h => counts.getOrElse((u, h), 0L)).toArray
+    val q = prof(users.min)
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = dot / math.sqrt(
+        a.map(x => x * x).sum.toDouble * b.map(x => x * x).sum)
+      math.rint(r * 1e6) / 1e6 // HALF_EVEN at 6dp, close enough for ranking
+    }
+    val brute = users.filter(_ != users.min)
+      .map(u => (u, cos(prof(u), q)))
+      .sortBy { case (u, c) => (-c, u) }.take(10)
+    assert(out.map(_._1).toSeq === brute.map(_._1),
+      s"rank mismatch: got ${out.toSeq} want $brute")
+  }
+
   test("canonical selection: covers every doc exactly once, keeps longest member") {
     val docs = Tables.documents(spark, sfDir)
     val out = DedupOps.canonicalPerCluster(docs, 3, tau = 0.5)
