@@ -1041,6 +1041,10 @@ object SparkEntry {
     // overlapping windows; the oracle replays the expansion as a UNION ALL
     "t16_stream_sliding_window" -> ((s, d) =>
       StreamOps.slidingWindowCounts(s, d, statePartitions = Some(8))),
+    // dead-letter routing: poison rows quarantined per micro-batch, the
+    // rest aggregated — conservation (valid + dead = all) oracle-checked
+    "t17_stream_dead_letter" -> ((s, d) =>
+      StreamOps.deadLetterSplit(s, d)),
     // late rows (held-back fifth, delivered after the watermark advanced)
     // are DROPPED; append mode emits only watermark-finalized windows
     "t4_stream_late_drop" -> ((s, d) =>
@@ -2548,6 +2552,15 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
                 count(*) AS n_events
          FROM events GROUP BY 1""",
+    // conservation: per type, valid + dead re-adds to the full count;
+    // the poison predicate is replayed on the raw table
+    "t17_stream_dead_letter" ->
+      """SELECT event_type,
+                count(*) FILTER (WHERE CAST(props->>'k' AS BIGINT) % 97 <> 13)
+                  AS n_valid,
+                count(*) FILTER (WHERE CAST(props->>'k' AS BIGINT) % 97 = 13)
+                  AS n_dead
+         FROM events GROUP BY event_type""",
     // sliding 2h windows advancing 1h, epoch-aligned like Spark's
     // window(): event at ts belongs to the windows starting at
     // trunc_hour(ts) and trunc_hour(ts) - 1h

@@ -829,6 +829,43 @@ object StreamOps {
     spark.table(table).orderBy("lang")
   }
 
+  /** T17: dead-letter routing — the streaming form of the reference's
+    * malformed-record concern (`/root/reference/main.py:86,116` returns
+    * error strings downstream would ingest as records; P7 is the batch
+    * filter). Instead of silently DROPPING bad rows, each micro-batch
+    * splits: rows whose `props.k` fails to parse or matches the poison
+    * predicate (`k % 97 == 13`, deterministic) land in a quarantine
+    * parquet sink for replay/debugging; the rest flow to the main sink.
+    * Both legs are appended inside one `foreachBatch` (the write-then-emit
+    * seat S8 already proves ordering), so nothing is lost: per type,
+    * `n_valid + n_dead` re-adds to the full count — the conservation the
+    * oracle recomputes. */
+  def deadLetterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val outRoot = Files.createTempDirectory("graft_t17_").toString
+    val deadDir = s"$outRoot/dead"
+    val validDir = s"$outRoot/valid"
+    val q = eventStream(spark, dir).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.withColumn("k",
+          get_json_object(col("props"), "$.k").cast("long")).persist()
+        b.filter(col("k").isNull || pmod(col("k"), lit(97)) === 13)
+          .write.mode("append").parquet(deadDir)
+        b.filter(col("k").isNotNull && pmod(col("k"), lit(97)) =!= 13)
+          .write.mode("append").parquet(validDir)
+        b.unpersist(); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val valid = spark.read.parquet(validDir)
+      .groupBy("event_type").agg(count(lit(1)).as("n_valid"))
+    val dead = spark.read.parquet(deadDir)
+      .groupBy("event_type").agg(count(lit(1)).as("n_dead"))
+    valid.join(dead, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("n_valid"), lit(0L)).as("n_valid"),
+        coalesce(col("n_dead"), lit(0L)).as("n_dead"))
+  }
+
   /** S2+S5+S8: sink composition with write-then-emit ordering — the
     * reference produces the enriched vote to Kafka only AFTER the DB insert
     * succeeds (`/root/reference/voting.py:109-134`, rationale `:120-126`).

@@ -308,6 +308,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("T17 dead-letter split conserves the input and quarantines exactly the poison") {
+    val out = StreamOps.deadLetterSplit(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+    val totals = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val poison = ev.filter(col("k").isNull || pmod(col("k"), lit(97)) === 13)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getAs[Long]("n_valid") + r.getAs[Long]("n_dead") === totals(t),
+        s"conservation broken for $t")
+      assert(r.getAs[Long]("n_dead") === poison.getOrElse(t, 0L),
+        s"quarantine mismatch for $t")
+    }
+    assert(rows.map(_.getAs[Long]("n_dead")).sum > 0, "no poison at this SF")
+  }
+
   test("T16 sliding windows: every event lands in exactly two 2h/1h windows") {
     val out = StreamOps.slidingWindowCounts(spark, sfDir)
     val totalAcrossWindows = out.agg(sum("n_events")).head().getLong(0)
