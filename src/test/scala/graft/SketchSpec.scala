@@ -258,6 +258,31 @@ class SketchSpec extends SparkSpec {
       s"rank mismatch: got ${out.toSeq} want $brute")
   }
 
+  test("partition-count invariance: round-6 ops identical at 1 and 7 input partitions") {
+    import org.apache.spark.sql.DataFrame
+    import graft.ops.{Cdc, EventAnalytics, RangeJoin, Sessionize, Sketches, Windows}
+    import graft.ext.{SampleOps, TextOps}
+    def canon(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    def check(name: String, f: DataFrame => DataFrame, in: DataFrame): Unit =
+      assert(canon(f(in.repartition(1))) === canon(f(in.repartition(7))),
+        s"$name diverged under repartitioning")
+    val ev = Tables.events(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    check("profileTopK", EventAnalytics.profileTopK(_, 10), ev)
+    check("interpolateHourly", EventAnalytics.interpolateHourly, ev)
+    check("trailingActiveUsers", EventAnalytics.trailingActiveUsers(_, 7), ev)
+    check("attribution", RangeJoin.linearAttribution(_, "purchase", "click", 3600L), ev)
+    check("streaks", Sessionize.activityStreaks, ev)
+    check("hllMerge", Sketches.hllMergeDistinct, ev)
+    check("topKPerGroup", Windows.topKPerGroup(_, 3), ev)
+    check("pitEnrich", Cdc.pitEnrich, ev)
+    check("cdcChunks", TextOps.cdcChunks(_, 16), docs)
+    check("langIdConfusion", TextOps.langIdConfusion, docs)
+    check("negativePairs", SampleOps.negativePairs(_, "vec_id", "label"),
+      Tables.embeddings(spark, sfDir))
+  }
+
   test("canonical selection: covers every doc exactly once, keeps longest member") {
     val docs = Tables.documents(spark, sfDir)
     val out = DedupOps.canonicalPerCluster(docs, 3, tau = 0.5)
