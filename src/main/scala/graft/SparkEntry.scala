@@ -1385,7 +1385,14 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, d) =>
       MultimodalOps.frameSample(Tables.documents(s, d), 8, 16)
         .select(col("doc_id"),
-          posexplode(col("frame_bytes")).as(Seq("frame_idx", "byte_val"))))
+          posexplode(col("frame_bytes")).as(Seq("frame_idx", "byte_val")))),
+    // feature-extract stub: per-partition batch loop (the embedding-model
+    // shape), fixed 8-bucket byte histogram per blob
+    "mm_feature_extract" -> ((s, d) =>
+      MultimodalOps.featureExtract(s, Tables.documents(s, d))),
+    // resize stub: 1-D nearest-neighbor downsample to a 16-byte thumbnail
+    "mm_resize" -> ((s, d) =>
+      MultimodalOps.resizeStub(Tables.documents(s, d), 16))
   )
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
@@ -3459,7 +3466,19 @@ object SparkEntry {
       """SELECT d.doc_id, t.i AS frame_idx,
                 CASE WHEN t.i * 16 < strlen(d.text)
                      THEN ascii(d.text[t.i * 16 + 1 : t.i * 16 + 1]) ELSE -1 END AS byte_val
-         FROM documents d, range(0, 8) t(i)"""
+         FROM documents d, range(0, 8) t(i)""",
+    "mm_feature_extract" ->
+      """SELECT b.doc_id, CAST(t.k AS INTEGER) AS bucket,
+                CAST(len(list_filter(b.bl, x -> x // 32 = t.k)) AS BIGINT) AS n
+         FROM (SELECT doc_id,
+                      list_transform(range(1, length(text) + 1),
+                                     i -> ascii(text[i:i])) AS bl
+               FROM documents) b, range(0, 8) t(k)""",
+    "mm_resize" ->
+      """SELECT d.doc_id, CAST(t.j AS INTEGER) AS j,
+                ascii(d.text[(t.j * strlen(d.text)) // 16 + 1
+                             : (t.j * strlen(d.text)) // 16 + 1]) AS byte_val
+         FROM documents d, range(0, 16) t(j)"""
   )
 
   // layout/execution variants compute identical results to their base

@@ -65,6 +65,47 @@ object MultimodalOps {
     }.toDF()
   }
 
+  final case class FeatureRow(doc_id: Long, bucket: Int, n: Long)
+
+  /** Feature-extraction stub via `mapPartitions` — the embedding-model
+    * batch shape: per partition (where the model would init once), each
+    * blob folds to a FIXED-SIZE feature vector; here an 8-bucket byte
+    * histogram (bucket = byte >> 5), deterministic so the oracle can
+    * recompute it. Emitted exploded as (doc_id, bucket, n) — the join/
+    * aggregate-friendly long form. Narrow map, no shuffle. */
+  def featureExtract(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] =
+      asMedia(docs).select("doc_id", "media_bytes").as[MediaRow]
+    media.mapPartitions { rows =>
+      // per-partition init site (model weights, ONNX session, …)
+      rows.flatMap { m =>
+        val hist = new Array[Long](8)
+        var i = 0
+        while (i < m.media_bytes.length) {
+          hist((m.media_bytes(i) & 0xff) >> 5) += 1; i += 1
+        }
+        (0 until 8).iterator.map(k => FeatureRow(m.doc_id, k, hist(k)))
+      }
+    }.toDF()
+  }
+
+  /** Resize stub: 1-D nearest-neighbor downsample of the payload to a
+    * fixed `thumbSize`-byte thumbnail — thumbnail byte j reads source
+    * byte `(j * n_bytes) div thumbSize` (the access pattern of image
+    * resampling), as pure column ops. Exploded to (doc_id, j, byte_val). */
+  def resizeStub(docs: DataFrame, thumbSize: Int = 16): DataFrame =
+    asMedia(docs)
+      .select(
+        col("doc_id"),
+        col("media_bytes").cast("string").as("media_str"),
+        length(col("media_bytes")).as("n_bytes"))
+      .select(col("doc_id"),
+        posexplode(expr(s"""transform(sequence(0, ${thumbSize - 1}),
+          j -> ascii(substring(media_str,
+                      cast((j * n_bytes) div $thumbSize as int) + 1, 1)))"""))
+          .as(Seq("j", "byte_val")))
+
   /** Frame sampling stub for "video" payloads: every `stride`-th byte of
     * the first `nFrames` strides — the access pattern of keyframe sampling,
     * as pure column ops (no UDF). The payload cast and length are hoisted

@@ -283,6 +283,24 @@ class SketchSpec extends SparkSpec {
       Tables.embeddings(spark, sfDir))
   }
 
+  test("multimodal stubs: feature histogram conserves bytes, resize reads in-range") {
+    import graft.ext.MultimodalOps
+    val docs = Tables.documents(spark, sfDir)
+    val feats = MultimodalOps.featureExtract(spark, docs)
+    // Σ bucket counts per doc == payload byte length
+    val bad = feats.groupBy("doc_id").agg(sum("n").as("total"))
+      .join(docs.select(col("doc_id"),
+        length(col("text").cast("binary")).as("len")), "doc_id")
+      .filter(col("total") =!= col("len")).count()
+    assert(bad === 0L)
+    assert(feats.groupBy("doc_id").count()
+      .filter(col("count") =!= 8).count() === 0L)
+    val thumbs = MultimodalOps.resizeStub(docs, 16)
+    assert(thumbs.count() === docs.count() * 16)
+    assert(thumbs.filter(col("byte_val").isNull ||
+      col("byte_val") < 0).count() === 0L, "resize read out of range")
+  }
+
   test("canonical selection: covers every doc exactly once, keeps longest member") {
     val docs = Tables.documents(spark, sfDir)
     val out = DedupOps.canonicalPerCluster(docs, 3, tau = 0.5)
