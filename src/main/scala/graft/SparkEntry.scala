@@ -920,6 +920,17 @@ object SparkEntry {
         .agg(round(sum("value"), 2).as("total_value"),
              count(lit(1)).as("n_events"))
     }),
+    // ORC round-trip: Spark's second built-in columnar format — same
+    // pushdown/pruning machinery as parquet, graded the same way
+    "s4_orc_source" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+      Tables.events(s, d).select("event_id", "event_type", "value")
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy("event_type")
+        .agg(round(sum("value"), 2).as("total_value"),
+             count(lit(1)).as("n_events"))
+    }),
 
     // ---- storage layout: co-bucketed tables -> zero-shuffle join ----
     // Hive-partitioned write + directory-pruned read: the filter resolves
@@ -2461,6 +2472,9 @@ object SparkEntry {
       """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
          FROM events GROUP BY event_type""",
     "s4_csv_source" ->
+      """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
+         FROM events GROUP BY event_type""",
+    "s4_orc_source" ->
       """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
          FROM events GROUP BY event_type""",
     "storage_compact" ->

@@ -839,7 +839,11 @@ object StreamOps {
     * Both legs are appended inside one `foreachBatch` (the write-then-emit
     * seat S8 already proves ordering), so nothing is lost: per type,
     * `n_valid + n_dead` re-adds to the full count — the conservation the
-    * oracle recomputes. */
+    * oracle recomputes. Like any multi-sink `foreachBatch`, a crash
+    * between the two appends replays the batch at-least-once on restart;
+    * the exactly-once treatments live in [[fileSinkExactlyOnce]] (sink
+    * transaction log) and `JdbcIO.upsertTotals` (idempotent keyed upsert)
+    * and compose with this split unchanged. */
   def deadLetterSplit(spark: SparkSession, dir: String): DataFrame = {
     val outRoot = Files.createTempDirectory("graft_t17_").toString
     val deadDir = s"$outRoot/dead"
