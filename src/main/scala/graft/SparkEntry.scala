@@ -920,6 +920,28 @@ object SparkEntry {
         .agg(round(sum("value"), 2).as("total_value"),
              count(lit(1)).as("n_events"))
     }),
+    // raw text-log round-trip: the unstructured-ingest shape — formatted
+    // lines written with text(), parsed back by regexp extraction
+    // (schema-on-read over logs), then folded; the parse is a codegen'd
+    // projection, so at scale this is scan + map, no shuffle before the agg
+    "s4_text_log_source" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_txt_").toString
+      Tables.events(s, d)
+        .select(format_string("%s|%d|%.2f", col("event_type"),
+          col("event_id"), col("value")).as("value"))
+        .write.mode("overwrite").text(tmp)
+      s.read.text(tmp)
+        .select(
+          regexp_extract(col("value"), "^([^|]+)\\|", 1).as("event_type"),
+          regexp_extract(col("value"), "\\|(\\d+)\\|", 1)
+            .cast("long").as("event_id"),
+          regexp_extract(col("value"), "\\|([0-9.]+)$", 1)
+            .cast("double").as("v"))
+        .groupBy("event_type")
+        .agg(round(sum("v"), 2).as("total_value"),
+             count(lit(1)).as("n_events"),
+             max("event_id").as("max_id"))
+    }),
     // ORC round-trip: Spark's second built-in columnar format — same
     // pushdown/pruning machinery as parquet, graded the same way
     "s4_orc_source" -> ((s, d) => {
@@ -2476,6 +2498,12 @@ object SparkEntry {
          FROM events GROUP BY event_type""",
     "s4_orc_source" ->
       """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
+         FROM events GROUP BY event_type""",
+    // the %.2f wire format is lossless for this 2-decimal data, so the
+    // parsed fold must equal the original-table fold exactly
+    "s4_text_log_source" ->
+      """SELECT event_type, round(sum(value), 2) AS total_value,
+                count(*) AS n_events, max(event_id) AS max_id
          FROM events GROUP BY event_type""",
     "storage_compact" ->
       """SELECT CAST(ceil(count(*) / 2500.0) AS BIGINT) AS n_files,
