@@ -1078,6 +1078,10 @@ object SparkEntry {
     // rest aggregated — conservation (valid + dead = all) oracle-checked
     "t17_stream_dead_letter" -> ((s, d) =>
       StreamOps.deadLetterSplit(s, d)),
+    // incremental sketch maintenance: per-batch HLL partials union'd with
+    // the prior KB-sized snapshot — history never re-scanned
+    "t18_stream_sketch_maintain" -> ((s, d) =>
+      StreamOps.streamingSketchMaintenance(s, d)),
     // late rows (held-back fifth, delivered after the watermark advanced)
     // are DROPPED; append mode emits only watermark-finalized windows
     "t4_stream_late_drop" -> ((s, d) =>
@@ -2601,6 +2605,12 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
                 count(*) AS n_events
          FROM events GROUP BY 1""",
+    // the sketch chain is engine-internal; the contract is: exact distinct
+    // matches, and the final snapshot's estimate landed within 5%
+    "t18_stream_sketch_maintain" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+                true AS stream_merged_within_5pct
+         FROM events GROUP BY event_type""",
     // conservation: per type, valid + dead re-adds to the full count;
     // the poison predicate is replayed on the raw table
     "t17_stream_dead_letter" ->

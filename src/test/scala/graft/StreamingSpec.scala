@@ -329,6 +329,20 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_dead")).sum > 0, "no poison at this SF")
   }
 
+  test("T18 incremental sketch chain equals the one-shot global sketch exactly") {
+    val out = StreamOps.streamingSketchMaintenance(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Boolean]("stream_merged_within_5pct"),
+      s"sketch chain drifted for ${r.getString(0)}"))
+    // at test cardinality the sparse-mode sketches are exact, so the
+    // incremental union must agree with countDistinct exactly
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach(r =>
+      assert(r.getAs[Long]("n_users_exact") === exact(r.getString(0))))
+  }
+
   test("T16 sliding windows: every event lands in exactly two 2h/1h windows") {
     val out = StreamOps.slidingWindowCounts(spark, sfDir)
     val totalAcrossWindows = out.agg(sum("n_events")).head().getLong(0)
