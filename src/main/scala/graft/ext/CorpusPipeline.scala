@@ -58,11 +58,27 @@ object CorpusPipeline {
       .withColumn("__keep", col("doc_id") ===
         min("doc_id").over(Window.partitionBy(md5(col("text").cast("binary")))))
       .filter(col("__keep")).drop("__keep")
-    val losers = DedupOps.ngramJaccardPairsAbove(canon, 3, tau)
-      .select(col("doc_b").as("doc_id")).distinct()
-    val survivors = canon.join(losers, Seq("doc_id"), "left_anti")
+    val survivors = canon.join(nearDupLosers(docs, canon, tau),
+      Seq("doc_id"), "left_anti")
     SampleOps.splitAssign(survivors, "doc_id").select("doc_id", "split")
   }
+
+  /** Near-dup losers of `canon`, served from the FULL-corpus Jaccard
+    * truth. Jaccard is a pairwise function of the two documents alone
+    * (subset-closed), so the pair set computed over `docs` and restricted
+    * to pairs whose BOTH endpoints survived the gates is identical to the
+    * pair set computed over the gated corpus — and the full-corpus truth
+    * is already built once per session for the recall audits and cluster
+    * edges ([[DedupOps.truthPairsAbove]]'s memo), so both corpus
+    * pipelines ride it for free instead of re-running their own Σ df²
+    * inverted-index joins. The restriction is two semi-joins against the
+    * survivor ids; the pair side is the tiny checkpointed truth. */
+  private def nearDupLosers(docs: DataFrame, canon: DataFrame,
+                            tau: Double): DataFrame =
+    DedupOps.truthPairsAbove(docs, 3, tau)
+      .join(canon.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(canon.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+      .select(col("doc_b").as("doc_id")).distinct()
 
   def prepare(spark: SparkSession, docs: DataFrame,
               tau: Double = 0.5): DataFrame = {
@@ -76,9 +92,8 @@ object CorpusPipeline {
       .withColumn("__keep", col("doc_id") ===
         min("doc_id").over(Window.partitionBy(md5(col("text").cast("binary")))))
       .filter(col("__keep")).drop("__keep")
-    val nearDupLosers = DedupOps.ngramJaccardPairsAbove(keptCanon, 3, tau)
-      .select(col("doc_b").as("doc_id")).distinct()
-    val survivors = keptCanon.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    val survivors = keptCanon.join(nearDupLosers(docs, keptCanon, tau),
+      Seq("doc_id"), "left_anti")
     SampleOps.splitAssign(survivors, "doc_id").select("doc_id", "split")
   }
 }
