@@ -674,6 +674,11 @@ object SparkEntry {
     // bar — the shuffle never carries a bar's rows
     "ts_ohlc_bars" -> ((s, d) =>
       EventAnalytics.ohlcBars(Tables.events(s, d))),
+    // hierarchical rollup: 1h bars REAGGREGATED from 15-min bars (ticks
+    // touched once); oracle computes the 1h bars direct from ticks —
+    // equality proves OHLC mergeability
+    "ts_ohlc_rollup" -> ((s, d) =>
+      EventAnalytics.ohlcRollup(Tables.events(s, d))),
     // trailing-24h 3-sigma anomaly flags in cross-multiplied INTEGER
     // arithmetic — no float variance recursion to diverge between engines
     "ts_anomaly_flags" -> ((s, d) =>
@@ -2248,6 +2253,20 @@ object SparkEntry {
          FROM events
          GROUP BY event_type, time_bucket(INTERVAL 900 SECONDS, ts)
          ORDER BY event_type, bar_start""",
+    // direct-from-ticks replay of the engine's two-level fold — equality
+    // IS the mergeability proof; volume in integer cents
+    "ts_ohlc_rollup" ->
+      """SELECT event_type,
+                strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS bar_start,
+                round(arg_min(value, ts), 2) AS open,
+                round(max(value), 2) AS high,
+                round(min(value), 2) AS low,
+                round(arg_max(value, ts), 2) AS close,
+                count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS vol_cents
+         FROM events
+         GROUP BY event_type, date_trunc('hour', ts)""",
     "ts_gapfill_hourly" ->
       """WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
                            date_trunc('hour', max(ts)) AS h1 FROM events),

@@ -301,6 +301,21 @@ class SketchSpec extends SparkSpec {
       col("byte_val") < 0).count() === 0L, "resize read out of range")
   }
 
+  test("OHLC mergeability: hour bars from 15-min bars equal direct hour bars") {
+    import graft.ops.EventAnalytics
+    val ev = Tables.events(spark, sfDir)
+    val twoLevel = EventAnalytics.ohlcRollup(ev)
+      .select("event_type", "bar_start", "open", "high", "low", "close",
+        "n_events")
+      .collect().map(_.toString).sorted.toSeq
+    val direct = EventAnalytics.ohlcBars(ev, barSeconds = 3600)
+      .select("event_type", "bar_start", "open", "high", "low", "close",
+        "n_events")
+      .collect().map(_.toString).sorted.toSeq
+    assert(twoLevel === direct)
+    assert(twoLevel.nonEmpty)
+  }
+
   test("canonical selection: covers every doc exactly once, keeps longest member") {
     val docs = Tables.documents(spark, sfDir)
     val out = DedupOps.canonicalPerCluster(docs, 3, tau = 0.5)
