@@ -1087,6 +1087,12 @@ object SparkEntry {
     // the prior KB-sized snapshot — history never re-scanned
     "t18_stream_sketch_maintain" -> ((s, d) =>
       StreamOps.streamingSketchMaintenance(s, d)),
+    // incremental time-series maintenance: per-batch OHLC partials merged
+    // into the prior bar snapshot (open/close as min/max(struct(ts,val)),
+    // volume in integer cents); final snapshot folds to hour bars, oracle
+    // computes them direct from ticks
+    "t19_stream_ohlc_maintain" -> ((s, d) =>
+      StreamOps.streamingOhlcMaintenance(s, d)),
     // late rows (held-back fifth, delivered after the watermark advanced)
     // are DROPPED; append mode emits only watermark-finalized windows
     "t4_stream_late_drop" -> ((s, d) =>
@@ -2624,6 +2630,20 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
                 count(*) AS n_events
          FROM events GROUP BY 1""",
+    // direct-from-ticks hour bars — the incremental bar snapshot must
+    // reproduce them exactly (same oracle shape as ts_ohlc_rollup)
+    "t19_stream_ohlc_maintain" ->
+      """SELECT event_type,
+                strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS bar_start,
+                round(arg_min(value, ts), 2) AS open,
+                round(max(value), 2) AS high,
+                round(min(value), 2) AS low,
+                round(arg_max(value, ts), 2) AS close,
+                count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS vol_cents
+         FROM events
+         GROUP BY event_type, date_trunc('hour', ts)""",
     // the sketch chain is engine-internal; the contract is: exact distinct
     // matches, and the final snapshot's estimate landed within 5%
     "t18_stream_sketch_maintain" ->

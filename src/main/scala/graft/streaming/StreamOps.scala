@@ -910,6 +910,70 @@ object StreamOps {
           col("n_users_exact") * 0.05).as("stream_merged_within_5pct"))
   }
 
+  /** T19: incremental TIME-SERIES maintenance — the streaming OHLC
+    * materialized view, the bar-table sibling of [[streamingSketchMaintenance]]
+    * (sketches there, time-series here; batch fold proof in
+    * [[graft.ops.EventAnalytics.ohlcRollup]]). Each micro-batch folds its
+    * ticks to per-(type, 15-min bar) OHLC partials and merges them with
+    * the PRIOR snapshot by pure min/max/sum — open and close travel as
+    * `min/max(struct(ts, value))` so a bar split across micro-batches
+    * merges exactly (the struct's leading event-time field decides, no
+    * first/last order sensitivity), and volume is integer cents so the
+    * re-sum is exact. The snapshot is bar-count sized; history is never
+    * re-scanned — refresh cost is O(batch) + O(|bars touched|), which is
+    * what makes a continuously-updated 100 TB tick store affordable. The
+    * final snapshot folds to hour bars exactly like `ohlcRollup`, and the
+    * oracle computes those hour bars direct from raw ticks — equality
+    * proves the incremental path loses nothing. */
+  def streamingOhlcMaintenance(spark: SparkSession, dir: String,
+                               fineSeconds: Int = 900): DataFrame = {
+    val root = Files.createTempDirectory("graft_t19_").toString
+    @volatile var latest = -1L
+    val q = eventStream(spark, dir).writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val part = batch
+          .select(col("event_type"), col("ts"), col("value"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+          .groupBy(col("event_type"),
+            window(col("ts"), s"$fineSeconds seconds")
+              .getField("start").as("fbar"))
+          .agg(
+            min(struct(col("ts"), col("value"))).as("open_s"),
+            max("value").as("high"),
+            min("value").as("low"),
+            max(struct(col("ts"), col("value"))).as("close_s"),
+            count(lit(1)).as("n"),
+            sum("cents").as("vol_cents"))
+        val merged =
+          if (latest >= 0)
+            spark.read.parquet(s"$root/v=$latest").union(part)
+              .groupBy("event_type", "fbar")
+              .agg(min("open_s").as("open_s"), max("high").as("high"),
+                min("low").as("low"), max("close_s").as("close_s"),
+                sum("n").as("n"), sum("vol_cents").as("vol_cents"))
+          else part
+        merged.write.mode("overwrite").parquet(s"$root/v=$id")
+        latest = id; ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(s"$root/v=$latest")
+      .groupBy(col("event_type"), date_trunc("hour", col("fbar")).as("bar"))
+      .agg(
+        round(min_by(col("open_s").getField("value"), col("fbar")), 2)
+          .as("open"),
+        round(max("high"), 2).as("high"),
+        round(min("low"), 2).as("low"),
+        round(max_by(col("close_s").getField("value"), col("fbar")), 2)
+          .as("close"),
+        sum("n").as("n_events"),
+        sum("vol_cents").as("vol_cents"))
+      .select(col("event_type"),
+        date_format(col("bar"), "yyyy-MM-dd HH:mm").as("bar_start"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"), col("vol_cents"))
+  }
+
   /** S2+S5+S8: sink composition with write-then-emit ordering — the
     * reference produces the enriched vote to Kafka only AFTER the DB insert
     * succeeds (`/root/reference/voting.py:109-134`, rationale `:120-126`).

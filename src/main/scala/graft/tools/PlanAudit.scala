@@ -21,6 +21,7 @@ object PlanAudit {
     "t13_stream_scd2", "t14_stream_decontaminate",
     "t15_stream_timeout_sessions", "t16_stream_sliding_window",
     "t17_stream_dead_letter", "t18_stream_sketch_maintain",
+    "t19_stream_ohlc_maintain",
     "s8_write_then_emit", "s9_file_sink_exactly_once",
     "vote_e2e_stream_tally", "vote_e2e_live_results", "vote_e2e_reemit",
     // composite: probes the finished CMS on the driver (k-bounded)

@@ -362,4 +362,14 @@ class StreamingSpec extends SparkSpec {
       assert(batch(w) === n, s"window $w")
     }
   }
+
+  test("T19 streaming OHLC snapshot folds to the batch rollup exactly") {
+    val stream = StreamOps.streamingOhlcMaintenance(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.ops.EventAnalytics.ohlcRollup(
+        Tables.events(spark, sfDir))
+      .collect().map(_.toString).sorted.toSeq
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+  }
 }
