@@ -1795,25 +1795,26 @@ object SparkEntry {
                             l_discount, l_shipdate FROM bad),
               scan AS (
                 SELECT 'null_orderkey' AS rule,
-                       sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
-                         AS n_violations FROM li
+                       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_violations FROM li
                 UNION ALL
                 SELECT 'nonpositive_price',
-                       sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+                       CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0
+                                END) AS BIGINT)
                   FROM li
                 UNION ALL
                 SELECT 'quantity_out_of_range',
-                       sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50
-                                THEN 1 ELSE 0 END) FROM li
+                       CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50
+                                THEN 1 ELSE 0 END) AS BIGINT) FROM li
                 UNION ALL
                 SELECT 'discount_out_of_range',
-                       sum(CASE WHEN l_discount < 0 OR l_discount > 1
-                                THEN 1 ELSE 0 END) FROM li
+                       CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                                THEN 1 ELSE 0 END) AS BIGINT) FROM li
                 UNION ALL
                 SELECT 'shipdate_out_of_range',
-                       sum(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01'
+                       CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01'
                                   OR l_shipdate >= TIMESTAMP '2010-01-01'
-                                THEN 1 ELSE 0 END) FROM li
+                                THEN 1 ELSE 0 END) AS BIGINT) FROM li
                 UNION ALL
                 SELECT 'orphan_orderkey',
                        count(*) FROM li
@@ -1825,7 +1826,8 @@ object SparkEntry {
     // integer cents (associative) and min/max/count fold freely
     "incr_agg_merge" ->
       """SELECT user_id, count(*) AS n_events,
-                sum(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents,
                 min(value) AS min_value, max(value) AS max_value
          FROM events GROUP BY user_id ORDER BY user_id""",
     "cdc_merge_upsert" ->
@@ -1870,8 +1872,9 @@ object SparkEntry {
               b AS (SELECT CAST(floor(0.5 * sum(n_tok)) AS BIGINT) AS budget
                     FROM t),
               c AS (SELECT doc_id, n_tok,
-                           sum(n_tok) OVER (ORDER BY ttr_i DESC, doc_id
-                                            ROWS UNBOUNDED PRECEDING) AS cum
+                           CAST(sum(n_tok) OVER (ORDER BY ttr_i DESC, doc_id
+                                                 ROWS UNBOUNDED PRECEDING)
+                                AS BIGINT) AS cum
                     FROM t)
          SELECT doc_id, n_tok, cum AS cum_tokens FROM c, b
          WHERE cum <= budget""",
@@ -1974,10 +1977,12 @@ object SparkEntry {
          ORDER BY nation, o_year DESC""",
     "q12_late_shipments" ->
       """SELECT o.o_orderpriority,
-                sum(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
-                         THEN 1 ELSE 0 END) AS n_late,
-                sum(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
-                         THEN 1 ELSE 0 END) AS n_on_time
+                CAST(sum(CASE WHEN l.l_shipdate >
+                                   o.o_orderdate + INTERVAL 90 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                CAST(sum(CASE WHEN l.l_shipdate <=
+                                   o.o_orderdate + INTERVAL 90 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time
          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
     "q14_promo_revenue" ->
@@ -2089,8 +2094,10 @@ object SparkEntry {
     // exact integer cents on both sides; share threshold cross-multiplied
     "q11_important_stock" ->
       """WITH val AS (SELECT l_partkey,
-                             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                                 * CAST(l_quantity AS BIGINT)) AS val_cents
+                             CAST(sum(
+                                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                                 * CAST(l_quantity AS BIGINT)) AS BIGINT)
+                               AS val_cents
                       FROM lineitem
                       JOIN supplier ON l_suppkey = s_suppkey
                       JOIN nation ON s_nationkey = n_nationkey
@@ -2543,8 +2550,8 @@ object SparkEntry {
     // whose generation carries event_type
     "storage_evolving_read" ->
       """SELECT count(*) AS n_rows,
-                sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
-                  AS n_with_type,
+                CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_with_type,
                 round(sum(value), 2) AS sum_value
          FROM events""",
     "storage_partition_pruning" ->
@@ -2555,7 +2562,7 @@ object SparkEntry {
     // box scan against the source table
     "storage_zorder_scan" ->
       """SELECT l_returnflag, count(*) AS n_rows,
-                sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
          FROM lineitem
          WHERE l_partkey BETWEEN 50 AND 149
            AND l_suppkey BETWEEN 2 AND 7
@@ -2624,7 +2631,8 @@ object SparkEntry {
     // source: exactly-once across the restart
     "s9_file_sink_exactly_once" ->
       """SELECT event_type, count(*) AS n_events,
-                sum(CAST(round(value * 100) AS BIGINT)) AS cents
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS cents
          FROM events GROUP BY event_type ORDER BY event_type""",
     "t2_stream_hourly_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
@@ -3234,7 +3242,7 @@ object SparkEntry {
               j AS (SELECT w.doc_id, v.rank FROM w LEFT JOIN v USING (word))
          SELECT doc_id, count(*) AS n_tokens,
                 count(*) FILTER (WHERE rank IS NULL) AS n_unk,
-                COALESCE(sum(rank), 0) AS ids_sum
+                CAST(COALESCE(sum(rank), 0) AS BIGINT) AS ids_sum
          FROM j GROUP BY doc_id ORDER BY doc_id""",
     // quantize -> cosine on codes -> top-10 -> hits vs float truth,
     // all recomputed here
