@@ -1082,7 +1082,7 @@ object SparkEntry {
     // dead-letter routing: poison rows quarantined per micro-batch, the
     // rest aggregated — conservation (valid + dead = all) oracle-checked
     "t17_stream_dead_letter" -> ((s, d) =>
-      StreamOps.deadLetterSplit(s, d)),
+      StreamOps.deadLetterSplit(s, d, statePartitions = Some(8))),
     // incremental sketch maintenance: per-batch HLL partials union'd with
     // the prior KB-sized snapshot — history never re-scanned
     "t18_stream_sketch_maintain" -> ((s, d) =>
@@ -2658,15 +2658,24 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
                 true AS stream_merged_within_5pct
          FROM events GROUP BY event_type""",
-    // conservation: per type, valid + dead re-adds to the full count;
-    // the poison predicate is replayed on the raw table
+    // conservation: per type, valid + dead re-adds to the full count; the
+    // poison predicate is replayed on the raw table with the ENGINE's edge
+    // semantics spelled out: unparseable/NULL k quarantines (engine's
+    // isNull leg), and pmod folds negative k into [0,97) where DuckDB's %
+    // keeps the sign — so the differential doesn't depend on fixtures
+    // happening to populate k with non-negative values
     "t17_stream_dead_letter" ->
-      """SELECT event_type,
-                count(*) FILTER (WHERE CAST(props->>'k' AS BIGINT) % 97 <> 13)
+      """WITH k AS (SELECT event_type,
+                           TRY_CAST(props->>'k' AS BIGINT) AS kv
+                    FROM events)
+         SELECT event_type,
+                count(*) FILTER (WHERE kv IS NOT NULL
+                                   AND ((kv % 97) + 97) % 97 <> 13)
                   AS n_valid,
-                count(*) FILTER (WHERE CAST(props->>'k' AS BIGINT) % 97 = 13)
+                count(*) FILTER (WHERE kv IS NULL
+                                    OR ((kv % 97) + 97) % 97 = 13)
                   AS n_dead
-         FROM events GROUP BY event_type""",
+         FROM k GROUP BY event_type""",
     // sliding 2h windows advancing 1h, epoch-aligned like Spark's
     // window(): event at ts belongs to the windows starting at
     // trunc_hour(ts) and trunc_hour(ts) - 1h

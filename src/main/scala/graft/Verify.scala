@@ -45,6 +45,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // release the board-run memos (dedup truth/cluster checkpoints,
+    // storage layout dirs) before teardown — nothing may outlive the run
+    graft.ext.DedupOps.clearCaches()
+    graft.ops.Storage.clearCaches()
     spark.stop()
   }
 }

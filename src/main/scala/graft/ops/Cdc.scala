@@ -38,11 +38,6 @@ object Cdc {
               "valid_from_us", "valid_to_us", "is_current")
   }
 
-  /** MERGE-style upsert: apply a change batch onto a base dimension as a
-    * FULL OUTER join — the scalable MERGE plan (matched → update,
-    * change-only → insert, base-only → keep). The change batch must
-    * arrive pre-compacted to one row per key ([[Dedup]] / latest-wins);
-    * this op is pure set logic on top. */
   /** Point-in-time correct enrichment — the feature-store primitive: each
     * fact row joins the dimension VERSION that was valid at the fact's
     * event time (never a later one — the leakage a naive latest-value
@@ -69,6 +64,11 @@ object Cdc {
       .select("purchase_id", "user_id", "tier")
   }
 
+  /** MERGE-style upsert: apply a change batch onto a base dimension as a
+    * FULL OUTER join — the scalable MERGE plan (matched → update,
+    * change-only → insert, base-only → keep). The change batch must
+    * arrive pre-compacted to one row per key ([[Dedup]] / latest-wins);
+    * this op is pure set logic on top. */
   def mergeUpsert(base: DataFrame, changes: DataFrame,
                   baseKey: String, changeKey: String,
                   baseVal: String, changeVal: String): DataFrame =

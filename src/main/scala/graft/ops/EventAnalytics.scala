@@ -196,17 +196,6 @@ object EventAnalytics {
       .orderBy("hour", "event_type")
   }
 
-  /** Trailing-N-day distinct active users per observed day (the "7-day
-    * actives" metric). The naive form — a per-day correlated
-    * count(DISTINCT) over a trailing self-join of the FACT table — is
-    * O(days · events). The scalable rewrite: dedup to (user, day) first
-    * (the only exchange over data), then each (user, day) contributes to
-    * exactly `windowDays` window-days via a bounded `explode(sequence)`,
-    * and the final countDistinct groups by window-day. Explode factor is
-    * the constant `windowDays` over the ALREADY-DEDUPED set — at 100 TB
-    * the fact table is touched once, and everything after is
-    * users×days-sized. Only window-days that actually occur in the data
-    * are emitted (spine semi-join), mirroring the oracle's spine. */
   /** Linear interpolation over the hourly (event_type, hour) series —
     * where [[gapfillHourly]] zero-fills a missing cell, this fills it on
     * the line between its nearest observed neighbors. The interpolation
@@ -284,6 +273,17 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** Trailing-N-day distinct active users per observed day (the "7-day
+    * actives" metric). The naive form — a per-day correlated
+    * count(DISTINCT) over a trailing self-join of the FACT table — is
+    * O(days · events). The scalable rewrite: dedup to (user, day) first
+    * (the only exchange over data), then each (user, day) contributes to
+    * exactly `windowDays` window-days via a bounded `explode(sequence)`,
+    * and the final countDistinct groups by window-day. Explode factor is
+    * the constant `windowDays` over the ALREADY-DEDUPED set — at 100 TB
+    * the fact table is touched once, and everything after is
+    * users×days-sized. Only window-days that actually occur in the data
+    * are emitted (spine semi-join), mirroring the oracle's spine. */
   def trailingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
     val userDays = events
       .select(col("user_id"),

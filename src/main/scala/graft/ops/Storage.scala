@@ -58,7 +58,33 @@ object Storage {
     * by a plan spec; the query result is oracle-graded. */
   private val partDirs = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, Int, String), String]()
-  def partitionedRoundTrip(df: DataFrame, partCol: String): String =
+
+  /** Layout-memo hygiene (same discipline as DedupOps's truth memo):
+    * entries key on the owning SparkSession, so a stopped session's rows
+    * are dead weight — sweep them on access, bound each map outright, and
+    * expose a clear hook for Verify/Bench to call after the query loop.
+    * Values are temp-dir paths (cheap); the sweep exists to stop the maps
+    * and their session references growing for the JVM lifetime. */
+  private val maxEntries = 64
+  private def sweep[K <: Product, V](
+      m: java.util.concurrent.ConcurrentHashMap[K, V]): Unit = {
+    val it = m.keySet.iterator()
+    while (it.hasNext) it.next().productElement(0) match {
+      case s: SparkSession if s.sparkContext.isStopped => it.remove()
+      case _ => ()
+    }
+    if (m.size > maxEntries) m.clear()
+  }
+
+  /** Drop every memoized layout directory entry (the directories
+    * themselves are temp-rooted and reaped with the container). */
+  def clearCaches(): Unit = {
+    partDirs.clear(); evolveDirs.clear()
+    compactDirs.clear(); zorderDirs.clear()
+  }
+
+  def partitionedRoundTrip(df: DataFrame, partCol: String): String = {
+    sweep(partDirs)
     // one layout per (session, dataset, column): repeated bench/verify
     // executions reuse the written copy instead of leaking a fresh one per
     // run. The key includes the ANALYZED PLAN's semanticHash — content
@@ -79,6 +105,7 @@ object Storage {
           dir
         }
       })
+  }
 
   /** Scan one partition of a partitioned layout: the `partCol = value`
     * predicate prunes at the directory level. */
@@ -92,7 +119,8 @@ object Storage {
     * plan identity), same discipline as [[partitionedRoundTrip]]. */
   private val evolveDirs = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, Int, Int), String]()
-  def evolvingRoundTrip(batch1: DataFrame, batch2: DataFrame): String =
+  def evolvingRoundTrip(batch1: DataFrame, batch2: DataFrame): String = {
+    sweep(evolveDirs)
     evolveDirs.compute(
       (batch1.sparkSession,
         batch1.queryExecution.analyzed.semanticHash(),
@@ -107,6 +135,7 @@ object Storage {
           dir
         }
       })
+  }
 
   /** Schema-evolving read: union the schemas of every parquet batch in
     * `dir` (columns added over a table's life appear as nulls in old
@@ -127,7 +156,8 @@ object Storage {
   private val compactDirs = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, Int, Int, Long), (String, Long)]()
   def compactRoundTrip(df: DataFrame, smallFiles: Int,
-                       targetRowsPerFile: Long): (String, Long) =
+                       targetRowsPerFile: Long): (String, Long) = {
+    sweep(compactDirs)
     compactDirs.compute(
       (df.sparkSession, df.queryExecution.analyzed.semanticHash(),
         smallFiles, targetRowsPerFile),
@@ -143,6 +173,7 @@ object Storage {
           (outDir, n)
         }
       })
+  }
 
   /** Compact a directory of (potentially many small) parquet files to
     * ~`targetRowsPerFile` rows per output file. At scale, writers that
@@ -186,7 +217,8 @@ object Storage {
   private val zorderDirs = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, Int, String, String, Int), String]()
   def zorderRoundTrip(df: DataFrame, colA: String, colB: String,
-                      nFiles: Int): String =
+                      nFiles: Int): String = {
+    sweep(zorderDirs)
     zorderDirs.compute(
       (df.sparkSession, df.queryExecution.analyzed.semanticHash(),
         colA, colB, nFiles),
@@ -203,4 +235,5 @@ object Storage {
           dir
         }
       })
+  }
 }

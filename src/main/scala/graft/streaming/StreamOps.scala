@@ -331,9 +331,13 @@ object StreamOps {
   /** T16: SLIDING event-time windows — every event lands in the two
     * overlapping 2-hour windows that slide by 1 hour (Spark expands the
     * row into window-duration/slide copies before the windowed agg; state
-    * is one row per open window, GC'd by the watermark). The tumbling
-    * form is [[hourlyWindowCounts]]; sliding is the shape dashboards use
-    * for trailing-2h activity refreshed hourly
+    * is one row per window ever opened — COMPLETE output mode re-emits
+    * the full result each batch and the watermark does NOT evict window
+    * state, so state grows with the window count; the bounded-state,
+    * watermark-finalized form of the same machinery is [[lateDropHourly]]
+    * in append mode). The tumbling form is [[hourlyWindowCounts]];
+    * sliding is the shape dashboards use for trailing-2h activity
+    * refreshed hourly
     * (`/root/reference/Note_Projet1_RealTimeVotingDataEngineer.txt:36-37`). */
   def slidingWindowCounts(spark: SparkSession, dir: String,
                           statePartitions: Option[Int] = None): DataFrame =
@@ -844,7 +848,9 @@ object StreamOps {
     * the exactly-once treatments live in [[fileSinkExactlyOnce]] (sink
     * transaction log) and `JdbcIO.upsertTotals` (idempotent keyed upsert)
     * and compose with this split unchanged. */
-  def deadLetterSplit(spark: SparkSession, dir: String): DataFrame = {
+  def deadLetterSplit(spark: SparkSession, dir: String,
+                      statePartitions: Option[Int] = None): DataFrame =
+      withShufflePartitions(spark, statePartitions) {
     val outRoot = Files.createTempDirectory("graft_t17_").toString
     val deadDir = s"$outRoot/dead"
     val validDir = s"$outRoot/valid"
