@@ -1031,6 +1031,11 @@ object SparkEntry {
     // ---- JDBC source/sink (SURVEY §2.1 S4/S5): real embedded-Derby trip ----
     "s5_jdbc_roundtrip" -> ((s, d) =>
       graft.sources.JdbcIO.roundTrip(s, Tables.events(s, d))),
+    // S5c: streaming upsert with every epoch applied TWICE (injected
+    // at-least-once replay) — the idempotent sink must converge to the
+    // batch per-user totals the oracle recomputes
+    "s5c_jdbc_upsert_replay" -> ((s, d) =>
+      StreamOps.jdbcUpsertReplay(s, d, statePartitions = Some(8))),
 
     // ---- SQL surface / DDL (SURVEY §2.1 S6) ----
     "s6_sql_over_view" -> ((s, d) => {
@@ -2577,6 +2582,13 @@ object SparkEntry {
       """SELECT count(*) AS n_users, round(sum(total_value), 2) AS sum_total
          FROM (SELECT user_id, round(sum(value), 2) AS total_value
                FROM events GROUP BY user_id) t""",
+    // the table the doubly-applied streaming upsert must converge to:
+    // plain per-user totals in exact integer cents
+    "s5c_jdbc_upsert_replay" ->
+      """SELECT user_id,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "s6_sql_over_view" ->
       """SELECT event_type, count(*) AS n FROM events
          WHERE value > 10 GROUP BY event_type HAVING count(*) > 5""",

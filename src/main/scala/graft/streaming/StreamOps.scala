@@ -280,6 +280,50 @@ object StreamOps {
       .orderBy("event_type")
   }
 
+  /** S5c: exactly-once JDBC delivery under REPLAY — the streaming form of
+    * the reference's insert-results-into-Postgres loop
+    * (`/root/reference/main.py:122-132`), which appends and therefore
+    * double-counts when its at-least-once consumer re-delivers
+    * (`voting.py:120-126` commits AFTER producing). Here the stream keeps
+    * the cumulative per-user total in UPDATE-mode state (exact integer
+    * cents) and each micro-batch upserts its updated keys through
+    * [[graft.sources.JdbcIO.upsertCents]] — update-else-insert per key,
+    * so re-applying a batch rewrites the same keys to the same cumulative
+    * values and the table CONVERGES instead of accumulating. The
+    * at-least-once failure is INJECTED, not hypothetical: every epoch is
+    * applied twice. The final table must equal the batch per-user totals
+    * over the full source — which is exactly what the oracle recomputes.
+    *
+    * Scale shape: update mode ships only keys that changed in the epoch,
+    * state is one long per user, and connections scale with the (sized)
+    * state partitions — each key touched by exactly one writer. */
+  def jdbcUpsertReplay(spark: SparkSession, dir: String,
+                       statePartitions: Option[Int] = None): DataFrame =
+      withShufflePartitions(spark, statePartitions) {
+    val url = graft.sources.JdbcIO.freshUrl()
+    graft.sources.JdbcIO.createCentsTable(url, "user_cents")
+    val q = eventStream(spark, dir)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy("user_id")
+      .agg(sum("cents").as("total_cents"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        graft.sources.JdbcIO.upsertCents(b, url, "user_cents")
+        // injected at-least-once redelivery: apply the SAME epoch again —
+        // an idempotent sink converges, an append sink double-counts
+        graft.sources.JdbcIO.upsertCents(b, url, "user_cents")
+        b.unpersist(); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.sources.JdbcIO.readTable(spark, url, "user_cents")
+      .select(col("user_id").cast("long").as("user_id"),
+              col("total_cents").cast("long").as("total_cents"))
+      .orderBy("user_id")
+  }
+
   /** MemoryStream harness for the fine-grained specs (exact micro-batch
     * boundaries, late-data injection): drive `pipeline` over `data`
     * replayed in `nBatches` micro-batches and return the final result

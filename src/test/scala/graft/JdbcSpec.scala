@@ -61,6 +61,19 @@ class JdbcSpec extends SparkSpec {
     assert(stored === Set((1L, 4.0), (2L, 2.0)))
   }
 
+  test("jdbcUpsertReplay converges to batch per-user cent totals despite " +
+       "every epoch being applied twice") {
+    val got = graft.streaming.StreamOps
+      .jdbcUpsertReplay(spark, sfDir, statePartitions = Some(4))
+      .as[(Long, Long)].collect().toSeq
+    val want = Tables.events(spark, sfDir)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy("user_id").agg(sum("cents").as("total_cents"))
+      .orderBy("user_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got === want)
+  }
+
   test("roundTrip aggregate equals the direct in-memory aggregate") {
     val events = Tables.events(spark, sfDir)
     val viaJdbc = JdbcIO.roundTrip(spark, events)
