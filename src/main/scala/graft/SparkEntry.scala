@@ -841,6 +841,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
              round(sum("value"), 2).as("total_value"))
         .orderBy("c_mktsegment")),
+    // the same salted join graded under GENUINE skew: ~90% of probe rows
+    // share one deterministic hot key (inject-then-handle, like the
+    // heavy-hitter fixture) — the shape that straggles one task unsalted
+    "j7b_salted_join_skewed" -> ((s, d) =>
+      Joins.saltedJoin(
+          Tables.events(s, d)
+            .withColumn("skew_key",
+              when(pmod(col("event_id"), lit(100)) < 90, lit(1L))
+                .otherwise(col("user_id")))
+            .select("event_id", "skew_key", "value"),
+          Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+          "skew_key", "c_custkey", "event_id", 16)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+             round(sum("value"), 2).as("total_value"))
+        .orderBy("c_mktsegment")),
 
     // ---- decode chain / projections (SURVEY §2.2) ----
     "p1p3_decode_flatten" -> ((s, d) =>
@@ -1088,6 +1104,11 @@ object SparkEntry {
     // rest aggregated — conservation (valid + dead = all) oracle-checked
     "t17_stream_dead_letter" -> ((s, d) =>
       StreamOps.deadLetterSplit(s, d, statePartitions = Some(8))),
+    // dead-letter triage under injected key skew: ~90% of quarantined
+    // rows share one key; the offender count folds through the salted
+    // two-level aggregation instead of straggling one task
+    "t17b_dead_letter_skew_triage" -> ((s, d) =>
+      StreamOps.deadLetterTriageSkewed(s, d, statePartitions = Some(8))),
     // incremental sketch maintenance: per-batch HLL partials union'd with
     // the prior KB-sized snapshot — history never re-scanned
     "t18_stream_sketch_maintain" -> ((s, d) =>
@@ -1602,6 +1623,19 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n_events,
                 round(sum(value), 2) AS total_value
          FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""",
+    // same join replayed over the skew-injected key: CASE mirrors the
+    // engine's derivation exactly (event_id >= 0, so % == pmod)
+    "j7b_salted_join_skewed" ->
+      """WITH e AS (SELECT event_id,
+                           CASE WHEN event_id % 100 < 90 THEN 1
+                                ELSE user_id END AS skew_key,
+                           value
+                    FROM events)
+         SELECT c_mktsegment, count(*) AS n_events,
+                round(sum(value), 2) AS total_value
+         FROM e JOIN customer ON skew_key = c_custkey
          GROUP BY c_mktsegment
          ORDER BY c_mktsegment""",
     "sessionize_users" ->
@@ -2688,6 +2722,20 @@ object SparkEntry {
                                     OR ((kv % 97) + 97) % 97 = 13)
                   AS n_dead
          FROM k GROUP BY event_type""",
+    // triage replay: same poison predicate, same skew-key derivation,
+    // exact integer counts, same top-k tie-break
+    "t17b_dead_letter_skew_triage" ->
+      """WITH k AS (SELECT event_id, user_id,
+                           TRY_CAST(props->>'k' AS BIGINT) AS kv
+                    FROM events),
+              d AS (SELECT CASE WHEN event_id % 100 < 90 THEN 1
+                                ELSE user_id END AS skew_key
+                    FROM k
+                    WHERE kv IS NULL OR ((kv % 97) + 97) % 97 = 13)
+         SELECT skew_key, count(*) AS n_dead
+         FROM d GROUP BY skew_key
+         ORDER BY n_dead DESC, skew_key
+         LIMIT 10""",
     // sliding 2h windows advancing 1h, epoch-aligned like Spark's
     // window(): event at ts belongs to the windows starting at
     // trunc_hour(ts) and trunc_hour(ts) - 1h

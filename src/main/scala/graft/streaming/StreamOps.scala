@@ -920,6 +920,52 @@ object StreamOps {
         coalesce(col("n_dead"), lit(0L)).as("n_dead"))
   }
 
+  /** T17b: dead-letter triage under GENUINE KEY SKEW — the fixture's
+    * `props.k` poison predicate is uniform (~1% spread evenly), but the
+    * 100 TB reality dead-letter queues exist for is one flooding
+    * producer: most quarantined rows share one key. The skew is injected
+    * deterministically (the [[graft.ops.Aggregates.heavyHittersApprox]]
+    * inject-then-detect pattern): rows with `event_id % 100 < 90` —
+    * ~90% of traffic — map to skew_key 1, the rest keep their user_id.
+    * The split quarantines the same NULL-or-`pmod(k,97)=13` rows as
+    * [[deadLetterSplit]], keyed; the triage question "which keys flood
+    * the queue" is then a groupBy on a key where one value holds ~90%
+    * of the rows — answered with the two-level SALTED aggregation
+    * (partial count per (key, event_id-salt), then final sum) so the
+    * hot key folds across `salts` tasks instead of straggling one.
+    * Counts are exact integers; the oracle replays the key derivation,
+    * the poison predicate, and the top-k. */
+  def deadLetterTriageSkewed(spark: SparkSession, dir: String,
+                             statePartitions: Option[Int] = None,
+                             salts: Int = 16, topK: Int = 10): DataFrame =
+      withShufflePartitions(spark, statePartitions) {
+    val outRoot = Files.createTempDirectory("graft_t17b_").toString
+    val deadDir = s"$outRoot/dead"
+    val q = eventStream(spark, dir).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .withColumn("k",
+            get_json_object(col("props"), "$.k").cast("long"))
+          .withColumn("skew_key",
+            when(pmod(col("event_id"), lit(100)) < 90, lit(1L))
+              .otherwise(col("user_id")))
+          .filter(col("k").isNull || pmod(col("k"), lit(97)) === 13)
+          .select("skew_key", "event_id")
+          .write.mode("append").parquet(deadDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(deadDir)
+      .groupBy(col("skew_key"),
+        pmod(col("event_id"), lit(salts)).as("__salt"))
+      .agg(count(lit(1)).as("__pc"))
+      .groupBy("skew_key")
+      .agg(sum("__pc").as("n_dead"))
+      .orderBy(desc("n_dead"), asc("skew_key"))
+      .limit(topK)
+  }
+
   /** T18: incremental SKETCH maintenance — the streaming materialized
     * view in its mergeable-sketch form (the exact-aggregate form is
     * [[graft.ops.Aggregates.incrementalMerge]]'s seat). Each micro-batch

@@ -87,6 +87,42 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("j7b fixture is genuinely skewed and the salted join replays the " +
+       "plain join on it") {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("skew_key",
+        when(pmod(col("event_id"), lit(100)) < 90, lit(1L))
+          .otherwise(col("user_id")))
+      .select("event_id", "skew_key", "value")
+    // the injected hot key must dominate: ~90% of probe rows on key 1
+    val total = ev.count()
+    val hot = ev.filter(col("skew_key") === 1L).count()
+    assert(hot >= (total * 0.85).toLong,
+      s"hot key holds $hot of $total — fixture not skewed")
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_mktsegment")
+    val salted = graft.ops.Joins
+      .saltedJoin(ev, cust, "skew_key", "c_custkey", "event_id", 16)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val plain = ev.join(cust, col("skew_key") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(salted === plain)
+  }
+
+  test("t17b triage ranks the flooding key first with a dominant share") {
+    val triage = graft.streaming.StreamOps
+      .deadLetterTriageSkewed(spark, sfDir, statePartitions = Some(4))
+      .as[(Long, Long)].collect()
+    assert(triage.nonEmpty)
+    val (topKey, topCount) = triage.head
+    assert(topKey === 1L, s"flooding key must rank first, got $topKey")
+    val rest = triage.tail.map(_._2).sum
+    assert(topCount > rest,
+      s"hot key ($topCount dead rows) must dominate the tail ($rest)")
+  }
+
   test("salted plan pays exactly one extra (cheap) exchange") {
     def exchanges(df: org.apache.spark.sql.DataFrame): Int =
       "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
