@@ -20,9 +20,11 @@ object PlanAudit {
     "t10_stream_stream_join", "t11_stream_funnel", "t12_stream_quality_gate",
     "t13_stream_scd2", "t14_stream_decontaminate",
     "t15_stream_timeout_sessions", "t16_stream_sliding_window",
-    "t17_stream_dead_letter", "t18_stream_sketch_maintain",
+    "t17_stream_dead_letter", "t17b_dead_letter_skew_triage",
+    "t18_stream_sketch_maintain",
     "t19_stream_ohlc_maintain",
     "s8_write_then_emit", "s9_file_sink_exactly_once",
+    "s5c_jdbc_upsert_replay",
     "vote_e2e_stream_tally", "vote_e2e_live_results", "vote_e2e_reemit",
     // composite: probes the finished CMS on the driver (k-bounded)
     "sketch_cms_heavy")
