@@ -1044,6 +1044,11 @@ object SparkEntry {
         .select("c_name", "c_mktsegment", "total_value")
     }),
 
+    // Avro container files through the avro-mapred InputFormat bridge
+    // (spark-avro DataSource unbundled offline; format swap when present)
+    "s4_avro_source" -> ((s, d) =>
+      graft.sources.AvroIO.roundTripAggregate(s, Tables.events(s, d))),
+
     // ---- JDBC source/sink (SURVEY §2.1 S4/S5): real embedded-Derby trip ----
     "s5_jdbc_roundtrip" -> ((s, d) =>
       graft.sources.JdbcIO.roundTrip(s, Tables.events(s, d))),
@@ -2612,6 +2617,15 @@ object SparkEntry {
          FROM (SELECT user_id, round(sum(value), 2) AS total_value
                FROM events GROUP BY user_id) t
          JOIN customer c ON t.user_id = c.c_custkey""",
+    // the Avro write→read trip is value-transparent: the oracle replays
+    // the summary straight from the source table (doubles round-trip
+    // bit-exactly through Avro)
+    "s4_avro_source" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS cents,
+                max(event_id) AS max_id
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "s5_jdbc_roundtrip" ->
       """SELECT count(*) AS n_users, round(sum(total_value), 2) AS sum_total
          FROM (SELECT user_id, round(sum(value), 2) AS total_value

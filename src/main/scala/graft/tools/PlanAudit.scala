@@ -24,7 +24,7 @@ object PlanAudit {
     "t18_stream_sketch_maintain",
     "t19_stream_ohlc_maintain",
     "s8_write_then_emit", "s9_file_sink_exactly_once",
-    "s5c_jdbc_upsert_replay",
+    "s5c_jdbc_upsert_replay", "s4_avro_source",
     "vote_e2e_stream_tally", "vote_e2e_live_results", "vote_e2e_reemit",
     // composite: probes the finished CMS on the driver (k-bounded)
     "sketch_cms_heavy")
