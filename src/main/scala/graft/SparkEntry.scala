@@ -55,6 +55,10 @@ object SparkEntry {
       Sketches.hllMergeDistinct(Tables.events(s, d))),
     "sketch_cms_heavy" -> ((s, d) =>
       Sketches.cmsHeavyHitters(Tables.events(s, d))),
+    // quantile rollup: per-day Greenwald-Khanna summaries unioned per
+    // type; the merged p50/p90/p99 graded on the RANK guarantee
+    "sketch_quantile_rollup" -> ((s, d) =>
+      Sketches.quantileRollup(Tables.events(s, d))),
     "q1_pricing_summary" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag", "l_linestatus")
@@ -1535,6 +1539,17 @@ object SparkEntry {
               c AS (SELECT hot_key, count(*) AS n_exact FROM k GROUP BY hot_key)
          SELECT hot_key, n_exact, true AS cms_within_bound
          FROM c ORDER BY n_exact DESC, hot_key LIMIT 5""",
+    // the per-day quantile sketches and their union are engine-internal;
+    // the contract is: exact row count matches and the merged estimate's
+    // RANK sits within eps*n (+1) of p*n for each (type, p) — the actual
+    // Greenwald-Khanna guarantee, verified by the engine against raw data
+    "sketch_quantile_rollup" ->
+      """SELECT event_type, CAST(p AS DOUBLE) AS p, count(*) AS n_rows,
+                true AS rank_ok
+         FROM events
+         CROSS JOIN (VALUES (0.5), (0.9), (0.99)) pr(p)
+         GROUP BY event_type, p
+         ORDER BY event_type, p""",
     "a7_percentiles" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
                 round(quantile_cont(value, 0.9), 4) AS p90

@@ -6,6 +6,7 @@ import graft.ext.DedupOps
 
 /** Mergeable sketches, attribution, streaks, canonical selection. */
 class SketchSpec extends SparkSpec {
+  import spark.implicits._
 
   test("HLL merge: daily-union verdicts hold and exact matches countDistinct") {
     val out = Sketches.hllMergeDistinct(Tables.events(spark, sfDir)).collect()
@@ -314,6 +315,40 @@ class SketchSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(twoLevel === direct)
     assert(twoLevel.nonEmpty)
+  }
+
+  test("quantile rollup: merged day sketches honor the rank guarantee " +
+       "and summaries survive serialize/merge in any order") {
+    val ev = Tables.events(spark, sfDir)
+    val out = graft.ops.Sketches.quantileRollup(ev)
+      .as[(String, Double, Long, Boolean)].collect()
+    val nTypes = ev.select("event_type").distinct().count()
+    assert(out.length === nTypes * 3, "one row per (type, prob)")
+    assert(out.forall(_._4), s"rank guarantee violated: ${out.mkString(",")}")
+    // direct mechanism check: per-partition summaries serialized, merged
+    // in REVERSE order, still within eps*n of the true rank
+    import graft.functions.QuantileRollup
+    val eps = 0.001
+    val values = ev.select("value").as[Double].collect()
+    val parts = values.grouped(math.max(1, values.length / 7)).toSeq
+    val sketches = parts.map { chunk =>
+      var s = new org.apache.spark.sql.catalyst.util.QuantileSummaries(
+        org.apache.spark.sql.catalyst.util.QuantileSummaries
+          .defaultCompressThreshold, eps)
+      chunk.foreach(v => s = s.insert(v))
+      QuantileRollup.ser(s.compress())
+    }
+    val merged = sketches.reverse
+      .map(QuantileRollup.deser)
+      .reduce(QuantileRollup.mergeCompressed).compress()
+    val n = values.length
+    val sorted = values.sorted
+    Seq(0.5, 0.9, 0.99).foreach { p =>
+      val approx = merged.query(p).get
+      val rank = sorted.count(_ <= approx)
+      assert(math.abs(rank - p * n) <= eps * n + 1,
+        s"p=$p approx=$approx rank=$rank n=$n")
+    }
   }
 
   test("canonical selection: covers every doc exactly once, keeps longest member") {
