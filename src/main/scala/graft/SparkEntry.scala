@@ -862,6 +862,15 @@ object SparkEntry {
              round(sum("value"), 2).as("total_value"))
         .orderBy("c_mktsegment")),
 
+    // edit-distance similarity join (entity resolution): deterministic
+    // typo injection over part entities, then the PassJoin-style
+    // pigeonhole-segment blocked join back to the clean dimension —
+    // candidates from a constant-factor probe explode + one equi-join,
+    // exact levenshtein verify; never N·M (the oracle brute-forces the
+    // same predicate, so one lost candidate pair flips the row set)
+    "j8_fuzzy_match" -> ((s, d) =>
+      FuzzyJoin.fuzzyPartMatch(Tables.part(s, d))),
+
     // ---- decode chain / projections (SURVEY §2.2) ----
     "p1p3_decode_flatten" -> ((s, d) =>
       Decode.kafkaRoundTrip(Tables.events(s, d),
@@ -1658,6 +1667,38 @@ object SparkEntry {
          FROM e JOIN customer ON skew_key = c_custkey
          GROUP BY c_mktsegment
          ORDER BY c_mktsegment""",
+    // brute-force replay of the blocked fuzzy join: same deterministic
+    // typo injection (integer surgery on p_partkey, 1-based substr on
+    // both engines), then levenshtein <= 2 over dirty × distinct-clean.
+    // The engine's segment blocking must reproduce this row set exactly
+    // — completeness of the candidate generator is what's graded.
+    "j8_fuzzy_match" ->
+      """WITH base AS (
+           SELECT p_partkey, p_name || ' ' || p_brand AS s FROM part),
+         d0 AS (
+           SELECT p_partkey, s, 2 + (p_partkey % (length(s) - 3)) AS pos
+           FROM base WHERE p_partkey % 3 = 0),
+         d1 AS (
+           SELECT p_partkey,
+                  CASE (p_partkey // 3) % 3
+                    WHEN 0 THEN substr(s, 1, pos - 1) || 'z' || substr(s, pos + 1)
+                    WHEN 1 THEN substr(s, 1, pos - 1) || substr(s, pos + 1)
+                    ELSE substr(s, 1, pos) || 'q' || substr(s, pos + 1)
+                  END AS d1
+           FROM d0),
+         dirty AS (
+           SELECT p_partkey AS dirty_id,
+                  CASE WHEN p_partkey % 5 = 0
+                    THEN substr(d1, 1, 1 + ((p_partkey // 7) % (length(d1) - 3)))
+                         || 'x' ||
+                         substr(d1, 3 + ((p_partkey // 7) % (length(d1) - 3)))
+                    ELSE d1 END AS dirty_name
+           FROM d1),
+         clean AS (SELECT DISTINCT s AS entity FROM base)
+         SELECT d.dirty_id, d.dirty_name, c.entity,
+                CAST(levenshtein(d.dirty_name, c.entity) AS BIGINT) AS dist
+         FROM dirty d JOIN clean c
+           ON levenshtein(d.dirty_name, c.entity) <= 2""",
     "sessionize_users" ->
       """WITH o AS (SELECT user_id, ts,
                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
