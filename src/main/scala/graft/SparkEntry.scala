@@ -1204,6 +1204,12 @@ object SparkEntry {
     // session shuffle width — see streamStreamIntervalJoin scaladoc
     "t10_stream_stream_join" -> ((s, d) =>
       StreamOps.streamStreamIntervalJoin(s, d, statePartitions = Some(8))),
+    // stream-stream LEFT OUTER interval join: matched pairs emit as they
+    // match; unmatched purchases emit a NULL-click row when the watermark
+    // evicts their state (the no-data batch) — purchases inside the final
+    // watermark delay stay in state, as live pipelines leave them
+    "t20_stream_left_outer_join" -> ((s, d) =>
+      StreamOps.streamStreamLeftOuterJoin(s, d, statePartitions = Some(8))),
     "t9_stream_sessions" -> ((s, d) =>
       StreamOps.streamingSessionCounts(s, d, statePartitions = Some(8))),
     // streaming corpus curation: the language+quality scan gates applied
@@ -2859,6 +2865,33 @@ object SparkEntry {
            ON p.user_id = c.user_id
           AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 3600 SECONDS
          WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
+    // left-outer replay: matched pairs are the plain range join; null
+    // rows are the UNMATCHED purchases whose state the watermark evicted
+    // — global watermark = min over both sides of floor(max_us/1000) ms
+    // minus the 1 h delay, eviction strict-< in ms (us < w*1000 ⟺
+    // us//1000 < w, so the // replay is exact); purchases inside the
+    // final delay stay in state and must NOT appear as null rows
+    "t20_stream_left_outer_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS pts
+                    FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT event_id AS click_id, user_id, ts AS cts
+                    FROM events WHERE event_type = 'click'),
+              m AS (SELECT p.purchase_id, c.click_id, p.user_id,
+                           date_diff('microsecond', c.cts, p.pts) AS gap_us
+                    FROM p JOIN c ON p.user_id = c.user_id
+                     AND c.cts <= p.pts
+                     AND p.pts <= c.cts + INTERVAL 3600 SECONDS),
+              wm AS (SELECT least(
+                       (SELECT max(epoch_us(cts)) // 1000 FROM c),
+                       (SELECT max(epoch_us(pts)) // 1000 FROM p))
+                       - 3600000 AS w),
+              unm AS (SELECT p.purchase_id, CAST(NULL AS BIGINT) AS click_id,
+                             p.user_id, CAST(NULL AS BIGINT) AS gap_us
+                      FROM p CROSS JOIN wm
+                      WHERE NOT EXISTS (SELECT 1 FROM m
+                                        WHERE m.purchase_id = p.purchase_id)
+                        AND epoch_us(p.pts) // 1000 < wm.w)
+         SELECT * FROM m UNION ALL SELECT * FROM unm""",
     "t8_stream_asof" ->
       """WITH u AS (
            SELECT user_id, ts, event_id, 1 AS tag,

@@ -561,6 +561,52 @@ object StreamOps {
     spark.table(table)
   }
 
+  /** T20: stream-stream LEFT OUTER interval join — the null-emission
+    * semantics [[streamStreamIntervalJoin]]'s inner form can't show.
+    * Matched (purchase, click) pairs emit as they match; an UNMATCHED
+    * purchase emits once with a NULL click when the engine can prove no
+    * future click can reach it — i.e. when its state row is evicted.
+    * The join condition bounds matching clicks to `click_ts ≤
+    * purchase_ts`, and post-watermark clicks arrive with `click_ts ≥
+    * watermark`, so eviction (and the null emission) fires exactly when
+    * the global watermark passes `purchase_ts` — Spark derives that
+    * state-value watermark from the range condition and applies it in
+    * the no-data batch after the last data batch. Purchases inside the
+    * final watermark delay stay in state unemitted, exactly as a live
+    * pipeline leaves them (the t15 open-session analogue); the oracle
+    * replays the eviction predicate in the exec's own ms arithmetic.
+    * State stays O(tolerance horizon) on both sides, same as the inner
+    * join — the outer flavor adds no state, only the evict-time emit. */
+  def streamStreamLeftOuterJoin(spark: SparkSession, dir: String,
+                                toleranceSec: Long = 3600L,
+                                statePartitions: Option[Int] = None): DataFrame =
+    withShufflePartitions(spark, statePartitions) {
+      val clicks = eventStream(spark, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("click_user"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = eventStream(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+      val table = freshName("graft_ssoj")
+      val q = purchases.join(clicks,
+          col("user_id") === col("click_user") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $toleranceSec SECONDS"),
+          "leftOuter")
+        .select(col("purchase_id"), col("click_id"), col("user_id"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+            .as("gap_us"))
+        .writeStream.format("memory").queryName(table)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(table)
+    }
+
   /** Output row of the streaming as-of join. */
   final case class AsOfMatch(left_id: Long, user_id: Long,
                              matched_right_id: Option[Long], gap_s: Option[Long])

@@ -308,6 +308,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("T20 left-outer join: matched parity + watermark-gated null emission") {
+    val streamed = StreamOps.streamStreamLeftOuterJoin(spark, sfDir)
+      .as[(Long, Option[Long], Long, Option[Long])].collect().toSet
+    val ev = Tables.events(spark, sfDir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("cu"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val matched = p
+      .join(c, col("user_id") === col("cu") &&
+        col("cts") <= col("ts") &&
+        col("ts") <= col("cts") + expr("INTERVAL 3600 SECONDS"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("ts")) - unix_micros(col("cts"))).as("gap_us"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, Some(t._2): Option[Long], t._3, Some(t._4): Option[Long]))
+      .toSet
+    // the exec's eviction: global watermark = min over sides of
+    // floor(max_us/1000) ms minus delay; strict < in ms
+    val maxC = c.agg(max(unix_micros(col("cts")))).head.getLong(0) / 1000
+    val maxP = p.agg(max(unix_micros(col("ts")))).head.getLong(0) / 1000
+    val wMs = math.min(maxC, maxP) - 3600000L
+    val matchedIds = matched.map(_._1)
+    val nullRows = p
+      .filter(unix_micros(col("ts")) / 1000 < wMs)
+      .select("purchase_id", "user_id")
+      .as[(Long, Long)].collect()
+      .filter { case (pid, _) => !matchedIds.contains(pid) }
+      .map { case (pid, uid) =>
+        (pid, None: Option[Long], uid, None: Option[Long]) }
+      .toSet
+    assert(streamed === matched ++ nullRows,
+      "left-outer stream must emit matches plus exactly the evicted unmatched")
+    assert(matched.nonEmpty, "matched branch vacuous at this SF")
+    assert(nullRows.nonEmpty, "null-emission branch vacuous at this SF")
+    // rows inside the final watermark delay stay in state — the live
+    // tail the operator intentionally withholds
+    val allUnmatched = p.select("purchase_id").as[Long].collect()
+      .count(pid => !matchedIds.contains(pid))
+    assert(allUnmatched > nullRows.size,
+      "retained-in-state branch vacuous: widen the fixture")
+  }
+
   test("T17 dead-letter split conserves the input and quarantines exactly the poison") {
     val out = StreamOps.deadLetterSplit(spark, sfDir)
     val ev = Tables.events(spark, sfDir)
