@@ -706,6 +706,12 @@ object SparkEntry {
       Tables.events(s, d).groupBy("event_type")
         .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
              round(expr("percentile(value, 0.9)"), 4).as("p90"))),
+    // winsorized robust stats: exact per-group p05/p95 bounds broadcast
+    // back onto the fact scan, values clipped before the mean — two
+    // scan-parallel passes, never a percentile-window funnel; clip
+    // counts + integer-micro winsorized sum keep the compare exact
+    "a11_winsorized_stats" -> ((s, d) =>
+      Aggregates.winsorizedStats(Tables.events(s, d))),
     // scale path: KLL/GK-style approx_percentile (bounded sketch per
     // partition, no full sort) graded differentially — the exact median is
     // the oracle-checkable truth, the sketch must land within 2% of it
@@ -1573,6 +1579,27 @@ object SparkEntry {
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
                 true AS approx_within_2pct
          FROM events GROUP BY event_type""",
+    // winsorize replay: same exact interpolated percentiles
+    // (quantile_cont ≡ Spark percentile), same strict-< clip counts,
+    // same integer-micros fold of the clipped value
+    "a11_winsorized_stats" ->
+      """WITH b AS (SELECT event_type,
+                           quantile_cont(value, 0.05) AS p05,
+                           quantile_cont(value, 0.95) AS p95
+                    FROM events GROUP BY event_type)
+         SELECT e.event_type, count(*) AS n,
+                CAST(sum(CASE WHEN e.value < b.p05 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_clip_low,
+                CAST(sum(CASE WHEN e.value > b.p95 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_clip_high,
+                round(any_value(b.p05), 4) AS p05_r,
+                round(any_value(b.p95), 4) AS p95_r,
+                CAST(sum(CAST(round(least(greatest(e.value, b.p05), b.p95)
+                                    * 1000000) AS BIGINT)) AS BIGINT)
+                  AS win_micros
+         FROM events e JOIN b USING (event_type)
+         GROUP BY e.event_type
+         ORDER BY e.event_type""",
     "a8_rollup_turnout" ->
       """SELECT c_mktsegment, c_nationkey, count(*) AS n,
                 GROUPING(c_mktsegment, c_nationkey) AS gid

@@ -148,4 +148,41 @@ object Aggregates {
            min("mn").as("min_value"), max("mx").as("max_value"))
       .orderBy("user_id")
   }
+
+  /** Winsorized robust statistics: per-group exact p05/p95 bounds, then
+    * every value CLIPPED into [p05, p95] before the mean — the standard
+    * outlier-taming preprocessing step (feature scaling, reward
+    * normalization) where a single corrupt reading would otherwise move
+    * the group mean arbitrarily far.
+    *
+    * Two scan-parallel passes, no window: pass 1 folds each group to a
+    * 1-row bounds record (exact `percentile` — sort-based within the
+    * aggregation, never a global sort); the |groups|-row bounds table
+    * BROADCASTS back onto the fact scan for the clip + final fold. A
+    * `percentile_cont OVER (PARTITION BY group)` window would funnel
+    * every group's rows through one task — at 100 TB with few groups
+    * that is THE straggler shape, while this form's second pass is an
+    * ordinary map-side-combinable aggregate. Clip counts ride along so
+    * the oracle also grades how many rows each bound touched; the
+    * winsorized mean is summed in integer micro-units of the CLIPPED
+    * value (bounds are exact doubles, micros rounding is deterministic)
+    * to keep the cross-engine compare order-insensitive. */
+  def winsorizedStats(events: DataFrame): DataFrame = {
+    val bounds = events.groupBy("event_type")
+      .agg(expr("percentile(value, 0.05)").as("p05"),
+           expr("percentile(value, 0.95)").as("p95"))
+    val clipped = events.select(col("event_type"), col("value"))
+      .join(broadcast(bounds), Seq("event_type"))
+      .withColumn("w", least(greatest(col("value"), col("p05")), col("p95")))
+    clipped.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("value") < col("p05"), 1L).otherwise(0L))
+             .as("n_clip_low"),
+           sum(when(col("value") > col("p95"), 1L).otherwise(0L))
+             .as("n_clip_high"),
+           round(first(col("p05")), 4).as("p05_r"),
+           round(first(col("p95")), 4).as("p95_r"),
+           sum(round(col("w") * 1000000).cast("long")).as("win_micros"))
+      .orderBy("event_type")
+  }
 }

@@ -210,6 +210,28 @@ class OperatorSpec extends SparkSpec {
     } finally bars.unpersist()
   }
 
+  test("A11 winsorize: ~5% clipped per side, broadcast bounds, no window funnel") {
+    val out = SparkEntry.queries("a11_winsorized_stats")(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val lo = r.getAs[Long]("n_clip_low"); val hi = r.getAs[Long]("n_clip_high")
+      // exact percentiles: strictly-below-p05 mass is <= 5% and close to it
+      assert(lo <= n * 0.05 + 1 && lo >= n * 0.04, s"clip_low $lo of $n")
+      assert(hi <= n * 0.05 + 1 && hi >= n * 0.04, s"clip_high $hi of $n")
+      // the winsorized mean sits inside the clip bounds
+      val mean = r.getAs[Long]("win_micros").toDouble / n / 1e6
+      assert(mean >= r.getAs[Double]("p05_r") - 1e-3 &&
+             mean <= r.getAs[Double]("p95_r") + 1e-3)
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "bounds must broadcast back onto the fact scan")
+    assert(!plan.contains("WindowExec") && !plan.contains(" Window "),
+      "winsorize must not funnel groups through a percentile window")
+  }
+
   test("full outer totals: both null-extension directions are real") {
     // inject-then-detect (the a10/PII pattern): the fixture alone can be
     // vacuous — at some SFs every purchaser also clicked — so add one
