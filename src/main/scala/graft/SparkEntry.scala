@@ -1216,6 +1216,11 @@ object SparkEntry {
     // watermark delay stay in state, as live pipelines leave them
     "t20_stream_left_outer_join" -> ((s, d) =>
       StreamOps.streamStreamLeftOuterJoin(s, d, statePartitions = Some(8))),
+    // live leaderboard: stream maintains ONLY the O(keys) tally state;
+    // rank / share / gap-to-leader computed over the |keys|-row snapshot
+    // (ranking inside the stream would global-sort state per batch)
+    "t21_stream_leaderboard" -> ((s, d) =>
+      StreamOps.streamingLeaderboard(s, d, statePartitions = Some(4))),
     "t9_stream_sessions" -> ((s, d) =>
       StreamOps.streamingSessionCounts(s, d, statePartitions = Some(8))),
     // streaming corpus curation: the language+quality scan gates applied
@@ -1440,6 +1445,24 @@ object SparkEntry {
       Cdc.mergeUpsert(
         Tables.customer(s, d).select("c_custkey", "c_acctbal"),
         changes, "c_custkey", "ckey", "c_acctbal", "cval")
+    }),
+    // MERGE with DELETE tombstones: the change batch carries a
+    // Debezium-style op column (latest event per user; 'error' latest →
+    // delete) — all five action classes (update/insert/keep/delete/
+    // noop_delete) are non-vacuous at every SF via the ×11 key remap
+    "cdc_merge_delete" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(desc("ts"), desc("event_id"))
+      val changes = Tables.events(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select((col("user_id") * 11).as("ckey"), col("value").as("cval"),
+          when(col("event_type") === "error", lit("delete"))
+            .otherwise(lit("upsert")).as("op"))
+      Cdc.mergeApplyTombstones(
+        Tables.customer(s, d).select("c_custkey", "c_acctbal"),
+        changes, "c_custkey", "ckey", "c_acctbal", "cval", "op")
     }),
     // quality-weighted importance sampling: keep probability = the
     // integer basis-point ttr (the token_budget_select priority signal),
@@ -1975,6 +1998,27 @@ object SparkEntry {
                      WHEN ckey IS NULL THEN 'keep'
                      ELSE 'update' END AS action,
                 coalesce(cval, c_acctbal) AS value
+         FROM customer FULL OUTER JOIN ch ON c_custkey = ckey""",
+    // tombstone replay: same latest-wins compaction plus the op column;
+    // delete nulls the value, delete-of-unknown-key surfaces as noop
+    "cdc_merge_delete" ->
+      """WITH r AS (SELECT user_id, value, event_type,
+                           row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) AS rk
+                    FROM events),
+              ch AS (SELECT user_id * 11 AS ckey, value AS cval,
+                            CASE WHEN event_type = 'error' THEN 'delete'
+                                 ELSE 'upsert' END AS op
+                     FROM r WHERE rk = 1)
+         SELECT coalesce(c_custkey, ckey) AS key,
+                CASE WHEN ckey IS NULL THEN 'keep'
+                     WHEN op = 'delete' AND c_custkey IS NULL
+                       THEN 'noop_delete'
+                     WHEN op = 'delete' THEN 'delete'
+                     WHEN c_custkey IS NULL THEN 'insert'
+                     ELSE 'update' END AS action,
+                CASE WHEN op = 'delete' THEN CAST(NULL AS DOUBLE)
+                     ELSE coalesce(cval, c_acctbal) END AS value
          FROM customer FULL OUTER JOIN ch ON c_custkey = ckey""",
     "sample_importance" ->
       """WITH t AS (SELECT doc_id,
@@ -2892,6 +2936,19 @@ object SparkEntry {
            ON p.user_id = c.user_id
           AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 3600 SECONDS
          WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
+    // leaderboard replay: the cumulative tally + rank/share/gap over it;
+    // integer basis points (// with non-negative operands ≡ Spark div)
+    "t21_stream_leaderboard" ->
+      """WITH t AS (SELECT event_type, count(*) AS n_events
+                    FROM events GROUP BY event_type)
+         SELECT row_number() OVER (ORDER BY n_events DESC, event_type)
+                  AS rnk,
+                event_type, n_events,
+                (n_events * 10000)
+                  // CAST((SELECT sum(n_events) FROM t) AS BIGINT)
+                  AS share_bp,
+                (SELECT max(n_events) FROM t) - n_events AS behind_leader
+         FROM t ORDER BY rnk""",
     // left-outer replay: matched pairs are the plain range join; null
     // rows are the UNMATCHED purchases whose state the watermark evicted
     // — global watermark = min over both sides of floor(max_us/1000) ms

@@ -79,4 +79,34 @@ object Cdc {
           .when(col(changeKey).isNull, lit("keep"))
           .otherwise(lit("update")).as("action"),
         coalesce(col(changeVal), col(baseVal)).as("value"))
+
+  /** [[mergeUpsert]] completed with DELETE tombstones — the full CDC
+    * MERGE action set (Debezium-style `op` column: 'upsert' | 'delete',
+    * change batch pre-compacted to latest-wins per key). Action classes:
+    *   update      — key in both, op = upsert
+    *   insert      — change-only upsert
+    *   keep        — base-only key, untouched
+    *   delete      — key in both, op = delete (value nulled; consumers
+    *                 drop these rows to materialize the post-merge dim)
+    *   noop_delete — tombstone for a key the dim never had (MERGE's
+    *                 WHEN NOT MATCHED AND op = delete: no-op, surfaced
+    *                 rather than silently swallowed so conservation is
+    *                 auditable)
+    * Same one full-outer join as the upsert form — tombstones add a
+    * predicate, not a pass. */
+  def mergeApplyTombstones(base: DataFrame, changes: DataFrame,
+                           baseKey: String, changeKey: String,
+                           baseVal: String, changeVal: String,
+                           opCol: String): DataFrame =
+    base.join(changes, col(baseKey) === col(changeKey), "full_outer")
+      .select(
+        coalesce(col(baseKey), col(changeKey)).as("key"),
+        when(col(changeKey).isNull, lit("keep"))
+          .when(col(opCol) === "delete" && col(baseKey).isNull,
+            lit("noop_delete"))
+          .when(col(opCol) === "delete", lit("delete"))
+          .when(col(baseKey).isNull, lit("insert"))
+          .otherwise(lit("update")).as("action"),
+        when(col(opCol) === "delete", lit(null).cast("double"))
+          .otherwise(coalesce(col(changeVal), col(baseVal))).as("value"))
 }

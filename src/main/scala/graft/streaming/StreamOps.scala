@@ -360,6 +360,35 @@ object StreamOps {
              count(lit(1)).as("n_events"))
     }
 
+  /** T21: the LIVE LEADERBOARD — the reference's dashboard semantic
+    * (rank candidates as votes stream in, `Note...txt:36-37`) in its
+    * production decomposition: the STREAM maintains only the per-key
+    * tally state (complete mode, O(keys)); rank, vote share, and the
+    * gap-to-leader are computed over the emitted SNAPSHOT, which is
+    * |keys|-sized — the dashboard refresh recomputes them per poll in
+    * milliseconds. Ranking inside the stream would force a global sort
+    * per micro-batch over state Spark cannot incrementalize (window
+    * functions are unsupported on streaming aggregates for exactly this
+    * reason); tally-in-stream + rank-on-snapshot is the shape that
+    * scales. Share is integer basis points (votes·10⁴ div total) so the
+    * cross-engine compare is exact. */
+  def streamingLeaderboard(spark: SparkSession, dir: String,
+                           statePartitions: Option[Int] = None): DataFrame = {
+    val snap = cumulativeTally(spark, dir, statePartitions)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("n_events"), col("event_type"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    snap
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("_total", sum("n_events").over(wAll))
+      .withColumn("share_bp", expr("(n_events * 10000) div _total"))
+      .withColumn("behind_leader",
+        max(col("n_events")).over(wAll) - col("n_events"))
+      .select(col("rnk"), col("event_type"), col("n_events"),
+        col("share_bp"), col("behind_leader"))
+      .orderBy("rnk")
+  }
+
   /** T2+T3 windowed variant: event-time tumbling window with watermark —
     * the exact step the reference truncated at ("convertir l'horodatage",
     * `/root/reference/spark-streaming.py:77`). */

@@ -137,4 +137,30 @@ class CdcSpec extends SparkSpec {
     assert(keptTotal > total * 2 / 5,
       s"integer rounding should stay near half: $keptTotal of $total")
   }
+
+  test("merge tombstones: all five action classes partition the key space") {
+    import spark.implicits._
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+      .toDF("bkey", "bval")
+    val changes = Seq(
+      (2L, 99.0, "upsert"),   // update
+      (3L, 0.0, "delete"),    // delete existing
+      (5L, 55.0, "upsert"),   // insert
+      (6L, 0.0, "delete"))    // delete of a key the dim never had
+      .toDF("ckey", "cval", "op")
+    val out = graft.ops.Cdc
+      .mergeApplyTombstones(base, changes, "bkey", "ckey", "bval", "cval", "op")
+      .as[(Long, String, Option[Double])].collect().toSet
+    val want = Set(
+      (1L, "keep", Some(10.0)), (4L, "keep", Some(40.0)),
+      (2L, "update", Some(99.0)),
+      (3L, "delete", None: Option[Double]),
+      (5L, "insert", Some(55.0)),
+      (6L, "noop_delete", None: Option[Double]))
+    assert(out == want)
+    // materialized post-merge dim: drop delete/noop rows -> keys 1,2,4,5
+    val dim = out.filter(r => r._2 != "delete" && r._2 != "noop_delete")
+      .map(_._1)
+    assert(dim == Set(1L, 2L, 4L, 5L))
+  }
 }

@@ -352,6 +352,24 @@ class StreamingSpec extends SparkSpec {
       "retained-in-state branch vacuous: widen the fixture")
   }
 
+  test("T21 leaderboard: snapshot ranking has exact batch parity") {
+    val rows = StreamOps.streamingLeaderboard(spark, sfDir)
+      .as[(Int, String, Long, Long, Long)].collect().toSeq
+    val batch = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("event_type"))
+      .as[(String, Long)].collect().toSeq
+    assert(rows.map(r => (r._2, r._3)) == batch,
+      "stream tally + snapshot rank must equal the batch leaderboard")
+    assert(rows.map(_._1) == (1 to batch.size), "ranks must be dense 1..n")
+    assert(rows.head._5 == 0L, "the leader is behind nobody")
+    val total = batch.map(_._2).sum
+    rows.foreach { r =>
+      assert(r._4 == r._3 * 10000L / total, s"share mismatch for ${r._2}")
+      assert(r._5 == batch.head._2 - r._3)
+    }
+  }
+
   test("T17 dead-letter split conserves the input and quarantines exactly the poison") {
     val out = StreamOps.deadLetterSplit(spark, sfDir)
     val ev = Tables.events(spark, sfDir)
