@@ -37,6 +37,10 @@ object Bench {
       graft.ext.SimilarityOps.ivfTopK(emb64, 0L, 3, nprobe = 2).count()
       val docs30 = Tables.documents(spark, sfDir).limit(30)
       graft.ext.DedupOps.ngramJaccardTopPairs(docs30, 3, 5).count()
+      // the fuzzy-join probe/verify family compiles a multi-second
+      // codegen set; pin it here like the others
+      graft.ops.FuzzyJoin.fuzzyPartMatch(
+        Tables.part(spark, sfDir).limit(50)).count()
       graft.ext.TextOps.quality(docs30).count()
       graft.ext.TextOps.langId(docs30).count()
       // The vote wire decode chain (generator → to_json → from_json over

@@ -49,27 +49,32 @@ object FuzzyJoin {
   private def startOf(k: Int, L: String, i: String): String =
     s"($i * ($L div ${k + 1}) + greatest(0, $i - (${k + 1} - ($L % ${k + 1}))))"
 
-  /** All (target_len, seg_idx, seg_text) probe keys a dirty string of
-    * length `_dl` can match. `sequence` bounds are structurally
-    * ascending (lo ≤ hi by construction) — Spark auto-reverses a
-    * descending sequence, which would silently corrupt the grid — and
-    * the valid-start window is applied by `filter`, not by sequence
-    * bounds. */
-  private def probeKeysExpr(k: Int, dirtyCol: String): String = {
-    val segLen = lenOf(k, "L", "i")
-    val segStart = startOf(k, "L", "i")
-    s"""IF(_dl < 1, array(),
-        flatten(flatten(
-          transform(
-            filter(sequence(greatest(_dl - $k, ${k + 1}), _dl + $k), L -> L >= ${k + 1}),
-            L -> transform(sequence(0, $k), i ->
-              transform(
-                filter(sequence(0, greatest(_dl - 1, 0)), st ->
-                  st >= $segStart - $k AND
-                  st <= $segStart + $k AND
-                  st + $segLen <= _dl),
-                st -> struct(L AS tlen, i AS seg_i,
-                             substring($dirtyCol, st + 1, $segLen) AS seg)))))))"""
+  /** The probe rows a dirty string can match: every (target_len,
+    * seg_idx, seg_text) key reachable within k edits. Built by
+    * exploding a CONSTANT (k+1)(2k+1)² literal grid of (length offset,
+    * segment index, start shift) and computing the substring with plain
+    * codegen'd expressions — an earlier nested higher-order-function
+    * form produced the same rows but evaluated interpreted lambdas per
+    * element and cost ~1 s per million probes; the literal-grid explode
+    * whole-stage-codegens. */
+  private[graft] def probeRows(dirty: DataFrame, dirtyCol: String,
+                               carryCols: Seq[String], k: Int): DataFrame = {
+    val grid = for {
+      lOff <- -k to k; i <- 0 to k; sh <- -k to k
+    } yield (lOff, i, sh)
+    val segLen = lenOf(k, "_L", "_i")
+    val segStart = startOf(k, "_L", "_i")
+    dirty
+      .withColumn("_dl", length(col(dirtyCol)))
+      .withColumn("_g", explode(typedlit(grid)))
+      .withColumn("_L", col("_dl") + col("_g._1"))
+      .withColumn("_i", col("_g._2"))
+      .filter(col("_L") >= k + 1)
+      .withColumn("_st", expr(segStart) + col("_g._3"))
+      .filter(col("_st") >= 0 && col("_st") + expr(segLen) <= col("_dl"))
+      .select((carryCols :+ dirtyCol).map(col) :+
+        col("_L").as("tlen") :+ col("_i").as("seg_i") :+
+        expr(s"substring($dirtyCol, _st + 1, $segLen)").as("seg"): _*)
   }
 
   /** The k+1 (len, seg_idx, seg_text) index rows for a clean string. */
@@ -91,12 +96,7 @@ object FuzzyJoin {
                        clean: DataFrame, cleanCol: String,
                        k: Int = 2): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val probes = dirty
-      .withColumn("_dl", length(col(dirtyCol)))
-      .select((carryCols :+ dirtyCol).map(col) :+
-        explode(expr(probeKeysExpr(k, dirtyCol))).as("p"): _*)
-      .select((carryCols :+ dirtyCol).map(col) :+
-        col("p.tlen") :+ col("p.seg_i") :+ col("p.seg"): _*)
+    val probes = probeRows(dirty, dirtyCol, carryCols, k)
     val index = clean
       .withColumn("_cl", length(col(cleanCol)))
       .filter(col("_cl") >= k + 1)
@@ -104,15 +104,23 @@ object FuzzyJoin {
         explode(expr(segmentsExpr(k, cleanCol))).as("cs"))
       .select(col(cleanCol), col("cs.tlen").as("c_tlen"),
         col("cs.seg_i").as("c_seg_i"), col("cs.seg").as("c_seg"))
+    // Verify BEFORE dedup: candidate multiplicity is small (a pair can
+    // arise from at most k+1 segment hits), so running the banded
+    // threshold levenshtein on the raw join output and deduping the
+    // tiny survivor set afterwards beats a full exchange of the
+    // candidate stream just to dedup rows that verify is about to
+    // discard. The threshold form is O(k·n) per pair instead of O(n²)
+    // and returns the exact distance for every pair within k.
     probes
       .join(index,
         col("tlen") === col("c_tlen") &&
         col("seg_i") === col("c_seg_i") &&
         col("seg") === col("c_seg"))
       .select((carryCols :+ dirtyCol :+ cleanCol).map(col): _*)
+      .withColumn("dist",
+        levenshtein(col(dirtyCol), col(cleanCol), k).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= k)
       .distinct()
-      .withColumn("dist", levenshtein(col(dirtyCol), col(cleanCol)).cast("long"))
-      .filter(col("dist") <= k)
   }
 
   /** The graded seat: deterministic typo injection over part entities

@@ -88,25 +88,12 @@ class FuzzyJoinSpec extends SparkSpec {
     val k = 2
     val dirty = Seq(1L -> "small ring Brand#22").toDF("dirty_id", "dirty_name")
     val clean = Seq("small ring Brand#22").toDF("entity")
-    // count candidate keys by replaying the probe side only: join to a
-    // clean index of everything so nothing is filtered by the join
-    val nProbes = FuzzyJoin.editDistanceJoin(
+    val nResult = FuzzyJoin.editDistanceJoin(
         dirty, "dirty_name", Seq("dirty_id"), clean, "entity", k)
       .count() // sanity: result exists
-    assert(nProbes == 1)
-    // the real bound: explode count from the engine's own probe expr
+    assert(nResult == 1)
     val cap = (k + 1) * (2 * k + 1) * (2 * k + 1)
-    val exploded = dirty
-      .withColumn("_dl", length(col("dirty_name")))
-      .select(explode(expr(
-        """IF(_dl < 1, array(), flatten(flatten(
-             transform(filter(sequence(greatest(_dl - 2, 3), _dl + 2), L -> L >= 3),
-               L -> transform(sequence(0, 2), i ->
-                 transform(filter(sequence(0, greatest(_dl - 1, 0)), st ->
-                     st >= (i * (L div 3) + greatest(0, i - (3 - (L % 3)))) - 2 AND
-                     st <= (i * (L div 3) + greatest(0, i - (3 - (L % 3)))) + 2 AND
-                     st + ((L div 3) + (CASE WHEN i >= 3 - (L % 3) THEN 1 ELSE 0 END)) <= _dl),
-                   st -> st))))))""")))
+    val exploded = FuzzyJoin.probeRows(dirty, "dirty_name", Seq("dirty_id"), k)
       .count()
     assert(exploded <= cap, s"probe fan-out $exploded exceeds cap $cap")
   }
