@@ -1221,6 +1221,13 @@ object SparkEntry {
     // (ranking inside the stream would global-sort state per batch)
     "t21_stream_leaderboard" -> ((s, d) =>
       StreamOps.streamingLeaderboard(s, d, statePartitions = Some(4))),
+    // streaming CDC apply: latest-wins compaction as a mergeable
+    // complete-mode max(struct) — O(keys) state — then the tombstone
+    // MERGE on the snapshot; the batch oracle grades stream/batch parity
+    "t22_stream_merge_delete" -> ((s, d) =>
+      StreamOps.streamingMergeDelete(s, d,
+        Tables.customer(s, d).select("c_custkey", "c_acctbal"),
+        statePartitions = Some(8))),
     "t9_stream_sessions" -> ((s, d) =>
       StreamOps.streamingSessionCounts(s, d, statePartitions = Some(8))),
     // streaming corpus curation: the language+quality scan gates applied
@@ -2936,6 +2943,28 @@ object SparkEntry {
            ON p.user_id = c.user_id
           AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 3600 SECONDS
          WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
+    // streaming merge replay: identical to the batch cdc_merge_delete
+    // oracle — complete-mode max(struct(ts, event_id, ...)) IS the
+    // latest-wins window, so stream and batch share one truth
+    "t22_stream_merge_delete" ->
+      """WITH r AS (SELECT user_id, value, event_type,
+                           row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) AS rk
+                    FROM events),
+              ch AS (SELECT user_id * 11 AS ckey, value AS cval,
+                            CASE WHEN event_type = 'error' THEN 'delete'
+                                 ELSE 'upsert' END AS op
+                     FROM r WHERE rk = 1)
+         SELECT coalesce(c_custkey, ckey) AS key,
+                CASE WHEN ckey IS NULL THEN 'keep'
+                     WHEN op = 'delete' AND c_custkey IS NULL
+                       THEN 'noop_delete'
+                     WHEN op = 'delete' THEN 'delete'
+                     WHEN c_custkey IS NULL THEN 'insert'
+                     ELSE 'update' END AS action,
+                CASE WHEN op = 'delete' THEN CAST(NULL AS DOUBLE)
+                     ELSE coalesce(cval, c_acctbal) END AS value
+         FROM customer FULL OUTER JOIN ch ON c_custkey = ckey""",
     // leaderboard replay: the cumulative tally + rank/share/gap over it;
     // integer basis points (// with non-negative operands ≡ Spark div)
     "t21_stream_leaderboard" ->

@@ -370,6 +370,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("T22 streaming merge: latest-wins holds across batches and arrival orders") {
+    import java.sql.Timestamp
+    // key 11: updated in batch 1, then batch 2 — last batch wins;
+    // key 22: LATER event-time arrives in the EARLIER batch — event
+    // time, not arrival order, must win; key 33: upsert then delete
+    val evs = Seq(
+      StreamOps.Ev(1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 10.0),
+      StreamOps.Ev(4L, Timestamp.valueOf("2024-01-01 12:00:00"), 2L, "click", 99.0),
+      StreamOps.Ev(5L, Timestamp.valueOf("2024-01-01 09:00:00"), 3L, "click", 30.0),
+      // batch 2
+      StreamOps.Ev(2L, Timestamp.valueOf("2024-01-01 11:00:00"), 1L, "click", 11.0),
+      StreamOps.Ev(3L, Timestamp.valueOf("2024-01-01 11:30:00"), 2L, "click", 20.0),
+      StreamOps.Ev(6L, Timestamp.valueOf("2024-01-01 10:00:00"), 3L, "error", 0.0))
+    val latest = StreamOps.runStream(spark, evs, nBatches = 2, "complete")(
+      StreamOps.mergeDeleteCompaction)
+    val base = Seq((11L, 1.0), (44L, 4.0)).toDF("c_custkey", "c_acctbal")
+    val out = StreamOps.mergeDeleteApply(latest, base)
+      .as[(Long, String, Option[Double])].collect().toSet
+    val want = Set(
+      (11L, "update", Some(11.0)),      // batch-2 value wins
+      (22L, "insert", Some(99.0)),      // earlier-arrival later-event-time wins
+      (33L, "noop_delete", None: Option[Double]), // delete of unknown key
+      (44L, "keep", Some(4.0)))
+    assert(out == want)
+  }
+
   test("T17 dead-letter split conserves the input and quarantines exactly the poison") {
     val out = StreamOps.deadLetterSplit(spark, sfDir)
     val ev = Tables.events(spark, sfDir)
