@@ -1203,6 +1203,18 @@ object SparkEntry {
     // materialized-view refresh shape at 100 TB
     "incr_agg_merge" -> ((s, d) =>
       Aggregates.incrementalMerge(Tables.events(s, d))),
+    // distribution-drift audit: PSI per event_type between two snapshot
+    // halves (even ids vs odd ids with 60% of odd clicks dropped — a
+    // deterministic injected mix shift, so the click PSI term is large
+    // and the others are near zero at every SF)
+    "dq_drift_psi" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "event_type")
+      val base = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      val cur = ev.filter(pmod(col("event_id"), lit(2)) === 1 &&
+        !(col("event_type") === "click" &&
+          pmod(col("event_id"), lit(5)) < 3))
+      Quality.driftPsi(base, cur, "event_type").orderBy("event_type")
+    }),
     // stream-stream interval join: every click within the hour before the
     // purchase, both sides streaming + watermarked (state evicted by the
     // range condition); oracle = the batch SQL range join
@@ -1381,6 +1393,12 @@ object SparkEntry {
 
     "text_tfidf_top3" -> ((s, d) =>
       TextOps.tfIdfTopTerms(Tables.documents(s, d), 3)),
+    // BM25 retrieval top-10 for a 3-term query — per-term contributions
+    // in integer micro-units (associative sum), top-k via
+    // TakeOrderedAndProject, never a corpus-wide rank window
+    "text_bm25_topk" -> ((s, d) =>
+      TextOps.bm25TopK(Tables.documents(s, d),
+        Seq("spark", "join", "window"), 10)),
     // Gopher-style repetition gates: top-bigram share + duplicate-word
     // fraction, with the keep verdict as a composable predicate
     "text_repetition" -> ((s, d) =>
@@ -1470,6 +1488,22 @@ object SparkEntry {
       Cdc.mergeApplyTombstones(
         Tables.customer(s, d).select("c_custkey", "c_acctbal"),
         changes, "c_custkey", "ckey", "c_acctbal", "cval", "op")
+    }),
+    // snapshot differencing: two deterministic snapshots of events
+    // (old drops id%97==13; new drops id%89==7 and bumps value where
+    // id%11==0) diffed by per-side xxhash64 digest — the engine compares
+    // ONE long per key, the oracle compares the columns directly; both
+    // classify added/removed/changed identically
+    "cdc_snapshot_diff" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select("event_id", "event_type", "value")
+      val oldSnap = ev.filter(pmod(col("event_id"), lit(97)) =!= 13)
+      val newSnap = ev.filter(pmod(col("event_id"), lit(89)) =!= 7)
+        .withColumn("value",
+          when(pmod(col("event_id"), lit(11)) === 0, col("value") + 1.0)
+            .otherwise(col("value")))
+      Cdc.snapshotDiff(oldSnap, newSnap, "event_id",
+        Seq("event_type", "value")).orderBy("event_id")
     }),
     // quality-weighted importance sampling: keep probability = the
     // integer basis-point ttr (the token_budget_select priority signal),
@@ -1993,6 +2027,27 @@ object SparkEntry {
                   AS total_cents,
                 min(value) AS min_value, max(value) AS max_value
          FROM events GROUP BY user_id ORDER BY user_id""",
+    // PSI per category; the ln argument mirrors the engine's exact
+    // arithmetic order ((n_cur/t_cur) * (t_base/n_base)) so the rounded
+    // doubles are bit-identical
+    "dq_drift_psi" ->
+      """WITH b AS (SELECT event_type, count(*) AS n_base FROM events
+                    WHERE event_id % 2 = 0 GROUP BY event_type),
+              c AS (SELECT event_type, count(*) AS n_cur FROM events
+                    WHERE event_id % 2 = 1
+                      AND NOT (event_type = 'click' AND event_id % 5 < 3)
+                    GROUP BY event_type),
+              j AS (SELECT event_type,
+                           CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+                           CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+                    FROM b FULL OUTER JOIN c USING (event_type)),
+              t AS (SELECT CAST(sum(n_base) AS BIGINT) AS t_base,
+                           CAST(sum(n_cur) AS BIGINT) AS t_cur FROM j)
+         SELECT event_type, n_base, n_cur,
+                round((n_cur / t_cur - n_base / t_base)
+                        * ln(n_cur / t_cur * (t_base / n_base)), 6)
+                  AS psi_term
+         FROM j CROSS JOIN t ORDER BY event_type""",
     "cdc_merge_upsert" ->
       """WITH r AS (SELECT user_id, value,
                            row_number() OVER (PARTITION BY user_id
@@ -2027,6 +2082,28 @@ object SparkEntry {
                 CASE WHEN op = 'delete' THEN CAST(NULL AS DOUBLE)
                      ELSE coalesce(cval, c_acctbal) END AS value
          FROM customer FULL OUTER JOIN ch ON c_custkey = ckey""",
+    // the engine compares a per-side xxhash64 digest; the oracle compares
+    // the value columns directly — identical classification (a divergence
+    // would need a same-key 64-bit collision)
+    "cdc_snapshot_diff" ->
+      """WITH o AS (SELECT event_id, event_type, value FROM events
+                    WHERE ((event_id % 97) + 97) % 97 <> 13),
+              n AS (SELECT event_id, event_type,
+                           CASE WHEN ((event_id % 11) + 11) % 11 = 0
+                                THEN value + 1.0 ELSE value END AS value
+                    FROM events
+                    WHERE ((event_id % 89) + 89) % 89 <> 7)
+         SELECT event_id, status FROM (
+           SELECT coalesce(o.event_id, n.event_id) AS event_id,
+                  CASE WHEN o.event_id IS NULL THEN 'added'
+                       WHEN n.event_id IS NULL THEN 'removed'
+                       WHEN o.value IS DISTINCT FROM n.value
+                         OR o.event_type IS DISTINCT FROM n.event_type
+                         THEN 'changed'
+                       ELSE 'unchanged' END AS status
+           FROM o FULL OUTER JOIN n ON o.event_id = n.event_id)
+         WHERE status <> 'unchanged'
+         ORDER BY event_id""",
     "sample_importance" ->
       """WITH t AS (SELECT doc_id,
                            (len(list_distinct(string_split(text, ' '))) * 10000)
@@ -3690,6 +3767,44 @@ object SparkEntry {
                                            ORDER BY tfidf DESC, word) AS rn
            FROM sc) t
          WHERE rn <= 3""",
+    // BM25: per-term contributions rounded to integer micros BEFORE the
+    // per-doc sum (long addition is associative — double summation order
+    // can never flip the compare). Literals carry e0 suffixes: DuckDB
+    // parses bare 1.2 as DECIMAL and decimal arithmetic diverges from
+    // Spark's IEEE doubles in the last ulp; 1.2e0 forces DOUBLE, making
+    // the mirrored expression bit-identical pre-round (probed both forms)
+    "text_bm25_topk" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+              tf AS (SELECT doc_id, word, count(*) AS tf FROM w
+                     WHERE word IN ('spark', 'join', 'window')
+                     GROUP BY doc_id, word),
+              dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+                      FROM tf GROUP BY word),
+              l AS (SELECT doc_id,
+                           CAST(len(string_split(text, ' ')) AS BIGINT)
+                             AS dl
+                    FROM documents),
+              s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                           CAST(sum(dl) AS BIGINT) AS dl_sum FROM l),
+              c AS (SELECT tf.doc_id,
+                           CAST(round(
+                             ln(1.0e0 + (n_docs - df + 0.5e0)
+                                          / (df + 0.5e0))
+                               * (tf * (1.2e0 + 1))
+                               / (tf + 1.2e0 * (1 - 0.75e0
+                                                + 0.75e0 * dl
+                                                    / (dl_sum / n_docs)))
+                               * 1000000, 0) AS BIGINT) AS contrib_u
+                    FROM tf JOIN dfq USING (word) JOIN l USING (doc_id)
+                    CROSS JOIN s),
+              sc AS (SELECT doc_id,
+                            CAST(sum(contrib_u) AS BIGINT) AS score_u
+                     FROM c GROUP BY doc_id)
+         SELECT doc_id, score_u,
+                CAST(row_number() OVER (ORDER BY score_u DESC, doc_id)
+                     AS BIGINT) AS rank
+         FROM sc ORDER BY score_u DESC, doc_id LIMIT 10""",
     "text_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
               c AS (SELECT doc_id, words,

@@ -233,6 +233,53 @@ object TextOps {
       .filter(col("rn") <= k)
   }
 
+  /** BM25 retrieval scoring for a small query-term set — the lexical
+    * ranking leg of a RAG / eval-retrieval pipeline. The query terms are
+    * a broadcast-sized constant (an `isin` filter survives predicate
+    * pushdown into the exploded scan), so the only shuffle carries
+    * (doc, term) tf rows for MATCHING terms — at 100 TB the corpus is
+    * reduced map-side to |hits| rows, and the two corpus scalars
+    * (N, avgdl) ride a broadcast. Per-term contributions
+    * `idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
+    * `idf = ln(1 + (N−df+0.5)/(df+0.5))` are rounded to integer
+    * MICRO-units before the per-doc sum (the repo's integer-cents
+    * pattern): long addition is associative, so the score is
+    * bit-identical under any partitioning/aggregation order — a double
+    * sum would be one ulp away from a flaky compare. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("word"))
+    val tf = words.filter(col("word").isin(terms: _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    // df per matching term: whole-partition window over the tf rows
+    // (|terms| tiny groups), same single-lineage trick as tfIdfTopTerms.
+    val tfdf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("word")))
+    val lens = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+                         sum("dl").as("dl_sum"))
+    val contrib = tfdf.join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(log(lit(1.0) + (col("n_docs") - col("df") + 0.5)
+                               / (col("df") + 0.5))
+                * (col("tf") * lit(k1 + 1))
+                / (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl")
+                                            / (col("dl_sum") / col("n_docs"))))
+                * 1000000, 0).cast("long").as("contrib_u"))
+    // Top-k via orderBy+limit → TakeOrderedAndProject (per-partition
+    // k-heap, driver merges k·P rows — never a single-partition window
+    // over every matching doc); the rank window then runs over ≤ k rows.
+    contrib.groupBy("doc_id").agg(sum("contrib_u").as("score_u"))
+      .orderBy(desc("score_u"), asc("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("score_u"), asc("doc_id"))).cast("long"))
+  }
+
   /** Fixed-size chunking with overlap — the RAG/training preprocessing
     * step that turns documents into model-window-sized pieces: chunk `i`
     * holds words `[i·stride, i·stride + chunkSize)` with

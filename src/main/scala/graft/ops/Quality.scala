@@ -44,4 +44,33 @@ object Quality {
       .select(lit("orphan_orderkey").as("rule"), col("n_violations"))
     melted.unionByName(orphans).orderBy("rule")
   }
+
+  /** Distribution-drift detection between two snapshots of a
+    * categorical column — the population-stability-index (PSI) audit a
+    * training-data pipeline runs before every corpus refresh (did the
+    * source mix shift under me?). One aggregation pass per side
+    * (category → count), a tiny category-level join, and a broadcast of
+    * the two scalar totals: the 100 TB inputs are reduced map-side to
+    * |categories| rows before anything shuffles. Output per category:
+    * both counts and the PSI term `(p_cur − p_base) · ln(p_cur/p_base)`
+    * (rounded; summing the column gives the headline PSI). Categories
+    * absent from a side would need smoothing — callers with open
+    * vocabularies should bucket the tail first ([[graft.ext.TextOps]]
+    * vocabulary pattern). */
+  def driftPsi(base: DataFrame, current: DataFrame,
+               catCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val counts = base.groupBy(catCol).agg(count(lit(1)).as("n_base"))
+      .join(current.groupBy(catCol).agg(count(lit(1)).as("n_cur")),
+            Seq(catCol), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+    val totals = counts.agg(sum("n_base").as("t_base"),
+                            sum("n_cur").as("t_cur"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(catCol), col("n_base"), col("n_cur"),
+        round((col("n_cur") / col("t_cur") - col("n_base") / col("t_base"))
+                * log(col("n_cur") / col("t_cur")
+                        * (col("t_base") / col("n_base"))), 6)
+          .as("psi_term"))
+  }
 }

@@ -163,4 +163,39 @@ class CdcSpec extends SparkSpec {
       .map(_._1)
     assert(dim == Set(1L, 2L, 4L, 5L))
   }
+
+  test("snapshot diff: digest classification equals direct column compare") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, "d", 4.0))
+      .toDF("k", "t", "v")
+    val newSnap = Seq(
+      (1L, "a", 1.0),   // unchanged -> dropped from the diff
+      (2L, "b", 9.0),   // value changed
+      (3L, "X", 3.0),   // type changed
+      (5L, "e", 5.0))   // added; 4 removed
+      .toDF("k", "t", "v")
+    val out = graft.ops.Cdc
+      .snapshotDiff(oldSnap, newSnap, "k", Seq("t", "v"))
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((2L, "changed"), (3L, "changed"),
+                      (4L, "removed"), (5L, "added")))
+    // graded fixture: statuses conserve against the injected predicates
+    val diff = SparkEntry.queries("cdc_snapshot_diff")(spark, sfDir).cache()
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id")).cache()
+    val nAdded = ev.filter(pmod(col("event_id"), lit(97)) === 13 &&
+                           pmod(col("event_id"), lit(89)) =!= 7).count()
+    val nRemoved = ev.filter(pmod(col("event_id"), lit(89)) === 7 &&
+                             pmod(col("event_id"), lit(97)) =!= 13).count()
+    val got = diff.groupBy("status").count()
+      .as[(String, Long)].collect().toMap
+    assert(got.getOrElse("added", 0L) == nAdded)
+    assert(got.getOrElse("removed", 0L) == nRemoved)
+    // changed = present in both, value bumped (id % 11 == 0)
+    val nChanged = ev.filter(pmod(col("event_id"), lit(11)) === 0 &&
+                             pmod(col("event_id"), lit(97)) =!= 13 &&
+                             pmod(col("event_id"), lit(89)) =!= 7).count()
+    assert(got.getOrElse("changed", 0L) == nChanged)
+  }
 }

@@ -353,4 +353,28 @@ class LlmOpsSpec extends SparkSpec {
       (1L, 4L, 2L, 2L + 0L + 0L + 1L),
       (2L, 1L, 1L, 0L)), s"unexpected encode invariants: $got")
   }
+
+  test("bm25: tf saturates, rare terms outweigh common, plan has no full-width window") {
+    // crafted corpus: 'rare' appears in 1 doc, 'common' in all 4.
+    // doc 0 has both; doc 1 repeats 'common' heavily (tf saturation);
+    // doc 3 lacks every query term and must not be scored.
+    val docs = Seq(
+      (0L, "rare common filler words here"),
+      (1L, "common common common common common filler words here now"),
+      (2L, "common filler words here now"),
+      (3L, "nothing that matches at all")).toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(docs, Seq("rare", "common"), 10)
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L),
+      s"doc with the rare term must rank first, unmatched doc absent: ${out.toSeq}")
+    // tf saturation: doc 1's five 'common' score less than 5x doc 2's one
+    val score = out.map(r => r._1 -> r._2).toMap
+    assert(score(1L) < 5 * score(2L), "k1 must saturate term frequency")
+    // graded-fixture plan: top-k is TakeOrderedAndProject, and the only
+    // window runs over the k survivors, never the matching corpus
+    val plan = SparkEntry.queries("text_bm25_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must plan as a bounded per-partition heap")
+  }
 }

@@ -260,4 +260,23 @@ class OperatorSpec extends SparkSpec {
       assert(df.count() == either, "exactly the union of both key sets")
     } finally df.unpersist()
   }
+
+  test("drift PSI: injected click drop carries the largest term; all terms finite") {
+    val out = SparkEntry.queries("dq_drift_psi")(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSet ==
+      Set("click", "signup", "error", "view", "purchase"))
+    val terms = out.map(r => r._1 -> r._4).toMap
+    // the injected shift drops ~60% of odd clicks; the other categories'
+    // SHARES rise passively (the total shrank), so their terms are small
+    // but not zero — the correct invariant is that click carries the
+    // single largest term and the headline PSI registers the drift
+    assert(terms("click") > 0.01, s"click term ${terms("click")} too small")
+    assert(out.filter(_._1 != "click").forall(_._4 < terms("click")),
+      s"click must carry the largest PSI term: ${terms}")
+    // every term is finite (no category emptied) and non-negative —
+    // (p_cur − p_base) and ln(p_cur/p_base) always share a sign
+    assert(terms.values.forall(v => !v.isNaN && !v.isInfinite && v >= 0))
+    assert(terms.values.sum > 0.02, s"headline PSI ${terms.values.sum}")
+  }
 }
