@@ -1215,6 +1215,19 @@ object SparkEntry {
           pmod(col("event_id"), lit(5)) < 3))
       Quality.driftPsi(base, cur, "event_type").orderBy("event_type")
     }),
+    // the same PSI audit over a CONTINUOUS column: bin value into
+    // 25-wide buckets clamped at 3 (all four bins populated at every
+    // SF), injected shift = 60% of odd low-value rows dropped
+    "dq_drift_psi_numeric" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"),
+          least(floor(col("value") / 25), lit(3L)).as("value_bin"))
+      val base = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      val cur = ev.filter(pmod(col("event_id"), lit(2)) === 1 &&
+        !(col("value_bin") === 0 && pmod(col("event_id"), lit(5)) < 3))
+      Quality.driftPsi(base.select("value_bin"), cur.select("value_bin"),
+        "value_bin").orderBy("value_bin")
+    }),
     // stream-stream interval join: every click within the hour before the
     // purchase, both sides streaming + watermarked (state evicted by the
     // range condition); oracle = the batch SQL range join
@@ -1399,6 +1412,11 @@ object SparkEntry {
     "text_bm25_topk" -> ((s, d) =>
       TextOps.bm25TopK(Tables.documents(s, d),
         Seq("spark", "join", "window"), 10)),
+    // PMI collocation mining: top-20 bigrams by pointwise mutual
+    // information with an n>=5 support floor — counts aggregate
+    // map-side, PMI is one mirrored expression over longs
+    "text_pmi_bigrams" -> ((s, d) =>
+      TextOps.pmiBigrams(Tables.documents(s, d), minCount = 5L, k = 20)),
     // Gopher-style repetition gates: top-bigram share + duplicate-word
     // fraction, with the keep verdict as a composable predicate
     "text_repetition" -> ((s, d) =>
@@ -2048,6 +2066,28 @@ object SparkEntry {
                         * ln(n_cur / t_cur * (t_base / n_base)), 6)
                   AS psi_term
          FROM j CROSS JOIN t ORDER BY event_type""",
+    "dq_drift_psi_numeric" ->
+      """WITH e AS (SELECT event_id,
+                           least(CAST(floor(value / 25) AS BIGINT), 3)
+                             AS value_bin
+                    FROM events),
+              b AS (SELECT value_bin, count(*) AS n_base FROM e
+                    WHERE event_id % 2 = 0 GROUP BY value_bin),
+              c AS (SELECT value_bin, count(*) AS n_cur FROM e
+                    WHERE event_id % 2 = 1
+                      AND NOT (value_bin = 0 AND event_id % 5 < 3)
+                    GROUP BY value_bin),
+              j AS (SELECT value_bin,
+                           CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+                           CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+                    FROM b FULL OUTER JOIN c USING (value_bin)),
+              t AS (SELECT CAST(sum(n_base) AS BIGINT) AS t_base,
+                           CAST(sum(n_cur) AS BIGINT) AS t_cur FROM j)
+         SELECT value_bin, n_base, n_cur,
+                round((n_cur / t_cur - n_base / t_base)
+                        * ln(n_cur / t_cur * (t_base / n_base)), 6)
+                  AS psi_term
+         FROM j CROSS JOIN t ORDER BY value_bin""",
     "cdc_merge_upsert" ->
       """WITH r AS (SELECT user_id, value,
                            row_number() OVER (PARTITION BY user_id
@@ -3805,6 +3845,32 @@ object SparkEntry {
                 CAST(row_number() OVER (ORDER BY score_u DESC, doc_id)
                      AS BIGINT) AS rank
          FROM sc ORDER BY score_u DESC, doc_id LIMIT 10""",
+    // PMI over long counts: one mirrored double expression, no double
+    // accumulation; DuckDB lists are 1-based and range(1, n) is
+    // half-open, so i in [1, len-1] pairs ws[i] with ws[i+1]
+    "text_pmi_bigrams" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+              bg AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+                     FROM w, unnest(range(1, len(ws))) AS t(i)),
+              nxy AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy
+                      FROM bg GROUP BY w1, w2),
+              uni AS (SELECT unnest(ws) AS word FROM w),
+              u AS (SELECT word, CAST(count(*) AS BIGINT) AS n_w
+                    FROM uni GROUP BY word),
+              tot AS (SELECT (SELECT CAST(sum(n_xy) AS BIGINT) FROM nxy)
+                               AS n_pairs,
+                             (SELECT CAST(sum(n_w) AS BIGINT) FROM u)
+                               AS n_tok)
+         SELECT w1, w2, n_xy,
+                round(ln(n_xy / n_pairs
+                           / (ux.n_w / n_tok * (uy.n_w / n_tok))), 6)
+                  AS pmi
+         FROM nxy
+         JOIN u ux ON ux.word = w1
+         JOIN u uy ON uy.word = w2
+         CROSS JOIN tot
+         WHERE n_xy >= 5
+         ORDER BY pmi DESC, w1, w2 LIMIT 20""",
     "text_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
               c AS (SELECT doc_id, words,

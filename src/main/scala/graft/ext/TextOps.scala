@@ -280,6 +280,40 @@ object TextOps {
         Window.orderBy(desc("score_u"), asc("doc_id"))).cast("long"))
   }
 
+  /** PMI bigram mining — phrase discovery over the corpus (the
+    * collocation signal tokenizer/vocab builders use to promote
+    * multi-word units). Bigram and unigram occurrence counts are
+    * map-side aggregates (the shuffle carries (pair, n) and (word, n)
+    * rows, never token positions); the two corpus scalars broadcast,
+    * and the unigram table joins onto the bigram table twice on the
+    * word key — vocabulary-sized, not corpus-sized. PMI is a single
+    * per-row expression over long counts (no double accumulation), so
+    * determinism reduces to the mirrored arithmetic order; top-k plans
+    * as TakeOrderedAndProject with a lexicographic tie-break. */
+  def pmiBigrams(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
+    val words = docs.withColumn("ws", split(col("text"), " "))
+    val bigrams = words
+      .withColumn("a", slice(col("ws"), lit(1), size(col("ws")) - 1))
+      .withColumn("b", slice(col("ws"), lit(2), size(col("ws")) - 1))
+      .select(explode(arrays_zip(col("a"), col("b"))).as("bg"))
+      .select(col("bg.a").as("w1"), col("bg.b").as("w2"))
+    val nXY = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+    val uni = words.select(explode(col("ws")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_w"))
+    val totals = nXY.agg(sum("n_xy").as("n_pairs"))
+      .crossJoin(uni.agg(sum("n_w").as("n_tok")))
+    nXY.filter(col("n_xy") >= minCount)
+      .join(uni.select(col("word").as("w1"), col("n_w").as("n_x")), Seq("w1"))
+      .join(uni.select(col("word").as("w2"), col("n_w").as("n_y")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_xy"),
+        round(log(col("n_xy") / col("n_pairs")
+                    / (col("n_x") / col("n_tok")
+                         * (col("n_y") / col("n_tok")))), 6).as("pmi"))
+      .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+      .limit(k)
+  }
+
   /** Fixed-size chunking with overlap — the RAG/training preprocessing
     * step that turns documents into model-window-sized pieces: chunk `i`
     * holds words `[i·stride, i·stride + chunkSize)` with

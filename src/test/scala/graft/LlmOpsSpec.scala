@@ -377,4 +377,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       "top-k must plan as a bounded per-partition heap")
   }
+
+  test("pmi bigrams: planted collocation outranks independent co-occurrence") {
+    // 'new york' always adjacent (collocation); 'the' is everywhere, so
+    // 'the day' co-occurs often but carries no mutual information
+    val docs = Seq(
+      (0L, "we visited new york in the day and the night was long"),
+      (1L, "new york has the day crowds and the night calm"),
+      (2L, "in new york the day starts and the night follows"),
+      (3L, "new york draws the day walkers the night dreamers"),
+      (4L, "trips to new york fill the day the night the memory"))
+      .toDF("doc_id", "text")
+    val out = TextOps.pmiBigrams(docs, minCount = 5L, k = 5)
+      .as[(String, String, Long, Double)].collect()
+    val byPair = out.map(r => (r._1, r._2) -> r._4).toMap
+    assert(byPair.contains(("new", "york")), s"support floor met: ${out.toSeq}")
+    assert(byPair(("new", "york")) == out.map(_._4).max,
+      "the always-adjacent pair must carry the highest PMI")
+    assert(byPair.get(("the", "day")).forall(_ < byPair(("new", "york"))),
+      "a frequent-but-independent pair must not outrank the collocation")
+    // graded fixture is a bounded top-k, never a corpus-wide sort
+    val plan = SparkEntry.queries("text_pmi_bigrams")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
 }

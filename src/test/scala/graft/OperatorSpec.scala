@@ -279,4 +279,17 @@ class OperatorSpec extends SparkSpec {
     assert(terms.values.forall(v => !v.isNaN && !v.isInfinite && v >= 0))
     assert(terms.values.sum > 0.02, s"headline PSI ${terms.values.sum}")
   }
+
+  test("numeric drift PSI: all four value bins populated, depleted bin dominates") {
+    val out = SparkEntry.queries("dq_drift_psi_numeric")(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSet == Set(0L, 1L, 2L, 3L),
+      s"every clamped bin must appear on both sides: ${out.toSeq}")
+    val terms = out.map(r => r._1 -> r._4).toMap
+    assert(out.forall(r => r._2 > 0 && r._3 > 0), "no bin may empty out")
+    assert(terms(0L) > 0.01 &&
+           out.filter(_._1 != 0L).forall(_._4 < terms(0L)),
+      s"the injected low-value drop must carry the largest term: $terms")
+    assert(terms.values.forall(v => !v.isNaN && !v.isInfinite && v >= 0))
+  }
 }
