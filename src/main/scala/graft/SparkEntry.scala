@@ -1253,6 +1253,11 @@ object SparkEntry {
       StreamOps.streamingMergeDelete(s, d,
         Tables.customer(s, d).select("c_custkey", "c_acctbal"),
         statePartitions = Some(8))),
+    // streaming drift monitor: the dq_drift_psi audit run continuously —
+    // per-category counters in complete mode (O(categories) state),
+    // PSI scored on the emitted snapshot vs the pinned batch baseline
+    "t23_stream_drift_psi" -> ((s, d) =>
+      StreamOps.streamingDriftPsi(s, d, statePartitions = Some(4))),
     "t9_stream_sessions" -> ((s, d) =>
       StreamOps.streamingSessionCounts(s, d, statePartitions = Some(8))),
     // streaming corpus curation: the language+quality scan gates applied
@@ -1270,6 +1275,10 @@ object SparkEntry {
       Dedup.exactByContent(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) =>
       DedupOps.ngramJaccardTopPairs(Tables.documents(s, d), 3, 20)),
+    // asymmetric containment: catches subset duplication (doc quoted
+    // whole inside a larger one) that Jaccard under-scores
+    "dedup_containment" -> ((s, d) =>
+      DedupOps.containmentTopPairs(Tables.documents(s, d), 3, 20)),
     "dedup_minhash_recall" -> ((s, d) =>
       DedupOps.minHashRecall(Tables.documents(s, d), 3, bands = 8, rows = 2,
                              tau = 0.5, minRecall = 0.8)),
@@ -1417,6 +1426,10 @@ object SparkEntry {
     // map-side, PMI is one mirrored expression over longs
     "text_pmi_bigrams" -> ((s, d) =>
       TextOps.pmiBigrams(Tables.documents(s, d), minCount = 5L, k = 20)),
+    // cross-source contamination matrix: distinct shared trigrams per
+    // source pair via a source-level inverted index (df ≤ #sources)
+    "text_source_overlap" -> ((s, d) =>
+      TextOps.crossSourceOverlap(Tables.documents(s, d), 3)),
     // Gopher-style repetition gates: top-bigram share + duplicate-word
     // fraction, with the keep verdict as a composable predicate
     "text_repetition" -> ((s, d) =>
@@ -3304,6 +3317,42 @@ object SparkEntry {
          JOIN sizes sa ON sa.doc_id = doc_a
          JOIN sizes sb ON sb.doc_id = doc_b
          ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""",
+    "dedup_containment" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3),
+              sh AS (SELECT doc_id,
+                            unnest(list_distinct(list_transform(range(1, len(words) - 1),
+                              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+                     FROM w),
+              sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+              com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id)
+         SELECT doc_a, doc_b,
+                round(n_common / CAST(sa.n_sh AS DOUBLE), 6) AS c_a_in_b,
+                round(n_common / CAST(sb.n_sh AS DOUBLE), 6) AS c_b_in_a
+         FROM com
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         ORDER BY greatest(c_a_in_b, c_b_in_a) DESC, doc_a, doc_b LIMIT 20""",
+    "text_source_overlap" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS words FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3),
+              sh0 AS (SELECT source,
+                             unnest(list_distinct(list_transform(range(1, len(words) - 1),
+                               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+                      FROM w),
+              sh AS (SELECT DISTINCT source, shingle FROM sh0),
+              sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+              com AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+                      GROUP BY 1, 2)
+         SELECT src_a, src_b, n_shared,
+                round(n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 6) AS jaccard
+         FROM com
+         JOIN sizes sa ON sa.source = src_a
+         JOIN sizes sb ON sb.source = src_b
+         ORDER BY src_a, src_b""",
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, label,
                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -4054,5 +4103,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     oracleSqlBase +
       ("ann_ivf_topk_pruned" -> oracleSqlBase("ann_ivf_topk")) +
-      ("dedup_incremental_bloom" -> oracleSqlBase("dedup_incremental"))
+      ("dedup_incremental_bloom" -> oracleSqlBase("dedup_incremental")) +
+      // the streaming drift monitor converges to the batch audit exactly
+      ("t23_stream_drift_psi" -> oracleSqlBase("dq_drift_psi"))
 }

@@ -60,6 +60,38 @@ object DedupOps {
           .as("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT near-dup: c(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|.
+    * Jaccard under-scores subset duplication — a document quoted whole
+    * inside a much larger one has Jaccard ≈ |A|/|B| (small) but
+    * containment ≈ 1 — and that wrapper-page/quotation shape is endemic
+    * in web corpora, so corpus dedup needs both scores. Same
+    * inverted-index join as [[ngramJaccardPairs]] (Σ df(shingle)² with
+    * the df cap, never N²); both directions come from one pair pass.
+    * Top-`k` by the larger direction, rounded before ordering so the
+    * cross-engine tie-break (doc_a, doc_b) sees identical keys. */
+  def containmentTopPairs(docs: DataFrame, n: Int, k: Int,
+                          maxDf: Long = 1000000L): DataFrame = {
+    val sh = shingles(docs, n).localCheckpoint()
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("shingle")
+    val shCapped = sh.join(rare, "shingle")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+
+    val a = shCapped.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = shCapped.select(col("doc_id").as("doc_b"), col("shingle"))
+    a.join(b, "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_common") / col("n_a").cast("double"), 6).as("c_a_in_b"),
+        round(col("n_common") / col("n_b").cast("double"), 6).as("c_b_in_a"))
+      .orderBy(greatest(col("c_a_in_b"), col("c_b_in_a")).desc,
+               col("doc_a"), col("doc_b"))
+      .limit(k)
+  }
+
   /** Top-`k` most similar pairs by exact n-gram Jaccard. */
   def ngramJaccardTopPairs(docs: DataFrame, n: Int, k: Int,
                            maxDf: Long = 1000000L): DataFrame =

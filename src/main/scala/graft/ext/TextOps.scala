@@ -314,6 +314,47 @@ object TextOps {
       .limit(k)
   }
 
+  /** Cross-source n-gram CONTAMINATION MATRIX — for every pair of corpus
+    * sources, how many distinct word-`n`-grams they share (plus set sizes
+    * and the source-level Jaccard). This is the corpus-governance audit
+    * behind "did crawl B leak into crawl A?" and the source-level
+    * companion of [[graft.ext.DedupOps.ngramJaccardPairs]]. The shape is
+    * an inverted index keyed by shingle holding SOURCE ids, not doc ids:
+    * docs collapse map-side to distinct (source, shingle) rows first, so
+    * the pair join costs Σ df_src(shingle)² with df bounded by the number
+    * of sources — and `maxDf` guards the open-web case where "source"
+    * means millions of domains and a universal shingle would otherwise
+    * fan out quadratically. Output is |sources|² at most, driver-safe. */
+  def crossSourceOverlap(docs: DataFrame, n: Int,
+                         maxDf: Long = 1000000L): DataFrame = {
+    val sh = docs
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= n)
+      .select(col("source"),
+        explode(array_distinct(expr(
+          s"transform(sequence(0, size(words) - $n), i -> concat_ws(' ', slice(words, i + 1, $n)))")))
+          .as("shingle"))
+      .distinct()
+      .localCheckpoint()
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("shingle")
+    val shCapped = sh.join(rare, "shingle")
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+
+    val a = shCapped.select(col("source").as("src_a"), col("shingle"))
+    val b = shCapped.select(col("source").as("src_b"), col("shingle"))
+    a.join(b, "shingle")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("source").as("src_a"), col("n_sh").as("n_a")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n_sh").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared") /
+                (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Fixed-size chunking with overlap — the RAG/training preprocessing
     * step that turns documents into model-window-sized pieces: chunk `i`
     * holds words `[i·stride, i·stride + chunkSize)` with

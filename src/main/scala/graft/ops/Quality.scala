@@ -59,11 +59,20 @@ object Quality {
     * vocabulary pattern). */
   def driftPsi(base: DataFrame, current: DataFrame,
                catCol: String): DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
     val counts = base.groupBy(catCol).agg(count(lit(1)).as("n_base"))
       .join(current.groupBy(catCol).agg(count(lit(1)).as("n_cur")),
             Seq(catCol), "full_outer")
       .na.fill(0L, Seq("n_base", "n_cur"))
+    driftPsiFromCounts(counts, catCol)
+  }
+
+  /** PSI scoring over an already-aggregated `(catCol, n_base, n_cur)`
+    * table — the seam [[graft.streaming.StreamOps.streamingDriftPsi]]
+    * shares so the continuous monitor's arithmetic is bit-identical to
+    * this batch audit (same expression tree → same codegen → same
+    * rounded doubles on both paths). */
+  def driftPsiFromCounts(counts: DataFrame, catCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
     val totals = counts.agg(sum("n_base").as("t_base"),
                             sum("n_cur").as("t_cur"))
     counts.crossJoin(broadcast(totals))

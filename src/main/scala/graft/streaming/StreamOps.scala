@@ -389,6 +389,36 @@ object StreamOps {
       .orderBy("rnk")
   }
 
+  /** T23: streaming DRIFT MONITOR — the PSI audit (`dq_drift_psi`) run
+    * continuously against a pinned baseline. The baseline snapshot's
+    * per-category counts are one tiny batch aggregate; the LIVE side
+    * maintains only per-category counts in complete mode (O(categories)
+    * state, the same bound as t3); the PSI terms are recomputed over the
+    * emitted snapshot at each refresh — the tally-in-stream /
+    * score-on-snapshot decomposition t21 uses, because the ln/ratio
+    * arithmetic over a |categories|-row snapshot costs microseconds while
+    * keeping the streaming state mergeable counters. Scoring shares
+    * [[graft.ops.Quality.driftPsiFromCounts]], so the monitor is
+    * bit-identical to the batch audit the oracle replays. The injected
+    * shift mirrors `dq_drift_psi`: current = odd event ids with 60% of
+    * clicks dropped, so the click PSI term is large at every SF. */
+  def streamingDriftPsi(spark: SparkSession, dir: String,
+                        statePartitions: Option[Int] = None): DataFrame = {
+    val base = graft.Tables.events(spark, dir)
+      .filter(pmod(col("event_id"), lit(2)) === 0)
+      .groupBy("event_type").agg(count(lit(1)).as("n_base"))
+    val curSnap = runFileStream(spark, dir, "complete", statePartitions) { df =>
+      df.filter(pmod(col("event_id"), lit(2)) === 1 &&
+          !(col("event_type") === "click" &&
+            pmod(col("event_id"), lit(5)) < 3))
+        .groupBy("event_type").agg(count(lit(1)).as("n_cur"))
+    }
+    val counts = base.join(curSnap, Seq("event_type"), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+    graft.ops.Quality.driftPsiFromCounts(counts, "event_type")
+      .orderBy("event_type")
+  }
+
   /** T22: STREAMING CDC apply — the tombstone MERGE
     * ([[graft.ops.Cdc.mergeApplyTombstones]]) fed by a live change
     * stream. The stream maintains ONLY the latest-wins compaction:

@@ -44,6 +44,43 @@ class LlmOpsSpec extends SparkSpec {
       "exact pair, near pair, and their transitive partner — nothing else")
   }
 
+  test("containment: a doc embedded whole in a larger one scores 1.0 one-way") {
+    val sub = "alpha beta gamma delta epsilon zeta eta theta"
+    val wrapper = sub + " one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen " +
+      "eighteen nineteen twenty"
+    val docs = Seq(
+      (0L, sub), (1L, wrapper),
+      (2L, "unrelated totally different words written here entirely separate")
+    ).toDF("doc_id", "text")
+    val top = DedupOps.containmentTopPairs(docs, 3, 5)
+      .as[(Long, Long, Double, Double)].collect()
+    val p = top.find(t => t._1 == 0L && t._2 == 1L).get
+    assert(p._3 === 1.0, "every shingle of the quoted doc appears in the wrapper")
+    assert(p._4 < 0.3, "the reverse direction stays low")
+    // Jaccard on the same pair is diluted by the wrapper's extra shingles —
+    // the asymmetric score is what detects this shape
+    val jac = DedupOps.ngramJaccardPairs(docs, 3)
+      .filter(col("doc_a") === 0L && col("doc_b") === 1L)
+      .select("jaccard").as[Double].head()
+    assert(jac < 0.5 && p._3 > jac)
+  }
+
+  test("cross-source overlap: only the contaminated pair appears, with exact counts") {
+    val docs = Seq(
+      (0L, "shared common phrase appears here exactly", "srcA"),
+      (1L, "shared common phrase appears here exactly plus more words", "srcB"),
+      (2L, "entirely disjoint vocabulary nothing matches anywhere at all", "srcC")
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.crossSourceOverlap(docs, 3)
+      .as[(String, String, Long, Double)].collect()
+    assert(out.map(t => (t._1, t._2)).toSet === Set(("srcA", "srcB")))
+    // srcA: 6 words -> 4 distinct trigrams, all inside srcB's 7
+    val row = out.head
+    assert(row._3 === 4L)
+    assert(row._4 === 0.571429) // round(4 / (4 + 7 - 4), 6)
+  }
+
   test("duplicate clusters merge chains that pairwise dedup would split") {
     // chain: d0~d1 and d1~d2 are >= 0.5 pairs, d0~d2 is not — one cluster
     val chain = Seq(

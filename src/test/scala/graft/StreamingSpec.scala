@@ -19,6 +19,19 @@ class StreamingSpec extends SparkSpec {
   private def ev(id: Long, t: String, user: Long, typ: String, v: Double) =
     Ev(id, Timestamp.valueOf(t), user, typ, v)
 
+  test("T23 streaming drift monitor equals the batch PSI audit bit-for-bit") {
+    val streamed = StreamOps.streamingDriftPsi(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect().toSet
+    val ev = Tables.events(spark, sfDir).select("event_id", "event_type")
+    val base = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+    val cur = ev.filter(pmod(col("event_id"), lit(2)) === 1 &&
+      !(col("event_type") === "click" && pmod(col("event_id"), lit(5)) < 3))
+    val batch = graft.ops.Quality.driftPsi(base, cur, "event_type")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("T3 streaming cumulative tally equals batch aggregation") {
     val result = StreamOps.cumulativeTally(spark, sfDir)
       .as[(String, Double, Long)].collect().toSet
