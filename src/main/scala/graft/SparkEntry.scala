@@ -1430,6 +1430,13 @@ object SparkEntry {
     // source pair via a source-level inverted index (df ≤ #sources)
     "text_source_overlap" -> ((s, d) =>
       TextOps.crossSourceOverlap(Tables.documents(s, d), 3)),
+    // boilerplate removal: per-source high-df 8-word blocks dropped and
+    // the documents reassembled — banner injected deterministically so
+    // the drop rule binds (pii_redact pattern); output all-integer+text
+    "text_boilerplate" -> ((s, d) =>
+      TextOps.boilerplateRemove(
+        TextOps.withInjectedBoilerplate(Tables.documents(s, d)),
+        blockWords = 8, maxDf = 3)),
     // Gopher-style repetition gates: top-bigram share + duplicate-word
     // fraction, with the keep verdict as a composable predicate
     "text_repetition" -> ((s, d) =>
@@ -3353,6 +3360,34 @@ object SparkEntry {
          JOIN sizes sa ON sa.source = src_a
          JOIN sizes sb ON sb.source = src_b
          ORDER BY src_a, src_b""",
+    "text_boilerplate" ->
+      """WITH inj AS (SELECT doc_id, source,
+                             CASE WHEN doc_id % 5 = 0
+                                  THEN 'site ' || source ||
+                                       ' home login search menu footer copyright terms privacy contact about subscribe rss feed '
+                                       || source || ' ' || text
+                                  ELSE text END AS text
+                      FROM documents),
+              w AS (SELECT doc_id, source,
+                           list_filter(string_split(text, ' '),
+                                       x -> x <> '') AS words
+                    FROM inj),
+              b AS (SELECT doc_id, source,
+                           CAST(ceil(len(words) / 8.0) AS INTEGER) AS n_blocks,
+                           unnest(range(0, CAST(ceil(len(words) / 8.0) AS BIGINT))) AS pos,
+                           unnest(list_transform(range(0, CAST(ceil(len(words) / 8.0) AS BIGINT)),
+                             i -> array_to_string(words[i*8+1:i*8+8], ' '))) AS block
+                    FROM w),
+              f AS (SELECT source, block, count(DISTINCT doc_id) AS df
+                    FROM b GROUP BY 1, 2)
+         SELECT b.doc_id,
+                CAST(any_value(b.n_blocks) AS INTEGER) AS n_blocks,
+                CAST(count(*) AS BIGINT) AS n_kept,
+                string_agg(b.block, ' ' ORDER BY b.pos) AS clean_text
+         FROM b JOIN f ON b.source = f.source AND b.block = f.block
+         WHERE f.df <= 3
+         GROUP BY b.doc_id
+         ORDER BY b.doc_id""",
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, label,
                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   *
   * All built-ins / higher-order functions — no UDFs — so every op stays
   * inside whole-stage codegen and runs at scan speed over 100 TB of text.
-  * The per-document work is embarrassingly parallel: no shuffle anywhere in
-  * this file.
+  * The per-document scoring ops are embarrassingly parallel (zero shuffle);
+  * the corpus-level ops (vocabulary, tf-idf, source overlap, boilerplate)
+  * shuffle only on bounded keys (terms, sources, blocks) — never doc×doc.
   */
 object TextOps {
 
@@ -353,6 +354,58 @@ object TextOps {
                 (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6)
           .as("jaccard"))
       .orderBy("src_a", "src_b")
+  }
+
+  /** BOILERPLATE REMOVAL (RefinedWeb/CCNet line-dedup family): drop the
+    * text units that repeat across many documents of the same source —
+    * nav bars, footers, cookie banners — and reassemble each document
+    * from its surviving units in order. The fixture corpus has no line
+    * structure, so the unit is a fixed `blockWords`-word block (the line
+    * stand-in; [[cdcChunks]] offers the edit-robust boundary alternative).
+    *
+    * Scale shape: blocks are corpus_tokens/blockWords rows; the document
+    * frequency fold is ONE hash aggregate keyed (source, block) — never a
+    * doc×doc comparison — and the rebuild groups by doc_id, so both
+    * shuffles are linear in the corpus. A block that appears in more than
+    * `maxDf` documents of its source is boilerplate by definition
+    * (legitimate prose repeating verbatim across documents at block
+    * granularity is exactly what corpus dedup wants gone anyway). Output
+    * is integers + reassembled text — the cross-engine compare is exact,
+    * no float anywhere. */
+  /** Deterministic boilerplate injection for the grading fixture (the
+    * [[graft.ext.PiiOps.withInjectedPii]] pattern): every 5th document
+    * gets a 16-word source-branded banner prepended — two full 8-word
+    * blocks, block-aligned, shared by ~1/5 of each source's documents —
+    * so the df > maxDf drop rule genuinely binds at every SF while the
+    * documents' own text (shifted by exactly two blocks) stays unique. */
+  def withInjectedBoilerplate(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat_ws(" ", lit("site"), col("source"),
+          lit("home login search menu footer copyright terms privacy contact about subscribe rss feed"),
+          col("source"), col("text")))
+      .otherwise(col("text")))
+
+  def boilerplateRemove(docs: DataFrame, blockWords: Int = 8,
+                        maxDf: Long = 3): DataFrame = {
+    val blocks = docs
+      .withColumn("words", expr("filter(split(text, ' '), w -> w <> '')"))
+      .withColumn("blk", expr(
+        s"""transform(sequence(0, cast(ceil(size(words) / ${blockWords}.0d) as int) - 1),
+            i -> concat_ws(' ', slice(words, i * $blockWords + 1, $blockWords)))"""))
+      .select(col("doc_id"), col("source"), size(col("blk")).as("n_blocks"),
+        posexplode(col("blk")).as(Seq("pos", "block")))
+    val freq = blocks.groupBy("source", "block")
+      .agg(countDistinct("doc_id").as("df"))
+    blocks.join(freq, Seq("source", "block"))
+      .filter(col("df") <= maxDf)
+      .groupBy("doc_id")
+      .agg(first("n_blocks").as("n_blocks"),
+           count(lit(1)).as("n_kept"),
+           concat_ws(" ",
+             expr("transform(array_sort(collect_list(struct(pos, block))), s -> s.block)"))
+             .as("clean_text"))
+      .orderBy("doc_id")
   }
 
   /** Fixed-size chunking with overlap — the RAG/training preprocessing
