@@ -21,17 +21,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** The events table carries parquet TIMESTAMP(NANOS), which Spark's
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw
-    * longs (legacy conf, runtime-settable) and convert to TimestampType
-    * (µs) with integer `div` — double division would lose precision above
-    * 2^53 ns. Wall-clock value is preserved; all downstream ops and the
-    * DuckDB oracle agree. */
+  /** The events table's `ts` physical type has varied across testdata
+    * generations — TIMESTAMP(NANOS) (unreadable by Spark without the
+    * nanos-as-long legacy conf), and plain TIMESTAMP(µs, NTZ). Normalize
+    * whatever the file carries to session-local TimestampType at the same
+    * wall-clock instant (session tz is pinned UTC everywhere), so every
+    * downstream op and the DuckDB oracle agree regardless of generation. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(table(s, d, "events"))
   }
+
+  /** Schema-adaptive `ts` conversion: raw nanos longs → µs TimestampType
+    * with integer `div` (double division would lose precision above 2^53
+    * ns); TIMESTAMP_NTZ → TimestampType (wall-clock preserving under the
+    * pinned UTC session tz); TimestampType passes through. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

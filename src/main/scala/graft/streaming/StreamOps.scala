@@ -40,8 +40,10 @@ object StreamOps {
     * scale). In production the events directory keeps receiving files and
     * `maxFilesPerTrigger` paces micro-batches; here the fixed fixture
     * drains in as many batches as it has files. Schema is declared (file
-    * sources require it) with `ts` as raw nanos (see
-    * [[graft.Tables.events]]) and converted to µs timestamps in-plan. */
+    * sources require it) by a one-time probe of the static file — the
+    * testdata's physical `ts` type has varied across generations — and
+    * normalized to TimestampType in-plan (see
+    * [[graft.Tables.normalizeTs]]). */
   private val topicDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -83,11 +85,16 @@ object StreamOps {
 
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-      .option("maxFilesPerTrigger", 1)
-      .parquet(eventsTopicDir(dir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // File sources need a declared schema; probe the static fixture once
+    // (footer-only read) so the declaration matches the file's physical
+    // ts type, then normalize in-plan exactly like the batch reader.
+    val tsDecl =
+      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType.sql
+    graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(s"event_id BIGINT, ts $tsDecl, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(eventsTopicDir(dir)))
   }
 
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
