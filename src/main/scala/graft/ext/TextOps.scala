@@ -363,15 +363,46 @@ object TextOps {
     * structure, so the unit is a fixed `blockWords`-word block (the line
     * stand-in; [[cdcChunks]] offers the edit-robust boundary alternative).
     *
-    * Scale shape: blocks are corpus_tokens/blockWords rows; the document
-    * frequency fold is ONE hash aggregate keyed (source, block) — never a
-    * doc×doc comparison — and the rebuild groups by doc_id, so both
-    * shuffles are linear in the corpus. A block that appears in more than
-    * `maxDf` documents of its source is boilerplate by definition
-    * (legitimate prose repeating verbatim across documents at block
-    * granularity is exactly what corpus dedup wants gone anyway). Output
-    * is integers + reassembled text — the cross-engine compare is exact,
-    * no float anywhere. */
+    * Scale shape: blocks are corpus_tokens/blockWords rows, but block
+    * TEXT never rides a shuffle. The document-frequency fold aggregates
+    * on (source, xxhash64(block)) — 8-byte keys, map-side deduped — and
+    * only the boilerplate survivors (df > maxDf: a set that is small by
+    * construction, since each member repeats across many documents) come
+    * back, so the drop is a LEFT ANTI join that AQE converts to a
+    * broadcast at runtime. The rebuild's doc_id shuffle is the single
+    * text-carrying exchange, and it moves exactly the kept corpus once —
+    * never a doc×doc comparison anywhere. A 64-bit fingerprint collision
+    * inside one source could drop an innocent block; at 100 TB
+    * (~10^12 blocks) the expected per-source collision count stays
+    * harmless for a cleaning pass and the fingerprint is an internal
+    * detail — results are defined by block content. Output is integers +
+    * reassembled text — the cross-engine compare is exact, no float
+    * anywhere. */
+  def boilerplateRemove(docs: DataFrame, blockWords: Int = 8,
+                        maxDf: Long = 3): DataFrame = {
+    val blocks = docs
+      .withColumn("words", expr("filter(split(text, ' '), w -> w <> '')"))
+      .withColumn("blk", expr(
+        s"""transform(sequence(0, cast(ceil(size(words) / ${blockWords}.0d) as int) - 1),
+            i -> concat_ws(' ', slice(words, i * $blockWords + 1, $blockWords)))"""))
+      .select(col("doc_id"), col("source"), size(col("blk")).as("n_blocks"),
+        posexplode(col("blk")).as(Seq("pos", "block")))
+      .withColumn("bh", xxhash64(col("block")))
+    val boiler = blocks
+      .groupBy("source", "bh")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") > maxDf)
+      .select("source", "bh")
+    blocks.join(boiler, Seq("source", "bh"), "left_anti")
+      .groupBy("doc_id")
+      .agg(first("n_blocks").as("n_blocks"),
+           count(lit(1)).as("n_kept"),
+           concat_ws(" ",
+             expr("transform(array_sort(collect_list(struct(pos, block))), s -> s.block)"))
+             .as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic boilerplate injection for the grading fixture (the
     * [[graft.ext.PiiOps.withInjectedPii]] pattern): every 5th document
     * gets a 16-word source-branded banner prepended — two full 8-word
@@ -385,28 +416,6 @@ object TextOps {
           lit("home login search menu footer copyright terms privacy contact about subscribe rss feed"),
           col("source"), col("text")))
       .otherwise(col("text")))
-
-  def boilerplateRemove(docs: DataFrame, blockWords: Int = 8,
-                        maxDf: Long = 3): DataFrame = {
-    val blocks = docs
-      .withColumn("words", expr("filter(split(text, ' '), w -> w <> '')"))
-      .withColumn("blk", expr(
-        s"""transform(sequence(0, cast(ceil(size(words) / ${blockWords}.0d) as int) - 1),
-            i -> concat_ws(' ', slice(words, i * $blockWords + 1, $blockWords)))"""))
-      .select(col("doc_id"), col("source"), size(col("blk")).as("n_blocks"),
-        posexplode(col("blk")).as(Seq("pos", "block")))
-    val freq = blocks.groupBy("source", "block")
-      .agg(countDistinct("doc_id").as("df"))
-    blocks.join(freq, Seq("source", "block"))
-      .filter(col("df") <= maxDf)
-      .groupBy("doc_id")
-      .agg(first("n_blocks").as("n_blocks"),
-           count(lit(1)).as("n_kept"),
-           concat_ws(" ",
-             expr("transform(array_sort(collect_list(struct(pos, block))), s -> s.block)"))
-             .as("clean_text"))
-      .orderBy("doc_id")
-  }
 
   /** Fixed-size chunking with overlap — the RAG/training preprocessing
     * step that turns documents into model-window-sized pieces: chunk `i`

@@ -438,4 +438,43 @@ class LlmOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"))
   }
+
+  test("boilerplate removal: shared banner blocks drop, unique prose survives intact") {
+    // 4 docs of one source share a banner that is exactly two 4-word
+    // blocks; each doc's own text is unique and 4-word-aligned
+    val banner = "cookie notice accept all terms privacy contact footer"
+    val docs = Seq(
+      (0L, s"$banner alpha beta gamma delta", "web"),
+      (1L, s"$banner epsilon zeta eta theta", "web"),
+      (2L, s"$banner iota kappa lambda mu", "web"),
+      (3L, s"$banner nu xi omicron pi", "web"),
+      (4L, "rho sigma tau upsilon phi chi psi omega", "web")
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.boilerplateRemove(docs, blockWords = 4, maxDf = 3)
+      .select("doc_id", "n_blocks", "n_kept", "clean_text")
+      .as[(Long, Int, Long, String)].collect().sortBy(_._1)
+    // banner blocks hit df=4 > maxDf=3 and vanish; body blocks stay
+    assert(out.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    assert(out(0) === ((0L, 3, 1L, "alpha beta gamma delta")))
+    assert(out(1)._4 === "epsilon zeta eta theta")
+    // the untouched doc keeps both its blocks in original order
+    assert(out(4) === ((4L, 2, 2L,
+      "rho sigma tau upsilon phi chi psi omega")))
+  }
+
+  test("boilerplate removal: df threshold is per-source, not corpus-wide") {
+    // the same banner in two docs of each of two sources: per-source df=2
+    // stays under maxDf=3 even though corpus-wide df=4 would exceed it
+    val banner = "shared banner words here"
+    val docs = Seq(
+      (0L, s"$banner one two three four", "a"),
+      (1L, s"$banner five six seven eight", "a"),
+      (2L, s"$banner nine ten eleven twelve", "b"),
+      (3L, s"$banner thirteen fourteen fifteen sixteen", "b")
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.boilerplateRemove(docs, blockWords = 4, maxDf = 3)
+    assert(out.agg(sum(when(col("clean_text").contains("shared banner"),
+      1L).otherwise(0L))).head.getLong(0) === 4L,
+      "a block frequent only across sources must survive")
+  }
 }
