@@ -942,7 +942,7 @@ object SparkEntry {
 
     // ---- file-source formats (SURVEY §2.1 S4): schema-on-read round-trips ----
     "s4_json_source" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_json_").toString
+      val tmp = graft.TmpDirs.create("graft_json_").toString
       Tables.events(s, d).select("event_id", "event_type", "value")
         .write.mode("overwrite").json(tmp)
       s.read.schema("event_id BIGINT, event_type STRING, value DOUBLE").json(tmp)
@@ -951,7 +951,7 @@ object SparkEntry {
              count(lit(1)).as("n_events"))
     }),
     "s4_csv_source" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+      val tmp = graft.TmpDirs.create("graft_csv_").toString
       Tables.events(s, d).select("event_id", "event_type", "value")
         .write.mode("overwrite").option("header", "true").csv(tmp)
       s.read.schema("event_id BIGINT, event_type STRING, value DOUBLE")
@@ -965,7 +965,7 @@ object SparkEntry {
     // (schema-on-read over logs), then folded; the parse is a codegen'd
     // projection, so at scale this is scan + map, no shuffle before the agg
     "s4_text_log_source" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_txt_").toString
+      val tmp = graft.TmpDirs.create("graft_txt_").toString
       Tables.events(s, d)
         .select(format_string("%s|%d|%.2f", col("event_type"),
           col("event_id"), col("value")).as("value"))
@@ -985,7 +985,7 @@ object SparkEntry {
     // ORC round-trip: Spark's second built-in columnar format — same
     // pushdown/pruning machinery as parquet, graded the same way
     "s4_orc_source" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+      val tmp = graft.TmpDirs.create("graft_orc_").toString
       Tables.events(s, d).select("event_id", "event_type", "value")
         .write.mode("overwrite").orc(tmp)
       s.read.orc(tmp)

@@ -1,0 +1,37 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Central factory for graft scratch directories — stream topic dirs,
+  * streaming checkpoints, staged storage layouts, embedded-DB homes.
+  *
+  * Prefers RAM-backed `/dev/shm` when writable: streaming micro-batch
+  * latency on a local runner is dominated by checkpoint/offset-log
+  * fsyncs and small staged files, which on an ext4 `/tmp` pay real disk
+  * latency ~25 streaming queries × many micro-batches per bench run.
+  * Everything created here is small (KB–MB scratch, never table-scale
+  * data). Falls back to `java.io.tmpdir` when `/dev/shm` is absent. On
+  * a real cluster the equivalent knobs are `spark.local.dir` and a
+  * fast-storage `checkpointLocation` — this helper is the local-mode
+  * stand-in, not a semantics change.
+  */
+object TmpDirs {
+  private lazy val root: Path = {
+    val shm = Paths.get("/dev/shm")
+    val base =
+      if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
+      else Paths.get(System.getProperty("java.io.tmpdir"))
+    Files.createDirectories(base.resolve("graft_scratch"))
+  }
+
+  def create(prefix: String): Path = Files.createTempDirectory(root, prefix)
+
+  /** Point the whole JVM's scratch (`java.io.tmpdir` — which Spark's
+    * `spark.local.dir` default, block-manager dirs, and temporary
+    * streaming checkpoints all follow) at the RAM-backed root. Call
+    * FIRST in a forked main, before any Spark or NIO temp usage; a
+    * no-op when `/dev/shm` is unavailable. */
+  def install(): Unit =
+    if (root.startsWith("/dev/shm"))
+      System.setProperty("java.io.tmpdir", root.toString)
+}

@@ -97,8 +97,8 @@ object Storage {
       { (_, cur) =>
         if (cur != null && new java.io.File(cur).exists()) cur
         else {
-          val dir = java.nio.file.Files
-            .createTempDirectory("graft_part_").toString
+          val dir = graft.TmpDirs
+            .create("graft_part_").toString
           // overwrite: createTempDirectory already created the (empty)
           // target, which a default-mode write refuses
           df.write.partitionBy(partCol).mode("overwrite").parquet(dir)
@@ -128,8 +128,8 @@ object Storage {
       { (_, cur) =>
         if (cur != null && new java.io.File(cur).exists()) cur
         else {
-          val dir = java.nio.file.Files
-            .createTempDirectory("graft_evolve_").toString
+          val dir = graft.TmpDirs
+            .create("graft_evolve_").toString
           batch1.write.mode("overwrite").parquet(dir)
           batch2.write.mode("append").parquet(dir)
           dir
@@ -164,10 +164,10 @@ object Storage {
       { (_, cur) =>
         if (cur != null && new java.io.File(cur._1).exists()) cur
         else {
-          val inDir = java.nio.file.Files
-            .createTempDirectory("graft_small_").toString
-          val outDir = java.nio.file.Files
-            .createTempDirectory("graft_compacted_").toString
+          val inDir = graft.TmpDirs
+            .create("graft_small_").toString
+          val outDir = graft.TmpDirs
+            .create("graft_compacted_").toString
           df.repartition(smallFiles).write.mode("overwrite").parquet(inDir)
           val n = compact(df.sparkSession, inDir, outDir, targetRowsPerFile)
           (outDir, n)
@@ -225,8 +225,8 @@ object Storage {
       { (_, cur) =>
         if (cur != null && new java.io.File(cur).exists()) cur
         else {
-          val dir = java.nio.file.Files
-            .createTempDirectory("graft_zorder_").toString
+          val dir = graft.TmpDirs
+            .create("graft_zorder_").toString
           df.withColumn("__z", zValue(col(colA), col(colB)))
             .repartitionByRange(nFiles, col("__z"))
             .sortWithinPartitions("__z")

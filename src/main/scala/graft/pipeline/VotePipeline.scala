@@ -86,8 +86,8 @@ object VotePipeline {
     topicDirs.compute((System.identityHashCode(spark), nVoters), { (_, cur) =>
       if (cur != null && new java.io.File(cur).exists()) cur
       else {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_vote_topic_").toString
+        val dir = graft.TmpDirs
+          .create("graft_vote_topic_").toString
         wire(spark, nVoters).repartition(4).write.mode("overwrite").parquet(dir)
         dir
       }
@@ -134,8 +134,8 @@ object VotePipeline {
     // 3-key aggregation state: size state partitions to keys
     graft.streaming.StreamOps.withShufflePartitions(spark, Some(4)) {
     val topicDir = stagedWireTopic(spark, nVoters)
-    val boardTopic = java.nio.file.Files
-      .createTempDirectory("graft_board_topic_").toString
+    val boardTopic = graft.TmpDirs
+      .create("graft_board_topic_").toString
     val q = Decode.flatten(
         Decode.jsonDecode(
           Decode.castValueToString(

@@ -96,7 +96,7 @@ object AvroIO {
     * per-type summary in exact integer cents — SQL-recomputable from the
     * source parquet, so the oracle verifies the whole trip. */
   def roundTripAggregate(spark: SparkSession, events: DataFrame): DataFrame = {
-    val dir = Files.createTempDirectory("graft_avro_").toString
+    val dir = graft.TmpDirs.create("graft_avro_").toString
     writeEvents(events.select("event_id", "user_id", "event_type", "value"),
       dir)
     readEvents(spark, dir)

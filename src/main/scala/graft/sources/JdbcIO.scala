@@ -33,7 +33,7 @@ object JdbcIO {
 
   /** A fresh embedded database URL under a temp dir. */
   def freshUrl(): String = {
-    val dir = Files.createTempDirectory("graft_derby_").toString
+    val dir = graft.TmpDirs.create("graft_derby_").toString
     s"jdbc:derby:$dir/db;create=true"
   }
 

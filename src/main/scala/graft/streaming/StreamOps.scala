@@ -52,7 +52,7 @@ object StreamOps {
     * through a symlinked topic dir — zero copy, driver does O(1) work. */
   private def eventsTopicDir(dir: String): String =
     topicDirs.computeIfAbsent(dir, { d =>
-      val topic = Files.createTempDirectory("graft_events_topic_")
+      val topic = graft.TmpDirs.create("graft_events_topic_")
       Files.createSymbolicLink(
         topic.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$d/events.parquet"))
@@ -77,7 +77,7 @@ object StreamOps {
   }
 
   private def freshTopic(prefix: String): (java.nio.file.Path, java.nio.file.Path) = {
-    val root = Files.createTempDirectory(prefix)
+    val root = graft.TmpDirs.create(prefix)
     val topic = root.resolve("topic")
     Files.createDirectory(topic)
     (root, topic)
@@ -1004,7 +1004,7 @@ object StreamOps {
     * same discipline as [[eventsTopicDir]]). */
   private def docStream(spark: SparkSession, dir: String): DataFrame = {
     val topic = docTopicDirs.computeIfAbsent(dir, { d =>
-      val t = Files.createTempDirectory("graft_docs_topic_")
+      val t = graft.TmpDirs.create("graft_docs_topic_")
       Files.createSymbolicLink(
         t.resolve("documents.parquet"),
         java.nio.file.Paths.get(s"$d/documents.parquet"))
@@ -1048,7 +1048,7 @@ object StreamOps {
   def deadLetterSplit(spark: SparkSession, dir: String,
                       statePartitions: Option[Int] = None): DataFrame =
       withShufflePartitions(spark, statePartitions) {
-    val outRoot = Files.createTempDirectory("graft_t17_").toString
+    val outRoot = graft.TmpDirs.create("graft_t17_").toString
     val deadDir = s"$outRoot/dead"
     val validDir = s"$outRoot/valid"
     val q = eventStream(spark, dir).writeStream
@@ -1092,7 +1092,7 @@ object StreamOps {
                              statePartitions: Option[Int] = None,
                              salts: Int = 16, topK: Int = 10): DataFrame =
       withShufflePartitions(spark, statePartitions) {
-    val outRoot = Files.createTempDirectory("graft_t17b_").toString
+    val outRoot = graft.TmpDirs.create("graft_t17b_").toString
     val deadDir = s"$outRoot/dead"
     val q = eventStream(spark, dir).writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -1130,7 +1130,7 @@ object StreamOps {
     * `sketch_hll_merge`: exact distinct (recomputed from raw) + an honest
     * within-5% verdict from the final snapshot's estimates. */
   def streamingSketchMaintenance(spark: SparkSession, dir: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_t18_").toString
+    val root = graft.TmpDirs.create("graft_t18_").toString
     @volatile var latest = -1L
     val q = eventStream(spark, dir).writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -1176,7 +1176,7 @@ object StreamOps {
     * proves the incremental path loses nothing. */
   def streamingOhlcMaintenance(spark: SparkSession, dir: String,
                                fineSeconds: Int = 900): DataFrame = {
-    val root = Files.createTempDirectory("graft_t19_").toString
+    val root = graft.TmpDirs.create("graft_t19_").toString
     @volatile var latest = -1L
     val q = eventStream(spark, dir).writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -1230,7 +1230,7 @@ object StreamOps {
     * the DB write) and only then emits the JSON wire form (≈ the Kafka
     * produce); the returned frame is the re-parsed emitted stream. */
   def writeThenEmit(spark: SparkSession, dir: String): DataFrame = {
-    val outRoot = Files.createTempDirectory("graft_s8_").toString
+    val outRoot = graft.TmpDirs.create("graft_s8_").toString
     val stored = s"$outRoot/stored"
     val emitted = s"$outRoot/emitted"
     val q = eventStream(spark, dir).writeStream
