@@ -1598,7 +1598,29 @@ object SparkEntry {
       MultimodalOps.featureExtract(s, Tables.documents(s, d))),
     // resize stub: 1-D nearest-neighbor downsample to a 16-byte thumbnail
     "mm_resize" -> ((s, d) =>
-      MultimodalOps.resizeStub(Tables.documents(s, d), 16))
+      MultimodalOps.resizeStub(Tables.documents(s, d), 16)),
+    // ---- REAL image codec path (JDK javax.imageio — public API) ----
+    // IHDR header parse of genuine PNG bytes, pure codegen'd column ops;
+    // dims/depth/type recoverable by the oracle from the fixture formula
+    "mm_png_dims" -> ((s, d) =>
+      MultimodalOps.pngDims(
+        ImageCodec.withImagePayload(s, Tables.documents(s, d), "png"))
+        .orderBy("doc_id")),
+    // SOF marker scan of genuine JPEG bytes (variable-length segment walk)
+    "mm_jpeg_dims" -> ((s, d) =>
+      ImageCodec.jpegDims(s,
+        ImageCodec.withImagePayload(s, Tables.documents(s, d), "jpg"))
+        .orderBy("doc_id")),
+    // REAL pixel decode (lossless PNG round-trip): exact integer pixel sum
+    "mm_decode_brightness" -> ((s, d) =>
+      ImageCodec.decodeBrightness(s,
+        ImageCodec.withImagePayload(s, Tables.documents(s, d), "png"))
+        .orderBy("doc_id")),
+    // nearest-neighbor 4x4 thumbnail over real decoded pixels
+    "mm_resize_thumb" -> ((s, d) =>
+      ImageCodec.resampleThumb(s,
+        ImageCodec.withImagePayload(s, Tables.documents(s, d), "png"), 4, 4)
+        .orderBy("doc_id", "j", "i"))
   )
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
@@ -4127,7 +4149,43 @@ object SparkEntry {
       """SELECT d.doc_id, CAST(t.j AS INTEGER) AS j,
                 ascii(d.text[(t.j * strlen(d.text)) // 16 + 1
                              : (t.j * strlen(d.text)) // 16 + 1]) AS byte_val
-         FROM documents d, range(0, 16) t(j)"""
+         FROM documents d, range(0, 16) t(j)""",
+    // the real-codec quartet grades the ENGINE's byte-level parse/decode
+    // of genuine PNG/JPEG payloads against the closed-form fixture
+    // formulas (dims = doc_id mod ranges; pixel = (7x+13y+31*id) mod 256)
+    // — the oracle recomputes ground truth, never touching the bytes
+    "mm_png_dims" ->
+      """SELECT doc_id, true AS sig_ok,
+                CAST(doc_id % 13 + 4 AS BIGINT) AS width,
+                CAST(doc_id % 11 + 4 AS BIGINT) AS height,
+                CAST(8 AS BIGINT) AS bit_depth,
+                CAST(0 AS BIGINT) AS color_type
+         FROM documents ORDER BY doc_id""",
+    "mm_jpeg_dims" ->
+      """SELECT doc_id,
+                CAST(doc_id % 13 + 4 AS BIGINT) AS width,
+                CAST(doc_id % 11 + 4 AS BIGINT) AS height
+         FROM documents ORDER BY doc_id""",
+    "mm_decode_brightness" ->
+      """SELECT d.doc_id,
+                CAST((d.doc_id % 13 + 4) * (d.doc_id % 11 + 4) AS BIGINT)
+                  AS n_px,
+                CAST(sum(CASE WHEN xs.x < d.doc_id % 13 + 4
+                               AND ys.y < d.doc_id % 11 + 4
+                          THEN (xs.x * 7 + ys.y * 13 + d.doc_id * 31) % 256
+                          ELSE 0 END) AS BIGINT) AS pix_sum
+         FROM documents d, generate_series(0, 15) xs(x),
+              generate_series(0, 13) ys(y)
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
+    "mm_resize_thumb" ->
+      """WITH g AS (SELECT d.doc_id, i.i, j.j,
+                           (i.i * (d.doc_id % 13 + 4)) // 4 AS sx,
+                           (j.j * (d.doc_id % 11 + 4)) // 4 AS sy
+                    FROM documents d, generate_series(0, 3) i(i),
+                         generate_series(0, 3) j(j))
+         SELECT doc_id, CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+                CAST((sx * 7 + sy * 13 + doc_id * 31) % 256 AS BIGINT) AS v
+         FROM g ORDER BY doc_id, j, i"""
   )
 
   // layout/execution variants compute identical results to their base

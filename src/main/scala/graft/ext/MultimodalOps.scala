@@ -4,11 +4,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing ([X] tier): images/audio/video ride as opaque
-  * `binary` columns with typed metadata alongside. The decode step itself is
-  * STUBBED (no image/audio codecs in this container) with a deterministic
-  * fake — but the Spark-side plumbing is real: binary columns, schema,
-  * partition-parallel `mapPartitions` with an explicit batch loop, and
-  * metadata extraction that an actual codec would slot into.
+  * `binary` columns with typed metadata alongside. The IMAGE path is REAL —
+  * [[ImageCodec]] encodes/decodes genuine PNG/JPEG via the JDK's own
+  * `javax.imageio`, [[pngDims]] parses the actual IHDR bytes with codegen'd
+  * column ops — while audio/video stay deterministic stubs (no such codec
+  * ships with the JDK), keeping the partition-parallel plumbing a real
+  * decoder slots into.
   *
   * Scale notes: binary payloads stay columnar in parquet; metadata-only
   * queries never read the blob column (column pruning), and the decode path
@@ -36,6 +37,27 @@ object MultimodalOps {
       sha2(col("media_bytes"), 256).as("sha256_hex"),
       (pmod(col("media_meta.n_bytes"), lit(640)) + 1).as("fake_width"),
       (pmod(col("media_meta.n_bytes"), lit(480)) + 1).as("fake_height"))
+
+  /** PNG header parse over the REAL bytes, entirely in codegen'd column
+    * ops — no UDF, no decode: the 8-byte signature check plus the IHDR
+    * fields at their fixed spec offsets (PNG is: sig 8 | chunk len 4 |
+    * "IHDR" 4 | width 4 | height 4 | bit depth 1 | color type 1, all
+    * big-endian — offsets below are 1-indexed `substring` positions).
+    * Big-endian u32 → `conv(hex(bytes), 16, 10)`. This is the
+    * metadata-only scan shape: with payloads in parquet, a dims-only
+    * query decodes nothing and reads just the header bytes. */
+  def pngDims(media: DataFrame): DataFrame = {
+    def be(pos: Int, len: Int) =
+      conv(hex(substring(col("media_bytes"), pos, len)), 16, 10).cast("long")
+    media.select(
+      col("doc_id"),
+      (hex(substring(col("media_bytes"), 1, 8)) === lit("89504E470D0A1A0A"))
+        .as("sig_ok"),
+      be(17, 4).as("width"),
+      be(21, 4).as("height"),
+      be(25, 1).as("bit_depth"),
+      be(26, 1).as("color_type"))
+  }
 
   final case class MediaRow(doc_id: Long, media_bytes: Array[Byte])
   final case class DecodedRow(doc_id: Long, n_bytes: Int, brightness: Long,

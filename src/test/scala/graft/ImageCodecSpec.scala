@@ -1,0 +1,80 @@
+package graft
+
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.functions._
+import graft.ext.{ImageCodec, MultimodalOps}
+
+/** REAL image-codec path: the fixture's JDK-encoded PNG/JPEG payloads,
+  * the column-op IHDR parse, the SOF marker scan, and the lossless
+  * pixel-decode round trip — each cross-checked against `javax.imageio`
+  * reading the same bytes (a genuinely independent decoder path). */
+class ImageCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids = Seq(0L, 1L, 7L, 12L, 142L).toDF("doc_id")
+
+  test("png IHDR column-op parse matches the real decoder and the formulas") {
+    val media = ImageCodec.withImagePayload(spark, ids, "png")
+    val parsed = MultimodalOps.pngDims(media)
+      .select("doc_id", "sig_ok", "width", "height", "bit_depth", "color_type")
+      .as[(Long, Boolean, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val bytesById = media.as[ImageCodec.MediaRow].collect()
+      .map(m => m.doc_id -> m.media_bytes).toMap
+    parsed.foreach { case (id, sig, w, h, depth, color) =>
+      assert(sig, s"doc $id: PNG signature")
+      assert(w === ImageCodec.widthOf(id) && h === ImageCodec.heightOf(id))
+      assert(depth === 8L && color === 0L, "8-bit grayscale IHDR fields")
+      val real = ImageIO.read(new ByteArrayInputStream(bytesById(id)))
+      assert(real.getWidth === w.toInt && real.getHeight === h.toInt,
+        s"doc $id: column-op parse vs javax.imageio")
+    }
+  }
+
+  test("jpeg SOF scan recovers dims through variable-length segments") {
+    val media = ImageCodec.withImagePayload(spark, ids, "jpg")
+    val out = ImageCodec.jpegDims(spark, media)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    out.foreach { case (id, w, h) =>
+      assert(w === ImageCodec.widthOf(id) && h === ImageCodec.heightOf(id),
+        s"doc $id")
+    }
+  }
+
+  test("png decode round-trips the pattern pixels bit-for-bit") {
+    val media = ImageCodec.withImagePayload(spark, ids, "png")
+    val out = ImageCodec.decodeBrightness(spark, media)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    out.foreach { case (id, nPx, sum) =>
+      val (w, h) = (ImageCodec.widthOf(id), ImageCodec.heightOf(id))
+      val expect = (for (y <- 0 until h; x <- 0 until w)
+        yield ImageCodec.gray(x, y, id).toLong).sum
+      assert(nPx === w.toLong * h)
+      assert(sum === expect, s"doc $id: decoded pixel sum")
+    }
+  }
+
+  test("nearest-neighbor thumb reads exactly the formula's source pixels") {
+    val media = ImageCodec.withImagePayload(spark, Seq(5L).toDF("doc_id"), "png")
+    val out = ImageCodec.resampleThumb(spark, media, 4, 4)
+      .select("i", "j", "v").as[(Int, Int, Long)].collect()
+    val (w, h) = (ImageCodec.widthOf(5L), ImageCodec.heightOf(5L))
+    assert(out.length === 16)
+    out.foreach { case (i, j, v) =>
+      assert(v === ImageCodec.gray(i * w / 4, j * h / 4, 5L).toLong)
+    }
+  }
+
+  test("metadata-only png query stays columnar over a parquet media table") {
+    // with payloads at rest in parquet, the dims parse is pure column ops:
+    // no (de)serialization into the JVM object path anywhere in the plan
+    val dir = TmpDirs.create("graft_imgspec_").toString
+    ImageCodec.withImagePayload(spark, ids, "png")
+      .write.mode("overwrite").parquet(dir)
+    val plan = MultimodalOps.pngDims(spark.read.parquet(dir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject"),
+      "IHDR parse must stay in columnar expression land")
+  }
+}
