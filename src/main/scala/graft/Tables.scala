@@ -29,6 +29,13 @@ object Tables {
     * downstream op and the DuckDB oracle agree regardless of generation. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Read TIMESTAMP(isAdjustedToUTC=false) columns as TimestampType
+    // directly (public compat conf) instead of TimestampNTZ + cast: a
+    // cast on ts would defeat parquet predicate pushdown / row-group
+    // min-max skipping for every time filter — the difference between
+    // scanning a day and scanning 100 TB. Wall-clock identical under
+    // the pinned UTC session tz.
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     normalizeTs(table(s, d, "events"))
   }
 

@@ -85,6 +85,8 @@ object StreamOps {
 
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // see Tables.events: NTZ-as-LTZ keeps ts filters pushable to parquet
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // File sources need a declared schema; probe the static fixture once
     // (footer-only read) so the declaration matches the file's physical
     // ts type, then normalize in-plan exactly like the batch reader.
