@@ -1620,7 +1620,18 @@ object SparkEntry {
     "mm_resize_thumb" -> ((s, d) =>
       ImageCodec.resampleThumb(s,
         ImageCodec.withImagePayload(s, Tables.documents(s, d), "png"), 4, 4)
-        .orderBy("doc_id", "j", "i"))
+        .orderBy("doc_id", "j", "i")),
+    // REAL audio codec (JDK javax.sound.sampled): RIFF/WAVE header parse
+    // in column ops over genuine WAV bytes
+    "mm_wav_meta" -> ((s, d) =>
+      AudioCodec.wavMeta(
+        AudioCodec.withWavPayload(s, Tables.documents(s, d)))
+        .orderBy("doc_id")),
+    // REAL PCM decode (lossless): exact signed-16-bit sample sum
+    "mm_wav_decode" -> ((s, d) =>
+      AudioCodec.wavDecode(s,
+        AudioCodec.withWavPayload(s, Tables.documents(s, d)))
+        .orderBy("doc_id"))
   )
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
@@ -4185,7 +4196,24 @@ object SparkEntry {
                          generate_series(0, 3) j(j))
          SELECT doc_id, CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
                 CAST((sx * 7 + sy * 13 + doc_id * 31) % 256 AS BIGINT) AS v
-         FROM g ORDER BY doc_id, j, i"""
+         FROM g ORDER BY doc_id, j, i""",
+    // audio fixture formulas: n = doc_id%96+32 samples at rate
+    // 8000+(doc_id%5)*4000, 16-bit mono; sample(i) = (31i+13*id)%65536-32768
+    "mm_wav_meta" ->
+      """SELECT doc_id, true AS riff_ok,
+                CAST(1 AS BIGINT) AS channels,
+                CAST(8000 + (doc_id % 5) * 4000 AS BIGINT) AS sample_rate,
+                CAST(16 AS BIGINT) AS bits_per_sample,
+                CAST(doc_id % 96 + 32 AS BIGINT) AS n_samples
+         FROM documents ORDER BY doc_id""",
+    "mm_wav_decode" ->
+      """SELECT d.doc_id,
+                CAST(d.doc_id % 96 + 32 AS BIGINT) AS n_samples,
+                CAST(sum(CASE WHEN t.i < d.doc_id % 96 + 32
+                          THEN (t.i * 31 + d.doc_id * 13) % 65536 - 32768
+                          ELSE 0 END) AS BIGINT) AS sample_sum
+         FROM documents d, generate_series(0, 127) t(i)
+         GROUP BY d.doc_id ORDER BY d.doc_id"""
   )
 
   // layout/execution variants compute identical results to their base

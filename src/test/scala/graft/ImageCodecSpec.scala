@@ -66,6 +66,39 @@ class ImageCodecSpec extends SparkSpec {
     }
   }
 
+  test("wav header column-op parse matches the real decoder and the formulas") {
+    import graft.ext.AudioCodec
+    val media = AudioCodec.withWavPayload(spark, ids)
+    val parsed = AudioCodec.wavMeta(media)
+      .select("doc_id", "riff_ok", "channels", "sample_rate",
+        "bits_per_sample", "n_samples")
+      .as[(Long, Boolean, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val bytesById = media.as[ImageCodec.MediaRow].collect()
+      .map(m => m.doc_id -> m.media_bytes).toMap
+    parsed.foreach { case (id, riff, ch, rate, bits, n) =>
+      assert(riff && ch === 1L && bits === 16L, s"doc $id header fields")
+      assert(rate === AudioCodec.rateOf(id) && n === AudioCodec.nSamplesOf(id))
+      val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytesById(id)))
+      assert(fmt.getFormat.getSampleRate.toInt === rate.toInt &&
+        fmt.getFrameLength === n.toInt,
+        s"doc $id: column-op parse vs javax.sound")
+    }
+  }
+
+  test("wav decode round-trips the PCM pattern bit-for-bit") {
+    import graft.ext.AudioCodec
+    val media = AudioCodec.withWavPayload(spark, ids)
+    val out = AudioCodec.wavDecode(spark, media)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    out.foreach { case (id, n, sum) =>
+      val expectN = AudioCodec.nSamplesOf(id)
+      val expect = (0 until expectN).map(i =>
+        AudioCodec.sample(i, id).toLong).sum
+      assert(n === expectN.toLong && sum === expect, s"doc $id")
+    }
+  }
+
   test("metadata-only png query stays columnar over a parquet media table") {
     // with payloads at rest in parquet, the dims parse is pure column ops:
     // no (de)serialization into the JVM object path anywhere in the plan
