@@ -647,6 +647,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           round(sum("l_extendedprice"), 2).as("sum_price"))
         .orderBy("bin")),
+    // EQUI-DEPTH histogram (the ANALYZE statistic fixed-width bins can't
+    // give): ~n/B rows per bucket with exact integer-cent edges. Scale
+    // shape is agg-FIRST: fold the fact table to (distinct value, count)
+    // — the only data-sized exchange — then the cumulative bucket
+    // assignment windows over |distinct values| rows only, never the
+    // data. bucket = floor(rows_before · B / N) in pure integer
+    // arithmetic, so the oracle replays it bit-for-bit.
+    "profile_histogram_equidepth" -> ((s, d) => {
+      val B = 8
+      val v = Tables.events(s, d)
+        .select((round(col("value") * 100)).cast("long").as("cents"))
+        .groupBy("cents").agg(count(lit(1)).as("n"))
+      val total = v.agg(sum("n").as("total"))
+      val w = v.crossJoin(broadcast(total))
+        .withColumn("cum", coalesce(
+          sum("n").over(org.apache.spark.sql.expressions.Window
+            .orderBy("cents").rowsBetween(Long.MinValue, -1)), lit(0L)))
+        .withColumn("bucket", expr(s"cum * $B div total"))
+      w.groupBy("bucket")
+        .agg(count(lit(1)).as("n_values"),
+          sum("n").as("n_rows"),
+          min("cents").as("lo_cents"),
+          max("cents").as("hi_cents"))
+        .orderBy("bucket")
+    }),
     // event analytics (ops/EventAnalytics): the dashboard-consumer seat —
     // ordered funnel (per-stage correlated first-after decorrelated into
     // user_id-partitioned min-aggregates), cohort retention triangle,
@@ -1076,6 +1101,10 @@ object SparkEntry {
     // batch per-user totals the oracle recomputes
     "s5c_jdbc_upsert_replay" -> ((s, d) =>
       StreamOps.jdbcUpsertReplay(s, d, statePartitions = Some(8))),
+    // the delta-sink sibling: stateless increments, exactly-once carried
+    // by the (batch, partition) transaction log; every epoch applied twice
+    "s5d_jdbc_txnlog_replay" -> ((s, d) =>
+      StreamOps.jdbcTxnLogReplay(s, d, statePartitions = Some(8))),
 
     // ---- SQL surface / DDL (SURVEY §2.1 S6) ----
     "s6_sql_over_view" -> ((s, d) => {
@@ -2531,6 +2560,26 @@ object SparkEntry {
                 round(sum(l_extendedprice), 2) AS sum_price
          FROM lineitem
          GROUP BY 1 ORDER BY 1""",
+    // equi-depth replay: same agg-first fold and the same integer bucket
+    // arithmetic (rows_before * 8 // N with non-negative operands, so
+    // DuckDB's floor-div and Spark's integer division coincide)
+    "profile_histogram_equidepth" ->
+      """WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                           count(*) AS n
+                    FROM events GROUP BY 1),
+              t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM v),
+              w AS (SELECT cents, n,
+                           coalesce(sum(n) OVER (ORDER BY cents
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS cum
+                    FROM v)
+         SELECT CAST(w.cum * 8 // t.total AS BIGINT) AS bucket,
+                count(*) AS n_values,
+                CAST(sum(n) AS BIGINT) AS n_rows,
+                min(cents) AS lo_cents,
+                max(cents) AS hi_cents
+         FROM w, t
+         GROUP BY 1 ORDER BY 1""",
     // the oracle states the funnel as the correlated first-X-after-Y
     // CTE chain the Spark side decorrelates
     "funnel_stages" ->
@@ -2943,6 +2992,13 @@ object SparkEntry {
     // the table the doubly-applied streaming upsert must converge to:
     // plain per-user totals in exact integer cents
     "s5c_jdbc_upsert_replay" ->
+      """SELECT user_id,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    // same ground truth as s5c: the delta sink must converge to the batch
+    // per-user totals despite double delivery of every epoch
+    "s5d_jdbc_txnlog_replay" ->
       """SELECT user_id,
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                   AS total_cents

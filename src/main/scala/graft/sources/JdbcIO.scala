@@ -148,6 +148,76 @@ object JdbcIO {
     } finally conn.close()
   }
 
+  /** The OTHER canonical exactly-once JDBC sink: when the stream ships
+    * per-batch DELTAS (increments), re-applying is not idempotent — the
+    * guard must be transactional, not value-based. Each partition runs
+    * ONE transaction that (a) inserts its (batch_id, partition_id) claim
+    * into the log table — a primary-key violation means this partition
+    * of this epoch already committed, so the whole delivery rolls back
+    * as a no-op — and (b) applies its increments (update-else-insert of
+    * `total_cents + delta`). Claim and deltas commit or vanish together,
+    * so a crash mid-apply leaves no claim and the replay re-applies
+    * cleanly; a post-commit redelivery hits the claim and skips. On
+    * Postgres the same two statements run under one transaction with
+    * `INSERT ... ON CONFLICT DO NOTHING RETURNING` as the claim probe.
+    *
+    * Scale shape: log grows one row per (epoch, partition) — prune below
+    * the checkpoint's committed epoch; deltas arrive partitioned by key
+    * so each key has one writer and transactions never conflict. */
+  def applyDeltasExactlyOnce(df: DataFrame, url: String, table: String,
+                             logTable: String, batchId: Long): Unit = {
+    val rows = df.select(col("user_id").cast("long"),
+      col("delta_cents").cast("long"))
+    val driver = driverFor(url)
+    rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      Class.forName(driver)
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        conn.setAutoCommit(false)
+        val claim = conn.prepareStatement(
+          s"INSERT INTO $logTable (batch_id, partition_id) VALUES (?, ?)")
+        claim.setLong(1, batchId); claim.setInt(2, pid)
+        val fresh =
+          try { claim.executeUpdate(); true }
+          catch {
+            case _: java.sql.SQLIntegrityConstraintViolationException => false
+          }
+        if (!fresh) conn.rollback()
+        else {
+          val upd = conn.prepareStatement(
+            s"UPDATE $table SET total_cents = total_cents + ? WHERE user_id = ?")
+          val ins = conn.prepareStatement(
+            s"INSERT INTO $table (user_id, total_cents) VALUES (?, ?)")
+          it.foreach { r =>
+            val (k, v) = (r.getLong(0), r.getLong(1))
+            upd.setLong(1, v); upd.setLong(2, k)
+            if (upd.executeUpdate() == 0) {
+              ins.setLong(1, k); ins.setLong(2, v)
+              ins.executeUpdate()
+            }
+          }
+          conn.commit()
+        }
+      } finally conn.close()
+    }
+  }
+
+  /** DDL for [[applyDeltasExactlyOnce]]: the totals table plus the
+    * (batch_id, partition_id)-keyed transaction log. */
+  def createDeltaTables(url: String, table: String, logTable: String): Unit = {
+    Class.forName(driverFor(url))
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(s"CREATE TABLE $table " +
+        "(user_id BIGINT PRIMARY KEY, total_cents BIGINT)")
+      st.executeUpdate(s"CREATE TABLE $logTable " +
+        "(batch_id BIGINT, partition_id INT, " +
+        "PRIMARY KEY (batch_id, partition_id))")
+    } finally conn.close()
+  }
+
   /** S4+S5 as a genuine JDBC round-trip: aggregate events per user, bulk
     * write to the database, read it back over JDBC, and aggregate the
     * stored table — the reference's store-then-query pattern

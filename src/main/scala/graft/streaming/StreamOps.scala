@@ -333,6 +333,44 @@ object StreamOps {
       .orderBy("user_id")
   }
 
+  /** S5d: the DELTA-sink sibling of [[jdbcUpsertReplay]] — no streaming
+    * state at all: each micro-batch folds ITS OWN rows to per-user cent
+    * increments and the DATABASE accumulates, guarded by the
+    * (batch, partition) transaction log
+    * ([[graft.sources.JdbcIO.applyDeltasExactlyOnce]]). Every epoch is
+    * delivered TWICE; the log makes the second delivery a committed
+    * no-op, so the final table equals the batch per-user totals — which
+    * is exactly what the oracle recomputes. Contrast s5c: there the
+    * STATE holds totals and the sink is value-idempotent; here the sink
+    * is incremental and the GUARD carries exactly-once. */
+  def jdbcTxnLogReplay(spark: SparkSession, dir: String,
+                       statePartitions: Option[Int] = None): DataFrame =
+      withShufflePartitions(spark, statePartitions) {
+    val url = graft.sources.JdbcIO.freshUrl()
+    graft.sources.JdbcIO.createDeltaTables(url, "user_cents_d", "epoch_log")
+    val q = eventStream(spark, dir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val deltas = batch
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .groupBy("user_id").agg(sum("cents").as("delta_cents"))
+          .persist()
+        graft.sources.JdbcIO.applyDeltasExactlyOnce(
+          deltas, url, "user_cents_d", "epoch_log", id)
+        // injected at-least-once redelivery of the SAME epoch: the claim
+        // row makes it a no-op — an unguarded delta sink double-counts
+        graft.sources.JdbcIO.applyDeltasExactlyOnce(
+          deltas, url, "user_cents_d", "epoch_log", id)
+        deltas.unpersist(); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.sources.JdbcIO.readTable(spark, url, "user_cents_d")
+      .select(col("user_id").cast("long").as("user_id"),
+              col("total_cents").cast("long").as("total_cents"))
+      .orderBy("user_id")
+  }
+
   /** MemoryStream harness for the fine-grained specs (exact micro-batch
     * boundaries, late-data injection): drive `pipeline` over `data`
     * replayed in `nBatches` micro-batches and return the final result

@@ -74,6 +74,33 @@ class JdbcSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("delta sink: txn-log claim makes redelivery a no-op, distinct epochs accumulate") {
+    val url = JdbcIO.freshUrl()
+    JdbcIO.createDeltaTables(url, "t_cents_d", "t_log")
+    val e0 = Seq((1L, 100L), (2L, 200L)).toDF("user_id", "delta_cents")
+    val e1 = Seq((1L, 5L), (3L, 7L)).toDF("user_id", "delta_cents")
+    JdbcIO.applyDeltasExactlyOnce(e0, url, "t_cents_d", "t_log", batchId = 0L)
+    // redeliver epoch 0 — an unguarded increment sink would double-count
+    JdbcIO.applyDeltasExactlyOnce(e0, url, "t_cents_d", "t_log", batchId = 0L)
+    JdbcIO.applyDeltasExactlyOnce(e1, url, "t_cents_d", "t_log", batchId = 1L)
+    JdbcIO.applyDeltasExactlyOnce(e1, url, "t_cents_d", "t_log", batchId = 1L)
+    val got = JdbcIO.readTable(spark, url, "t_cents_d")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 105L, 2L -> 200L, 3L -> 7L))
+  }
+
+  test("jdbcTxnLogReplay converges to batch per-user cent totals with doubled epochs") {
+    val got = graft.streaming.StreamOps
+      .jdbcTxnLogReplay(spark, sfDir, statePartitions = Some(4))
+      .as[(Long, Long)].collect().toSeq
+    val want = Tables.events(spark, sfDir)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy("user_id").agg(sum("cents").as("total_cents"))
+      .orderBy("user_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got === want)
+  }
+
   test("roundTrip aggregate equals the direct in-memory aggregate") {
     val events = Tables.events(spark, sfDir)
     val viaJdbc = JdbcIO.roundTrip(spark, events)
