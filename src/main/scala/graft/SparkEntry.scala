@@ -1660,7 +1660,13 @@ object SparkEntry {
     "mm_wav_decode" -> ((s, d) =>
       AudioCodec.wavDecode(s,
         AudioCodec.withWavPayload(s, Tables.documents(s, d)))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // REAL video container: MJPEG-in-AVI demux — generic RIFF chunk walk
+    // + real JPEG frame decode; header claims vs decoded frame truth
+    "mm_avi_demux" -> ((s, d) =>
+      VideoCodec.demuxAvi(s,
+        VideoCodec.withAviPayload(s, Tables.documents(s, d)))
+        .orderBy("doc_id", "frame_idx"))
   )
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
@@ -4269,7 +4275,19 @@ object SparkEntry {
                           THEN (t.i * 31 + d.doc_id * 13) % 65536 - 32768
                           ELSE 0 END) AS BIGINT) AS sample_sum
          FROM documents d, generate_series(0, 127) t(i)
-         GROUP BY d.doc_id ORDER BY d.doc_id"""
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
+    // video fixture formulas: n_frames = doc_id%4+2 at the image-tier
+    // geometry; every frame decodes to the container's claimed dims
+    "mm_avi_demux" ->
+      """SELECT d.doc_id, CAST(t.i AS INTEGER) AS frame_idx,
+                CAST(d.doc_id % 13 + 4 AS BIGINT) AS frame_w,
+                CAST(d.doc_id % 11 + 4 AS BIGINT) AS frame_h,
+                CAST(d.doc_id % 4 + 2 AS BIGINT) AS hdr_frames,
+                CAST(d.doc_id % 13 + 4 AS BIGINT) AS hdr_w,
+                CAST(d.doc_id % 11 + 4 AS BIGINT) AS hdr_h
+         FROM documents d, generate_series(0, 4) t(i)
+         WHERE t.i < d.doc_id % 4 + 2
+         ORDER BY d.doc_id, frame_idx"""
   )
 
   // layout/execution variants compute identical results to their base

