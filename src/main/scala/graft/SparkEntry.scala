@@ -1076,6 +1076,30 @@ object SparkEntry {
              sum(col("l_quantity").cast("long")).as("sum_qty"))
         .orderBy("l_returnflag")
     }),
+    // dynamic partition overwrite: restate ONLY the click partition
+    // (values doubled); every other partition must survive untouched
+    "storage_dynamic_overwrite" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value")
+      val restated = ev.filter(col("event_type") === "click")
+        .withColumn("value", col("value") * 2)
+      val dir = Storage.dynamicOverwriteRoundTrip(ev, restated, "event_type")
+      s.read.parquet(dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+             round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    }),
+    // zstd codec round trip: compression is a pure storage knob — the
+    // readback must be bit-identical to the source rows
+    "storage_codec_zstd" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+      val dir = Storage.codecRoundTrip(ev, "zstd")
+      s.read.parquet(dir)
+        .agg(count(lit(1)).as("n_rows"),
+             sum("event_id").cast("long").as("sum_ids"),
+             round(sum("value"), 2).as("sum_value"))
+    }),
     "storage_bucketed_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .groupBy("user_id").agg(round(sum("value"), 2).as("total_value"))
@@ -2982,6 +3006,22 @@ object SparkEntry {
          FROM (SELECT user_id, round(sum(value), 2) AS total_value
                FROM events GROUP BY user_id) t
          JOIN customer c ON t.user_id = c.c_custkey""",
+    // dynamic-overwrite replay: click values doubled, everything else as
+    // written by the base load — partitions outside the restated set
+    // must be byte-for-byte the original data
+    "storage_dynamic_overwrite" ->
+      """WITH t AS (SELECT event_type,
+                           CASE WHEN event_type = 'click' THEN value * 2
+                                ELSE value END AS v
+                    FROM events)
+         SELECT event_type, count(*) AS n_rows,
+                round(sum(v), 2) AS sum_value
+         FROM t GROUP BY event_type ORDER BY event_type""",
+    "storage_codec_zstd" ->
+      """SELECT count(*) AS n_rows,
+                CAST(sum(event_id) AS BIGINT) AS sum_ids,
+                round(sum(value), 2) AS sum_value
+         FROM events""",
     // the Avro write→read trip is value-transparent: the oracle replays
     // the summary straight from the source table (doubles round-trip
     // bit-exactly through Avro)

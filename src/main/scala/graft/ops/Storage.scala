@@ -81,6 +81,58 @@ object Storage {
   def clearCaches(): Unit = {
     partDirs.clear(); evolveDirs.clear()
     compactDirs.clear(); zorderDirs.clear()
+    dynDirs.clear(); codecDirs.clear()
+  }
+
+  private val dynDirs = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, Int, String), String]()
+
+  /** Dynamic partition OVERWRITE — the lakehouse daily-restate pattern:
+    * `INSERT OVERWRITE` in dynamic mode replaces ONLY the partitions the
+    * incoming batch touches; every other partition survives untouched.
+    * (Static mode — the default — would truncate the whole table first:
+    * the restatement footgun this seat exists to demonstrate.) At 100 TB
+    * the write cost is sized by the restated partitions, not the table.
+    * Memoized per (session, plans, column) like its siblings. */
+  def dynamicOverwriteRoundTrip(base: DataFrame, restated: DataFrame,
+                                partCol: String): String = {
+    sweep(dynDirs)
+    val key = (base.sparkSession,
+      base.queryExecution.analyzed.semanticHash() * 31 +
+        restated.queryExecution.analyzed.semanticHash(), partCol)
+    dynDirs.compute(key, { (_, cur) =>
+      if (cur != null && new java.io.File(cur).exists()) cur
+      else {
+        val dir = graft.TmpDirs.create("graft_dynover_").toString
+        base.write.partitionBy(partCol).mode("overwrite").parquet(dir)
+        restated.write.partitionBy(partCol).mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(dir)
+        dir
+      }
+    })
+  }
+
+  private val codecDirs = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, Int, String), String]()
+
+  /** Compression-codec round trip: the same table written under a chosen
+    * parquet codec (zstd here — the modern scan-speed/size tradeoff;
+    * snappy is Spark's default, gzip the legacy archive pick). Codec
+    * choice is a pure storage knob — results must be bit-identical —
+    * which is exactly what the differential grade proves. */
+  def codecRoundTrip(df: DataFrame, codec: String): String = {
+    sweep(codecDirs)
+    codecDirs.compute(
+      (df.sparkSession, df.queryExecution.analyzed.semanticHash(), codec),
+      { (_, cur) =>
+        if (cur != null && new java.io.File(cur).exists()) cur
+        else {
+          val dir = graft.TmpDirs.create("graft_codec_").toString
+          df.write.mode("overwrite").option("compression", codec).parquet(dir)
+          dir
+        }
+      })
   }
 
   def partitionedRoundTrip(df: DataFrame, partCol: String): String = {

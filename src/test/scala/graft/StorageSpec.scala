@@ -6,6 +6,7 @@ import graft.ops.Storage
 /** Storage-layout semantics: bucketed co-located joins plan no shuffle;
   * compaction hits the file-count target. */
 class StorageSpec extends SparkSpec {
+  import spark.implicits._
 
   test("co-bucketed tables join with zero shuffle exchanges") {
     val events = Tables.events(spark, sfDir)
@@ -89,5 +90,29 @@ class StorageSpec extends SparkSpec {
       s"filter must resolve against the partition listing:\n$plan")
     assert(scan.count() ===
       ev.filter(col("event_type") === "click").count())
+  }
+
+  test("dynamic overwrite replaces only the restated partition; static would truncate") {
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "part", "v")
+    val restated = Seq((9L, "b", 20.0)).toDF("id", "part", "v")
+    val dir = Storage.dynamicOverwriteRoundTrip(base, restated, "part")
+    val back = spark.read.parquet(dir)
+      .select("id", "part", "v").as[(Long, String, Double)].collect().toSet
+    // partition b replaced wholesale, a and c byte-identical survivors
+    assert(back === Set((1L, "a", 1.0), (9L, "b", 20.0), (3L, "c", 3.0)))
+  }
+
+  test("zstd round trip is bit-identical and the files carry the codec") {
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
+    val dir = Storage.codecRoundTrip(ev, "zstd")
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.endsWith(".parquet"))
+    assert(files.nonEmpty && files.forall(_.contains(".zstd.")),
+      s"parquet part files must be zstd-coded: ${files.toSeq}")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === ev.count())
+    assert(back.agg(sum("event_id")).head.getLong(0) ===
+      ev.agg(sum("event_id")).head.getLong(0))
   }
 }
