@@ -901,6 +901,10 @@ object SparkEntry {
     // same predicate, so one lost candidate pair flips the row set)
     "j8_fuzzy_match" -> ((s, d) =>
       FuzzyJoin.fuzzyPartMatch(Tables.part(s, d))),
+    // native codegen Jaro-Winkler vs DuckDB's own implementation — the
+    // true-match score must beat the neighbor control on every row
+    "j8b_jaro_winkler_match" -> ((s, d) =>
+      FuzzyJoin.jaroWinklerPartMatch(Tables.part(s, d))),
 
     // ---- decode chain / projections (SURVEY §2.2) ----
     "p1p3_decode_flatten" -> ((s, d) =>
@@ -1926,6 +1930,43 @@ object SparkEntry {
                 CAST(levenshtein(d.dirty_name, c.entity) AS BIGINT) AS dist
          FROM dirty d JOIN clean c
            ON levenshtein(d.dirty_name, c.entity) <= 2""",
+    // same typo fixture, scored by DuckDB's jaro_winkler_similarity —
+    // the engine's native expression implements the identical classic
+    // definition, so the 6-dp scores must agree exactly
+    "j8b_jaro_winkler_match" ->
+      """WITH base AS (
+           SELECT p_partkey, p_name || ' ' || p_brand AS s FROM part),
+         d0 AS (
+           SELECT p_partkey, s, 2 + (p_partkey % (length(s) - 3)) AS pos
+           FROM base WHERE p_partkey % 3 = 0),
+         d1 AS (
+           SELECT p_partkey,
+                  CASE (p_partkey // 3) % 3
+                    WHEN 0 THEN substr(s, 1, pos - 1) || 'z' || substr(s, pos + 1)
+                    WHEN 1 THEN substr(s, 1, pos - 1) || substr(s, pos + 1)
+                    ELSE substr(s, 1, pos) || 'q' || substr(s, pos + 1)
+                  END AS d1
+           FROM d0),
+         dirty AS (
+           SELECT p_partkey AS dirty_id,
+                  CASE WHEN p_partkey % 5 = 0
+                    THEN substr(d1, 1, 1 + ((p_partkey // 7) % (length(d1) - 3)))
+                         || 'x' ||
+                         substr(d1, 3 + ((p_partkey // 7) % (length(d1) - 3)))
+                    ELSE d1 END AS dirty_name
+           FROM d1)
+         SELECT d.dirty_id, d.dirty_name,
+                round(jaro_winkler_similarity(d.dirty_name, b.s), 6)
+                  AS jw_self,
+                round(jaro_winkler_similarity(d.dirty_name, n.s), 6)
+                  AS jw_next,
+                round(jaro_winkler_similarity(d.dirty_name, b.s), 6)
+                  > round(jaro_winkler_similarity(d.dirty_name, n.s), 6)
+                  AS self_wins
+         FROM dirty d
+         JOIN base b ON b.p_partkey = d.dirty_id
+         JOIN base n ON n.p_partkey = d.dirty_id + 3
+         ORDER BY d.dirty_id""",
     "sessionize_users" ->
       """WITH o AS (SELECT user_id, ts,
                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts

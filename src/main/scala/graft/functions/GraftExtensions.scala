@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simHash64Descriptor)
     ext.injectFunction(GraftExtensions.bloomAggDescriptor)
     ext.injectFunction(GraftExtensions.bloomMightContainDescriptor)
+    ext.injectFunction(GraftExtensions.jaroWinklerDescriptor)
     ext.injectOptimizerRule(_ => NativeVectorMathRule)
   }
 }
@@ -56,6 +57,15 @@ object GraftExtensions {
        SimHash64(children.head)
      })
 
+  private[functions] val jaroWinklerDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("jaro_winkler"),
+     new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
+     (children: Seq[Expression]) => {
+       require(children.size == 2, "jaro_winkler(a, b) takes exactly 2 args")
+       JaroWinklerSim(children(0), children(1))
+     })
+
   /** Spark's own BloomFilterAggregate/BloomFilterMightContain, surfaced
     * under graft names: the engine-internal pair InjectRuntimeFilter plans
     * with has no SQL registration, but an explicit Bloom pre-filter (build
@@ -92,7 +102,8 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     Seq(cosineSimDescriptor, hyperplaneSigDescriptor, simHash64Descriptor,
-        bloomAggDescriptor, bloomMightContainDescriptor).foreach {
+        bloomAggDescriptor, bloomMightContainDescriptor,
+        jaroWinklerDescriptor).foreach {
       case (id, info, builder) =>
         if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
     }

