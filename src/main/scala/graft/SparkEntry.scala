@@ -1690,10 +1690,13 @@ object SparkEntry {
         AudioCodec.withWavPayload(s, Tables.documents(s, d)))
         .orderBy("doc_id")),
     // REAL video container: MJPEG-in-AVI demux — generic RIFF chunk walk
-    // + real JPEG frame decode; header claims vs decoded frame truth
+    // + real JPEG frame decode; header claims vs decoded frame truth.
+    // Clips ride every EVEN doc (media is sparse in a real corpus; also
+    // sizes the per-query encode+decode fixture cost to the grade)
     "mm_avi_demux" -> ((s, d) =>
       VideoCodec.demuxAvi(s,
-        VideoCodec.withAviPayload(s, Tables.documents(s, d)))
+        VideoCodec.withAviPayload(s,
+          Tables.documents(s, d).filter(pmod(col("doc_id"), lit(2)) === 0)))
         .orderBy("doc_id", "frame_idx"))
   )
 
@@ -4367,7 +4370,7 @@ object SparkEntry {
                 CAST(d.doc_id % 13 + 4 AS BIGINT) AS hdr_w,
                 CAST(d.doc_id % 11 + 4 AS BIGINT) AS hdr_h
          FROM documents d, generate_series(0, 4) t(i)
-         WHERE t.i < d.doc_id % 4 + 2
+         WHERE t.i < d.doc_id % 4 + 2 AND d.doc_id % 2 = 0
          ORDER BY d.doc_id, frame_idx"""
   )
 

@@ -37,10 +37,10 @@ object DedupOps {
     // The shingle set feeds THREE consumers inside this one query (df cap,
     // the inverted-index join, per-doc sizes), and Spark's shuffle reuse
     // does not kick in across them — so materialize it ONCE with a
-    // query-scoped localCheckpoint (freed when the plan is GC'd, unlike a
-    // session-lifetime cache; spills to executor disk like a shuffle
+    // memoized localCheckpoint shared across the exact-similarity family
+    // (see shinglesCheckpointed; spills to executor disk like a shuffle
     // write, so it scales the same way the join's own shuffle does).
-    val sh = shingles(docs, n).localCheckpoint()
+    val sh = shinglesCheckpointed(docs, n)
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("shingle")
     val shCapped = sh.join(rare, "shingle")
@@ -71,7 +71,7 @@ object DedupOps {
     * cross-engine tie-break (doc_a, doc_b) sees identical keys. */
   def containmentTopPairs(docs: DataFrame, n: Int, k: Int,
                           maxDf: Long = 1000000L): DataFrame = {
-    val sh = shingles(docs, n).localCheckpoint()
+    val sh = shinglesCheckpointed(docs, n)
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("shingle")
     val shCapped = sh.join(rare, "shingle")
@@ -133,10 +133,37 @@ object DedupOps {
     if (m.size > maxEntries) m.clear()
   }
 
-  /** Drop every memoized truth/cluster frame. Verify/Bench call this
-    * after the query loop so the checkpoint blocks don't outlive the
-    * board run. */
-  def clearCaches(): Unit = { truthCache.clear(); clusterCache.clear() }
+  /** Drop every memoized truth/cluster/shingle frame. Verify/Bench call
+    * this after the query loop so the checkpoint blocks don't outlive
+    * the board run. */
+  def clearCaches(): Unit = {
+    truthCache.clear(); clusterCache.clear(); shingleCache.clear()
+  }
+
+  private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, Int, Int), DataFrame]()
+
+  /** The materialized shingle set, memoized per (session, input plan, n):
+    * the split+explode over the full corpus is the common prefix of the
+    * whole exact-similarity family (Jaccard pairs, containment, the
+    * recall truths, the corpus pipeline's near-dup stage), and each of
+    * those already needs it localCheckpoint'd for its own multi-consumer
+    * plan — serving the same checkpoint across the family removes the
+    * recompute without changing any result. Same sweep/bound hygiene as
+    * the truth memo; correctness never depends on a hit. */
+  private def shinglesCheckpointed(docs: DataFrame, n: Int): DataFrame = {
+    sweep(shingleCache)
+    val key =
+      (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(), n)
+    val hit = shingleCache.get(key)
+    if (hit != null) hit
+    else {
+      // compute OUTSIDE the map lock (same discipline as truthCache)
+      val built = shingles(docs, n).localCheckpoint()
+      val prev = shingleCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
 
   /** The exact-Jaccard ≥ `tau` truth pairs, memoized per (session, input
     * plan, n, tau). The truth is the Σ df² inverted-index join — the
