@@ -23,8 +23,10 @@ object PlanAudit {
     "t17_stream_dead_letter", "t17b_dead_letter_skew_triage",
     "t18_stream_sketch_maintain",
     "t19_stream_ohlc_maintain",
+    "t20_stream_left_outer_join", "t21_stream_leaderboard",
+    "t22_stream_merge_delete", "t23_stream_drift_psi",
     "s8_write_then_emit", "s9_file_sink_exactly_once",
-    "s5c_jdbc_upsert_replay", "s4_avro_source",
+    "s5c_jdbc_upsert_replay", "s5d_jdbc_txnlog_replay", "s4_avro_source",
     "vote_e2e_stream_tally", "vote_e2e_live_results", "vote_e2e_reemit",
     // composite: probes the finished CMS on the driver (k-bounded)
     "sketch_cms_heavy")
