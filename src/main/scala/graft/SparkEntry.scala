@@ -1094,6 +1094,17 @@ object SparkEntry {
              round(sum("value"), 2).as("sum_value"))
         .orderBy("event_type")
     }),
+    // globally-sorted export (range partition + within-partition sort:
+    // non-overlapping per-file key ranges, no single-partition sort);
+    // layout-transparent values, graded differentially
+    "storage_sorted_export" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+      val dir = Storage.sortedExportRoundTrip(ev, "event_id", 8)
+      s.read.parquet(dir)
+        .agg(count(lit(1)).as("n_rows"),
+             sum("event_id").cast("long").as("sum_ids"),
+             round(sum("value"), 2).as("sum_value"))
+    }),
     // zstd codec round trip: compression is a pure storage knob — the
     // readback must be bit-identical to the source rows
     "storage_codec_zstd" -> ((s, d) => {
@@ -3062,6 +3073,11 @@ object SparkEntry {
                 round(sum(v), 2) AS sum_value
          FROM t GROUP BY event_type ORDER BY event_type""",
     "storage_codec_zstd" ->
+      """SELECT count(*) AS n_rows,
+                CAST(sum(event_id) AS BIGINT) AS sum_ids,
+                round(sum(value), 2) AS sum_value
+         FROM events""",
+    "storage_sorted_export" ->
       """SELECT count(*) AS n_rows,
                 CAST(sum(event_id) AS BIGINT) AS sum_ids,
                 round(sum(value), 2) AS sum_value

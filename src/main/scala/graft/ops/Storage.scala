@@ -81,7 +81,7 @@ object Storage {
   def clearCaches(): Unit = {
     partDirs.clear(); evolveDirs.clear()
     compactDirs.clear(); zorderDirs.clear()
-    dynDirs.clear(); codecDirs.clear()
+    dynDirs.clear(); codecDirs.clear(); sortedDirs.clear()
   }
 
   private val dynDirs = new java.util.concurrent.ConcurrentHashMap[
@@ -111,6 +111,34 @@ object Storage {
         dir
       }
     })
+  }
+
+  private val sortedDirs = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, Int, String), String]()
+
+  /** Globally-sorted table export: `repartitionByRange` + per-partition
+    * sort gives a layout whose files hold NON-OVERLAPPING key ranges in
+    * file order — the shape range scans and merge readers want — without
+    * a single-partition global sort: the range exchange samples
+    * boundaries and every partition sorts independently (exactly how
+    * `orderBy.write` plans, made explicit and file-count-controlled).
+    * Values are untouched; only layout changes — which the differential
+    * grade proves. */
+  def sortedExportRoundTrip(df: DataFrame, sortCol: String,
+                            nFiles: Int): String = {
+    sweep(sortedDirs)
+    sortedDirs.compute(
+      (df.sparkSession, df.queryExecution.analyzed.semanticHash(), sortCol),
+      { (_, cur) =>
+        if (cur != null && new java.io.File(cur).exists()) cur
+        else {
+          val dir = graft.TmpDirs.create("graft_sorted_").toString
+          df.repartitionByRange(nFiles, col(sortCol))
+            .sortWithinPartitions(sortCol)
+            .write.mode("overwrite").parquet(dir)
+          dir
+        }
+      })
   }
 
   private val codecDirs = new java.util.concurrent.ConcurrentHashMap[

@@ -103,6 +103,23 @@ class StorageSpec extends SparkSpec {
     assert(back === Set((1L, "a", 1.0), (9L, "b", 20.0), (3L, "c", 3.0)))
   }
 
+  test("sorted export: file key ranges are non-overlapping in file order") {
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
+    val dir = Storage.sortedExportRoundTrip(ev, "event_id", 8)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(parts.length > 1, "range partitioning must emit multiple files")
+    val ranges = parts.map { p =>
+      val mm = spark.read.parquet(p)
+        .agg(min("event_id"), max("event_id")).head
+      (mm.getLong(0), mm.getLong(1))
+    }
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi < lo, s"file ranges must be disjoint and ordered: ${ranges.toSeq}")
+    }
+    assert(spark.read.parquet(dir).count() === ev.count())
+  }
+
   test("zstd round trip is bit-identical and the files carry the codec") {
     val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
     val dir = Storage.codecRoundTrip(ev, "zstd")
