@@ -1505,6 +1505,25 @@ object SparkEntry {
       TextOps.boilerplateRemove(
         TextOps.withInjectedBoilerplate(Tables.documents(s, d)),
         blockWords = 8, maxDf = 3)),
+    // unicode NFC canonicalization (native expression over the JDK
+    // normalizer, graded byte-for-byte against DuckDB's nfc_normalize):
+    // composed and decomposed spellings of the same word — injected by
+    // doc parity — collapse to identical bytes, the precondition every
+    // digest/shingle dedup key needs on real web text
+    "text_nfc_dedup" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      val nfc = graft.functions.NfcNormalize
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" "),
+            when(pmod(col("doc_id"), lit(2)) === 0, lit("caf\u00e9"))
+              .otherwise(lit("cafe\u0301"))).as("t"))
+        .select(col("doc_id"),
+          length(col("t")).as("len_raw"),
+          length(nfc(col("t"))).as("len_nfc"),
+          expr("right(nfc_normalize(t), 4)").as("tail_nfc"))
+        .orderBy("doc_id")
+    }),
     // Gopher-style repetition gates: top-bigram share + duplicate-word
     // fraction, with the keep verdict as a composable predicate
     "text_repetition" -> ((s, d) =>
@@ -3555,6 +3574,20 @@ object SparkEntry {
          JOIN sizes sa ON sa.source = src_a
          JOIN sizes sb ON sb.source = src_b
          ORDER BY src_a, src_b""",
+    // DuckDB's own nfc_normalize recomputes the canonicalization over the
+    // same parity-injected suffixes (chr(233) = e-acute composed,
+    // 'e'||chr(769) = decomposed) — outputs must agree byte-for-byte
+    "text_nfc_dedup" ->
+      """WITH u AS (SELECT doc_id,
+                           text || ' caf' ||
+                           CASE WHEN doc_id % 2 = 0 THEN chr(233)
+                                ELSE 'e' || chr(769) END AS t
+                    FROM documents)
+         SELECT doc_id,
+                CAST(length(t) AS INTEGER) AS len_raw,
+                CAST(length(nfc_normalize(t)) AS INTEGER) AS len_nfc,
+                right(nfc_normalize(t), 4) AS tail_nfc
+         FROM u ORDER BY doc_id""",
     "text_boilerplate" ->
       """WITH inj AS (SELECT doc_id, source,
                              CASE WHEN doc_id % 5 = 0

@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bloomAggDescriptor)
     ext.injectFunction(GraftExtensions.bloomMightContainDescriptor)
     ext.injectFunction(GraftExtensions.jaroWinklerDescriptor)
+    ext.injectFunction(GraftExtensions.nfcNormalizeDescriptor)
     ext.injectOptimizerRule(_ => NativeVectorMathRule)
   }
 }
@@ -66,6 +67,15 @@ object GraftExtensions {
        JaroWinklerSim(children(0), children(1))
      })
 
+  private[functions] val nfcNormalizeDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("nfc_normalize"),
+     new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+     (children: Seq[Expression]) => {
+       require(children.size == 1, "nfc_normalize(s) takes exactly 1 arg")
+       NfcNormalize(children.head)
+     })
+
   /** Spark's own BloomFilterAggregate/BloomFilterMightContain, surfaced
     * under graft names: the engine-internal pair InjectRuntimeFilter plans
     * with has no SQL registration, but an explicit Bloom pre-filter (build
@@ -103,7 +113,7 @@ object GraftExtensions {
     val registry = spark.sessionState.functionRegistry
     Seq(cosineSimDescriptor, hyperplaneSigDescriptor, simHash64Descriptor,
         bloomAggDescriptor, bloomMightContainDescriptor,
-        jaroWinklerDescriptor).foreach {
+        jaroWinklerDescriptor, nfcNormalizeDescriptor).foreach {
       case (id, info, builder) =>
         if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
     }

@@ -114,6 +114,22 @@ class FuzzyJoinSpec extends SparkSpec {
       0.9611111111111111)
   }
 
+  test("nfc normalize: composed and decomposed spellings collapse to one key") {
+    graft.functions.GraftExtensions.register(spark)
+    val df = Seq(("caf\u00e9"), ("cafe\u0301"), ("plain")).toDF("w")
+      .selectExpr("w", "nfc_normalize(w) AS n", "length(w) AS lw",
+        "length(nfc_normalize(w)) AS ln")
+    val rows = df.as[(String, String, Int, Int)].collect()
+    val byW = rows.map(r => r._1 -> r).toMap
+    assert(byW("caf\u00e9")._2 === byW("cafe\u0301")._2,
+      "canonically-equal spellings must normalize to identical bytes")
+    assert(byW("cafe\u0301")._3 === 5 && byW("cafe\u0301")._4 === 4,
+      "decomposed 5 codepoints compose to 4")
+    assert(byW("plain")._2 === "plain", "ASCII is a fixed point")
+    // dedup payoff: grouping on the normalized key merges the spellings
+    assert(df.groupBy("n").count().count() === 2L)
+  }
+
   test("jaro-winkler part match: self score beats the neighbor control everywhere") {
     val out = FuzzyJoin.jaroWinklerPartMatch(Tables.part(spark, sfDir))
     val n = out.count()
