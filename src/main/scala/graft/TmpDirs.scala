@@ -18,8 +18,15 @@ import java.nio.file.{Files, Path, Paths}
 object TmpDirs {
   private lazy val root: Path = {
     val shm = Paths.get("/dev/shm")
+    // Guard against environments that mount a token-sized /dev/shm
+    // (Docker defaults to 64 MB): a checkpoint ENOSPC mid-stream is far
+    // worse than ext4 latency, so require real headroom before opting in.
+    val shmUsable =
+      Files.isDirectory(shm) && Files.isWritable(shm) &&
+        (try shm.toFile.getUsableSpace >= 4L * 1024 * 1024 * 1024
+         catch { case _: Throwable => false })
     val base =
-      if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
+      if (shmUsable) shm
       else Paths.get(System.getProperty("java.io.tmpdir"))
     Files.createDirectories(base.resolve("graft_scratch"))
   }
