@@ -905,6 +905,10 @@ object SparkEntry {
     // true-match score must beat the neighbor control on every row
     "j8b_jaro_winkler_match" -> ((s, d) =>
       FuzzyJoin.jaroWinklerPartMatch(Tables.part(s, d))),
+    // unrestricted Damerau-Levenshtein vs plain Levenshtein over a
+    // transposition fixture, both regraded by DuckDB's own functions
+    "j8c_damerau_match" -> ((s, d) =>
+      FuzzyJoin.damerauPartMatch(Tables.part(s, d))),
 
     // ---- decode chain / projections (SURVEY §2.2) ----
     "p1p3_decode_flatten" -> ((s, d) =>
@@ -2000,6 +2004,26 @@ object SparkEntry {
          JOIN base b ON b.p_partkey = d.dirty_id
          JOIN base n ON n.p_partkey = d.dirty_id + 3
          ORDER BY d.dirty_id""",
+    // DuckDB recomputes BOTH distances with its own damerau_levenshtein
+    // and levenshtein over the same swap derivation
+    "j8c_damerau_match" ->
+      """WITH base AS (
+           SELECT p_partkey, p_name || ' ' || p_brand AS s FROM part),
+         d0 AS (
+           SELECT p_partkey, s, 2 + (p_partkey % (length(s) - 3)) AS pos
+           FROM base WHERE p_partkey % 3 = 1),
+         sw AS (
+           SELECT p_partkey AS dirty_id, s,
+                  substr(s, 1, pos - 1) || substr(s, pos + 1, 1) ||
+                  substr(s, pos, 1) || substr(s, pos + 2) AS swapped
+           FROM d0)
+         SELECT dirty_id, swapped,
+                CAST(damerau_levenshtein(swapped, s) AS INTEGER) AS dl_dist,
+                CAST(levenshtein(swapped, s) AS INTEGER) AS lev_dist,
+                (damerau_levenshtein(swapped, s) < levenshtein(swapped, s)
+                 OR damerau_levenshtein(swapped, s) = 0)
+                  AS transposition_detected
+         FROM sw ORDER BY dirty_id""",
     "sessionize_users" ->
       """WITH o AS (SELECT user_id, ts,
                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts

@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bloomMightContainDescriptor)
     ext.injectFunction(GraftExtensions.jaroWinklerDescriptor)
     ext.injectFunction(GraftExtensions.nfcNormalizeDescriptor)
+    ext.injectFunction(GraftExtensions.damerauDescriptor)
     ext.injectOptimizerRule(_ => NativeVectorMathRule)
   }
 }
@@ -76,6 +77,17 @@ object GraftExtensions {
        NfcNormalize(children.head)
      })
 
+  private[functions] val damerauDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("damerau_levenshtein"),
+     new ExpressionInfo(classOf[DamerauLevenshteinDist].getName,
+       "damerau_levenshtein"),
+     (children: Seq[Expression]) => {
+       require(children.size == 2,
+         "damerau_levenshtein(a, b) takes exactly 2 args")
+       DamerauLevenshteinDist(children(0), children(1))
+     })
+
   /** Spark's own BloomFilterAggregate/BloomFilterMightContain, surfaced
     * under graft names: the engine-internal pair InjectRuntimeFilter plans
     * with has no SQL registration, but an explicit Bloom pre-filter (build
@@ -113,7 +125,8 @@ object GraftExtensions {
     val registry = spark.sessionState.functionRegistry
     Seq(cosineSimDescriptor, hyperplaneSigDescriptor, simHash64Descriptor,
         bloomAggDescriptor, bloomMightContainDescriptor,
-        jaroWinklerDescriptor, nfcNormalizeDescriptor).foreach {
+        jaroWinklerDescriptor, nfcNormalizeDescriptor,
+        damerauDescriptor).foreach {
       case (id, info, builder) =>
         if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
     }

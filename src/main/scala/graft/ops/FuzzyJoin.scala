@@ -169,6 +169,32 @@ object FuzzyJoin {
              ELSE d1 END"""))
       .select(col("p_partkey").as("dirty_id"), col("dirty_name"))
 
+  /** Damerau-Levenshtein vs plain Levenshtein over a TRANSPOSITION
+    * fixture — the typo class the two metrics disagree on: adjacent
+    * chars at a key-derived position are swapped, so DL counts 1 where
+    * Levenshtein counts 2 (or both 0 when the swapped pair was equal).
+    * Both distances come from native codegen expressions (ours + the
+    * builtin) and DuckDB recomputes both with ITS OWN implementations —
+    * a cross-engine differential of the unrestricted DL definition.
+    * Scale: pure per-row expressions after one key equi-join. */
+  def damerauPartMatch(part: DataFrame): DataFrame = {
+    graft.functions.GraftExtensions.register(part.sparkSession)
+    val base = withEntity(part)
+    base
+      .filter(col("p_partkey") % 3 === 1)
+      .withColumn("pos", expr("2 + (p_partkey % (length(s) - 3))"))
+      .withColumn("swapped", expr(
+        """concat(substring(s, 1, pos - 1), substring(s, pos + 1, 1),
+                  substring(s, pos, 1), substring(s, pos + 2))"""))
+      .select(col("p_partkey").as("dirty_id"), col("swapped"),
+        graft.functions.DamerauLevenshtein(col("swapped"), col("s"))
+          .as("dl_dist"),
+        levenshtein(col("swapped"), col("s")).cast("int").as("lev_dist"))
+      .withColumn("transposition_detected",
+        col("dl_dist") < col("lev_dist") || col("dl_dist") === 0)
+      .orderBy("dirty_id")
+  }
+
   /** Jaro-Winkler scoring over the same typo fixture, by the NATIVE
     * codegen expression ([[graft.functions.JaroWinklerSim]]). Each dirty
     * string scores against its own clean source (high) and against the

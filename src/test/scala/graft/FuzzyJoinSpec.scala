@@ -130,6 +130,31 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(df.groupBy("n").count().count() === 2L)
   }
 
+  test("damerau-levenshtein: unrestricted definition, transposition = 1") {
+    graft.functions.GraftExtensions.register(spark)
+    import graft.functions.DamerauLevenshtein.distance
+    // the OSA-discriminating case: unrestricted DL allows edits between
+    // the transposed pair ("ca" -> "ac" -> "abc"), OSA would say 3
+    assert(distance("ca", "abc") === 2)
+    assert(distance("ab", "ba") === 1, "adjacent swap is ONE edit")
+    assert(distance("kitten", "sitting") === 3)
+    assert(distance("", "xyz") === 3 && distance("xyz", "") === 3)
+    assert(distance("same", "same") === 0)
+    // expression path through the registry agrees with the routine
+    val viaSql = Seq(("ca", "abc")).toDF("a", "b")
+      .selectExpr("damerau_levenshtein(a, b)").as[Int].head()
+    assert(viaSql === 2)
+  }
+
+  test("damerau part match: swap counted once by DL, twice by levenshtein") {
+    val out = FuzzyJoin.damerauPartMatch(Tables.part(spark, sfDir))
+    assert(out.count() > 0)
+    assert(out.filter(!col("transposition_detected")).count() === 0L)
+    // non-degenerate: some swaps exchange unequal chars (dl=1, lev=2)
+    assert(out.filter(col("dl_dist") === 1 && col("lev_dist") === 2)
+      .count() > 0L)
+  }
+
   test("jaro-winkler part match: self score beats the neighbor control everywhere") {
     val out = FuzzyJoin.jaroWinklerPartMatch(Tables.part(spark, sfDir))
     val n = out.count()
