@@ -51,6 +51,21 @@ object Bench {
       // run here pins that one-time cost outside the timed region.
       graft.pipeline.VotePipeline.partyTally(spark, 64).count()
       graft.pipeline.VotePipeline.turnoutByState(spark, 64).count()
+      // real-codec families: ImageIO/javax.sound static init + the
+      // mapPartitions codegen sets; one-doc payloads keep it millisecond
+      val doc1 = Tables.documents(spark, sfDir).limit(1)
+      graft.ext.ImageCodec.decodeBrightness(spark,
+        graft.ext.ImageCodec.withImagePayload(spark, doc1, "png")).count()
+      graft.ext.AudioCodec.wavDecode(spark,
+        graft.ext.AudioCodec.withWavPayload(spark, doc1)).count()
+      graft.ext.VideoCodec.demuxAvi(spark,
+        graft.ext.VideoCodec.withAviPayload(spark, doc1)).count()
+      // native string-metric expressions (registry + codegen compile)
+      graft.functions.GraftExtensions.register(spark)
+      spark.range(1).selectExpr(
+        "jaro_winkler('martha', 'marhta')",
+        "nfc_normalize('cafe')",
+        "damerau_levenshtein('ab', 'ba')").count()
     } catch { case _: Throwable => () }
     // Optional comma-separated name-prefix filter for local profiling runs
     // (unset in the driver's invocation → full surface, contract unchanged).
