@@ -155,6 +155,27 @@ class FuzzyJoinSpec extends SparkSpec {
       .count() > 0L)
   }
 
+  test("string-metric natives: codegen and interpreted paths agree") {
+    graft.functions.GraftExtensions.register(spark)
+    val df = Seq(("dixon", "dicksonx"), ("ca", "abc"), ("caf\u00e9", "cafe\u0301"))
+      .toDF("a", "b")
+    def run(): Seq[(Double, Int, Boolean)] =
+      df.selectExpr("jaro_winkler(a, b)", "damerau_levenshtein(a, b)",
+          "nfc_normalize(a) = nfc_normalize(b)")
+        .as[(Double, Int, Boolean)].collect().toSeq
+    val viaCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val viaInterp =
+      try run()
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    assert(viaCodegen === viaInterp)
+    assert(viaCodegen(2)._3, "NFC collapses the unicode spellings")
+  }
+
   test("jaro-winkler part match: self score beats the neighbor control everywhere") {
     val out = FuzzyJoin.jaroWinklerPartMatch(Tables.part(spark, sfDir))
     val n = out.count()
