@@ -1334,6 +1334,10 @@ object SparkEntry {
       StreamOps.streamingSessionCounts(s, d, statePartitions = Some(8))),
     // streaming corpus curation: the language+quality scan gates applied
     // to a document stream, per-lang survivor counts in complete mode
+    // t24: stateful streaming dedup keyed on the native nfc_normalize —
+    // two byte-different spellings per doc collapse to one state entry
+    "t24_stream_nfc_dedup" -> ((s, d) =>
+      StreamOps.streamingNfcDedup(s, d, statePartitions = Some(8))),
     "t12_stream_quality_gate" -> ((s, d) =>
       StreamOps.streamingQualityGate(s, d, statePartitions = Some(4))),
     // streaming funnel: the batch funnel_stages semantics as a keyed
@@ -4311,6 +4315,11 @@ object SparkEntry {
                      ELSE 'test' END AS split
          FROM kc WHERE doc_id NOT IN (SELECT doc_id FROM losers)""",
     // batch replay of the stream's gates — identical predicate arithmetic
+    // conservation: NFC-keyed dedup collapses both injected spellings of
+    // every doc, so per-lang survivors = per-lang document counts
+    "t24_stream_nfc_dedup" ->
+      """SELECT lang, count(*) AS n_unique
+         FROM documents GROUP BY lang ORDER BY lang""",
     "t12_stream_quality_gate" ->
       """WITH t AS (SELECT lang, string_split(text, ' ') AS w FROM documents)
          SELECT lang, count(*) AS n_kept FROM t

@@ -1056,6 +1056,34 @@ object StreamOps {
       .parquet(topic)
   }
 
+  /** T24: stateful streaming dedup keyed on a NATIVE expression — unicode
+    * canonicalization meets streaming state. Every document arrives as
+    * TWO wire variants (composed and decomposed spellings of an appended
+    * token — byte-different, canonically equal), and `dropDuplicates` on
+    * the `nfc_normalize`d text collapses each pair in state; per-lang
+    * survivor counts equal the distinct-document counts, which is the
+    * conservation the oracle replays (an engine skipping normalization
+    * doubles every count). State is one entry per distinct normalized
+    * doc — the dedup key the 100 TB ingest gate would carry. */
+  def streamingNfcDedup(spark: SparkSession, dir: String,
+                        statePartitions: Option[Int] = None): DataFrame =
+      withShufflePartitions(spark, statePartitions) {
+    graft.functions.GraftExtensions.register(spark)
+    val table = freshName("graft_t24")
+    val q = docStream(spark, dir)
+      .withColumn("variant",
+        explode(array(lit("caf\u00e9"), lit("cafe\u0301"))))
+      .withColumn("norm_text",
+        graft.functions.NfcNormalize(
+          concat(col("text"), lit(" "), col("variant"))))
+      .dropDuplicates("norm_text")
+      .groupBy("lang").agg(count(lit(1)).as("n_unique"))
+      .writeStream.format("memory").queryName(table)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(table).orderBy("lang")
+  }
+
   def streamingQualityGate(spark: SparkSession, dir: String,
                            statePartitions: Option[Int] = None): DataFrame =
       withShufflePartitions(spark, statePartitions) {

@@ -473,4 +473,17 @@ class StreamingSpec extends SparkSpec {
     assert(stream === batch)
     assert(stream.nonEmpty)
   }
+
+  test("t24: nfc-keyed streaming dedup collapses both spellings per doc") {
+    import spark.implicits._
+    val out = StreamOps.streamingNfcDedup(spark, sfDir, Some(4))
+      .as[(String, Long)].collect().toMap
+    val want = Tables.documents(spark, sfDir).groupBy("lang")
+      .agg(count(lit(1))).as[(String, Long)].collect().toMap
+    // each doc arrives as TWO byte-different variants; NFC-keyed state
+    // keeps exactly one — survivor counts equal distinct-doc counts
+    assert(out === want)
+    assert(out.values.sum ===
+      Tables.documents(spark, sfDir).count())
+  }
 }
