@@ -4316,9 +4316,10 @@ object SparkEntry {
          FROM kc WHERE doc_id NOT IN (SELECT doc_id FROM losers)""",
     // batch replay of the stream's gates — identical predicate arithmetic
     // conservation: NFC-keyed dedup collapses both injected spellings of
-    // every doc, so per-lang survivors = per-lang document counts
+    // every doc AND the corpus's planted exact-dup texts, so per-lang
+    // survivors = per-lang DISTINCT-text counts
     "t24_stream_nfc_dedup" ->
-      """SELECT lang, count(*) AS n_unique
+      """SELECT lang, count(DISTINCT text) AS n_unique
          FROM documents GROUP BY lang ORDER BY lang""",
     "t12_stream_quality_gate" ->
       """WITH t AS (SELECT lang, string_split(text, ' ') AS w FROM documents)

@@ -1060,11 +1060,13 @@ object StreamOps {
     * canonicalization meets streaming state. Every document arrives as
     * TWO wire variants (composed and decomposed spellings of an appended
     * token — byte-different, canonically equal), and `dropDuplicates` on
-    * the `nfc_normalize`d text collapses each pair in state; per-lang
-    * survivor counts equal the distinct-document counts, which is the
-    * conservation the oracle replays (an engine skipping normalization
-    * doubles every count). State is one entry per distinct normalized
-    * doc — the dedup key the 100 TB ingest gate would carry. */
+    * the (lang, `nfc_normalize`d text) key collapses each pair in state —
+    * and collapses the corpus's PLANTED exact-duplicate texts with them —
+    * so per-lang survivors equal the per-lang DISTINCT-text counts the
+    * oracle replays (an engine skipping normalization doubles every
+    * count). Lang rides the key so a text shared across langs keeps one
+    * deterministic survivor per lang. State is one entry per distinct
+    * normalized doc — the dedup key the 100 TB ingest gate would carry. */
   def streamingNfcDedup(spark: SparkSession, dir: String,
                         statePartitions: Option[Int] = None): DataFrame =
       withShufflePartitions(spark, statePartitions) {
@@ -1076,7 +1078,7 @@ object StreamOps {
       .withColumn("norm_text",
         graft.functions.NfcNormalize(
           concat(col("text"), lit(" "), col("variant"))))
-      .dropDuplicates("norm_text")
+      .dropDuplicates("lang", "norm_text")
       .groupBy("lang").agg(count(lit(1)).as("n_unique"))
       .writeStream.format("memory").queryName(table)
       .outputMode("complete").start()

@@ -479,11 +479,10 @@ class StreamingSpec extends SparkSpec {
     val out = StreamOps.streamingNfcDedup(spark, sfDir, Some(4))
       .as[(String, Long)].collect().toMap
     val want = Tables.documents(spark, sfDir).groupBy("lang")
-      .agg(count(lit(1))).as[(String, Long)].collect().toMap
+      .agg(countDistinct("text")).as[(String, Long)].collect().toMap
     // each doc arrives as TWO byte-different variants; NFC-keyed state
-    // keeps exactly one — survivor counts equal distinct-doc counts
+    // keeps exactly one — survivors equal per-lang distinct-text counts
+    // (planted exact-dup texts collapse too)
     assert(out === want)
-    assert(out.values.sum ===
-      Tables.documents(spark, sfDir).count())
   }
 }
