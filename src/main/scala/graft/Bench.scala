@@ -94,6 +94,11 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}"""
     println(line)
     println(shortLine)
+    // Belt-and-braces for the driver parse: stderr is a second raw channel
+    // (build.sbt's StdoutOutput un-prefixes both, but if a future sbt change
+    // re-wraps stdout the stderr copy still lands clean in the tail).
+    System.err.println(shortLine)
+    System.out.flush(); System.err.flush()
     // File contract unchanged: exactly one JSON document (the full line),
     // so a whole-file json parse keeps working.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line)

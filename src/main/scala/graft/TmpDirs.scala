@@ -33,12 +33,23 @@ object TmpDirs {
 
   def create(prefix: String): Path = Files.createTempDirectory(root, prefix)
 
-  /** Point the whole JVM's scratch (`java.io.tmpdir` — which Spark's
-    * `spark.local.dir` default, block-manager dirs, and temporary
-    * streaming checkpoints all follow) at the RAM-backed root. Call
-    * FIRST in a forked main, before any Spark or NIO temp usage; a
-    * no-op when `/dev/shm` is unavailable. */
+  /** The on-disk tmpdir as it was at class-load, BEFORE install()
+    * repoints `java.io.tmpdir` — shuffle spill must stay here. */
+  private val diskTmp: String = System.getProperty("java.io.tmpdir", "/tmp")
+
+  /** Point the JVM's scratch (`java.io.tmpdir`) at the RAM-backed root
+    * for graft's own KB–MB temp files, while PINNING `spark.local.dir`
+    * to the original on-disk tmp: Spark's local dirs hold shuffle spill
+    * and block-manager files — table-scale data that must not compete
+    * with executor memory in tmpfs or hit a /dev/shm ENOSPC mid-query.
+    * (SparkConf loads `spark.*` system properties, so setting the
+    * property before SparkSession creation pins every session in this
+    * JVM.) Call FIRST in a forked main, before any Spark or NIO temp
+    * usage; a no-op when `/dev/shm` is unavailable. */
   def install(): Unit =
-    if (root.startsWith("/dev/shm"))
+    if (root.startsWith("/dev/shm")) {
       System.setProperty("java.io.tmpdir", root.toString)
+      if (System.getProperty("spark.local.dir") == null)
+        System.setProperty("spark.local.dir", diskTmp)
+    }
 }
