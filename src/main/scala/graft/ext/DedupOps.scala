@@ -19,6 +19,21 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** Project a shingle/window string column down to its shuffle-safe
+    * fingerprint pair `(<col>_h, <col>_l)` = (xxhash64, length). Every
+    * consumer that only needs the string as an OPAQUE group/join key
+    * shuffles these 12 bytes instead of the ~80-100-byte raw n-gram —
+    * at 100 TB that is the difference between a window-mass shuffle and
+    * a key shuffle ~10× smaller. The length rider pushes the collision
+    * odds of a bare 64-bit hash far below the ~10^12-key scale where
+    * they would start to matter (two strings must collide in BOTH hash
+    * and length). Results remain defined by string content — the
+    * differential oracle computes on the strings themselves. */
+  private def fingerprinted(df: DataFrame, strCol: String): DataFrame = df
+    .withColumn(strCol + "_h", xxhash64(col(strCol)))
+    .withColumn(strCol + "_l", length(col(strCol)))
+    .drop(strCol)
+
   /** Distinct word-n-gram shingles per doc: (doc_id, shingle). */
   def shingles(docs: DataFrame, n: Int): DataFrame =
     docs
@@ -41,14 +56,15 @@ object DedupOps {
     // (see shinglesCheckpointed; spills to executor disk like a shuffle
     // write, so it scales the same way the join's own shuffle does).
     val sh = shinglesCheckpointed(docs, n)
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("shingle")
-    val shCapped = sh.join(rare, "shingle")
+    val shKey = Seq("shingle_h", "shingle_l")
+    val rare = sh.groupBy(shKey.map(col): _*).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(shKey.map(col): _*)
+    val shCapped = sh.join(rare, shKey)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
 
-    val a = shCapped.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = shCapped.select(col("doc_id").as("doc_b"), col("shingle"))
-    val common = a.join(b, "shingle")
+    val a = shCapped.select((col("doc_id").as("doc_a") +: shKey.map(col)): _*)
+    val b = shCapped.select((col("doc_id").as("doc_b") +: shKey.map(col)): _*)
+    val common = a.join(b, shKey)
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
 
@@ -72,14 +88,15 @@ object DedupOps {
   def containmentTopPairs(docs: DataFrame, n: Int, k: Int,
                           maxDf: Long = 1000000L): DataFrame = {
     val sh = shinglesCheckpointed(docs, n)
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("shingle")
-    val shCapped = sh.join(rare, "shingle")
+    val shKey = Seq("shingle_h", "shingle_l")
+    val rare = sh.groupBy(shKey.map(col): _*).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(shKey.map(col): _*)
+    val shCapped = sh.join(rare, shKey)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
 
-    val a = shCapped.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = shCapped.select(col("doc_id").as("doc_b"), col("shingle"))
-    a.join(b, "shingle")
+    val a = shCapped.select((col("doc_id").as("doc_a") +: shKey.map(col)): _*)
+    val b = shCapped.select((col("doc_id").as("doc_b") +: shKey.map(col)): _*)
+    a.join(b, shKey)
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
@@ -150,7 +167,13 @@ object DedupOps {
     * those already needs it localCheckpoint'd for its own multi-consumer
     * plan — serving the same checkpoint across the family removes the
     * recompute without changing any result. Same sweep/bound hygiene as
-    * the truth memo; correctness never depends on a hit. */
+    * the truth memo; correctness never depends on a hit.
+    *
+    * Stores `(doc_id, shingle_h, shingle_l)` — the [[fingerprinted]]
+    * key pair, never the raw n-gram string: both consumers
+    * ([[ngramJaccardPairs]], [[containmentTopPairs]]) only ever
+    * group/join on the shingle, so the checkpoint AND every downstream
+    * shuffle carry 12-byte keys instead of ~80-byte strings. */
   private def shinglesCheckpointed(docs: DataFrame, n: Int): DataFrame = {
     sweep(shingleCache)
     val key =
@@ -159,7 +182,7 @@ object DedupOps {
     if (hit != null) hit
     else {
       // compute OUTSIDE the map lock (same discipline as truthCache)
-      val built = shingles(docs, n).localCheckpoint()
+      val built = fingerprinted(shingles(docs, n), "shingle").localCheckpoint()
       val prev = shingleCache.putIfAbsent(key, built)
       if (prev != null) prev else built
     }
@@ -337,18 +360,23 @@ object DedupOps {
     * seat for a Bloom/CountMin sketch at 100 TB (exact counts here).
     * Windows are position-multiset (NOT distinct per doc): the fraction
     * measures duplicated SPAN MASS, so a window repeated inside one doc
-    * weighs each occurrence. */
+    * weighs each occurrence. The raw 13-token window string (~80-100
+    * bytes) is [[fingerprinted]] map-side BEFORE the frequency groupBy
+    * and the rejoin — both shuffles carry the 12-byte key pair, ~10×
+    * narrower at corpus scale, with identical results absent a
+    * (hash, length) double collision. */
   def substringDupSpans(docs: DataFrame, w: Int = 13): DataFrame = {
-    val wins = docs
+    val wins = fingerprinted(docs
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= w)
       .select(col("doc_id"),
         explode(expr(
           s"transform(sequence(0, size(words) - $w), i -> concat_ws(' ', slice(words, i + 1, $w)))"))
-          .as("win"))
-    val dfd = wins.groupBy("win")
+          .as("win")), "win")
+    val winKey = Seq("win_h", "win_l")
+    val dfd = wins.groupBy(winKey.map(col): _*)
       .agg(countDistinct("doc_id").as("n_docs"))
-    wins.join(dfd, "win")
+    wins.join(dfd, winKey)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
            sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
@@ -453,12 +481,15 @@ object DedupOps {
   private def incrementalTriage(increment: DataFrame, corpus: DataFrame,
                                 n: Int, tau: Double,
                                 exactDup: DataFrame): DataFrame = {
-    val shInc = shingles(increment, n)
-    val shCorp = shingles(corpus, n)
+    // Cross-set join on the 12-byte fingerprint pair, not the raw shingle
+    // string — the increment×corpus shuffle is the wide edge here.
+    val shInc = fingerprinted(shingles(increment, n), "shingle")
+    val shCorp = fingerprinted(shingles(corpus, n), "shingle")
+    val shKey = Seq("shingle_h", "shingle_l")
     val szInc = shInc.groupBy("doc_id").agg(count(lit(1)).as("n_a"))
     val szCorp = shCorp.groupBy("doc_id").agg(count(lit(1)).as("n_b"))
-    val nearDup = shInc.select(col("doc_id").as("inc_id"), col("shingle"))
-      .join(shCorp.select(col("doc_id").as("corp_id"), col("shingle")), "shingle")
+    val nearDup = shInc.select((col("doc_id").as("inc_id") +: shKey.map(col)): _*)
+      .join(shCorp.select((col("doc_id").as("corp_id") +: shKey.map(col)): _*), shKey)
       .groupBy("inc_id", "corp_id").agg(count(lit(1)).as("n_common"))
       .join(szInc.select(col("doc_id").as("inc_id"), col("n_a")), "inc_id")
       .join(szCorp.select(col("doc_id").as("corp_id"), col("n_b")), "corp_id")
@@ -485,11 +516,14 @@ object DedupOps {
   def jaccardForPairs(docs: DataFrame, pairs: DataFrame, n: Int): DataFrame = {
     val ids = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val sh = shingles(docs.join(broadcast(ids), Seq("doc_id"), "left_semi"), n)
+    val sh = fingerprinted(
+      shingles(docs.join(broadcast(ids), Seq("doc_id"), "left_semi"), n),
+      "shingle")
+    val shKey = Seq("shingle_h", "shingle_l")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val common = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
-            Seq("shingle"))
+    val common = sh.select((col("doc_id").as("doc_a") +: shKey.map(col)): _*)
+      .join(sh.select((col("doc_id").as("doc_b") +: shKey.map(col)): _*),
+            shKey)
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
     val j = common

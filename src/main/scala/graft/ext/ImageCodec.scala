@@ -84,6 +84,11 @@ object ImageCodec {
       var w = -1L; var h = -1L
       while (w < 0 && pos + 8 < b.length) {
         if ((b(pos) & 0xff) != 0xff) pos += 1
+        // JPEG allows runs of 0xFF fill bytes before a marker: only the
+        // LAST 0xFF of a run precedes the marker byte. Treating an inner
+        // 0xFF-0xFF pair as a lengthed segment would misread the length
+        // and derail the scan on writers that pad.
+        else if ((b(pos + 1) & 0xff) == 0xff) pos += 1
         else {
           val marker = b(pos + 1) & 0xff
           if (marker >= 0xc0 && marker <= 0xc3) {

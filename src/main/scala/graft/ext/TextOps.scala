@@ -328,6 +328,11 @@ object TextOps {
     * fan out quadratically. Output is |sources|² at most, driver-safe. */
   def crossSourceOverlap(docs: DataFrame, n: Int,
                          maxDf: Long = 1000000L): DataFrame = {
+    // Shingle strings are fingerprinted (xxhash64 + length — 12-byte key
+    // pair) MAP-SIDE, before the distinct: the distinct, the df cap, and
+    // the pair join are all shuffles, and none of them needs the string
+    // back. Results stay defined by shingle content (the oracle computes
+    // on strings); a collision needs both hash and length to coincide.
     val sh = docs
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= n)
@@ -335,16 +340,19 @@ object TextOps {
         explode(array_distinct(expr(
           s"transform(sequence(0, size(words) - $n), i -> concat_ws(' ', slice(words, i + 1, $n)))")))
           .as("shingle"))
+      .select(col("source"), xxhash64(col("shingle")).as("sh_h"),
+        length(col("shingle")).as("sh_l"))
       .distinct()
       .localCheckpoint()
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("shingle")
-    val shCapped = sh.join(rare, "shingle")
+    val shKey = Seq("sh_h", "sh_l")
+    val rare = sh.groupBy(shKey.map(col): _*).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(shKey.map(col): _*)
+    val shCapped = sh.join(rare, shKey)
     val sizes = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
 
-    val a = shCapped.select(col("source").as("src_a"), col("shingle"))
-    val b = shCapped.select(col("source").as("src_b"), col("shingle"))
-    a.join(b, "shingle")
+    val a = shCapped.select((col("source").as("src_a") +: shKey.map(col)): _*)
+    val b = shCapped.select((col("source").as("src_b") +: shKey.map(col)): _*)
+    a.join(b, shKey)
       .filter(col("src_a") < col("src_b"))
       .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
       .join(sizes.select(col("source").as("src_a"), col("n_sh").as("n_a")), "src_a")
@@ -371,13 +379,12 @@ object TextOps {
     * back, so the drop is a LEFT ANTI join that AQE converts to a
     * broadcast at runtime. The rebuild's doc_id shuffle is the single
     * text-carrying exchange, and it moves exactly the kept corpus once —
-    * never a doc×doc comparison anywhere. A 64-bit fingerprint collision
-    * inside one source could drop an innocent block; at 100 TB
-    * (~10^12 blocks) the expected per-source collision count stays
-    * harmless for a cleaning pass and the fingerprint is an internal
-    * detail — results are defined by block content. Output is integers +
-    * reassembled text — the cross-engine compare is exact, no float
-    * anywhere. */
+    * never a doc×doc comparison anywhere. The df key is the
+    * (xxhash64, length) PAIR, so dropping an innocent block takes a
+    * double collision — far below concern even at the ~10^12-block
+    * scale — while the shuffle key stays 12 bytes; results are defined
+    * by block content. Output is integers + reassembled text — the
+    * cross-engine compare is exact, no float anywhere. */
   def boilerplateRemove(docs: DataFrame, blockWords: Int = 8,
                         maxDf: Long = 3): DataFrame = {
     val blocks = docs
@@ -388,12 +395,13 @@ object TextOps {
       .select(col("doc_id"), col("source"), size(col("blk")).as("n_blocks"),
         posexplode(col("blk")).as(Seq("pos", "block")))
       .withColumn("bh", xxhash64(col("block")))
+      .withColumn("bl", length(col("block")))
     val boiler = blocks
-      .groupBy("source", "bh")
+      .groupBy("source", "bh", "bl")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") > maxDf)
-      .select("source", "bh")
-    blocks.join(boiler, Seq("source", "bh"), "left_anti")
+      .select("source", "bh", "bl")
+    blocks.join(boiler, Seq("source", "bh", "bl"), "left_anti")
       .groupBy("doc_id")
       .agg(first("n_blocks").as("n_blocks"),
            count(lit(1)).as("n_kept"),

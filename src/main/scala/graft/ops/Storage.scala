@@ -114,7 +114,7 @@ object Storage {
   }
 
   private val sortedDirs = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, Int, String), String]()
+    (SparkSession, Int, String, Int), String]()
 
   /** Globally-sorted table export: `repartitionByRange` + per-partition
     * sort gives a layout whose files hold NON-OVERLAPPING key ranges in
@@ -127,8 +127,11 @@ object Storage {
   def sortedExportRoundTrip(df: DataFrame, sortCol: String,
                             nFiles: Int): String = {
     sweep(sortedDirs)
+    // nFiles is part of the key: a second call with a different file
+    // count must not be served the first call's layout.
     sortedDirs.compute(
-      (df.sparkSession, df.queryExecution.analyzed.semanticHash(), sortCol),
+      (df.sparkSession, df.queryExecution.analyzed.semanticHash(), sortCol,
+        nFiles),
       { (_, cur) =>
         if (cur != null && new java.io.File(cur).exists()) cur
         else {

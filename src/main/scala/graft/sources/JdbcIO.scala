@@ -170,6 +170,10 @@ object JdbcIO {
       col("delta_cents").cast("long"))
     val driver = driverFor(url)
     rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      // An empty partition has nothing to apply — don't claim an epoch
+      // slot for it (harmless, but the log would grow one dead row per
+      // empty partition per epoch).
+      if (it.hasNext) {
       val pid = org.apache.spark.TaskContext.getPartitionId()
       Class.forName(driver)
       val conn = java.sql.DriverManager.getConnection(url)
@@ -178,10 +182,20 @@ object JdbcIO {
         val claim = conn.prepareStatement(
           s"INSERT INTO $logTable (batch_id, partition_id) VALUES (?, ?)")
         claim.setLong(1, batchId); claim.setInt(2, pid)
+        // Duplicate-claim probe: Derby raises the dedicated
+        // SQLIntegrityConstraintViolationException subclass, but many
+        // drivers (PostgreSQL's PSQLException among them) report a PK
+        // violation as a plain SQLException with SQLState class '23'
+        // (integrity constraint violation) — match both so the
+        // documented Postgres port skips the redelivery instead of
+        // failing the batch.
         val fresh =
           try { claim.executeUpdate(); true }
           catch {
             case _: java.sql.SQLIntegrityConstraintViolationException => false
+            case e: java.sql.SQLException
+                if e.getSQLState != null && e.getSQLState.startsWith("23") =>
+              false
           }
         if (!fresh) conn.rollback()
         else {
@@ -200,6 +214,7 @@ object JdbcIO {
           conn.commit()
         }
       } finally conn.close()
+      }
     }
   }
 

@@ -42,6 +42,28 @@ class ImageCodecSpec extends SparkSpec {
     }
   }
 
+  test("jpeg SOF scan skips legal 0xFF fill bytes before markers") {
+    // JPEG permits runs of 0xFF padding between segments: only the last
+    // 0xFF of a run precedes the marker byte. Inject a fill run after
+    // SOI — a parser that treats FF FF as a lengthed segment misreads
+    // the length and derails.
+    import spark.implicits._
+    val media = ImageCodec.withImagePayload(spark, ids, "jpg")
+      .as[ImageCodec.MediaRow].map { m =>
+        val b = m.media_bytes
+        val padded = Array[Byte](b(0), b(1), 0xff.toByte, 0xff.toByte) ++
+          b.drop(2)
+        ImageCodec.MediaRow(m.doc_id, padded)
+      }.toDF()
+    val out = ImageCodec.jpegDims(spark, media)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.nonEmpty)
+    out.foreach { case (id, w, h) =>
+      assert(w === ImageCodec.widthOf(id) && h === ImageCodec.heightOf(id),
+        s"doc $id under fill-byte padding")
+    }
+  }
+
   test("png decode round-trips the pattern pixels bit-for-bit") {
     val media = ImageCodec.withImagePayload(spark, ids, "png")
     val out = ImageCodec.decodeBrightness(spark, media)
