@@ -83,6 +83,13 @@ object StreamOps {
     (root, topic)
   }
 
+  /** The probed physical `ts` type per fixture dir — the footer read costs
+    * a listing + schema job per call, and every streaming query starts by
+    * building this source, so memoize it (the fixture file is immutable
+    * for the life of the process). */
+  private val tsDecls =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // see Tables.events: NTZ-as-LTZ keeps ts filters pushable to parquet
@@ -90,8 +97,9 @@ object StreamOps {
     // File sources need a declared schema; probe the static fixture once
     // (footer-only read) so the declaration matches the file's physical
     // ts type, then normalize in-plan exactly like the batch reader.
-    val tsDecl =
-      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType.sql
+    val tsDecl = tsDecls.computeIfAbsent(dir, { d =>
+      spark.read.parquet(s"$d/events.parquet").schema("ts").dataType.sql
+    })
     graft.Tables.normalizeTs(
       spark.readStream
         .schema(s"event_id BIGINT, ts $tsDecl, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
@@ -138,15 +146,41 @@ object StreamOps {
       }
     }
 
+  /** Run `body` with no-data micro-batches disabled. After the last data
+    * batch Spark schedules one extra empty batch to let event-time
+    * machinery advance — a full state-store commit round per stateful
+    * operator and, in complete mode, a full re-emit of the result, for
+    * zero new input. Output can only depend on it when emission is gated
+    * on the watermark moving PAST the data (outer-join null emission —
+    * [[streamStreamLeftOuterJoin]]) or on event-time TIMERS firing
+    * ([[streamingTimeoutSessions]]); those two keep the default. Every
+    * other harness here emits entirely from data batches (complete-mode
+    * re-emit, append-on-arrival, or finalization triggered by the NEXT
+    * data batch's watermark, as in [[lateDropHourly]]), so the empty batch
+    * is pure fixed cost — on a bounded replay it was ~30-50% of several
+    * queries' wall-clock. Results are oracle-identical by construction. */
+  private def withNoDataBatchesOff[T](spark: SparkSession)(body: => T): T =
+    withConf(spark,
+      Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false"))(body)
+
+  /** [[withNoDataBatchesOff]] + [[withShufflePartitions]] — the scope the
+    * bespoke harnesses below run in, EXCEPT the two whose emission needs
+    * the trailing empty batch (t15 timers, t20 outer eviction), which use
+    * [[withShufflePartitions]] alone. */
+  private def perfScope[T](spark: SparkSession, statePartitions: Option[Int])
+                          (body: => T): T =
+    withNoDataBatchesOff(spark)(withShufflePartitions(spark, statePartitions)(body))
+
   /** Drive `pipeline` over the file-streamed events table and return the
     * final result table. `outputMode` complete/update/append per the query
     * shape. The memory sink holds only the (small, aggregated) result —
     * the input stream itself stays distributed. `statePartitions`: see
-    * [[withShufflePartitions]]. */
+    * [[withShufflePartitions]]. No caller's emission depends on the
+    * trailing empty batch, so it is disabled ([[withNoDataBatchesOff]]). */
   def runFileStream(spark: SparkSession, dir: String, outputMode: String,
                     statePartitions: Option[Int] = None)
                    (pipeline: DataFrame => DataFrame): DataFrame =
-    withShufflePartitions(spark, statePartitions) {
+    withNoDataBatchesOff(spark) { withShufflePartitions(spark, statePartitions) {
       val table = freshName("graft_fstream")
       val q = pipeline(eventStream(spark, dir))
         .writeStream.format("memory").queryName(table)
@@ -154,7 +188,7 @@ object StreamOps {
         .start()
       try q.processAllAvailable() finally q.stop()
       spark.table(table)
-    }
+    } }
 
   /** Drive `pipeline` over an arbitrary wire-seam source — Kafka-shaped
     * `key/value` binary frames ([[Wire.EventSource]]) — and return the
@@ -165,7 +199,7 @@ object StreamOps {
                     outputMode: String,
                     statePartitions: Option[Int] = None)
                    (pipeline: DataFrame => DataFrame): DataFrame =
-    withShufflePartitions(spark, statePartitions) {
+    withNoDataBatchesOff(spark) { withShufflePartitions(spark, statePartitions) {
       val table = freshName("graft_wstream")
       val q = pipeline(source.load(spark))
         .writeStream.format("memory").queryName(table)
@@ -173,7 +207,7 @@ object StreamOps {
         .start()
       try q.processAllAvailable() finally q.stop()
       spark.table(table)
-    }
+    } }
 
   /** S1+P1–P3+T3 on one GRADED path: consume Kafka-shaped binary frames
     * through the [[Wire.EventSource]] seam, run the reference's decode
@@ -206,7 +240,7 @@ object StreamOps {
     * recovery, not of a silent rescan. */
   def recoverableTally(spark: SparkSession, dir: String,
                        statePartitions: Option[Int] = None): DataFrame =
-      withShufflePartitions(spark, statePartitions) {
+      perfScope(spark, statePartitions) {
     val (root, topic) = freshTopic("graft_t1_")
     val ckpt = root.resolve("ckpt").toString
     val ev = graft.Tables.events(spark, dir)
@@ -253,7 +287,7 @@ object StreamOps {
     * (fold-order-free). */
   def fileSinkExactlyOnce(spark: SparkSession, dir: String,
                           statePartitions: Option[Int] = None): DataFrame =
-      withShufflePartitions(spark, statePartitions) {
+      perfScope(spark, statePartitions) {
     val (root, topic) = freshTopic("graft_s9_")
     val ckpt = root.resolve("ckpt").toString
     val out = root.resolve("out").toString
@@ -308,7 +342,7 @@ object StreamOps {
     * state partitions — each key touched by exactly one writer. */
   def jdbcUpsertReplay(spark: SparkSession, dir: String,
                        statePartitions: Option[Int] = None): DataFrame =
-      withShufflePartitions(spark, statePartitions) {
+      perfScope(spark, statePartitions) {
     val url = graft.sources.JdbcIO.freshUrl()
     graft.sources.JdbcIO.createCentsTable(url, "user_cents")
     val q = eventStream(spark, dir)
@@ -345,7 +379,7 @@ object StreamOps {
     * is incremental and the GUARD carries exactly-once. */
   def jdbcTxnLogReplay(spark: SparkSession, dir: String,
                        statePartitions: Option[Int] = None): DataFrame =
-      withShufflePartitions(spark, statePartitions) {
+      perfScope(spark, statePartitions) {
     val url = graft.sources.JdbcIO.freshUrl()
     graft.sources.JdbcIO.createDeltaTables(url, "user_cents_d", "epoch_log")
     val q = eventStream(spark, dir)
@@ -561,6 +595,10 @@ object StreamOps {
     * oracle recomputes both the watermark and the window filter in SQL. */
   def lateDropHourly(spark: SparkSession, dir: String,
                      statePartitions: Option[Int] = None): DataFrame =
+      // NOT perfScope: the no-data batch after f0 is what finalizes and
+      // emits f0's windows BEFORE the late file lands — without it the
+      // boundary windows are still open when f1 arrives and absorb rows
+      // the oracle drops (verified red locally with it disabled).
       withShufflePartitions(spark, statePartitions) {
     val (root, topic) = freshTopic("graft_t4_")
     val ev = graft.Tables.events(spark, dir)
@@ -615,7 +653,7 @@ object StreamOps {
   def streamingDedupUsersWatermarked(spark: SparkSession, dir: String,
                                      delay: String = "45 days",
                                      statePartitions: Option[Int] = None): DataFrame =
-      withShufflePartitions(spark, statePartitions) {
+      perfScope(spark, statePartitions) {
     val (root, topic) = freshTopic("graft_t5b_")
     val ev = graft.Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
@@ -677,7 +715,7 @@ object StreamOps {
     // A stream-stream join commits per-partition state stores on BOTH
     // sides every micro-batch, so partitions ≫ keys buy nothing — see
     // [[withShufflePartitions]].
-    withShufflePartitions(spark, statePartitions) {
+    perfScope(spark, statePartitions) {
       streamStreamIntervalJoinInner(spark, dir, toleranceSec)
     }
 
@@ -774,7 +812,7 @@ object StreamOps {
                                rightType: String = "click",
                                toleranceSec: Long = 3600L,
                                statePartitions: Option[Int] = None): DataFrame =
-      withShufflePartitions(spark, statePartitions) {
+      perfScope(spark, statePartitions) {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val table = freshName("graft_asof")
@@ -852,7 +890,7 @@ object StreamOps {
   def streamingFunnel(spark: SparkSession, dir: String,
                       stages: Seq[String] = Seq("view", "click", "purchase"),
                       statePartitions: Option[Int] = None): DataFrame =
-      withShufflePartitions(spark, statePartitions) {
+      perfScope(spark, statePartitions) {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val table = freshName("graft_funnel")
@@ -891,7 +929,7 @@ object StreamOps {
     * [[streamingAsOfAttribution]]. */
   def streamingScd2(spark: SparkSession, dir: String,
                     statePartitions: Option[Int] = None): DataFrame =
-      withShufflePartitions(spark, statePartitions) {
+      perfScope(spark, statePartitions) {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val table = freshName("graft_scd2")
@@ -1004,12 +1042,16 @@ object StreamOps {
   def streamingDecontaminationFeed(spark: SparkSession, dir: String,
                                    w: Int = 13, evalMod: Int = 20,
                                    statePartitions: Option[Int] = None): DataFrame =
-      withShufflePartitions(spark, statePartitions) {
+      perfScope(spark, statePartitions) {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val evalWins = broadcast(
-      graft.ext.DedupOps.tokenWindows(
-          docs.filter(pmod(col("doc_id"), lit(evalMod)) === 0), w)
-        .select("win").distinct())
+    // The static side of a stream-static join is RE-EVALUATED every
+    // micro-batch; the eval-window build (tokenize + explode + distinct)
+    // is the expensive half of this query, so persist the small distinct
+    // window set once — each batch then broadcasts the cached rows
+    // instead of re-running the explode. Unpersisted after the run.
+    val evalWins = graft.ext.DedupOps.tokenWindows(
+        docs.filter(pmod(col("doc_id"), lit(evalMod)) === 0), w)
+      .select("win").distinct().persist()
     val table = freshName("graft_t14")
     val stream = docStream(spark, dir)
       .filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
@@ -1017,14 +1059,14 @@ object StreamOps {
     // is the stateful dropDuplicates (t5's machinery, keyed on doc_id —
     // O(contaminated docs) state), then a plain count per language
     val q = graft.ext.DedupOps.tokenWindows(stream, w, keep = Seq("lang"))
-      .join(evalWins, Seq("win"), "left_semi")
+      .join(broadcast(evalWins), Seq("win"), "left_semi")
       .select("doc_id", "lang")
       .dropDuplicates("doc_id")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_contaminated"))
       .writeStream.format("memory").queryName(table)
       .outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally { q.stop(); evalWins.unpersist() }
     spark.table(table)
   }
 
@@ -1069,7 +1111,7 @@ object StreamOps {
     * normalized doc — the dedup key the 100 TB ingest gate would carry. */
   def streamingNfcDedup(spark: SparkSession, dir: String,
                         statePartitions: Option[Int] = None): DataFrame =
-      withShufflePartitions(spark, statePartitions) {
+      perfScope(spark, statePartitions) {
     graft.functions.GraftExtensions.register(spark)
     val table = freshName("graft_t24")
     val q = docStream(spark, dir)
@@ -1088,7 +1130,7 @@ object StreamOps {
 
   def streamingQualityGate(spark: SparkSession, dir: String,
                            statePartitions: Option[Int] = None): DataFrame =
-      withShufflePartitions(spark, statePartitions) {
+      perfScope(spark, statePartitions) {
     val table = freshName("graft_t12")
     val q = docStream(spark, dir)
       .filter(graft.ext.TextOps.isEnglishPredicate &&
@@ -1117,7 +1159,7 @@ object StreamOps {
     * and compose with this split unchanged. */
   def deadLetterSplit(spark: SparkSession, dir: String,
                       statePartitions: Option[Int] = None): DataFrame =
-      withShufflePartitions(spark, statePartitions) {
+      perfScope(spark, statePartitions) {
     val outRoot = graft.TmpDirs.create("graft_t17_").toString
     val deadDir = s"$outRoot/dead"
     val validDir = s"$outRoot/valid"
@@ -1161,7 +1203,7 @@ object StreamOps {
   def deadLetterTriageSkewed(spark: SparkSession, dir: String,
                              statePartitions: Option[Int] = None,
                              salts: Int = 16, topK: Int = 10): DataFrame =
-      withShufflePartitions(spark, statePartitions) {
+      perfScope(spark, statePartitions) {
     val outRoot = graft.TmpDirs.create("graft_t17b_").toString
     val deadDir = s"$outRoot/dead"
     val q = eventStream(spark, dir).writeStream
