@@ -1443,6 +1443,14 @@ object SparkEntry {
     // top-10 via the bounded-heap aggregator (map-side combined)
     "ann_batch_topk" -> ((s, d) =>
       SimilarityOps.bruteForceTopKBatch(Tables.embeddings(s, d), 0L to 9L, 10)),
+    // batched IVF: the same 10 queries served by ONE partition-pruned scan
+    // of the union of their nprobe=3 probe cells (PartitionFilters asserted
+    // by spec), each row scored only against the queries that probed its
+    // cell — the corpus-scale serving shape (ann_batch_topk brute-forces
+    // the full corpus; ann_ivf_topk_pruned prunes for one query)
+    "ann_ivf_batch_topk" -> ((s, d) =>
+      SimilarityOps.ivfTopKBatchPruned(Tables.embeddings(s, d), 0L to 9L, 10,
+        nprobe = 3)),
     // IVF approximation quality at small nprobe, graded like
     // dedup_minhash_recall: truth = brute-force top-10, verdict = recall@10
     // of the nprobe=3 probe. The DuckDB oracle recomputes BOTH sides
@@ -3740,6 +3748,52 @@ object SparkEntry {
                                     i -> n.v[i] * q.qv[i]))
                                   / (n.nrm * q.qn), 6) AS cosine
                      FROM n, q WHERE n.vec_id <> q.query_id),
+              rk AS (SELECT query_id, vec_id,
+                            row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id) AS rn
+                     FROM sc)
+         SELECT query_id,
+                string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY rn) AS top_ids
+         FROM rk WHERE rn <= 10 GROUP BY query_id""",
+    // Batched IVF replay: per-query nprobe=3 probe sets (row_number over
+    // centroid cosine, the same fixed-point centroid arithmetic as
+    // ann_ivf_topk), then per-query exact-cosine top-10 confined to each
+    // query's own probed cells, aggregated rank-ordered like
+    // ann_batch_topk. Cells outside the probe union never contribute —
+    // exactly what the engine's partition-pruned scan reads.
+    "ann_ivf_batch_topk" ->
+      """WITH e AS (SELECT vec_id, label,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              n AS (SELECT vec_id, label, v,
+                           sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+                    FROM e),
+              q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+                    FROM n WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)),
+              ej AS (SELECT label, vec_id, unnest(v) AS x,
+                            generate_subscripts(v, 1) AS j FROM e),
+              cm AS (SELECT label, j,
+                            (CAST(sum(CAST(round(x * 16777216.0) AS BIGINT)) AS DOUBLE)
+                             / 16777216.0) / count(*) AS cj
+                     FROM ej GROUP BY label, j),
+              cent AS (SELECT label, list(cj ORDER BY j) AS cv
+                       FROM cm GROUP BY label),
+              pr AS (SELECT q.query_id, cent.label,
+                            row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_sum(list_transform(range(1, 65),
+                                         i -> cv[i] * q.qv[i]))
+                                       / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+                                          * q.qn) DESC,
+                                       cent.label ASC) AS rn
+                     FROM cent, q),
+              probe AS (SELECT query_id, label FROM pr WHERE rn <= 3),
+              sc AS (SELECT probe.query_id, n.vec_id,
+                            round(list_sum(list_transform(range(1, 65),
+                                    i -> n.v[i] * q.qv[i]))
+                                  / (n.nrm * q.qn), 6) AS cosine
+                     FROM n JOIN probe ON n.label = probe.label
+                            JOIN q ON q.query_id = probe.query_id
+                     WHERE n.vec_id <> q.query_id),
               rk AS (SELECT query_id, vec_id,
                             row_number() OVER (PARTITION BY query_id
                               ORDER BY cosine DESC, vec_id) AS rn

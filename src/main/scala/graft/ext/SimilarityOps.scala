@@ -175,6 +175,61 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** BATCHED IVF probe: top-k for MANY query vectors through ONE
+    * partition-pruned corpus scan — [[bruteForceTopKBatch]]'s serving
+    * shape crossed with [[ivfTopKPruned]]'s layout. Per query, the
+    * `nprobe` nearest cells by centroid cosine are ranked in one window
+    * over the Q×cells centroid scores (tiny — cells·d doubles). The
+    * driver collects only the Q·nprobe (query, cell) probe pairs (bounded,
+    * independent of N — the same discipline as [[ivfTopKPruned]]); their
+    * cell UNION prunes the scan to the probed directories
+    * (`PartitionFilters`, asserted by spec), and the pair table broadcasts
+    * back as the per-query gate: a scanned row scores only against the
+    * queries that probed its cell (equi-join on cell, never Q×scan).
+    * Per-query top-k folds through the bounded-heap
+    * [[graft.functions.TopKAggregator]] with map-side combine, so the
+    * shuffle carries ≤ Q·k candidates per task. At 100 TB: Q queries
+    * served by ONE scan of ~nprobe/k of the corpus. */
+  def ivfTopKBatchPruned(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+                         nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val spark = embeddings.sparkSession
+    val base = embeddings.select(col("vec_id"), col("label"),
+      vecD("embedding").as("v"))
+    val qs = base.filter(col("vec_id").isin(queryIds.map(Long.box): _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val cents = centroidsOf(base, "label")
+      .select(col("cell").as("label"), col("cv"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("ccos"), asc("label"))
+    val probePairs = cents.crossJoin(broadcast(qs))
+      .select(col("query_id"), col("label"),
+        (dot("cv", "qv") / (norm("cv") * norm("qv"))).as("ccos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .select("query_id", "label")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val unionCells = probePairs.map(_._2).distinct.toSeq
+
+    val dir = graft.ops.Storage.partitionedRoundTrip(embeddings, "label")
+    val probeDf = spark.createDataFrame(probePairs.toSeq)
+      .toDF("query_id", "label")
+    val topk = udaf(new graft.functions.TopKAggregator(k),
+                    Encoders.product[graft.functions.TopKItem])
+    spark.read.parquet(dir)
+      .filter(col("label").isin(unionCells.map(Integer.valueOf): _*))
+      .select(col("vec_id"), col("label"), vecD("embedding").as("v"))
+      .join(broadcast(probeDf), "label")
+      .join(broadcast(qs), "query_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        round(dot("v", "qv") / (norm("v") * norm("qv")), 6).as("cosine"),
+        col("vec_id"))
+      .groupBy("query_id")
+      .agg(topk(col("cosine"), col("vec_id")).as("top_ids"))
+  }
+
   /** Lloyd-iteration refinement of the IVF coarse quantizer: start from the
     * label-cell means and run `iters` assign/recompute rounds (cosine
     * assignment). Deterministic — initialization is data-derived, no RNG.

@@ -173,6 +173,26 @@ class LlmOpsSpec extends SparkSpec {
       s"cell filter must prune at the directory level:\n$plan")
   }
 
+  test("batched IVF: equals the per-query probes; one partition-pruned scan") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val batch = SimilarityOps.ivfTopKBatchPruned(emb, 0L to 3L, 5, nprobe = 2)
+    val got = batch.as[(Long, String)].collect().toMap
+    // the batched form must reproduce each query's solo nprobe=2 probe —
+    // same probe ranking, same scoring, same rank order
+    (0L to 3L).foreach { qid =>
+      val solo = SimilarityOps.ivfTopK(emb, qid, 5, nprobe = 2)
+        .select("vec_id").as[Long].collect().mkString(",")
+      assert(got(qid) === solo, s"query $qid diverged from its solo probe")
+    }
+    // ONE corpus scan, pruned at the directory level to the probe union:
+    // the label predicate must sit in PartitionFilters (not a post-scan
+    // data filter), and only one scan node may carry it
+    val plan = batch.queryExecution.executedPlan.toString
+    val pruned = "PartitionFilters: \\[[^\\]]*label".r.findAllIn(plan).toSeq
+    assert(pruned.size === 1,
+      s"expected exactly one partition-pruned corpus scan:\n$plan")
+  }
+
   test("bloom-gated incremental dedup: identical triage, bloom probe in plan") {
     val corpus2 = Seq(
       (0L, "the quick brown fox jumps over the lazy dog and runs far away home"),
