@@ -235,40 +235,43 @@ object SimilarityOps {
     * assignment). Deterministic — initialization is data-derived, no RNG.
     *
     * Scale shape: the k centroids (k·d doubles — bounded, independent of N)
-    * are collected to the driver each round and re-broadcast as a literal
-    * array, so the ASSIGNMENT is a pure map-side argmax projection — zero
-    * shuffle, no N×k intermediate. The only shuffles per iteration are the
-    * centroid RECOMPUTE groupBys ([[centroidsOf]]), whose map-side partial
-    * aggregation ships k·d bounded partial sums per task. (The previous
-    * form crossJoined N×k rows through a row_number window — a full
-    * sort-shuffle of N×k rows per iteration.) Returns (vec_id, cell). */
+    * are collected to the driver each round and shipped back as ONE
+    * broadcast row (a single array-of-structs column cross-joined onto the
+    * corpus — a BroadcastNestedLoopJoin over one row: narrow, zero
+    * shuffle), so the ASSIGNMENT is a pure map-side argmax projection with
+    * no N×k intermediate. Feeding the centroids through a COLUMN instead
+    * of a `typedLit` keeps the expression tree identical across rounds —
+    * the generated class is Janino-cached after round one, where the
+    * literal form re-compiled a class inlining k·d doubles every round (a
+    * driver-side bottleneck at k in the thousands; the k=500 spec pins
+    * bounded multi-round time). The argmax loop itself is the native
+    * fused [[graft.functions.CentroidArgmax]]. The only shuffles per
+    * iteration are the centroid RECOMPUTE groupBys ([[centroidsOf]]),
+    * whose map-side partial aggregation ships k·d bounded partial sums
+    * per task. Returns (vec_id, cell). */
   def kmeansCells(embeddings: DataFrame, iters: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.functions.GraftExtensions.register(spark)
     val base = embeddings.select(col("vec_id"), col("label"),
       vecD("embedding").as("v"))
 
-    /** Assignment as a map-side projection: argmax cosine over the literal
-      * centroid array. Centroids are pre-sorted by cell id and compared
+    /** Assignment as a map-side projection: argmax dot over the broadcast
+      * centroid row. Centroids are pre-sorted by cell id and compared
       * with strict `>`, so ties go to the smaller cell id (same tie-break
-      * as the previous windowed form). Norms are pre-divided out at the
-      * driver: maximizing dot(v, cv)/(|v|·|cv|) over cells is independent
-      * of |v|, so each centroid is pre-scaled to unit length and the inner
-      * loop is a plain dot product. */
+      * as the windowed `ORDER BY d DESC, cell ASC` oracle). Norms are
+      * pre-divided out at the driver: maximizing dot(v, cv)/(|v|·|cv|)
+      * over cells is independent of |v|, so each centroid is pre-scaled
+      * to unit length and the inner loop is a plain dot product. */
     def assign(cents: Array[(Long, Array[Double])]): DataFrame = {
       val unit = cents.sortBy(_._1).map { case (cell, cv) =>
         val n = math.sqrt(cv.map(x => x * x).sum)
         (cell, cv.map(_ / n).toSeq)
       }.toSeq
+      val centsRow = spark.createDataFrame(Seq(Tuple1(unit))).toDF("cents")
       base
-        .withColumn("cents", typedLit(unit))
-        .withColumn("cell", expr(
-          """aggregate(cents,
-               named_struct('c', -1L, 's', cast('-Infinity' as double)),
-               (best, ct) -> if(aggregate(zip_with(v, ct._2, (x, y) -> x * y), 0D, (a, b) -> a + b) > best.s,
-                               named_struct('c', ct._1,
-                                 's', aggregate(zip_with(v, ct._2, (x, y) -> x * y), 0D, (a, b) -> a + b)),
-                               best),
-               best -> best.c)"""))
-        .select(col("vec_id"), col("v"), col("cell"))
+        .crossJoin(broadcast(centsRow))
+        .select(col("vec_id"), col("v"),
+          call_function("centroid_argmax", col("v"), col("cents")).as("cell"))
     }
 
     var assigned = base.withColumn("cell", col("label").cast("long"))

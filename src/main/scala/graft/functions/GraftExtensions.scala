@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.jaroWinklerDescriptor)
     ext.injectFunction(GraftExtensions.nfcNormalizeDescriptor)
     ext.injectFunction(GraftExtensions.damerauDescriptor)
+    ext.injectFunction(GraftExtensions.centroidArgmaxDescriptor)
     ext.injectOptimizerRule(_ => NativeVectorMathRule)
   }
 }
@@ -88,6 +89,16 @@ object GraftExtensions {
        DamerauLevenshteinDist(children(0), children(1))
      })
 
+  private[functions] val centroidArgmaxDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("centroid_argmax"),
+     new ExpressionInfo(classOf[CentroidArgmax].getName, "centroid_argmax"),
+     (children: Seq[Expression]) => {
+       require(children.size == 2,
+         "centroid_argmax(v, cents) takes exactly 2 args")
+       CentroidArgmax(children(0), children(1))
+     })
+
   /** Spark's own BloomFilterAggregate/BloomFilterMightContain, surfaced
     * under graft names: the engine-internal pair InjectRuntimeFilter plans
     * with has no SQL registration, but an explicit Bloom pre-filter (build
@@ -126,7 +137,7 @@ object GraftExtensions {
     Seq(cosineSimDescriptor, hyperplaneSigDescriptor, simHash64Descriptor,
         bloomAggDescriptor, bloomMightContainDescriptor,
         jaroWinklerDescriptor, nfcNormalizeDescriptor,
-        damerauDescriptor).foreach {
+        damerauDescriptor, centroidArgmaxDescriptor).foreach {
       case (id, info, builder) =>
         if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
     }
