@@ -1190,6 +1190,12 @@ object SparkEntry {
     // source is proof of no loss AND no reprocessing
     "s9_file_sink_exactly_once" -> ((s, d) =>
       StreamOps.fileSinkExactlyOnce(s, d, statePartitions = Some(8))),
+    // exactly-once EMIT through the wire seam: every epoch's Kafka-shaped
+    // frames delivered TWICE (injected producer retry); the consumer's
+    // (epoch, key) dedup — the transactional-producer shape without the
+    // broker — must still reproduce the batch truth
+    "s10_wire_emit_exactly_once" -> ((s, d) =>
+      StreamOps.wireEmitExactlyOnce(s, d, statePartitions = Some(8))),
     "t2_stream_hourly_window" -> ((s, d) =>
       StreamOps.hourlyWindowCounts(s, d, statePartitions = Some(8))),
     // sliding 2h/1h event-time windows: each event lands in TWO
@@ -3217,6 +3223,13 @@ object SparkEntry {
     // the fold over the SINK directory must equal the fold over the
     // source: exactly-once across the restart
     "s9_file_sink_exactly_once" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS cents
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // the emit-side exactly-once twin: same batch truth — any redelivered
+    // frame the consumer fails to drop doubles a type's totals
+    "s10_wire_emit_exactly_once" ->
       """SELECT event_type, count(*) AS n_events,
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                   AS cents

@@ -1367,4 +1367,87 @@ object StreamOps {
           "event_id BIGINT, event_type STRING, value DOUBLE")).as("data"))
       .select("data.*")
   }
+
+  /** S10: exactly-once EMIT through the wire seam under injected REPLAY —
+    * the producer-side durability s8 leaves at-least-once
+    * (`/root/reference/voting.py:120-126` commits AFTER producing, so a
+    * crash between produce and commit re-emits the batch; the reference's
+    * downstream sink at `spark-streaming.py:69` would ingest the
+    * duplicates). This is the Kafka transactional-producer shape WITHOUT
+    * the broker: each epoch's per-type deltas are emitted as Kafka-shaped
+    * binary frames (key = event_type bytes, value = JSON bytes) carrying
+    * their EPOCH id, and every epoch is delivered TWICE — the at-least-
+    * once failure is injected, not hypothetical. The downstream consumer
+    * ([[consumeWireEmits]]) does what the broker's sequence-number dedup
+    * does for a transactional producer: drop redelivered (epoch, key)
+    * frames, then fold the per-epoch deltas. The final tally must equal
+    * the batch truth over the full source — which is exactly what the
+    * oracle recomputes; an unguarded consumer double-counts every row.
+    *
+    * Scale shape: frames per epoch are |types|-sized (the per-batch fold
+    * is map-side combined), the dedup key space is epochs×types, and
+    * nothing here is driver-sized. Two staged source files make two real
+    * epochs, so the dedup is exercised across epoch boundaries, not
+    * within one. */
+  def wireEmitExactlyOnce(spark: SparkSession, dir: String,
+                          statePartitions: Option[Int] = None): DataFrame =
+    consumeWireEmits(spark, wireEmitRun(spark, dir, statePartitions))
+
+  /** The producer half of [[wireEmitExactlyOnce]]: run the stream, emit
+    * every epoch's frames twice, return the emitted-topic dir. Exposed so
+    * the replay spec can assert the raw frame stream REALLY carries every
+    * epoch twice (and that a dedup-less consumer would double-count). */
+  private[graft] def wireEmitRun(spark: SparkSession, dir: String,
+                                 statePartitions: Option[Int] = None): String =
+      perfScope(spark, statePartitions) {
+    val (root, topic) = freshTopic("graft_s10_")
+    val emitted = root.resolve("emitted").toString
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    stageTopicFile(root, topic, "f0",
+      ev.filter(pmod(col("event_id"), lit(2)) === 0))
+    stageTopicFile(root, topic, "f1",
+      ev.filter(pmod(col("event_id"), lit(2)) === 1))
+    val q = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(topic.toString)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val frames = batch
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+          .select(col("event_type").cast("binary").as("key"),
+            to_json(struct(col("event_type"), lit(epoch).as("epoch"),
+                           col("n"), col("cents"))).cast("binary").as("value"))
+          .persist()
+        frames.write.mode("append").parquet(emitted)
+        // injected producer retry: the SAME epoch's frames land again —
+        // an idempotent consumer converges, a naive one double-counts
+        frames.write.mode("append").parquet(emitted)
+        frames.unpersist(); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    emitted
+  }
+
+  /** The consumer half of [[wireEmitExactlyOnce]]: decode the binary wire
+    * frames (the P1+P2 chain on our own producer's output), drop
+    * redelivered (epoch, key) frames — the broker-side sequence dedup a
+    * transactional producer relies on — and fold the surviving per-epoch
+    * deltas to totals. Exposed for the replay spec, which asserts the raw
+    * frame stream really contains every epoch twice. */
+  private[graft] def consumeWireEmits(spark: SparkSession,
+                                      emitted: String): DataFrame =
+    spark.read.parquet(emitted)
+      .select(from_json(col("value").cast("string"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_type STRING, epoch BIGINT, n BIGINT, cents BIGINT")).as("data"))
+      .select("data.*")
+      .dropDuplicates("epoch", "event_type")
+      .groupBy("event_type")
+      .agg(sum("n").as("n_events"), sum("cents").as("cents"))
+      .orderBy("event_type")
 }

@@ -474,6 +474,34 @@ class StreamingSpec extends SparkSpec {
     assert(stream.nonEmpty)
   }
 
+  test("s10: every emit epoch lands twice on the wire; the keyed dedup converges") {
+    import spark.implicits._
+    val emitted = StreamOps.wireEmitRun(spark, sfDir, Some(4))
+    val frames = spark.read.parquet(emitted)
+      .select(from_json(col("value").cast("string"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_type STRING, epoch BIGINT, n BIGINT, cents BIGINT")).as("d"))
+      .select("d.*")
+    // the injected at-least-once failure is real: EVERY (epoch, key)
+    // frame is delivered exactly twice, across >= 2 real epochs
+    val copies = frames.groupBy("epoch", "event_type")
+      .agg(count(lit(1)).as("c")).select("c").as[Long].collect()
+    assert(copies.nonEmpty && copies.forall(_ === 2L),
+      "every emitted frame must appear exactly twice")
+    assert(frames.select("epoch").distinct().count() >= 2,
+      "replay must span multiple epochs")
+    // a dedup-less consumer double-counts every total ...
+    val naive = frames.groupBy("event_type")
+      .agg(sum("n").as("n_events")).as[(String, Long)].collect().toMap
+    val truth = Tables.events(spark, sfDir).groupBy("event_type")
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    assert(naive === truth.map { case (k, v) => k -> v * 2 })
+    // ... while the (epoch, key) dedup reproduces the batch truth
+    val deduped = StreamOps.consumeWireEmits(spark, emitted)
+      .select("event_type", "n_events").as[(String, Long)].collect().toMap
+    assert(deduped === truth)
+  }
+
   test("t24: nfc-keyed streaming dedup collapses both spellings per doc") {
     import spark.implicits._
     val out = StreamOps.streamingNfcDedup(spark, sfDir, Some(4))
