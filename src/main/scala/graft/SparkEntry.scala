@@ -1489,6 +1489,11 @@ object SparkEntry {
     // one boundary flip of margin
     "ann_int8_recall" -> ((s, d) =>
       SimilarityOps.int8TopKRecall(Tables.embeddings(s, d), 0L, 10, minHits = 9)),
+    // two-stage serving: int8 coarse scan keeps a 50-candidate pool (4x
+    // less scan bandwidth), exact float re-rank returns the top-10 — the
+    // full-precision table is touched for pool rows, not N
+    "ann_int8_rerank" -> ((s, d) =>
+      SimilarityOps.int8RerankTopK(Tables.embeddings(s, d), 0L, 10, pool = 50)),
     "ann_kmeans_cells" -> ((s, d) =>
       SimilarityOps.kmeansCells(Tables.embeddings(s, d), 2)
         .orderBy("vec_id")),
@@ -4055,6 +4060,36 @@ object SparkEntry {
          FROM j GROUP BY doc_id ORDER BY doc_id""",
     // quantize -> cosine on codes -> top-10 -> hits vs float truth,
     // all recomputed here
+    // Two-stage replay: quantize (per-vector 127/max|x| symmetric codes),
+    // int8-cosine top-50 pool, exact float re-rank top-10 inside the pool.
+    "ann_int8_rerank" ->
+      """WITH e AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              c AS (SELECT vec_id,
+                           list_transform(v, x -> CAST(CAST(round(x * (127.0 /
+                             list_max(list_transform(v, y -> abs(y))))) AS INTEGER)
+                             AS DOUBLE)) AS cq
+                    FROM e),
+              cn AS (SELECT vec_id, cq,
+                            sqrt(list_sum(list_transform(cq, x -> x * x))) AS nrm
+                     FROM c),
+              cqv AS (SELECT cq AS qv, nrm AS qn FROM cn WHERE vec_id = 0),
+              cand AS (SELECT cn.vec_id,
+                              round(list_sum(list_transform(range(1, 65),
+                                      i -> cn.cq[i] * cqv.qv[i]))
+                                    / (cn.nrm * cqv.qn), 6) AS c8
+                       FROM cn, cqv WHERE cn.vec_id <> 0
+                       ORDER BY c8 DESC, vec_id LIMIT 50),
+              n AS (SELECT vec_id, v,
+                           sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+                    FROM e),
+              q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = 0)
+         SELECT n.vec_id,
+                round(list_sum(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]))
+                      / (n.nrm * q.qn), 6) AS cosine
+         FROM n JOIN cand ON n.vec_id = cand.vec_id, q
+         ORDER BY cosine DESC, n.vec_id LIMIT 10""",
     "ann_int8_recall" ->
       """WITH e AS (SELECT vec_id,
                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -334,6 +334,40 @@ object SimilarityOps {
       .select(col("n_hits"), (col("n_hits") >= lit(minHits.toLong)).as("recall_ok"))
   }
 
+  /** Two-stage serving ANN: int8 COARSE SCAN → exact float RE-RANK — the
+    * standard bandwidth-bound serving decomposition. Stage 1 scores the
+    * whole corpus on the int8 codes (cosine is scale-invariant, so the
+    * per-vector scale cancels and the scan moves 4× fewer bytes than
+    * float32) and keeps a `pool`-sized candidate set (pool ≪ N, ≥ k);
+    * stage 2 re-scores ONLY the pool at full float precision and returns
+    * the top-k. Both stages are the zero-shuffle broadcast-query +
+    * TakeOrdered shape; the pool travels as a broadcast semi-join back
+    * into the float table. At 100 TB the full-precision table is touched
+    * for `pool` rows per query instead of N — the re-rank recovers any
+    * quantization-boundary flips the int8 ordering introduced, which is
+    * why serving indexes run coarse+rerank rather than trusting the
+    * quantized order ([[int8TopKRecall]] grades that raw order). */
+  def int8RerankTopK(embeddings: DataFrame, queryId: Long, k: Int,
+                     pool: Int): DataFrame = {
+    val codes = int8CodeVecs(embeddings)
+    val q8 = codes.filter(col("vec_id") === queryId).select(col("q").as("qv"))
+    val cand = codes.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q8))
+      .select(col("vec_id"),
+        round(dot("q", "qv") / (norm("q") * norm("qv")), 6).as("c8"))
+      .orderBy(desc("c8"), asc("vec_id"))
+      .limit(pool)
+      .select("vec_id")
+    val base = embeddings.select(col("vec_id"), vecD("embedding").as("v"))
+    val q = base.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    base.join(broadcast(cand), Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot("v", "qv") / (norm("v") * norm("qv")), 6).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Packed hyperplane-sign signature: `nBits` deterministic hyperplanes
     * (components derived arithmetically from the plane/dim index, seeded —
     * no RNG, so fixtures are reproducible); value = sign bits packed into

@@ -99,17 +99,20 @@ object VotePipeline {
     * notes-specified aggregation, run for real over micro-batches of wire
     * JSON and returned as the final complete-mode table. */
   def streamingPartyTally(spark: SparkSession, nVoters: Long): DataFrame =
-    // 3-key aggregation state: size state partitions to keys
-    graft.streaming.StreamOps.withShufflePartitions(spark, Some(4)) {
+    // 3-key aggregation state: size state partitions to keys; complete-mode
+    // emission never depends on the trailing empty batch (perfScope)
+    graft.streaming.StreamOps.perfScope(spark, Some(4)) {
     // Wire records staged as a 4-file parquet topic, consumed through the
-    // *file stream source* (1 file per micro-batch) — the records never
-    // pass through the driver, unlike a MemoryStream feed.
+    // *file stream source* (2 files per micro-batch — two REAL cross-batch
+    // state merges; 1-per-trigger exercised nothing more, at twice the
+    // micro-batch machinery) — the records never pass through the driver,
+    // unlike a MemoryStream feed.
     val topicDir = stagedWireTopic(spark, nVoters)
     val q = Decode.flatten(
         Decode.jsonDecode(
           Decode.castValueToString(
             spark.readStream.schema("key STRING, value BINARY")
-              .option("maxFilesPerTrigger", 1).parquet(topicDir)),
+              .option("maxFilesPerTrigger", 2).parquet(topicDir)),
           Schemas.VoteSchema))
       .withWatermark("voting_time", "1 hour")
       .groupBy("party_affiliation")
@@ -131,8 +134,11 @@ object VotePipeline {
     * topic always holds exactly the latest standings — what a live board
     * polls. One graded query covers produce → wire → re-consume → enrich. */
   def streamingReEmit(spark: SparkSession, nVoters: Long): DataFrame =
-    // 3-key aggregation state: size state partitions to keys
-    graft.streaming.StreamOps.withShufflePartitions(spark, Some(4)) {
+    // 3-key aggregation state: size state partitions to keys; the board
+    // overwrite happens per DATA batch — the empty batch only re-wrote
+    // the same standings (perfScope drops it, 2-file triggers halve the
+    // board rewrites while keeping a real cross-batch merge)
+    graft.streaming.StreamOps.perfScope(spark, Some(4)) {
     val topicDir = stagedWireTopic(spark, nVoters)
     val boardTopic = graft.TmpDirs
       .create("graft_board_topic_").toString
@@ -140,7 +146,7 @@ object VotePipeline {
         Decode.jsonDecode(
           Decode.castValueToString(
             spark.readStream.schema("key STRING, value BINARY")
-              .option("maxFilesPerTrigger", 1).parquet(topicDir)),
+              .option("maxFilesPerTrigger", 2).parquet(topicDir)),
           Schemas.VoteSchema))
       .groupBy("candidate_id")
       .agg(sum("vote").as("total_votes"))
@@ -172,8 +178,9 @@ object VotePipeline {
     * never touches the stream's state store. Complete mode keeps the
     * whole (3-row) board current each batch. */
   def streamingLiveResults(spark: SparkSession, nVoters: Long): DataFrame =
-    // 3-key aggregation state: size state partitions to keys
-    graft.streaming.StreamOps.withShufflePartitions(spark, Some(4)) {
+    // 3-key aggregation state: size state partitions to keys; complete-mode
+    // board emission never depends on the trailing empty batch
+    graft.streaming.StreamOps.perfScope(spark, Some(4)) {
     val topicDir = stagedWireTopic(spark, nVoters)
     val dim = Generator.candidatesFull(spark)
       .select(concat(lit("c"), col("candidate_id")).as("candidate_id"),
@@ -182,7 +189,7 @@ object VotePipeline {
         Decode.jsonDecode(
           Decode.castValueToString(
             spark.readStream.schema("key STRING, value BINARY")
-              .option("maxFilesPerTrigger", 1).parquet(topicDir)),
+              .option("maxFilesPerTrigger", 2).parquet(topicDir)),
           Schemas.VoteSchema))
       .groupBy("candidate_id")
       .agg(sum("vote").as("total_votes"))

@@ -167,7 +167,7 @@ object StreamOps {
     * bespoke harnesses below run in, EXCEPT the two whose emission needs
     * the trailing empty batch (t15 timers, t20 outer eviction), which use
     * [[withShufflePartitions]] alone. */
-  private def perfScope[T](spark: SparkSession, statePartitions: Option[Int])
+  private[graft] def perfScope[T](spark: SparkSession, statePartitions: Option[Int])
                           (body: => T): T =
     withNoDataBatchesOff(spark)(withShufflePartitions(spark, statePartitions)(body))
 

@@ -193,6 +193,28 @@ class LlmOpsSpec extends SparkSpec {
       s"expected exactly one partition-pruned corpus scan:\n$plan")
   }
 
+  test("int8 rerank: corpus-wide pool is exact; pooled recall >= raw int8") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val brute = SimilarityOps.bruteForceTopK(emb, 0L, 10)
+      .as[(Long, Double)].collect().toSeq
+    // a pool covering the corpus makes stage 2 the exact brute force —
+    // the re-rank's float scoring is bit-identical to the baseline
+    val fullPool = SimilarityOps.int8RerankTopK(emb, 0L, 10, pool = 1000)
+      .as[(Long, Double)].collect().toSeq
+    assert(fullPool === brute)
+    // the serving configuration: re-ranking a 50-candidate int8 pool can
+    // only fix quantization flips, never introduce them — recall vs the
+    // float truth must be >= the raw int8 top-10's
+    val bruteSet = brute.map(_._1).toSet
+    val pooled = SimilarityOps.int8RerankTopK(emb, 0L, 10, pool = 50)
+      .select("vec_id").as[Long].collect()
+    assert(pooled.length === 10)
+    val rawInt8Hits = SimilarityOps.int8TopKRecall(emb, 0L, 10, minHits = 0)
+      .select("n_hits").as[Long].head()
+    assert(pooled.count(bruteSet) >= rawInt8Hits,
+      "re-rank must not lose recall vs the raw int8 ordering")
+  }
+
   test("bloom-gated incremental dedup: identical triage, bloom probe in plan") {
     val corpus2 = Seq(
       (0L, "the quick brown fox jumps over the lazy dog and runs far away home"),
