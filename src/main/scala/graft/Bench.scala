@@ -66,6 +66,24 @@ object Bench {
         "jaro_winkler('martha', 'marhta')",
         "nfc_normalize('cafe')",
         "damerau_levenshtein('ab', 'ba')").count()
+      // Streaming machinery: the first query of each STATEFUL OPERATOR
+      // CLASS pays MicroBatchExecution init, state-store provider
+      // load, and that operator's generated-class compile — measured
+      // 1-2 s landing on whichever board query runs the class first.
+      // One tiny run per class at sf0.001 (smallest fixture) pins all
+      // of it here; generated classes are tree-keyed, so the sf-dir
+      // difference doesn't miss the cache.
+      val warmSf = "/root/testdata/sf0.001"
+      val sp = Some(2)
+      val S = graft.streaming.StreamOps
+      S.cumulativeTally(spark, warmSf, sp).count()            // streaming agg
+      S.streamingSessionCounts(spark, warmSf, "30 minutes", sp).count() // session_window
+      S.streamingDedupUsers(spark, warmSf, sp).count()        // dedup state
+      S.streamingDedupUsersWatermarked(spark, warmSf, statePartitions = sp).count() // watermarked dedup
+      S.streamStreamIntervalJoin(spark, warmSf, statePartitions = sp).count() // symmetric hash join
+      S.streamingAsOfAttribution(spark, warmSf, statePartitions = sp).count() // flatMapGroupsWithState
+      S.streamingTimeoutSessions(spark, warmSf, statePartitions = sp).count() // event-time timers
+      S.hourlyWindowCounts(spark, warmSf, sp).count()         // windowed agg
     } catch { case _: Throwable => () }
     // Optional comma-separated name-prefix filter for local profiling runs
     // (unset in the driver's invocation → full surface, contract unchanged).

@@ -1312,13 +1312,13 @@ object SparkEntry {
     // state partitions sized to the key cardinality (~150 users), not the
     // session shuffle width — see streamStreamIntervalJoin scaladoc
     "t10_stream_stream_join" -> ((s, d) =>
-      StreamOps.streamStreamIntervalJoin(s, d, statePartitions = Some(8))),
+      StreamOps.streamStreamIntervalJoin(s, d, statePartitions = Some(4))),
     // stream-stream LEFT OUTER interval join: matched pairs emit as they
     // match; unmatched purchases emit a NULL-click row when the watermark
     // evicts their state (the no-data batch) — purchases inside the final
     // watermark delay stay in state, as live pipelines leave them
     "t20_stream_left_outer_join" -> ((s, d) =>
-      StreamOps.streamStreamLeftOuterJoin(s, d, statePartitions = Some(8))),
+      StreamOps.streamStreamLeftOuterJoin(s, d, statePartitions = Some(4))),
     // live leaderboard: stream maintains ONLY the O(keys) tally state;
     // rank / share / gap-to-leader computed over the |keys|-row snapshot
     // (ranking inside the stream would global-sort state per batch)
@@ -1337,7 +1337,7 @@ object SparkEntry {
     "t23_stream_drift_psi" -> ((s, d) =>
       StreamOps.streamingDriftPsi(s, d, statePartitions = Some(4))),
     "t9_stream_sessions" -> ((s, d) =>
-      StreamOps.streamingSessionCounts(s, d, statePartitions = Some(8))),
+      StreamOps.streamingSessionCounts(s, d, statePartitions = Some(4))),
     // streaming corpus curation: the language+quality scan gates applied
     // to a document stream, per-lang survivor counts in complete mode
     // t24: stateful streaming dedup keyed on the native nfc_normalize —
@@ -1586,6 +1586,11 @@ object SparkEntry {
     "split_assign" -> ((s, d) =>
       SampleOps.splitAssign(Tables.documents(s, d), "doc_id")
         .select("doc_id", "split")),
+    // leakage-safe split: hash the near-dup CLUSTER label, not the doc —
+    // no near-duplicate pair can straddle train/eval (the contamination
+    // a per-doc hash split cannot prevent); singletons hash their own id
+    "split_group_aware" -> ((s, d) =>
+      SampleOps.groupAwareSplit(Tables.documents(s, d), 3, tau = 0.5)),
     // data-mix rebalancing on the skewed column (lang: en is ~3x the
     // others at every SF, so the cap genuinely binds — `source` is
     // uniform and would grade nothing)
@@ -4355,6 +4360,40 @@ object SparkEntry {
                      WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
                      ELSE 'test' END AS split
          FROM documents""",
+    // group-aware split replay: the dedup_clusters recursive-CTE labels
+    // (min reachable doc id per near-dup component), singletons fall back
+    // to their own id, then the same multiplicative-hash 80/10/10 case
+    "split_group_aware" ->
+      """WITH RECURSIVE
+              w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3),
+              sh AS (SELECT doc_id,
+                            unnest(list_distinct(list_transform(range(1, len(words) - 1),
+                              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+                     FROM w),
+              sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+              com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id),
+              p AS (SELECT doc_a, doc_b
+                    FROM com
+                    JOIN sizes sa ON sa.doc_id = doc_a
+                    JOIN sizes sb ON sb.doc_id = doc_b
+                    WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+              e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+                    UNION SELECT doc_b, doc_a FROM p),
+              reach AS (SELECT src, dst FROM e
+                        UNION
+                        SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+              cl AS (SELECT src AS doc_id,
+                            CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
+                     FROM reach GROUP BY src)
+         SELECT d.doc_id,
+                CAST(coalesce(cl.cluster_id, d.doc_id) AS BIGINT) AS group_key,
+                CASE WHEN (coalesce(cl.cluster_id, d.doc_id) * 2654435761) % 100 < 80 THEN 'train'
+                     WHEN (coalesce(cl.cluster_id, d.doc_id) * 2654435761) % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id""",
     // full pipeline replay: language gate -> quality gate -> exact dedup
     // (min doc_id per digest) -> near-dup removal (drop doc_b of each
     // jaccard>=0.5 pair) -> deterministic split

@@ -103,6 +103,33 @@ object SampleOps {
         .when(bucketOf(col(key), 100) < 90, "val")
         .otherwise("test"))
 
+  /** Leakage-safe GROUP-AWARE split: near-duplicate documents must never
+    * straddle train and eval — a test doc with a near-copy in train is
+    * contamination the plain per-doc hash split ([[splitAssign]]) cannot
+    * prevent. Assignment hashes the near-dup CLUSTER label
+    * ([[graft.ext.DedupOps.duplicateClusters]] min-label, memoized —
+    * singletons fall back to their own doc id), so every cluster moves as
+    * one atom: by construction zero clusters straddle splits, and the
+    * 80/10/10 proportions hold over GROUPS (the statistically honest
+    * unit). Stable under appends like every split here — a new near-dup
+    * joins its cluster's split, never re-rolls an old doc's fate.
+    *
+    * Scale shape: one broadcast-sized label join on top of the cluster
+    * memo (the expensive part, shared with clusters/canonical/corpus
+    * queries); the split itself is a pure codegen'd projection. */
+  def groupAwareSplit(docs: DataFrame, n: Int, tau: Double): DataFrame = {
+    val labels = graft.ext.DedupOps.duplicateClusters(docs, n, tau)
+    docs.select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("group_key", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(bucketOf(col("group_key"), 100) < 80, "train")
+          .when(bucketOf(col("group_key"), 100) < 90, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("group_key").cast("long").as("group_key"),
+        col("split"))
+  }
+
   /** Importance sampling: keep each row with probability proportional to
     * a per-row integer WEIGHT in [0, `scale`] — the quality-weighted
     * resampling step of corpus curation (upweight diverse/clean text,

@@ -689,15 +689,33 @@ object StreamOps {
     * set (right for this bounded replay); on an unbounded stream the
     * production configuration is append mode + `withWatermark`, which
     * emits and EVICTS each session once the watermark passes its close.
-    * The batch-side count per user equals the sort-based
-    * [[graft.ops.Sessionize]] result at microsecond precision. */
+    * The per-user count equals the sort-based [[graft.ops.Sessionize]]
+    * result at microsecond precision.
+    *
+    * Sink shape: the session set is O(events) rows (this fixture: ~95k
+    * sessions from 100k events), so a memory sink would materialize it on
+    * the DRIVER every batch — the one complete-mode query here whose
+    * emission is data-sized, not aggregate-sized. `foreachBatch` keeps
+    * the snapshot DISTRIBUTED and folds it to the |users|-row count
+    * before anything leaves the cluster; the overwritten parquet snapshot
+    * holds only the fold. */
   def streamingSessionCounts(spark: SparkSession, dir: String,
                              gap: String = "30 minutes",
                              statePartitions: Option[Int] = None): DataFrame =
-    runFileStream(spark, dir, "complete", statePartitions) { df =>
-      df.groupBy(col("user_id"), session_window(col("ts"), gap))
-        .agg(count(lit(1)).as("n_events"))
-    }.groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+      perfScope(spark, statePartitions) {
+    val out = graft.TmpDirs.create("graft_t9_").resolve("snap").toString
+    val q = eventStream(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (snap: DataFrame, _: Long) =>
+        snap.groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+          .write.mode("overwrite").parquet(out); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(out)
+  }
 
   /** T10: stream-stream INTERVAL join — Structured Streaming's marquee
     * stateful operator, and the general form of the as-of join ([[

@@ -35,6 +35,29 @@ class SampleOpsSpec extends SparkSpec {
     assert(rates("view") < 0.25)
   }
 
+  test("group-aware split: clusters are atomic, coverage is total") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = ext.SampleOps.groupAwareSplit(docs, 3, tau = 0.5)
+      .as[(Long, Long, String)].collect()
+    // total coverage: every document assigned exactly once
+    assert(out.length === docs.count())
+    assert(out.map(_._1).distinct.length === out.length)
+    // the leakage guarantee: a group never straddles splits
+    out.groupBy(_._2).foreach { case (g, members) =>
+      assert(members.map(_._3).distinct.length === 1,
+        s"group $g straddles splits: ${members.map(_._3).distinct.toSeq}")
+    }
+    // real clusters exist in the fixture (group_key != doc_id somewhere),
+    // so the guarantee binds — and clustered docs share their label's
+    // split, not their own doc-hash split
+    val clustered = out.filter(r => r._2 != r._1)
+    assert(clustered.nonEmpty, "fixture must contain near-dup clusters")
+    // proportions hold over GROUPS (the honest unit): train is the bulk
+    val byGroup = out.groupBy(_._2).map(_._2.head._3).toSeq
+    val trainFrac = byGroup.count(_ == "train").toDouble / byGroup.size
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train fraction $trainFrac")
+  }
+
   test("TF-IDF ranks rare discriminative words above ubiquitous ones") {
     val docs = Seq(
       (0L, "common common common zebra"),
