@@ -25,7 +25,9 @@ object PlanAudit {
     "t19_stream_ohlc_maintain",
     "t20_stream_left_outer_join", "t21_stream_leaderboard",
     "t22_stream_merge_delete", "t23_stream_drift_psi",
+    "t24_stream_nfc_dedup",
     "s8_write_then_emit", "s9_file_sink_exactly_once",
+    "s10_wire_emit_exactly_once",
     "s5c_jdbc_upsert_replay", "s5d_jdbc_txnlog_replay", "s4_avro_source",
     "vote_e2e_stream_tally", "vote_e2e_live_results", "vote_e2e_reemit",
     // composite: probes the finished CMS on the driver (k-bounded)
