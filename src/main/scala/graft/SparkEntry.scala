@@ -1378,6 +1378,13 @@ object SparkEntry {
       SimilarityOps.nearDupPairsWithinLabel(Tables.embeddings(s, d), 20)),
     "dedup_clusters" -> ((s, d) =>
       DedupOps.duplicateClusters(Tables.documents(s, d), 3, tau = 0.5)),
+    // iterative graph scoring (the Pregel seat): 3 rounds of FIXED-POINT
+    // PageRank over the symmetric near-dup pair graph — integer
+    // arithmetic end to end, so the per-destination fold is
+    // order-insensitive and the recurrence replays exactly in SQL
+    "graph_pagerank_neardup" -> ((s, d) =>
+      GraphOps.nearDupPageRank(Tables.documents(s, d), 3, tau = 0.5,
+        iters = 3)),
     // cluster → kept representative (longest member, tie min doc_id):
     // the deduplicated corpus the cluster step exists to produce
     "dedup_canonical" -> ((s, d) =>
@@ -3560,6 +3567,68 @@ object SparkEntry {
          SELECT src AS doc_id,
                 CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
          FROM reach GROUP BY src""",
+    // Fixed-point PageRank replay: same pair graph as dedup_clusters,
+    // symmetric edges, 3 unrolled iterations (the kmeans-oracle style —
+    // aggregates are not allowed in a recursive CTE term) of
+    // score' = base + (85·Σ(score div deg)) div 100, all BIGINT, where
+    // base = ((SCALE // n) * 15) // 100 and SCALE = 10^12. Integer
+    // division truncates identically in both engines (operands
+    // non-negative), so the replay is exact.
+    "graph_pagerank_neardup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3),
+              sh AS (SELECT doc_id,
+                            unnest(list_distinct(list_transform(range(1, len(words) - 1),
+                              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+                     FROM w),
+              sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+              com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id),
+              p AS (SELECT doc_a, doc_b
+                    FROM com
+                    JOIN sizes sa ON sa.doc_id = doc_a
+                    JOIN sizes sb ON sb.doc_id = doc_b
+                    WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+              e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+                    UNION ALL SELECT doc_b, doc_a FROM p),
+              nodes AS (SELECT DISTINCT src AS node FROM e),
+              nn AS (SELECT count(*) AS n FROM nodes),
+              deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+              pr0 AS (SELECT node, 1000000000000 // nn.n AS score
+                      FROM nodes, nn),
+              c1 AS (SELECT e.dst AS node,
+                            CAST(sum(pr0.score // deg.deg) AS BIGINT) AS s
+                     FROM e JOIN pr0 ON e.src = pr0.node
+                            JOIN deg ON deg.src = e.src
+                     GROUP BY e.dst),
+              pr1 AS (SELECT nodes.node,
+                             ((1000000000000 // nn.n) * 15) // 100
+                               + (85 * COALESCE(c1.s, 0)) // 100 AS score
+                      FROM nodes CROSS JOIN nn
+                      LEFT JOIN c1 ON c1.node = nodes.node),
+              c2 AS (SELECT e.dst AS node,
+                            CAST(sum(pr1.score // deg.deg) AS BIGINT) AS s
+                     FROM e JOIN pr1 ON e.src = pr1.node
+                            JOIN deg ON deg.src = e.src
+                     GROUP BY e.dst),
+              pr2 AS (SELECT nodes.node,
+                             ((1000000000000 // nn.n) * 15) // 100
+                               + (85 * COALESCE(c2.s, 0)) // 100 AS score
+                      FROM nodes CROSS JOIN nn
+                      LEFT JOIN c2 ON c2.node = nodes.node),
+              c3 AS (SELECT e.dst AS node,
+                            CAST(sum(pr2.score // deg.deg) AS BIGINT) AS s
+                     FROM e JOIN pr2 ON e.src = pr2.node
+                            JOIN deg ON deg.src = e.src
+                     GROUP BY e.dst),
+              pr3 AS (SELECT nodes.node,
+                             ((1000000000000 // nn.n) * 15) // 100
+                               + (85 * COALESCE(c3.s, 0)) // 100 AS score
+                      FROM nodes CROSS JOIN nn
+                      LEFT JOIN c3 ON c3.node = nodes.node)
+         SELECT node AS doc_id, CAST(score AS BIGINT) AS score_fp
+         FROM pr3 ORDER BY score_fp DESC, doc_id""",
     "dedup_canonical" ->
       """WITH RECURSIVE
               w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents

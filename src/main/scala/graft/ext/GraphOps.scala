@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics in the Pregel/message-passing shape —
+  * generalizing the min-label propagation loop
+  * ([[DedupOps.duplicateClusters]]) to WEIGHTED iterative scoring.
+  *
+  * The reference has no graph tier; this is [X]-tier surface a corpus
+  * pipeline uses on its derived graphs (the near-dup pair graph here):
+  * centrality scores rank documents inside a duplicate neighborhood —
+  * the "authority" signal behind canonical selection when length alone
+  * ties — and the identical machinery serves link graphs at crawl scale.
+  *
+  * Scale shape: each iteration is ONE shuffle — contributions fold
+  * map-side per destination (`sum` of longs, associative), state is one
+  * (node, score) row per node, and the edge table streams through
+  * unmaterialized. `localCheckpoint` truncates the per-iteration lineage
+  * (the cluster-propagation discipline: an uncut lineage re-runs the
+  * whole prefix each round). That is the GraphX/Pregel aggregate-
+  * messages loop expressed on DataFrames.
+  *
+  * Determinism: classic PageRank sums doubles, whose value depends on
+  * shuffle fetch order. Scores here are FIXED-POINT longs (scale 10^12):
+  * contribution = score div out-degree, damping applied as
+  * (num·Σ) div den — every operation is integer, so the fold is
+  * order-insensitive, the result hash-stable under any partitioning,
+  * and the whole recurrence replayable in SQL (both engines' integer
+  * division truncates; every operand here is non-negative, so DuckDB's
+  * flooring `//` coincides — the repo's standard integer-div discipline).
+  */
+object GraphOps {
+
+  /** `iters` rounds of fixed-point PageRank over a directed edge list
+    * (`src`, `dst` columns). Every node is assumed to have at least one
+    * out-edge (true for symmetric graphs like the near-dup pair graph);
+    * nodes are the distinct sources. Returns (doc_id, score_fp) with
+    * score_fp in units of 1/`scale`. */
+  def pageRankFixedPoint(edges0: DataFrame, iters: Int,
+                         scale: Long = 1000000000000L,
+                         num: Long = 85L, den: Long = 100L): DataFrame = {
+    val edges = edges0.toDF("src", "dst").localCheckpoint()
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    // two bounded scalars to the driver (node count), same discipline as
+    // the k-means centroid collects — independent of edge count
+    val nNodes = nodes.count()
+    val init = scale / nNodes
+    val base = ((scale / nNodes) * (den - num)) / den
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var pr = nodes.select(col("node"), lit(init).as("score"))
+    (1 to iters).foreach { _ =>
+      val contrib = edges
+        .join(pr, col("src") === col("node")).drop("node")
+        .join(deg, "src")
+        .select(col("dst"), expr("score div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      pr = nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(base) +
+            expr(s"($num * coalesce(s, CAST(0 AS BIGINT))) div $den"))
+            .as("score"))
+        .localCheckpoint()
+    }
+    pr.select(col("node").as("doc_id"), col("score").as("score_fp"))
+      .orderBy(desc("score_fp"), asc("doc_id"))
+  }
+
+  /** PageRank over the near-dup pair graph (exact-Jaccard ≥ tau edges,
+    * symmetric — served from the session-wide truth memo the recall
+    * audits and cluster queries share): the centrality ranking of
+    * documents inside their duplicate neighborhoods. */
+  def nearDupPageRank(docs: DataFrame, n: Int, tau: Double,
+                      iters: Int): DataFrame = {
+    val pairs = DedupOps.truthPairsAbove(docs, n, tau)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    pageRankFixedPoint(edges, iters)
+  }
+}

@@ -31,7 +31,10 @@ object PlanAudit {
     "s5c_jdbc_upsert_replay", "s5d_jdbc_txnlog_replay", "s4_avro_source",
     "vote_e2e_stream_tally", "vote_e2e_live_results", "vote_e2e_reemit",
     // composite: probes the finished CMS on the driver (k-bounded)
-    "sketch_cms_heavy")
+    "sketch_cms_heavy",
+    // composite: runs the checkpointed propagation loop on construction —
+    // the final frame is a sort over the last checkpoint, not the loop
+    "graph_pagerank_neardup")
 
   /** `--summary <dir>`: one markdown row of physical-plan features per
     * query — shuffle count, join strategies, parquet pushdown, codegen. */

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.GraphOps
+
+/** Fixed-point PageRank: exact parity with an independent driver-side
+  * replay of the integer recurrence, structural sanity on a crafted
+  * graph, and determinism across runs. */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent reference: the same integer recurrence in plain Scala. */
+  private def reference(edges: Seq[(Long, Long)], iters: Int,
+                        scale: Long = 1000000000000L,
+                        num: Long = 85L, den: Long = 100L): Map[Long, Long] = {
+    val nodes = edges.map(_._1).distinct.sorted
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val init = scale / nodes.size
+    val base = ((scale / nodes.size) * (den - num)) / den
+    var score = nodes.map(_ -> init).toMap
+    (1 to iters).foreach { _ =>
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => score(s) / deg(s) }.sum).toMap
+      score = nodes.map(v => v -> (base + (num * in.getOrElse(v, 0L)) / den)).toMap
+    }
+    score
+  }
+
+  test("path graph: center outranks endpoints; engine equals the replay") {
+    // 1 - 2 - 3 symmetric path: node 2 receives from both ends
+    val sym = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    val got = GraphOps.pageRankFixedPoint(sym.toDF("src", "dst"), 3)
+      .as[(Long, Long)].collect().toMap
+    val want = reference(sym, 3)
+    assert(got === want)
+    assert(got(2L) > got(1L) && got(2L) > got(3L),
+      "the path center must outrank the endpoints")
+    assert(got(1L) === got(3L), "symmetric endpoints must tie exactly")
+  }
+
+  test("near-dup graph: deterministic, integer-exact, clusters carry mass") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = GraphOps.nearDupPageRank(docs, 3, tau = 0.5, iters = 3)
+      .as[(Long, Long)].collect().toSeq
+    val b = GraphOps.nearDupPageRank(docs, 3, tau = 0.5, iters = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(a === b, "fixed-point scores must be bit-stable across runs")
+    assert(a.nonEmpty)
+    // every scored node is a clustered doc (the pair graph's node set)
+    val clustered = graft.ext.DedupOps
+      .duplicateClusters(docs, 3, tau = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.map(_._1).toSet === clustered)
+  }
+}
