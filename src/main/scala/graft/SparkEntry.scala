@@ -1385,6 +1385,11 @@ object SparkEntry {
     "graph_pagerank_neardup" -> ((s, d) =>
       GraphOps.nearDupPageRank(Tables.documents(s, d), 3, tau = 0.5,
         iters = 3)),
+    // per-node triangle membership over the same pair graph — the local
+    // clustering signal that separates true dup CLIQUES from chain-shaped
+    // false positives; ordered wedge join, never an all-pairs product
+    "graph_triangles_neardup" -> ((s, d) =>
+      GraphOps.nearDupTriangles(Tables.documents(s, d), 3, tau = 0.5)),
     // cluster → kept representative (longest member, tie min doc_id):
     // the deduplicated corpus the cluster step exists to produce
     "dedup_canonical" -> ((s, d) =>
@@ -3567,6 +3572,31 @@ object SparkEntry {
          SELECT src AS doc_id,
                 CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
          FROM reach GROUP BY src""",
+    // Triangle replay: same pair CTE, ordered wedge join a<b<c, each
+    // triangle credited to all three members
+    "graph_triangles_neardup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3),
+              sh AS (SELECT doc_id,
+                            unnest(list_distinct(list_transform(range(1, len(words) - 1),
+                              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+                     FROM w),
+              sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+              com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id),
+              p AS (SELECT doc_a, doc_b
+                    FROM com
+                    JOIN sizes sa ON sa.doc_id = doc_a
+                    JOIN sizes sb ON sb.doc_id = doc_b
+                    WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+              t AS (SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+                    FROM p e1
+                    JOIN p e2 ON e2.doc_a = e1.doc_b
+                    JOIN p e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+              u AS (SELECT unnest([x, y, z]) AS doc_id FROM t)
+         SELECT doc_id, count(*) AS n_triangles
+         FROM u GROUP BY doc_id ORDER BY doc_id""",
     // Fixed-point PageRank replay: same pair graph as dedup_clusters,
     // symmetric edges, 3 unrolled iterations (the kmeans-oracle style —
     // aggregates are not allowed in a recursive CTE term) of

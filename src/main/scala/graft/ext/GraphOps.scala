@@ -68,6 +68,36 @@ object GraphOps {
       .orderBy(desc("score_fp"), asc("doc_id"))
   }
 
+  /** Per-node TRIANGLE counts over an undirected edge list given as
+    * ordered pairs (`a` < `b`, each undirected edge once). Triangles are
+    * enumerated once each via the ordered wedge join (a < b < c): wedges
+    * (a→b, b→c) probe the closing edge (a, c) with an equi-join — never
+    * an all-pairs product; work is Σ wedge counts, the standard bound.
+    * (The skew refinement at 100 TB orients edges by (degree, id) instead
+    * of raw id, bounding per-node fan-out by arboricity — same join
+    * shape, different orientation key; raw-id orientation keeps the
+    * SQL replay one-to-one.) Triangle membership per node is the local
+    * clustering signal — on a near-dup graph it separates true duplicate
+    * CLIQUES (every pair matches every pair) from chain-shaped false
+    * positives that transitive clustering alone cannot tell apart. */
+  def triangleCounts(pairs0: DataFrame): DataFrame = {
+    val p = pairs0.toDF("a", "b").localCheckpoint()
+    val tri = p.as("e1")
+      .join(p.as("e2"), col("e2.a") === col("e1.b"))
+      .join(p.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy("doc_id")
+  }
+
+  /** Triangle counts over the near-dup pair graph (same pairs the
+    * clusters are built from — served by the shared truth memo). */
+  def nearDupTriangles(docs: DataFrame, n: Int, tau: Double): DataFrame =
+    triangleCounts(DedupOps.truthPairsAbove(docs, n, tau))
+
   /** PageRank over the near-dup pair graph (exact-Jaccard ≥ tau edges,
     * symmetric — served from the session-wide truth memo the recall
     * audits and cluster queries share): the centrality ranking of

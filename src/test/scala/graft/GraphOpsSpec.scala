@@ -38,6 +38,17 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(1L) === got(3L), "symmetric endpoints must tie exactly")
   }
 
+  test("triangles: K4 yields four triangles, three per node; paths yield none") {
+    // K4 on {1,2,3,4}: C(4,3) = 4 triangles, each node on 3 of them
+    val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))
+    val got = GraphOps.triangleCounts(k4.toDF("a","b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a path has wedges but no closing edge — zero triangles
+    val path = Seq((1L,2L),(2L,3L),(3L,4L))
+    assert(GraphOps.triangleCounts(path.toDF("a","b")).count() === 0L)
+  }
+
   test("near-dup graph: deterministic, integer-exact, clusters carry mass") {
     val docs = Tables.documents(spark, sfDir)
     val a = GraphOps.nearDupPageRank(docs, 3, tau = 0.5, iters = 3)
