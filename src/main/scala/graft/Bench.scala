@@ -73,27 +73,30 @@ object Bench {
       // One tiny run per class at sf0.001 (smallest fixture) pins all
       // of it here; generated classes are tree-keyed, so the sf-dir
       // difference doesn't miss the cache.
-      val warmSf = "/root/testdata/sf0.001"
-      val sp = Some(2)
-      val S = graft.streaming.StreamOps
-      S.cumulativeTally(spark, warmSf, sp).count()            // streaming agg
-      S.streamingSessionCounts(spark, warmSf, "30 minutes", sp).count() // session_window
-      S.streamingDedupUsers(spark, warmSf, sp).count()        // dedup state
-      S.streamingDedupUsersWatermarked(spark, warmSf, statePartitions = sp).count() // watermarked dedup
-      S.streamStreamIntervalJoin(spark, warmSf, statePartitions = sp).count() // symmetric hash join
-      S.streamingAsOfAttribution(spark, warmSf, statePartitions = sp).count() // flatMapGroupsWithState
-      S.streamingTimeoutSessions(spark, warmSf, statePartitions = sp).count() // event-time timers
-      S.hourlyWindowCounts(spark, warmSf, sp).count()         // windowed agg
       // The shared exact-Jaccard TRUTH memo (Σ df² inverted index) and
       // the cluster labels propagated from it serve every recall audit,
-      // clusters/canonical, the group-aware split, and both corpus
-      // pipelines — one ~4 s session-wide build that otherwise lands on
-      // whichever of those queries the Map happens to order first (bench
-      // ordering, not engine cost). Build it here from the same
-      // (corpus, n, tau) memo key; per-query numbers then reflect each
-      // query's own work.
+      // clusters/canonical, the group-aware split, the graph seats, and
+      // both corpus pipelines — one ~4 s session-wide build that
+      // otherwise lands on whichever of those queries the Map happens to
+      // order first (bench ordering, not engine cost). Built from the
+      // same (corpus, n, tau) memo key, and BEFORE the fixture-dependent
+      // streaming block so a missing warm fixture can't swallow it via
+      // the blanket catch.
       graft.ext.DedupOps.duplicateClusters(
         Tables.documents(spark, sfDir), 3, tau = 0.5).count()
+      val warmSf = "/root/testdata/sf0.001"
+      if (new java.io.File(s"$warmSf/events.parquet").exists()) {
+        val sp = Some(2)
+        val S = graft.streaming.StreamOps
+        S.cumulativeTally(spark, warmSf, sp).count()            // streaming agg
+        S.streamingSessionCounts(spark, warmSf, "30 minutes", sp).count() // session_window
+        S.streamingDedupUsers(spark, warmSf, sp).count()        // dedup state
+        S.streamingDedupUsersWatermarked(spark, warmSf, statePartitions = sp).count() // watermarked dedup
+        S.streamStreamIntervalJoin(spark, warmSf, statePartitions = sp).count() // symmetric hash join
+        S.streamingAsOfAttribution(spark, warmSf, statePartitions = sp).count() // flatMapGroupsWithState
+        S.streamingTimeoutSessions(spark, warmSf, statePartitions = sp).count() // event-time timers
+        S.hourlyWindowCounts(spark, warmSf, sp).count()         // windowed agg
+      }
     } catch { case _: Throwable => () }
     // Optional comma-separated name-prefix filter for local profiling runs
     // (unset in the driver's invocation → full surface, contract unchanged).

@@ -34,8 +34,15 @@ object TmpDirs {
   def create(prefix: String): Path = Files.createTempDirectory(root, prefix)
 
   /** The on-disk tmpdir as it was at class-load, BEFORE install()
-    * repoints `java.io.tmpdir` — shuffle spill must stay here. */
-  private val diskTmp: String = System.getProperty("java.io.tmpdir", "/tmp")
+    * repoints `java.io.tmpdir` — shuffle spill must stay here. If the
+    * JVM was LAUNCHED with tmpdir already in tmpfs (a common tuning),
+    * fall back to /tmp: pinning spark.local.dir into /dev/shm would be
+    * exactly the shuffle-spill-in-RAM hazard install() exists to
+    * prevent. */
+  private val diskTmp: String = {
+    val t = System.getProperty("java.io.tmpdir", "/tmp")
+    if (t.startsWith("/dev/shm")) "/tmp" else t
+  }
 
   /** Point the JVM's scratch (`java.io.tmpdir`) at the RAM-backed root
     * for graft's own KB–MB temp files, while PINNING `spark.local.dir`

@@ -43,9 +43,14 @@ object GraphOps {
     val edges = edges0.toDF("src", "dst").localCheckpoint()
     val nodes = edges.select(col("src").as("node")).distinct()
       .localCheckpoint()
-    // two bounded scalars to the driver (node count), same discipline as
+    // one bounded scalar to the driver (node count), same discipline as
     // the k-means centroid collects — independent of edge count
     val nNodes = nodes.count()
+    // an edgeless graph has no scores (and `scale / 0` would throw) —
+    // return the empty frame in the output schema, like triangleCounts
+    if (nNodes == 0)
+      return nodes.select(col("node").as("doc_id"),
+        col("node").as("score_fp"))
     val init = scale / nNodes
     val base = ((scale / nNodes) * (den - num)) / den
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))

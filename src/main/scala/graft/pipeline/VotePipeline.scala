@@ -103,10 +103,10 @@ object VotePipeline {
     // emission never depends on the trailing empty batch (perfScope)
     graft.streaming.StreamOps.perfScope(spark, Some(4)) {
     // Wire records staged as a 4-file parquet topic, consumed through the
-    // *file stream source* (2 files per micro-batch — two REAL cross-batch
-    // state merges; 1-per-trigger exercised nothing more, at twice the
-    // micro-batch machinery) — the records never pass through the driver,
-    // unlike a MemoryStream feed.
+    // *file stream source* (2 files per micro-batch: two batches, one
+    // REAL cross-batch state merge — 1-per-trigger exercised no more
+    // merge coverage, at twice the micro-batch machinery) — the records
+    // never pass through the driver, unlike a MemoryStream feed.
     val topicDir = stagedWireTopic(spark, nVoters)
     val q = Decode.flatten(
         Decode.jsonDecode(
@@ -136,8 +136,8 @@ object VotePipeline {
   def streamingReEmit(spark: SparkSession, nVoters: Long): DataFrame =
     // 3-key aggregation state: size state partitions to keys; the board
     // overwrite happens per DATA batch — the empty batch only re-wrote
-    // the same standings (perfScope drops it, 2-file triggers halve the
-    // board rewrites while keeping a real cross-batch merge)
+    // the same standings (perfScope drops it; 2-file triggers halve the
+    // board rewrites while keeping one real cross-batch merge)
     graft.streaming.StreamOps.perfScope(spark, Some(4)) {
     val topicDir = stagedWireTopic(spark, nVoters)
     val boardTopic = graft.TmpDirs

@@ -49,6 +49,13 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.triangleCounts(path.toDF("a","b")).count() === 0L)
   }
 
+  test("empty edge list: PageRank returns the empty frame, not a crash") {
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val out = GraphOps.pageRankFixedPoint(none, 3)
+    assert(out.columns.toSeq === Seq("doc_id", "score_fp"))
+    assert(out.count() === 0L)
+  }
+
   test("near-dup graph: deterministic, integer-exact, clusters carry mass") {
     val docs = Tables.documents(spark, sfDir)
     val a = GraphOps.nearDupPageRank(docs, 3, tau = 0.5, iters = 3)

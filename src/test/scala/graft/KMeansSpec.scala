@@ -72,8 +72,11 @@ class KMeansSpec extends SparkSpec {
     // the one-row centroid broadcast (BroadcastExchange over a
     // LocalTableScan — k·d doubles, independent of N) is the compile-once
     // delivery path and is NOT a shuffle; what must never appear is a
-    // ShuffleExchange (the N×k row_number regression this pins against)
-    assert(!plan.contains("ShuffleExchange") && !plan.contains("ShuffleQueryStage"),
+    // shuffle Exchange — which Spark prints as "Exchange
+    // hashpartitioning(...)" / "Exchange rangepartitioning(...)" (the
+    // node NAME is just "Exchange", so a class-name needle like
+    // "ShuffleExchange" would never match and pin nothing)
+    assert(!("Exchange (hash|range|SinglePartition)".r.findFirstIn(plan).isDefined),
       s"assignment must not shuffle (N×k regression):\n$plan")
     assert(plan.contains("BroadcastNestedLoopJoin") ||
            plan.contains("BroadcastExchange"),
