@@ -1285,6 +1285,11 @@ object SparkEntry {
     // materialized-view refresh shape at 100 TB
     "incr_agg_merge" -> ((s, d) =>
       Aggregates.incrementalMerge(Tables.events(s, d))),
+    // the JOIN sibling: refresh = old ∪ (ΔE ⋈ D) ∪ (E₀ ⋈ ΔD) — delta
+    // batches join the other side once; the full-join oracle goes red if
+    // the decomposition loses or doubles any term
+    "incr_join_merge" -> ((s, d) =>
+      Joins.incrementalJoinMerge(Tables.events(s, d), Tables.customer(s, d))),
     // distribution-drift audit: PSI per event_type between two snapshot
     // halves (even ids vs odd ids with 60% of odd clicks dropped — a
     // deterministic injected mix shift, so the click PSI term is large
@@ -2299,6 +2304,13 @@ object SparkEntry {
                   AS total_cents,
                 min(value) AS min_value, max(value) AS max_value
          FROM events GROUP BY user_id ORDER BY user_id""",
+    // the incremental decomposition must equal the ONE full join
+    "incr_join_merge" ->
+      """SELECT c_nationkey, count(*) AS n_rows,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS cents
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
     // PSI per category; the ln argument mirrors the engine's exact
     // arithmetic order ((n_cur/t_cur) * (t_base/n_base)) so the rounded
     // doubles are bit-identical

@@ -45,4 +45,34 @@ class JoinSaltSpec extends SparkSpec {
       .distinct().count()
     assert(buckets >= 4, s"hot key $hot spread over only $buckets/8 buckets")
   }
+
+  test("incremental join maintenance equals the one full join, ΔE⋈ΔD included") {
+    import spark.implicits._
+    // crafted so every decomposition cell is non-empty: user 10 is a
+    // DELTA dim key (custkey%10==0) hit by BOTH base (even id) and delta
+    // (odd id) events — the ΔE⋈ΔD corner that double-counts if the
+    // middle term joins the full dim AND the third term re-adds it
+    val ev = Seq(
+      (2L, 10L, 1.00), (3L, 10L, 2.00),   // base+delta events on delta dim
+      (4L, 11L, 3.00), (5L, 11L, 4.00),   // base+delta events on base dim
+      (6L, 99L, 9.00)                      // unmatched key drops out
+    ).toDF("event_id", "user_id", "value")
+    val dim = Seq((10L, 7L), (11L, 3L)).toDF("c_custkey", "c_nationkey")
+    val got = Joins.incrementalJoinMerge(ev, dim)
+      .as[(Long, Long, Long)].collect().toSeq
+    // full-join truth: nation 7 gets cents 100+200, nation 3 gets 300+400
+    assert(got === Seq((3L, 2L, 700L), (7L, 2L, 300L)))
+    // and on the real fixture the decomposition matches the plain join
+    val full = probe.join(
+        Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey"),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .as[(Long, Long, Long)].collect().toSet
+    val inc = Joins.incrementalJoinMerge(
+        Tables.events(spark, sfDir), Tables.customer(spark, sfDir))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(inc === full)
+  }
 }
