@@ -1452,6 +1452,34 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(20)) === 0))
     }),
 
+    // raw-FILE sources — the multimodal ingestion path: a directory of
+    // per-document blobs read back through Spark's binaryFile source
+    // (whole file -> one row, content as binary); losslessness graded by
+    // hash-matching the decoded text against the documents table
+    "s4_binary_source" -> ((s, d) => {
+      val dir = graft.sources.MediaFiles.textFileDir(s, d)
+      s.read.format("binaryFile").load(dir)
+        .select(
+          regexp_extract(col("path"), "(\\d+)\\.bin", 1).cast("long")
+            .as("doc_id"),
+          decode(col("content"), "UTF-8").as("text"))
+        .orderBy("doc_id")
+    }),
+    // the image DATASOURCE over real JDK-encoded PNG files: ImageIO
+    // decode at the source, dims/channels surfaced as columns — graded
+    // against the closed-form fixture dims
+    "s4_image_source" -> ((s, d) => {
+      val dir = graft.sources.MediaFiles.pngFileDir(s, d)
+      s.read.format("image").load(dir)
+        .select(
+          regexp_extract(col("image.origin"), "(\\d+)\\.png", 1).cast("long")
+            .as("doc_id"),
+          col("image.width").cast("long").as("width"),
+          col("image.height").cast("long").as("height"),
+          col("image.nChannels").cast("long").as("n_channels"))
+        .orderBy("doc_id")
+    }),
+
     // ---- LLM pipeline: similarity search ----
     "ann_cosine_topk" -> ((s, d) =>
       SimilarityOps.bruteForceTopK(Tables.embeddings(s, d), 0L, 10)),
@@ -2304,6 +2332,18 @@ object SparkEntry {
                   AS total_cents,
                 min(value) AS min_value, max(value) AS max_value
          FROM events GROUP BY user_id ORDER BY user_id""",
+    // binaryFile round trip: files are the docs' own UTF-8 bytes — the
+    // decoded read-back must hash-match the table
+    "s4_binary_source" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
+    // image source: real PNG decode at the source; dims are closed-form
+    // in doc_id (ImageCodec fixture), grayscale = 1 channel
+    "s4_image_source" ->
+      """SELECT doc_id,
+                CAST(doc_id % 13 + 4 AS BIGINT) AS width,
+                CAST(doc_id % 11 + 4 AS BIGINT) AS height,
+                CAST(1 AS BIGINT) AS n_channels
+         FROM documents ORDER BY doc_id""",
     // the incremental decomposition must equal the ONE full join
     "incr_join_merge" ->
       """SELECT c_nationkey, count(*) AS n_rows,

@@ -32,6 +32,32 @@ class ImageCodecSpec extends SparkSpec {
     }
   }
 
+  test("file sources: binaryFile round-trips text; image source decodes PNGs") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val want = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    val bin = spark.read.format("binaryFile")
+      .load(graft.sources.MediaFiles.textFileDir(spark, sfDir))
+      .select(regexp_extract(col("path"), "(\\d+)\\.bin", 1).cast("long"),
+        decode(col("content"), "UTF-8"))
+      .as[(Long, String)].collect().toMap
+    assert(bin === want, "binaryFile read-back must be byte-lossless")
+    val img = spark.read.format("image")
+      .load(graft.sources.MediaFiles.pngFileDir(spark, sfDir))
+      .select(
+        regexp_extract(col("image.origin"), "(\\d+)\\.png", 1).cast("long"),
+        col("image.width"), col("image.height"),
+        col("image.nChannels"), col("image.mode"))
+      .as[(Long, Int, Int, Int, Int)].collect()
+    assert(img.length === want.size)
+    img.foreach { case (id, w, h, nc, mode) =>
+      assert(w === graft.ext.ImageCodec.widthOf(id))
+      assert(h === graft.ext.ImageCodec.heightOf(id))
+      assert(nc === 1 && mode === 0, // OpenCV CV_8UC1: 8-bit single channel
+        s"grayscale PNG must decode 1-channel (doc $id: nc=$nc mode=$mode)")
+    }
+  }
+
   test("jpeg SOF scan recovers dims through variable-length segments") {
     val media = ImageCodec.withImagePayload(spark, ids, "jpg")
     val out = ImageCodec.jpegDims(spark, media)
