@@ -971,6 +971,18 @@ object SparkEntry {
       Tables.events(s, d)
         .select(col("event_id"),
                 Scalars.toJsonCol(col("event_type"), col("value")).as("js"))),
+    // XML wire round trip (to_xml → from_xml, Spark 4 built-ins): DuckDB
+    // has no to_xml, so the grade is the LOSSLESS identity — the decoded
+    // row must hash-match the source (Double.toString text is
+    // round-trip-exact, so value survives the text form bit-for-bit)
+    "f5b_xml_roundtrip" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          expr("to_xml(struct(event_type, value))").as("x"))
+        .select(col("event_id"),
+          expr("from_xml(x, 'event_type STRING, value DOUBLE')").as("s"))
+        .select(col("event_id"), col("s.event_type").as("event_type"),
+          col("s.value").as("value"))),
     "f9_format_string" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
@@ -986,6 +998,22 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(round(sum("value"), 2).as("total_value"),
              count(lit(1)).as("n_events"))
+    }),
+    // XML source (bundled in Spark 4 — the former spark-xml package):
+    // write → read round trip with a declared schema, same fold as the
+    // JSON seat so the three self-describing text formats share an oracle
+    // shape; exact integer CENTS ride along to catch value coercion
+    "s4_xml_source" -> ((s, d) => {
+      val tmp = graft.TmpDirs.create("graft_xml_").toString
+      Tables.events(s, d).select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .write.mode("overwrite").format("xml").option("rowTag", "event")
+        .save(tmp)
+      s.read.schema("event_id BIGINT, event_type STRING, cents BIGINT")
+        .format("xml").option("rowTag", "event").load(tmp)
+        .groupBy("event_type")
+        .agg(sum("cents").as("total_cents"), count(lit(1)).as("n_events"))
+        .orderBy("event_type")
     }),
     "s4_csv_source" -> ((s, d) => {
       val tmp = graft.TmpDirs.create("graft_csv_").toString
@@ -3163,11 +3191,19 @@ object SparkEntry {
       """SELECT event_id,
                 to_json(struct_pack(event_type := event_type, value := value)) AS js
          FROM events""",
+    "f5b_xml_roundtrip" ->
+      "SELECT event_id, event_type, value FROM events",
     "f9_format_string" ->
       "SELECT event_id, printf('%s#%03d', event_type, user_id % 100) AS tag FROM events",
     "s4_json_source" ->
       """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
          FROM events GROUP BY event_type""",
+    "s4_xml_source" ->
+      """SELECT event_type,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents,
+                count(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "s4_csv_source" ->
       """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
          FROM events GROUP BY event_type""",
