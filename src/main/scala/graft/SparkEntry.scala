@@ -730,6 +730,22 @@ object SparkEntry {
           min("k").as("min_k"),
           max("k").as("max_k"))
         .orderBy("event_type")),
+    // the VARIANT form (Spark 4's semi-structured type): parse once into
+    // the binary variant encoding, typed path extraction via variant_get
+    // — at scale the parse happens at ingest and every downstream
+    // extraction reads the compact encoding instead of re-parsing text
+    // (get_json_object re-parses per call); integer sum keeps the fold
+    // order-insensitive
+    "props_variant_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("k").as("sum_k"),
+          min("k").as("min_k"),
+          max("k").as("max_k"))
+        .orderBy("event_type")),
 
     "a7_percentiles" -> ((s, d) =>
       Tables.events(s, d).groupBy("event_type")
@@ -3025,6 +3041,13 @@ object SparkEntry {
     "props_json_extract" ->
       """SELECT event_type, count(*) AS n,
                 round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k,
+                min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+                max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // variant path extraction must agree with plain JSON extraction
+    "props_variant_extract" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
                 min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
                 max(CAST(props->>'$.k' AS BIGINT)) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
