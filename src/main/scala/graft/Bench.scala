@@ -96,6 +96,7 @@ object Bench {
         S.streamingAsOfAttribution(spark, warmSf, statePartitions = sp).count() // flatMapGroupsWithState
         S.streamingTimeoutSessions(spark, warmSf, statePartitions = sp).count() // event-time timers
         S.hourlyWindowCounts(spark, warmSf, sp).count()         // windowed agg
+        S.streamingDedupUsersRocksDB(spark, warmSf, sp).count() // rocksdbjni load + provider init
       }
     } catch { case _: Throwable => () }
     // Optional comma-separated name-prefix filter for local profiling runs

@@ -1167,6 +1167,51 @@ object SparkEntry {
              sum("event_id").cast("long").as("sum_ids"),
              round(sum("value"), 2).as("sum_value"))
     }),
+    // Dynamic partition pruning: the DIM side carries the selective
+    // predicate (conv_flag — deliberately NOT on the join key, so no
+    // static filter can be inferred onto the fact), the FACT side is a
+    // layout partitioned on the join key. Catalyst injects a
+    // DynamicPruningExpression on the fact scan: only the partition
+    // directories the filtered dim selects are read at runtime — the
+    // 100 TB star-join shape where the dim filter, not a literal,
+    // decides which fact partitions exist in the plan. Values are
+    // layout-transparent and oracled; the runtime pruning itself is
+    // asserted by StorageSpec.
+    "storage_dpp_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value")
+      val factDir = Storage.partitionedRoundTrip(ev, "event_type")
+      // flag is an INT compared to a literal (not a bare boolean):
+      // PartitionPruning only fires behind a likely-selective dim
+      // predicate, and a boolean attribute simplifies to a bare ref,
+      // which the selectivity heuristic rejects
+      val dim = ev.select(col("event_type").as("type_name")).distinct()
+        .withColumn("conv_flag",
+          col("type_name").isin("purchase", "signup").cast("int"))
+      val dimDir = Storage.codecRoundTrip(dim, "snappy")
+      s.read.parquet(dimDir).filter(col("conv_flag") === 1)
+        .join(s.read.parquet(factDir), col("type_name") === col("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+             round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    }),
+    // Nested schema pruning: a struct-typed layout read for ONE leaf —
+    // the scan must materialize struct<meta:struct<event_type>> only,
+    // not the whole struct (scan WIDTH is the other half of the 100 TB
+    // scan bill next to partition pruning; at wide telemetry structs a
+    // full-struct read is a 10-50× I/O overhead). Values are
+    // layout-transparent and oracled; the pruned ReadSchema is asserted
+    // by StorageSpec.
+    "storage_nested_pruning" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"),
+        struct(col("user_id"), col("event_type"), col("value")).as("meta"))
+      val dir = Storage.codecRoundTrip(ev, "snappy")
+      s.read.parquet(dir)
+        .groupBy(col("meta.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("event_type")
+    }),
     "storage_bucketed_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .groupBy("user_id").agg(round(sum("value"), 2).as("total_value"))
@@ -1279,6 +1324,12 @@ object SparkEntry {
     // land within the watermark and must be suppressed
     "t5b_stream_dedup_watermarked" -> ((s, d) =>
       StreamOps.streamingDedupUsersWatermarked(s, d, statePartitions = Some(8))),
+    // t5's keyed-state dedup with state in ROCKSDB — the disk-backed
+    // backend a 100 TB deployment runs (heap-backed default caps state at
+    // JVM memory); same oracle as t5, so the hash match grades the
+    // backend swap as semantics-free on the driver's own gate
+    "t25_stream_rocksdb_dedup" -> ((s, d) =>
+      StreamOps.streamingDedupUsersRocksDB(s, d, statePartitions = Some(8))),
     "t8_stream_asof" -> ((s, d) =>
       StreamOps.streamingAsOfAttribution(s, d, statePartitions = Some(8))),
     // streaming SCD2: each change CLOSES the key's open version (append
@@ -3278,6 +3329,24 @@ object SparkEntry {
            AND l_suppkey BETWEEN 2 AND 7
          GROUP BY l_returnflag
          ORDER BY l_returnflag""",
+    // the partitioned/staged layouts are result-transparent: the oracle
+    // replays the dim filter + join against the source table
+    "storage_dpp_join" ->
+      """WITH dim AS (SELECT DISTINCT event_type AS type_name,
+                             CASE WHEN event_type IN ('purchase', 'signup')
+                                  THEN 1 ELSE 0 END AS conv_flag
+                      FROM events)
+         SELECT e.event_type, count(*) AS n_rows,
+                round(sum(e.value), 2) AS sum_value
+         FROM events e
+         JOIN dim ON dim.conv_flag = 1 AND e.event_type = dim.type_name
+         GROUP BY e.event_type
+         ORDER BY e.event_type""",
+    // struct layout is result-transparent: the oracle replays the
+    // group-count against the flat source table
+    "storage_nested_pruning" ->
+      """SELECT event_type, count(*) AS n_rows
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "storage_bucketed_join" ->
       """SELECT c.c_name, c.c_mktsegment, t.total_value
          FROM (SELECT user_id, round(sum(value), 2) AS total_value
@@ -3477,6 +3546,8 @@ object SparkEntry {
          WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
          GROUP BY 1""",
     "t5_stream_dedup_users" -> "SELECT DISTINCT user_id FROM events",
+    // same truth as t5: the RocksDB backend swap must be semantics-free
+    "t25_stream_rocksdb_dedup" -> "SELECT DISTINCT user_id FROM events",
     // any re-emission of a late duplicate adds a row and goes red
     "t5b_stream_dedup_watermarked" -> "SELECT DISTINCT user_id FROM events",
     // session_window semantics at microsecond precision: a new session

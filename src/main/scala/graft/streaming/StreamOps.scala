@@ -584,6 +584,25 @@ object StreamOps {
       df.dropDuplicates("user_id").select("user_id")
     }
 
+  /** T25: [[streamingDedupUsers]] with keyed state in **RocksDB** — the
+    * backend a 100 TB deployment actually runs. The default HDFS-backed
+    * provider keeps every key on the executor HEAP, so state is bounded
+    * by JVM memory; `RocksDBStateStoreProvider` (bundled: rocksdbjni)
+    * holds state in native memory + local SST files and checkpoints via
+    * changelog, so per-executor state scales to disk, not heap. Same
+    * pipeline, same oracle as t5 — a hash match grades that the backend
+    * swap is semantics-free on the driver's own gate (the spec suite
+    * additionally pins backend-independence for windowed aggs and
+    * session windows). Conf is query-scoped via [[withConf]] (reentrant
+    * on the session lock), so the rest of the board keeps the default
+    * provider. */
+  def streamingDedupUsersRocksDB(spark: SparkSession, dir: String,
+                                 statePartitions: Option[Int] = None): DataFrame =
+    withConf(spark, Map("spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+      streamingDedupUsers(spark, dir, statePartitions)
+    }
+
   /** T4: late-data DROP on the graded path — append-mode hourly window
     * aggregate with a 1-hour watermark, fed in two batches: batch 1 is
     * 4/5 of the events (advancing the watermark to max(ts) − 1 h), batch

@@ -33,6 +33,60 @@ class StorageSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    // The dim's selective predicate is on a NON-join column
+    // (conv_flag), so no static filter can be inferred onto the
+    // fact — the only way the fact scan avoids reading all 5 partition
+    // directories is Catalyst's DynamicPruningExpression, fed by the
+    // dim broadcast at runtime. That is the 100 TB star-join shape:
+    // partitions are pruned by the dim FILTER's outcome, not a literal.
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value")
+    val factDir = Storage.partitionedRoundTrip(ev, "event_type")
+    val dim = ev.select(col("event_type").as("type_name")).distinct()
+      .withColumn("conv_flag",
+        col("type_name").isin("purchase", "signup").cast("int"))
+    val dimDir = Storage.codecRoundTrip(dim, "snappy")
+    val joined = spark.read.parquet(dimDir)
+      .filter(col("conv_flag") === 1)
+      .join(spark.read.parquet(factDir),
+        col("type_name") === col("event_type"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_rows"))
+
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must carry a DynamicPruningExpression partition filter:\n$plan")
+
+    val viaLayout = joined.as[(String, Long)].collect().toMap
+    val direct = ev.filter(col("event_type").isin("purchase", "signup"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(viaLayout === direct)
+  }
+
+  test("nested schema pruning: one-leaf read scans only that leaf") {
+    // The layout stores struct<user_id,event_type,value>; reading one
+    // leaf must shrink the parquet ReadSchema to that leaf alone —
+    // scan WIDTH, the other half of the 100 TB scan bill next to
+    // partition pruning.
+    val ev = Tables.events(spark, sfDir).select(col("event_id"),
+      struct(col("user_id"), col("event_type"), col("value")).as("meta"))
+    val dir = Storage.codecRoundTrip(ev, "snappy")
+    val q = spark.read.parquet(dir)
+      .groupBy(col("meta.event_type").as("event_type"))
+      .agg(count(lit(1)).as("n_rows"))
+    val scan = q.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("struct<meta:struct<event_type:string>>"),
+      s"scan must read only the event_type leaf:\n$scan")
+    assert(!scan.contains("user_id") && !scan.contains("value:"),
+      s"unused struct leaves must not be scanned:\n$scan")
+    val viaStruct = q.as[(String, Long)].collect().toMap
+    val direct = Tables.events(spark, sfDir)
+      .groupBy("event_type").count().as[(String, Long)].collect().toMap
+    assert(viaStruct === direct)
+  }
+
   test("compaction reduces many small files to the size target") {
     val small = java.nio.file.Files.createTempDirectory("graft_small_").toString
     val compacted = java.nio.file.Files.createTempDirectory("graft_compact_").toString
