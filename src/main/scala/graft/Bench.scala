@@ -42,9 +42,12 @@ object Bench {
       // lands here, outside the timed region, instead of on whichever
       // query the map happens to order first. Generated-class caching is
       // keyed by expression tree, so the full-size runs below reuse these.
-      val emb64 = Tables.embeddings(spark, sfDir).limit(64)
-      warm { graft.ext.SimilarityOps.ivfTopK(emb64, 0L, 3, nprobe = 2).count() }
-      val docs30 = Tables.documents(spark, sfDir).limit(30)
+      // frame CONSTRUCTIONS are guarded inside the same step as their
+      // use: an eager schema probe can throw too (missing fixture), and
+      // it must not take the later, unrelated families down with it
+      warm { val emb64 = Tables.embeddings(spark, sfDir).limit(64)
+        graft.ext.SimilarityOps.ivfTopK(emb64, 0L, 3, nprobe = 2).count() }
+      def docs30 = Tables.documents(spark, sfDir).limit(30)
       warm { graft.ext.DedupOps.ngramJaccardTopPairs(docs30, 3, 5).count() }
       // the fuzzy-join probe/verify family compiles a multi-second
       // codegen set; pin it here like the others
@@ -61,7 +64,7 @@ object Bench {
       warm { graft.pipeline.VotePipeline.turnoutByState(spark, 64).count() }
       // real-codec families: ImageIO/javax.sound static init + the
       // mapPartitions codegen sets; one-doc payloads keep it millisecond
-      val doc1 = Tables.documents(spark, sfDir).limit(1)
+      def doc1 = Tables.documents(spark, sfDir).limit(1)
       warm { graft.ext.ImageCodec.decodeBrightness(spark,
         graft.ext.ImageCodec.withImagePayload(spark, doc1, "png")).count() }
       warm { graft.ext.AudioCodec.wavDecode(spark,
@@ -114,9 +117,17 @@ object Bench {
     // "calib" in the JSON so per-round totals can be normalized for
     // ambient machine variance (observed: same code, same SF, 1.4×
     // total swing across VM boots). Not part of the timed query region.
+    // sum(id) over 3e9 rows = ~4.5e18, safely inside Long under the
+    // ANSI overflow check (sum(id*N) at this range would overflow and
+    // ABORT the bench — ANSI is on by default in Spark 4)
+    // collect(), not count(): count() over a global aggregate knows the
+    // answer is one row without evaluating the body. max(xxhash64(id))
+    // cannot overflow under ANSI (sum(id*N) at this range would) and
+    // does real per-row work, so the reading is long enough to be stable.
     val calib = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
-      spark.range(4000000000L).selectExpr("sum(id * 3)").count()
+      warm { spark.range(3000000000L)
+        .selectExpr("max(xxhash64(id))").collect() }
       (System.nanoTime() - t0) / 1e9
     }.min
     System.err.println(f"[bench] calib $calib%.2f s")

@@ -3100,7 +3100,8 @@ object SparkEntry {
                 min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
                 max(CAST(props->>'$.k' AS BIGINT)) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
-    // variant path extraction must agree with plain JSON extraction
+    // the observe meter re-emits its counters as one row; the oracle
+    // recomputes them directly — a meter that drops rows goes red
     "dq_observe" ->
       """SELECT count(*) AS n_events,
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
@@ -3108,6 +3109,7 @@ object SparkEntry {
                 count(*) FILTER (WHERE value > 100.0) AS n_high,
                 count(*) FILTER (WHERE props IS NULL) AS n_null_props
          FROM events""",
+    // variant path extraction must agree with plain JSON extraction
     "props_variant_extract" ->
       """SELECT event_type, count(*) AS n,
                 CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,

@@ -45,18 +45,6 @@ object Quality {
     melted.unionByName(orphans).orderBy("rule")
   }
 
-  /** Distribution-drift detection between two snapshots of a
-    * categorical column — the population-stability-index (PSI) audit a
-    * training-data pipeline runs before every corpus refresh (did the
-    * source mix shift under me?). One aggregation pass per side
-    * (category → count), a tiny category-level join, and a broadcast of
-    * the two scalar totals: the 100 TB inputs are reduced map-side to
-    * |categories| rows before anything shuffles. Output per category:
-    * both counts and the PSI term `(p_cur − p_base) · ln(p_cur/p_base)`
-    * (rounded; summing the column gives the headline PSI). Categories
-    * absent from a side would need smoothing — callers with open
-    * vocabularies should bucket the tail first ([[graft.ext.TextOps]]
-    * vocabulary pattern). */
   /** In-flight data-quality counters via `observe`/CollectMetrics — the
     * production instrument for "count the nulls/highs WHILE the job
     * runs" without a second scan: the metrics fold inside the SAME pass
@@ -85,6 +73,18 @@ object Quality {
       .toDF("n_events", "cents", "n_high", "n_null_props")
   }
 
+  /** Distribution-drift detection between two snapshots of a
+    * categorical column — the population-stability-index (PSI) audit a
+    * training-data pipeline runs before every corpus refresh (did the
+    * source mix shift under me?). One aggregation pass per side
+    * (category → count), a tiny category-level join, and a broadcast of
+    * the two scalar totals: the 100 TB inputs are reduced map-side to
+    * |categories| rows before anything shuffles. Output per category:
+    * both counts and the PSI term `(p_cur − p_base) · ln(p_cur/p_base)`
+    * (rounded; summing the column gives the headline PSI). Categories
+    * absent from a side would need smoothing — callers with open
+    * vocabularies should bucket the tail first ([[graft.ext.TextOps]]
+    * vocabulary pattern). */
   def driftPsi(base: DataFrame, current: DataFrame,
                catCol: String): DataFrame = {
     val counts = base.groupBy(catCol).agg(count(lit(1)).as("n_base"))
