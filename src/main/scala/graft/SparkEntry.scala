@@ -55,6 +55,11 @@ object SparkEntry {
       Sketches.hllMergeDistinct(Tables.events(s, d))),
     "sketch_cms_heavy" -> ((s, d) =>
       Sketches.cmsHeavyHitters(Tables.events(s, d))),
+    // audience overlap via inclusion-exclusion on HLL sketches: exact
+    // sizes replayed by the oracle, IE-estimate tolerance verdicts
+    // computed honestly by the engine
+    "sketch_hll_overlap" -> ((s, d) =>
+      Sketches.hllOverlap(Tables.events(s, d), "click", "purchase")),
     // quantile rollup: per-day Greenwald-Khanna summaries unioned per
     // type; the merged p50/p90/p99 graded on the RANK guarantee
     "sketch_quantile_rollup" -> ((s, d) =>
@@ -1811,6 +1816,14 @@ object SparkEntry {
       Cdc.snapshotDiff(oldSnap, newSnap, "event_id",
         Seq("event_type", "value")).orderBy("event_id")
     }),
+    // lakehouse time travel: state AS OF commit 5, replayed from the
+    // append-only op log (upserts + error tombstones, commit order
+    // (batch_id, ts, event_id)); one key shuffle, commit horizon pruned
+    // before anything moves
+    "cdc_time_travel" -> ((s, d) =>
+      Cdc.timeTravelAsOf(
+        Cdc.opLogFromEvents(Tables.events(s, d)), asOfBatch = 5)
+        .orderBy("user_id")),
     // quality-weighted importance sampling: keep probability = the
     // integer basis-point ttr (the token_budget_select priority signal),
     // realized deterministically as hash(key) mod scale < weight
@@ -1961,6 +1974,20 @@ object SparkEntry {
                 true AS merged_within_5pct,
                 true AS merge_vs_global_within_1pct
          FROM events GROUP BY event_type""",
+    // audience overlap: exact sizes replayed; the engine's IE-estimate
+    // verdicts must all be true (a sketch regression flips one)
+    "sketch_hll_overlap" ->
+      """WITH f AS (SELECT user_id,
+                  max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ia,
+                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ib
+           FROM events WHERE event_type IN ('click', 'purchase')
+           GROUP BY user_id)
+         SELECT CAST(sum(ia) AS BIGINT) AS n_a,
+                CAST(sum(ib) AS BIGINT) AS n_b,
+                CAST(sum(ia * ib) AS BIGINT) AS n_inter,
+                true AS a_within_5pct, true AS b_within_5pct,
+                true AS union_within_5pct, true AS inter_within_10pct
+         FROM f""",
     // the count-min sketch is engine-internal; the contract is: exact
     // counts of the top-5 keys match, and each CMS point estimate obeys
     // the (never-undercount, overcount <= ceil(eps*N)) guarantee
@@ -2550,6 +2577,26 @@ object SparkEntry {
            FROM o FULL OUTER JOIN n ON o.event_id = n.event_id)
          WHERE status <> 'unchanged'
          ORDER BY event_id""",
+    // time travel: replay the op log to commit 5 — last op per key in
+    // commit order (batch_id, ts, event_id), tombstoned keys absent
+    "cdc_time_travel" ->
+      """WITH log AS (
+           SELECT user_id,
+                  ((event_id % 8) + 8) % 8 AS batch_id,
+                  CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                  event_id,
+                  CASE WHEN event_type = 'error' THEN 'delete'
+                       ELSE 'upsert' END AS op,
+                  value
+           FROM events),
+         snap AS (
+           SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY batch_id DESC, ts_us DESC, event_id DESC) AS rn
+           FROM log WHERE batch_id <= 5)
+         SELECT user_id, round(value, 2) AS value
+         FROM snap WHERE rn = 1 AND op = 'upsert'
+         ORDER BY user_id""",
     "sample_importance" ->
       """WITH t AS (SELECT doc_id,
                            (len(list_distinct(string_split(text, ' '))) * 10000)

@@ -136,4 +136,39 @@ object Cdc {
           .otherwise(lit("unchanged")).as("status"))
       .filter(col("status") =!= "unchanged")
   }
+
+  /** The events table re-read as an append-only CDC op log: every row is
+    * an operation on its `user_id` key — `delete` tombstones for error
+    * events, `upsert`s carrying the value otherwise — stamped with a
+    * deterministic batch id (commit epoch). Log order within a key is
+    * (batch_id, ts, event_id): the commit sequence first, arrival order
+    * within a commit second — the ordering a lakehouse transaction log
+    * actually defines. */
+  def opLogFromEvents(events: DataFrame): DataFrame =
+    events.select(
+      col("user_id"),
+      pmod(col("event_id"), lit(8)).cast("int").as("batch_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      col("event_id"),
+      when(col("event_type") === "error", lit("delete"))
+        .otherwise(lit("upsert")).as("op"),
+      col("value"))
+
+  /** Time travel: reconstruct the table state AS OF commit `asOfBatch`
+    * from the op log — the lakehouse read every Delta/Iceberg user
+    * expects (`VERSION AS OF B`). One hash shuffle on the key: filter
+    * the log to `batch_id <= B` (at 100 TB this prunes whole commit
+    * partitions before anything moves), take the per-key LAST op in
+    * commit order, drop keys whose last op is a tombstone. Emits the
+    * surviving (key, value) state. Contrast [[mergeUpsert]] (apply ONE
+    * change batch forward) and [[snapshotDiff]] (compare two states):
+    * this replays the log to an arbitrary historical point. */
+  def timeTravelAsOf(log: DataFrame, asOfBatch: Int): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("batch_id").desc, col("ts_us").desc, col("event_id").desc)
+    log.filter(col("batch_id") <= asOfBatch)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") === "upsert")
+      .select(col("user_id"), round(col("value"), 2).as("value"))
+  }
 }

@@ -198,4 +198,35 @@ class CdcSpec extends SparkSpec {
                              pmod(col("event_id"), lit(89)) =!= 7).count()
     assert(got.getOrElse("changed", 0L) == nChanged)
   }
+
+  test("time travel: full-horizon read equals latest-wins state; tombstones hide keys") {
+    import spark.implicits._
+    val log = graft.ops.Cdc.opLogFromEvents(Tables.events(spark, sfDir))
+    // AS OF the max commit == plain latest-wins compaction of the log
+    val full = graft.ops.Cdc.timeTravelAsOf(log, 7)
+      .as[(Long, Double)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("batch_id").desc, col("ts_us").desc, col("event_id").desc)
+    val latest = log.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    assert(full ===
+      latest.filter(col("op") === "upsert")
+        .select(col("user_id"), round(col("value"), 2))
+        .as[(Long, Double)].collect().toMap)
+    // every key whose last op is a tombstone is ABSENT from the read
+    val tombstoned = latest.filter(col("op") === "delete")
+      .select("user_id").as[Long].collect().toSet
+    assert(tombstoned.nonEmpty, "fixture must exercise tombstones")
+    assert(full.keySet.intersect(tombstoned).isEmpty)
+    // an earlier horizon never sees ops from later commits: replaying
+    // batch<=3 equals latest-wins over only those commits
+    val early = graft.ops.Cdc.timeTravelAsOf(log, 3)
+      .as[(Long, Double)].collect().toMap
+    val early3 = log.filter(col("batch_id") <= 3)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(col("op") === "upsert")
+      .select(col("user_id"), round(col("value"), 2))
+      .as[(Long, Double)].collect().toMap
+    assert(early === early3)
+  }
 }

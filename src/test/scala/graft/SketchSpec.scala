@@ -383,4 +383,27 @@ class SketchSpec extends SparkSpec {
       .filter(col("keep_n_chars") =!= col("max_chars")).count()
     assert(bad === 0L)
   }
+
+  test("HLL overlap: IE intersection lands inside tolerance and verdicts are honest") {
+    import spark.implicits._
+    val row = graft.ops.Sketches
+      .hllOverlap(Tables.events(spark, sfDir), "click", "purchase")
+      .collect().head
+    // exact truth recomputed independently
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+    val a = ev.filter(col("event_type") === "click")
+      .select("user_id").distinct().as[Long].collect().toSet
+    val b = ev.filter(col("event_type") === "purchase")
+      .select("user_id").distinct().as[Long].collect().toSet
+    assert(row.getAs[Long]("n_a") === a.size.toLong)
+    assert(row.getAs[Long]("n_b") === b.size.toLong)
+    assert(row.getAs[Long]("n_inter") === a.intersect(b).size.toLong)
+    // fixture must have real overlap or the IE tolerance is vacuous
+    assert(a.intersect(b).size > 10)
+    assert(row.getAs[Boolean]("a_within_5pct"))
+    assert(row.getAs[Boolean]("b_within_5pct"))
+    assert(row.getAs[Boolean]("union_within_5pct"))
+    assert(row.getAs[Boolean]("inter_within_10pct"))
+  }
 }
