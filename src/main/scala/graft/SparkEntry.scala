@@ -686,6 +686,10 @@ object SparkEntry {
         Seq("view", "click", "purchase"))),
     "retention_cohorts" -> ((s, d) =>
       EventAnalytics.retentionCohorts(Tables.events(s, d), "2024-01-01")),
+    // Markov view of user paths: (from -> to) transition counts + lift
+    // vs independence; one user_id shuffle, lift folds on |types|^2 rows
+    "seq_transition_matrix" -> ((s, d) =>
+      EventAnalytics.transitionMatrix(Tables.events(s, d))),
     "ts_gapfill_hourly" -> ((s, d) =>
       EventAnalytics.gapfillHourly(Tables.events(s, d))),
     // trailing-7-day distinct actives: dedup to (user, day), bounded
@@ -1836,6 +1840,18 @@ object SparkEntry {
       SampleOps.importanceSample(scored, "doc_id", col("w"), 10000)
         .select("doc_id", "w")
     }),
+    // EXACT-k weighted selection (priority sampling, Duffield et al.):
+    // integer priorities, bit-identical rank order across engines,
+    // top-k via per-partition heaps — "the best 500 docs by quality,
+    // weight-proportionally" with a hard cardinality guarantee
+    "sample_weighted_exact_k" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .withColumn("words", split(col("text"), " "))
+        .select(col("doc_id"),
+          expr("(size(array_distinct(words)) * 10000L) div size(words)")
+            .as("ttr"))
+      SampleOps.weightedExactK(scored, "doc_id", col("ttr"), 500)
+    }),
     // deterministic negative sampling for contrastive pairs: pure index
     // arithmetic probes, first different-label hit kept
     "sample_negatives" -> ((s, d) =>
@@ -2965,6 +2981,39 @@ object SparkEntry {
          SELECT (SELECT count(*) FROM v) AS n_view,
                 (SELECT count(*) FROM c) AS n_click,
                 (SELECT count(*) FROM p) AS n_purchase""",
+    // transitions replay the same (ts, event_id)-ordered lead; lift is a
+    // division of exact integers, IEEE-identical across engines
+    "seq_transition_matrix" ->
+      """WITH pairs AS (
+           SELECT event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS to_type
+           FROM events),
+         c AS (SELECT from_type, to_type, count(*) AS n_trans
+               FROM pairs WHERE to_type IS NOT NULL
+               GROUP BY from_type, to_type)
+         SELECT from_type, to_type, n_trans,
+                round(CAST(n_trans AS DOUBLE)
+                      * (sum(n_trans) OVER ())
+                      / ((sum(n_trans) OVER (PARTITION BY from_type))
+                         * (sum(n_trans) OVER (PARTITION BY to_type))),
+                      4) AS lift
+         FROM c ORDER BY from_type, to_type""",
+    // priority sampling: the oracle replays the integer priorities and
+    // the (priority DESC, doc_id) rank order exactly
+    "sample_weighted_exact_k" ->
+      """WITH t AS (SELECT doc_id,
+                           (len(list_distinct(string_split(text, ' '))) * 10000)
+                             // len(string_split(text, ' ')) AS w
+                    FROM documents),
+              p AS (SELECT doc_id, w,
+                           (w * 2147483647) //
+                             ((doc_id * 2654435761) % 2147483647 + 1)
+                             AS priority
+                    FROM t)
+         SELECT doc_id, CAST(w AS BIGINT) AS w,
+                CAST(priority AS BIGINT) AS priority
+         FROM p ORDER BY priority DESC, doc_id LIMIT 500""",
     // the streaming funnel must land on the BATCH funnel's exact counts —
     // same oracle, reached through the keyed state machine
     "t11_stream_funnel" ->

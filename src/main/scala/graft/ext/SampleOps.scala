@@ -146,6 +146,32 @@ object SampleOps {
       .filter(pmod(col(key) * Mix, lit(scale.toLong)) < col("__w"))
       .drop("__w")
 
+  /** EXACT-k weighted sampling by priority sampling (Duffield, Lund &
+    * Thorup, JACM 2007): each item gets priority `q = w / u` for a
+    * uniform `u` and the k LARGEST priorities are kept — the published
+    * estimator for "take exactly N items, weight-proportionally" that
+    * Bernoulli/importance keeps ([[importanceSample]]) cannot promise.
+    * Here `u` is the same arithmetic pseudo-uniform the rest of this
+    * file uses (`pmod(key·Mix, P) + 1`, P = 2³¹−1) and the priority is
+    * computed in INTEGER arithmetic (`(w·P) div u`) so the rank order
+    * is bit-identical across engines — no `ln`, no float race, the
+    * DuckDB oracle replays the exact ordering.
+    *
+    * Scale shape: priorities are a pure codegen'd projection; the
+    * global top-k is TakeOrderedAndProject (per-partition heaps of k,
+    * never a global sort) — the same plan a 100 TB "best N documents
+    * by quality" selection wants. Ties (same priority) break on key. */
+  def weightedExactK(df: DataFrame, key: String, weight: Column,
+                     k: Int): DataFrame = {
+    val P = 2147483647L
+    df.withColumn("w", weight.cast("long"))
+      .withColumn("u", pmod(col(key) * Mix, lit(P)) + 1L)
+      .withColumn("priority", expr(s"(w * ${P}L) div u"))
+      .orderBy(col("priority").desc, col(key))
+      .limit(k)
+      .select(col(key), col("w"), col("priority"))
+  }
+
   /** Deterministic negative sampling for contrastive training: each
     * anchor probes `nProbes` pseudo-random candidate ids
     * (`(anchor·37 + 11·j + 1) mod N`, pure index arithmetic — no RNG, so

@@ -298,4 +298,38 @@ object EventAnalytics {
       .groupBy("win_day")
       .agg(countDistinct("user_id").as("n_active"))
   }
+
+  /** Behavioral transition matrix: for every consecutive event pair in a
+    * user's timeline (ordered (ts, event_id)), count (from → to)
+    * transitions and score each against independence —
+    * `lift = n_trans · n_total / (n_from · n_to)` — the Markov-chain
+    * view of user paths that funnels (fixed stage order) can't express.
+    *
+    * Scale shape: ONE shuffle on user_id feeds the `lead` window; the
+    * pair counts that leave it are |types|² rows (25 here), so the
+    * marginal sums and lift run on a handful of rows via two tiny
+    * window folds — the 100 TB input never moves twice. Lift is a
+    * division of exact integers, IEEE-identical across engines. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type").as("from_type"))
+      .withColumn("to_type", lead("from_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_trans"))
+    val wf = Window.partitionBy("from_type")
+    val wt = Window.partitionBy("to_type")
+    val wg = Window.partitionBy()
+    pairs
+      .withColumn("n_from", sum("n_trans").over(wf))
+      .withColumn("n_to", sum("n_trans").over(wt))
+      .withColumn("n_total", sum("n_trans").over(wg))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        round(col("n_trans") * col("n_total") /
+              (col("n_from") * col("n_to")), 4).as("lift"))
+      .orderBy("from_type", "to_type")
+  }
 }

@@ -65,4 +65,35 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(total == Tables.events(spark, sfDir).count())
     assert(df.filter(col("avg_k").isNull).isEmpty, "props must parse")
   }
+
+  test("transition matrix: counts conserve and lift marginals are consistent") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val m = graft.ops.EventAnalytics.transitionMatrix(ev).cache()
+    // every consecutive pair is one transition: N_events - N_active_users
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    val total = m.agg(sum("n_trans")).head().getLong(0)
+    assert(total === nEvents - nUsers)
+    // from-marginals equal the per-type "has a successor" counts
+    val fromMarg = m.groupBy("from_type").agg(sum("n_trans").as("n"))
+      .as[(String, Long)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val expect = ev.withColumn("nxt", lead("event_type", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(fromMarg === expect)
+    // lift sanity: weighted by (n_from*n_to), lifts average to ~1
+    val chk = m
+      .withColumn("nf", sum("n_trans").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("from_type")))
+      .withColumn("nt", sum("n_trans").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("to_type")))
+      .agg((sum(col("lift") * col("nf") * col("nt")) /
+            (sum("n_trans") * lit(1.0) * total)).as("one"))
+      .head().getDouble(0)
+    assert(math.abs(chk - 1.0) < 0.01, s"lift mass should normalize, got $chk")
+  }
 }

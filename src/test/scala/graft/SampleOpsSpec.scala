@@ -78,4 +78,34 @@ class SampleOpsSpec extends SparkSpec {
     assert(scores("zebra") > 1.9 && scores("zebra") < 2.0)
     assert(scores("common") === 3.0)
   }
+
+  test("weighted exact-k: hard cardinality, replayable order, weight tilt") {
+    import spark.implicits._
+    val scored = Tables.documents(spark, sfDir)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"),
+        expr("(size(array_distinct(words)) * 10000L) div size(words)")
+          .as("ttr"))
+    val n = scored.count().toInt
+    val k = math.min(500, n / 2)
+    val kept = graft.ext.SampleOps
+      .weightedExactK(scored, "doc_id", col("ttr"), k).cache()
+    // exactly k rows, no duplicates
+    assert(kept.count() === k.toLong)
+    assert(kept.select("doc_id").distinct().count() === k.toLong)
+    // the kept set is exactly the top-k of the priority ordering —
+    // recomputed independently
+    val P = 2147483647L
+    val all = scored
+      .withColumn("u", pmod(col("doc_id") * 2654435761L, lit(P)) + 1L)
+      .withColumn("pri", expr(s"(cast(ttr as long) * ${P}L) div u"))
+      .orderBy(col("pri").desc, col("doc_id"))
+      .limit(k).select("doc_id").as[Long].collect().toSet
+    assert(kept.select("doc_id").as[Long].collect().toSet === all)
+    // weight tilt: the kept set's mean weight exceeds the population mean
+    val meanKept = kept.agg(avg("w")).head().getDouble(0)
+    val meanAll = scored.agg(avg("ttr")).head().getDouble(0)
+    assert(meanKept > meanAll,
+      s"priority sampling must favor heavy items ($meanKept vs $meanAll)")
+  }
 }
