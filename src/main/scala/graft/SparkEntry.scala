@@ -938,6 +938,12 @@ object SparkEntry {
     // transposition fixture, both regraded by DuckDB's own functions
     "j8c_damerau_match" -> ((s, d) =>
       FuzzyJoin.damerauPartMatch(Tables.part(s, d))),
+    // runtime BLOOM-pruned shuffle join — the row-level sibling of
+    // storage_dpp_join: a bloom filter built over the filtered orders'
+    // keys kills non-joining lineitem rows AT THE SCAN, before the
+    // exchange (injection + neutrality pinned by BloomFilterJoinSpec)
+    "j9_bloom_join" -> ((s, d) =>
+      Joins.bloomPrunedJoin(s, Tables.lineitem(s, d), Tables.orders(s, d))),
 
     // ---- decode chain / projections (SURVEY §2.2) ----
     "p1p3_decode_flatten" -> ((s, d) =>
@@ -1221,6 +1227,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"))
         .orderBy("event_type")
     }),
+    // cost-based optimization: a 3-table star join written in the worst
+    // syntactic order; ANALYZEd catalog stats + CBO join reorder put the
+    // selective dim join first (reorder asserted by CboSpec)
+    "storage_cbo_stats" -> ((s, d) => Storage.cboStarJoin(s, d)),
     "storage_bucketed_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .groupBy("user_id").agg(round(sum("value"), 2).as("total_value"))
@@ -1504,6 +1514,13 @@ object SparkEntry {
     // false positives; ordered wedge join, never an all-pairs product
     "graph_triangles_neardup" -> ((s, d) =>
       GraphOps.nearDupTriangles(Tables.documents(s, d), 3, tau = 0.5)),
+    // bounded multi-source BFS (level-synchronous frontier loop): hop
+    // distance from each near-dup node to its component's canonical rep
+    // — the transitivity-depth audit behind the dedup drop; replayed by
+    // a recursive-CTE oracle over the same pair graph
+    "graph_hops_to_canonical" -> ((s, d) =>
+      GraphOps.nearDupHopsToCanonical(Tables.documents(s, d), 3, tau = 0.5,
+        maxHops = 6)),
     // cluster → kept representative (longest member, tie min doc_id):
     // the deduplicated corpus the cluster step exists to produce
     "dedup_canonical" -> ((s, d) =>
@@ -2244,6 +2261,15 @@ object SparkEntry {
                  OR damerau_levenshtein(swapped, s) = 0)
                   AS transposition_detected
          FROM sw ORDER BY dirty_id""",
+    // the bloom probe is a pure row-filter side channel: the oracle
+    // replays the plain join (false positives die in the join itself)
+    "j9_bloom_join" ->
+      """SELECT o_orderkey, round(sum(l_extendedprice), 2) AS rev
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_totalprice > 400000
+         GROUP BY o_orderkey
+         ORDER BY o_orderkey""",
     "sessionize_users" ->
       """WITH o AS (SELECT user_id, ts,
                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
@@ -3445,6 +3471,17 @@ object SparkEntry {
     "storage_nested_pruning" ->
       """SELECT event_type, count(*) AS n_rows
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // catalog stats + join reorder are plan-side only: the oracle
+    // replays the same star join against the source tables
+    "storage_cbo_stats" ->
+      """SELECT c_mktsegment, count(*) AS n_items,
+                round(sum(l_extendedprice), 2) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""",
     "storage_bucketed_join" ->
       """SELECT c.c_name, c.c_mktsegment, t.total_value
          FROM (SELECT user_id, round(sum(value), 2) AS total_value
@@ -3889,6 +3926,42 @@ object SparkEntry {
               u AS (SELECT unnest([x, y, z]) AS doc_id FROM t)
          SELECT doc_id, count(*) AS n_triangles
          FROM u GROUP BY doc_id ORDER BY doc_id""",
+    // BFS replay: same pair graph; seeds are the transitive-closure
+    // component minima (the cluster labels), the recursive term expands
+    // one hop per round bounded at 6 — min(hop) per node is the exact
+    // level-synchronous BFS distance the engine's frontier loop produces
+    "graph_hops_to_canonical" ->
+      """WITH RECURSIVE
+              w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3),
+              sh AS (SELECT doc_id,
+                            unnest(list_distinct(list_transform(range(1, len(words) - 1),
+                              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+                     FROM w),
+              sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+              com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id),
+              p AS (SELECT doc_a, doc_b
+                    FROM com
+                    JOIN sizes sa ON sa.doc_id = doc_a
+                    JOIN sizes sb ON sb.doc_id = doc_b
+                    WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+              e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+                    UNION SELECT doc_b, doc_a FROM p),
+              reach AS (SELECT src, dst FROM e
+                        UNION
+                        SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+              lbl AS (SELECT src AS node, least(src, min(dst)) AS cluster_id
+                      FROM reach GROUP BY src),
+              seeds AS (SELECT node FROM lbl WHERE node = cluster_id),
+              bfs AS (SELECT node, 0 AS hop FROM seeds
+                      UNION
+                      SELECT e.dst, bfs.hop + 1 FROM bfs
+                      JOIN e ON e.src = bfs.node
+                      WHERE bfs.hop < 6)
+         SELECT node AS doc_id, CAST(min(hop) AS BIGINT) AS hop_to_canonical
+         FROM bfs GROUP BY node ORDER BY doc_id""",
     // Fixed-point PageRank replay: same pair graph as dedup_clusters,
     // symmetric edges, 3 unrolled iterations (the kmeans-oracle style —
     // aggregates are not allowed in a recursive CTE term) of

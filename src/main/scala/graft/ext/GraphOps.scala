@@ -114,4 +114,65 @@ object GraphOps {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     pageRankFixedPoint(edges, iters)
   }
+
+  /** Bounded multi-source BFS over a directed edge list: minimum hop
+    * count from the nearest seed, out to `maxHops`. Frontier-style —
+    * each round expands only the nodes DISCOVERED last round (classic
+    * level-synchronous BFS), so per-round work is one equi-join of the
+    * frontier against the edge table plus an anti-join against the
+    * settled set; a node's first discovery is by construction at its
+    * minimum hop, so no re-relaxation ever happens. One bounded boolean
+    * per round (`isEmpty`) reaches the driver for early exit — the same
+    * convergence discipline as [[DedupOps.duplicateClusters]]'s label
+    * sum. `localCheckpoint` truncates the per-round lineage. Returns
+    * (node, hop) for every node within `maxHops` of a seed. */
+  def bfsHops(edges0: DataFrame, seeds0: DataFrame,
+              maxHops: Int): DataFrame = {
+    val edges = edges0.toDF("src", "dst").localCheckpoint()
+    var dist = seeds0.toDF("node").distinct()
+      .withColumn("hop", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var h = 0L
+    var done = frontier.isEmpty
+    while (h < maxHops && !done) {
+      val next = frontier
+        .join(edges, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .withColumn("hop", lit(h + 1L))
+        .localCheckpoint()
+      done = next.isEmpty
+      if (!done) {
+        dist = dist.union(next).localCheckpoint()
+        frontier = next
+      }
+      h += 1
+    }
+    dist
+  }
+
+  /** Hop distance from each near-dup-graph node to its component's
+    * CANONICAL representative (the component min — exactly the
+    * [[DedupOps.duplicateClusters]] label), bounded at `maxHops`. This is
+    * the chain-depth signal behind transitive near-dup merging: hop 1
+    * nodes matched the canonical directly; hop ≥ 2 nodes were merged only
+    * through intermediaries — each extra hop compounds the tau-miss risk
+    * (two docs at Jaccard ≥ 0.5 to a middle doc can sit far below 0.5
+    * from each other), so the hop histogram is the audit that says how
+    * much of the dedup drop rests on transitivity rather than direct
+    * evidence. Seeds are the cluster fixpoint labels (shared memo), edges
+    * the same symmetric truth pairs as clusters/PageRank/triangles. */
+  def nearDupHopsToCanonical(docs: DataFrame, n: Int, tau: Double,
+                             maxHops: Int): DataFrame = {
+    val clusters = DedupOps.duplicateClusters(docs, n, tau)
+    val seeds = clusters.filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id").as("node"))
+    val pairs = DedupOps.truthPairsAbove(docs, n, tau)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    bfsHops(edges, seeds, maxHops)
+      .select(col("node").as("doc_id"),
+              col("hop").as("hop_to_canonical"))
+      .orderBy("doc_id")
+  }
 }

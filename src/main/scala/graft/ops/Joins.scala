@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Join operators (SURVEY.md §2.3).
@@ -128,4 +128,53 @@ object Joins {
       .agg(count(lit(1)).as("n_rows"), sum("cents").as("cents"))
       .orderBy("c_nationkey")
   }
+
+  /** Confs under which [[bloomPrunedJoin]] runs: runtime Bloom-filter
+    * injection on, broadcast off (the 100 TB regime — at scale NEITHER
+    * side of a fact⋈derived-keys join fits in a broadcast), and the
+    * production size thresholds scaled to the fixture so the mechanism
+    * fires locally exactly as it would past the 10 GB default on a real
+    * fact table. */
+  private[graft] val bloomConfs = Map(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  /** The logical query [[bloomPrunedJoin]] materializes: revenue per
+    * high-value order — a selective derived key set (orders filtered on a
+    * NON-join column) meeting the lineitem fact in a shuffle equi-join. */
+  private[graft] def bloomJoinPlan(lineitem: DataFrame,
+                                   orders: DataFrame): DataFrame = {
+    val li = lineitem.select("l_orderkey", "l_extendedprice")
+    val big = orders.filter(col("o_totalprice") > 400000)
+      .select("o_orderkey")
+    li.join(big, li("l_orderkey") === big("o_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(round(sum("l_extendedprice"), 2).as("rev"))
+      .orderBy("o_orderkey")
+  }
+
+  /** J9: runtime BLOOM-FILTER pruned shuffle join — the row-level sibling
+    * of partition-level DPP (`storage_dpp_join`). The creation side's
+    * selective predicate sits on o_totalprice, NOT the join key, so no
+    * static filter can be inferred onto the fact side; instead Catalyst's
+    * InjectRuntimeFilter builds a Bloom filter over the filtered orders'
+    * join keys (`bloom_filter_agg`) and pushes `might_contain` onto the
+    * lineitem scan — fact rows that cannot join die AT THE SCAN, before
+    * the shuffle, cutting exchange volume to ~the matching fraction. At
+    * 100 TB this is the difference between shuffling the firehose and
+    * shuffling the answer; false positives are re-checked by the join
+    * itself, so the op is semantics-transparent (the oracle replays the
+    * plain join; [[BloomFilterJoinSpec]] pins both the injection and the
+    * neutrality). The result is materialized INSIDE the conf scope —
+    * optimizer rules read session confs at action time, so returning a
+    * lazy frame would silently grade the default plan. */
+  def bloomPrunedJoin(spark: SparkSession, lineitem: DataFrame,
+                      orders: DataFrame): DataFrame =
+    graft.streaming.StreamOps.withConf(spark, bloomConfs) {
+      val out = graft.TmpDirs.create("graft_bloomjoin_").toString
+      bloomJoinPlan(lineitem, orders).write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+    }
 }

@@ -82,6 +82,7 @@ object Storage {
     partDirs.clear(); evolveDirs.clear()
     compactDirs.clear(); zorderDirs.clear()
     dynDirs.clear(); codecDirs.clear(); sortedDirs.clear()
+    cboRegistered.clear()
   }
 
   private val dynDirs = new java.util.concurrent.ConcurrentHashMap[
@@ -319,4 +320,81 @@ object Storage {
         }
       })
   }
+
+  /** Confs under which [[cboStarJoin]] plans: cost-based optimization +
+    * its join-reorder pass. Both default OFF in Spark; a 100 TB
+    * deployment turns them on over ANALYZEd tables so multi-join order
+    * follows cardinalities, not FROM-clause order. */
+  private[graft] val cboConfs = Map(
+    "spark.sql.cbo.enabled" -> "true",
+    "spark.sql.cbo.joinReorder.enabled" -> "true")
+
+  private val cboRegistered = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), String]()
+
+  /** Register `tableNames` of the sf directory as EXTERNAL parquet
+    * catalog tables (zero copy — the table points at the source file)
+    * and `ANALYZE ... COMPUTE STATISTICS FOR COLUMNS` the given columns,
+    * once per (session, sfDir). Catalog-level row counts + per-column
+    * NDV/min/max are what the CBO estimates filter selectivity and join
+    * cardinality from; without them every reorder decision falls back to
+    * raw file sizes. Table names are suffixed by an sfDir hash so two
+    * scale factors can coexist in one session. Returns the qualified
+    * name for each requested logical table. */
+  private[graft] def cboTables(spark: SparkSession, sfDir: String,
+      tables: Map[String, Seq[String]]): Map[String, String] = {
+    sweep(cboRegistered)
+    val sfx = java.lang.Integer.toHexString(sfDir.hashCode & 0x7fffffff)
+    def name(t: String) = s"g_cbo_${t}_$sfx"
+    val spec = tables.toSeq.sortBy(_._1)
+      .map { case (t, cs) => s"$t:${cs.mkString(",")}" }.mkString(";")
+    cboRegistered.computeIfAbsent((spark, sfDir, spec), { _ =>
+      tables.foreach { case (t, statsCols) =>
+        spark.sql(s"DROP TABLE IF EXISTS ${name(t)}")
+        spark.sql(s"CREATE TABLE ${name(t)} USING parquet " +
+          s"OPTIONS (path '$sfDir/$t.parquet')")
+        spark.sql(s"ANALYZE TABLE ${name(t)} COMPUTE STATISTICS " +
+          s"FOR COLUMNS ${statsCols.mkString(", ")}")
+      }
+      sfx
+    })
+    tables.keys.map(t => t -> name(t)).toMap
+  }
+
+  /** The star join [[cboStarJoin]] materializes, written in the WORST
+    * syntactic order — fact ⋈ fact first, the selective dim last. */
+  private[graft] def cboStarJoinPlan(spark: SparkSession,
+                                     sfDir: String): DataFrame = {
+    val t = cboTables(spark, sfDir, Map(
+      "lineitem" -> Seq("l_orderkey"),
+      "orders"   -> Seq("o_orderkey", "o_custkey"),
+      "customer" -> Seq("c_custkey", "c_mktsegment")))
+    spark.sql(
+      s"""SELECT c_mktsegment, count(*) AS n_items,
+         |       round(sum(l_extendedprice), 2) AS revenue
+         |FROM ${t("lineitem")}
+         |JOIN ${t("orders")}   ON l_orderkey = o_orderkey
+         |JOIN ${t("customer")} ON o_custkey = c_custkey
+         |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  /** Cost-based-optimizer seat: a three-table star join written in the
+    * worst syntactic order (lineitem ⋈ orders first, the mktsegment-
+    * filtered customer last). With catalog statistics ([[cboTables]])
+    * and `cboConfs` on, Catalyst's `CostBasedJoinReorder` re-plans the
+    * order from estimated cardinalities — the filtered customer set
+    * joins orders BEFORE the fact table, so the fact meets an
+    * already-reduced build side. FROM-clause order is exactly what a
+    * 100 TB engine cannot trust users to get right; stats-driven
+    * reorder is the guardrail (reorder asserted by `CboSpec`; values
+    * are plan-transparent and oracled). Materialized inside the conf
+    * scope — the optimizer reads session confs at action time. */
+  def cboStarJoin(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.StreamOps.withConf(spark, cboConfs) {
+      val out = graft.TmpDirs.create("graft_cbo_").toString
+      cboStarJoinPlan(spark, sfDir).write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+    }
 }

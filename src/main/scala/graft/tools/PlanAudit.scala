@@ -34,7 +34,13 @@ object PlanAudit {
     "sketch_cms_heavy",
     // composite: runs the checkpointed propagation loop on construction —
     // the final frame is a sort over the last checkpoint, not the loop
-    "graph_pagerank_neardup")
+    "graph_pagerank_neardup",
+    // composite: runs the level-synchronous frontier loop on construction
+    "graph_hops_to_canonical",
+    // composite: materialized INSIDE their conf scope (optimizer confs are
+    // read at action time), so the returned frame is a scratch-parquet
+    // scan; the interesting plans are pinned by BloomFilterJoinSpec/CboSpec
+    "j9_bloom_join", "storage_cbo_stats")
 
   /** `--summary <dir>`: one markdown row of physical-plan features per
     * query — shuffle count, join strategies, parquet pushdown, codegen. */

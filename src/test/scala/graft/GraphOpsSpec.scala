@@ -70,4 +70,39 @@ class GraphOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(a.map(_._1).toSet === clustered)
   }
+
+  test("bfsHops: exact min-hop levels, multi-seed, bound respected") {
+    // two components: path 1-2-3-4 seeded at 1, edge 10-11 seeded at 10
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L, 10L).toDF("node")
+    val got = GraphOps.bfsHops(edges, seeds, 6)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+                       10L -> 0L, 11L -> 1L))
+    // the hop bound caps discovery at that level — frontier never
+    // expands past it (the exact contract the SQL replay mirrors)
+    val capped = GraphOps.bfsHops(edges, seeds, 1)
+      .as[(Long, Long)].collect().toMap
+    assert(capped === Map(1L -> 0L, 2L -> 1L, 10L -> 0L, 11L -> 1L))
+    // empty seed set: empty result, no crash
+    assert(GraphOps.bfsHops(edges,
+      Seq.empty[Long].toDF("node"), 3).count() === 0L)
+  }
+
+  test("hops to canonical: reps sit at hop 0, members at >= 1, full cover") {
+    val docs = Tables.documents(spark, sfDir)
+    val hops = GraphOps.nearDupHopsToCanonical(docs, 3, tau = 0.5, maxHops = 6)
+      .as[(Long, Long)].collect().toMap
+    val clusters = graft.ext.DedupOps.duplicateClusters(docs, 3, tau = 0.5)
+      .as[(Long, Long)].collect()
+    val reps = clusters.filter { case (d, c) => d == c }.map(_._1).toSet
+    assert(hops.nonEmpty)
+    assert(hops.filter(_._2 == 0L).keySet === reps,
+      "hop-0 set must be exactly the cluster representatives")
+    // near-dup components are cliques/short chains: 6 hops covers them,
+    // so every clustered node gets a distance and non-reps sit at >= 1
+    assert(hops.keySet === clusters.map(_._1).toSet)
+    assert(hops.filter(_._2 > 0L).keySet === clusters.map(_._1).toSet -- reps)
+  }
 }
