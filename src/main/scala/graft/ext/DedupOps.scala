@@ -44,30 +44,63 @@ object DedupOps {
           s"transform(sequence(0, size(words) - $n), i -> concat_ws(' ', slice(words, i + 1, $n)))")))
           .as("shingle"))
 
-  /** Exact n-gram Jaccard over every pair sharing ≥1 shingle:
-    * inverted-index join on shingle, then |A∩B| / (|A|+|B|-|A∩B|).
-    * Cost is Σ df(shingle)², never N². */
-  def ngramJaccardPairs(docs: DataFrame, n: Int,
-                        maxDf: Long = 1000000L): DataFrame = {
-    // The shingle set feeds THREE consumers inside this one query (df cap,
-    // the inverted-index join, per-doc sizes), and Spark's shuffle reuse
-    // does not kick in across them — so materialize it ONCE with a
-    // memoized localCheckpoint shared across the exact-similarity family
-    // (see shinglesCheckpointed; spills to executor disk like a shuffle
-    // write, so it scales the same way the join's own shuffle does).
+  /** The inverted-index PAIR PASS shared by the whole exact-similarity
+    * family: per-pair shared-shingle counts `common` (doc_a < doc_b,
+    * n_common — the Σ df(shingle)² join) and per-doc shingle sizes
+    * (doc_id, n_sh), both checkpointed and memoized per (session, input
+    * plan, n, maxDf). Jaccard, containment, the recall truths, and the
+    * cluster edges are all cheap arithmetic over these two frames, and
+    * before this memo each graded consumer re-ran the full Σ df² join —
+    * the single most expensive shuffle on the board — from the shared
+    * shingle checkpoint. Same sweep/bound hygiene as the truth memo;
+    * correctness never depends on a hit. */
+  private val commonCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, Int, Int, Long),
+    (DataFrame, DataFrame)]()
+
+  /** The pair pass as a PLAN (uncheckpointed) — [[commonCounts]]'s
+    * builder, and the surface `ShuffleKeySpec` audits for the
+    * fingerprint-key discipline (the checkpointed frames a consumer
+    * query sees no longer contain the shingle-keyed exchanges). */
+  private[graft] def commonCountsPlan(docs: DataFrame, n: Int,
+                                      maxDf: Long): (DataFrame, DataFrame) = {
     val sh = shinglesCheckpointed(docs, n)
     val shKey = Seq("shingle_h", "shingle_l")
     val rare = sh.groupBy(shKey.map(col): _*).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(shKey.map(col): _*)
     val shCapped = sh.join(rare, shKey)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-
     val a = shCapped.select((col("doc_id").as("doc_a") +: shKey.map(col)): _*)
     val b = shCapped.select((col("doc_id").as("doc_b") +: shKey.map(col)): _*)
     val common = a.join(b, shKey)
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    (common, sizes)
+  }
 
+  private def commonCounts(docs: DataFrame, n: Int,
+                           maxDf: Long): (DataFrame, DataFrame) = {
+    sweep(commonCache)
+    val key =
+      (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(), n, maxDf)
+    val hit = commonCache.get(key)
+    if (hit != null) hit
+    else {
+      // compute OUTSIDE the map lock (same discipline as truthCache)
+      val (common, sizes) = commonCountsPlan(docs, n, maxDf)
+      val built = (common.localCheckpoint(), sizes.localCheckpoint())
+      val prev = commonCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  /** Exact n-gram Jaccard over every pair sharing ≥1 shingle:
+    * inverted-index join on shingle, then |A∩B| / (|A|+|B|-|A∩B|).
+    * Cost is Σ df(shingle)², never N² — and the pair pass itself is
+    * served by the session-wide [[commonCounts]] memo. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int,
+                        maxDf: Long = 1000000L): DataFrame = {
+    val (common, sizes) = commonCounts(docs, n, maxDf)
     common
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
@@ -87,18 +120,8 @@ object DedupOps {
     * cross-engine tie-break (doc_a, doc_b) sees identical keys. */
   def containmentTopPairs(docs: DataFrame, n: Int, k: Int,
                           maxDf: Long = 1000000L): DataFrame = {
-    val sh = shinglesCheckpointed(docs, n)
-    val shKey = Seq("shingle_h", "shingle_l")
-    val rare = sh.groupBy(shKey.map(col): _*).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(shKey.map(col): _*)
-    val shCapped = sh.join(rare, shKey)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-
-    val a = shCapped.select((col("doc_id").as("doc_a") +: shKey.map(col)): _*)
-    val b = shCapped.select((col("doc_id").as("doc_b") +: shKey.map(col)): _*)
-    a.join(b, shKey)
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    val (common, sizes) = commonCounts(docs, n, maxDf)
+    common
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
@@ -155,6 +178,7 @@ object DedupOps {
     * the board run. */
   def clearCaches(): Unit = {
     truthCache.clear(); clusterCache.clear(); shingleCache.clear()
+    commonCache.clear()
   }
 
   private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
@@ -374,12 +398,21 @@ object DedupOps {
           s"transform(sequence(0, size(words) - $w), i -> concat_ws(' ', slice(words, i + 1, $w)))"))
           .as("win")), "win")
     val winKey = Seq("win_h", "win_l")
-    val dfd = wins.groupBy(winKey.map(col): _*)
-      .agg(countDistinct("doc_id").as("n_docs"))
-    wins.join(dfd, winKey)
+    // Collapse to per-(window, doc) occurrence counts FIRST: the raw
+    // occurrence stream (n_words rows per doc) rides exactly ONE shuffle,
+    // with map-side partial counts. Document frequency is then a plain
+    // count over the collapsed rows (one row per (window, doc) — no
+    // countDistinct expand), and the df join runs over the collapsed set,
+    // not the occurrence stream. Per-doc totals reassemble from n_occ.
+    val wg = wins.groupBy((winKey :+ "doc_id").map(col): _*)
+      .agg(count(lit(1)).as("n_occ"))
+    val dfd = wg.groupBy(winKey.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"))
+    wg.join(dfd, winKey)
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_windows"),
-           sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+      .agg(sum("n_occ").as("n_windows"),
+           sum(when(col("n_docs") > 1, col("n_occ")).otherwise(0L))
+             .as("n_dup_windows"))
       .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
         round(col("n_dup_windows") / col("n_windows").cast("double"), 6)
           .as("dup_frac"))

@@ -43,16 +43,23 @@ class ShuffleKeySpec extends SparkSpec {
     assert(keys.exists(_.contains("win_h#")), s"fingerprint key missing: $keys")
   }
 
-  test("containmentTopPairs keys on fingerprints, not shingle strings") {
-    val keys = keyContexts(graft.ext.DedupOps.containmentTopPairs(docs, 3, 10))
+  test("the shared pair pass keys on fingerprints, not shingle strings") {
+    // containment/Jaccard consumers now read the memoized CHECKPOINT of
+    // this pass (their own plans carry only doc-id keys), so the
+    // fingerprint audit reads the pass's plan itself
+    val (common, _) = graft.ext.DedupOps.commonCountsPlan(docs, 3, 1000000L)
+    val keys = keyContexts(common)
     assert(!keysCarry(keys, "shingle"), s"raw shingle key in: $keys")
     assert(keys.exists(_.contains("shingle_h#")), s"fingerprint key missing: $keys")
   }
 
-  test("ngramJaccardTopPairs keys on fingerprints, not shingle strings") {
-    val keys = keyContexts(graft.ext.DedupOps.ngramJaccardTopPairs(docs, 3, 10))
-    assert(!keysCarry(keys, "shingle"), s"raw shingle key in: $keys")
-    assert(keys.exists(_.contains("shingle_h#")), s"fingerprint key missing: $keys")
+  test("pair-pass consumers never reintroduce a raw shingle key") {
+    Seq(keyContexts(graft.ext.DedupOps.containmentTopPairs(docs, 3, 10)),
+        keyContexts(graft.ext.DedupOps.ngramJaccardTopPairs(docs, 3, 10)))
+      .foreach { keys =>
+        assert(keys.nonEmpty)
+        assert(!keysCarry(keys, "shingle"), s"raw shingle key in: $keys")
+      }
   }
 
   test("crossSourceOverlap keys on fingerprints, not shingle strings") {
