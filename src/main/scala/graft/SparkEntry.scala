@@ -1267,6 +1267,30 @@ object SparkEntry {
       s.sql("""SELECT event_type, count(*) AS n FROM events_v
                WHERE value > 10 GROUP BY event_type HAVING count(*) > 5""")
     }),
+    // RECURSIVE SQL (Spark 4's WITH RECURSIVE / UnionLoop executor):
+    // bounded ascending-path closure over the near-dup pair DAG —
+    // doc_a < doc_b orients every edge upward, so the recursion is
+    // acyclic and UNION ALL (the only recursive-term operator Spark
+    // supports) terminates without the hop guard ever truncating a
+    // clique-sized component. The edge view is the session-wide truth
+    // memo; DuckDB replays the identical recursion from the raw pair
+    // CTE. n_reach counts distinct docs reachable within 3 ascending
+    // hops — the "how deep does this dup neighborhood go" audit in
+    // pure SQL, the surface a warehouse user would actually write.
+    "s6b_recursive_cte" -> ((s, d) => {
+      ext.DedupOps.truthPairsAbove(Tables.documents(s, d), 3, tau = 0.5)
+        .createOrReplaceTempView("g_neardup_dag")
+      s.sql("""
+        WITH RECURSIVE reach AS (
+          SELECT doc_a AS src, doc_b AS dst, 1 AS hop FROM g_neardup_dag
+          UNION ALL
+          SELECT r.src, e.doc_b, r.hop + 1
+          FROM reach r JOIN g_neardup_dag e ON e.doc_a = r.dst
+          WHERE r.hop < 3
+        )
+        SELECT src AS doc_id, count(DISTINCT dst) AS n_reach
+        FROM reach GROUP BY src ORDER BY doc_id""")
+    }),
 
     // ---- generator / golden pipeline (SURVEY §2.1 S7) ----
     "s7_generator" -> ((s, _) => Generator.voters(s, 1000)),
@@ -3538,6 +3562,33 @@ object SparkEntry {
     "s6_sql_over_view" ->
       """SELECT event_type, count(*) AS n FROM events
          WHERE value > 10 GROUP BY event_type HAVING count(*) > 5""",
+    // identical recursion, DuckDB replaying the pair CTE as the DAG:
+    // UNION ALL both sides, ascending edges so the recursion is acyclic,
+    // the same hop < 3 bound
+    "s6b_recursive_cte" ->
+      """WITH RECURSIVE
+              w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3),
+              sh AS (SELECT doc_id,
+                            unnest(list_distinct(list_transform(range(1, len(words) - 1),
+                              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+                     FROM w),
+              sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+              com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id),
+              p AS (SELECT doc_a, doc_b
+                    FROM com
+                    JOIN sizes sa ON sa.doc_id = doc_a
+                    JOIN sizes sb ON sb.doc_id = doc_b
+                    WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5),
+              reach AS (SELECT doc_a AS src, doc_b AS dst, 1 AS hop FROM p
+                        UNION ALL
+                        SELECT r.src, e.doc_b, r.hop + 1
+                        FROM reach r JOIN p e ON e.doc_a = r.dst
+                        WHERE r.hop < 3)
+         SELECT src AS doc_id, count(DISTINCT dst) AS n_reach
+         FROM reach GROUP BY src ORDER BY doc_id""",
     "s7_generator" ->
       s"""SELECT id AS voter_id,
                  ${partyCase("id")} AS party_affiliation,

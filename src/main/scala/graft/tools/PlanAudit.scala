@@ -37,6 +37,8 @@ object PlanAudit {
     "graph_pagerank_neardup",
     // composite: runs the level-synchronous frontier loop on construction
     "graph_hops_to_canonical",
+    // composite: builds the truth-memo edge view on construction
+    "s6b_recursive_cte",
     // composite: materialized INSIDE their conf scope (optimizer confs are
     // read at action time), so the returned frame is a scratch-parquet
     // scan; the interesting plans are pinned by BloomFilterJoinSpec/CboSpec
