@@ -1291,6 +1291,31 @@ object SparkEntry {
         SELECT src AS doc_id, count(DISTINCT dst) AS n_reach
         FROM reach GROUP BY src ORDER BY doc_id""")
     }),
+    // Spark 4's SQL PIPE syntax (|> operators): the same filtered
+    // aggregate a warehouse user would write left-to-right — the parser
+    // surface is new, the plan is the ordinary WHERE+GROUP BY (the
+    // oracle replays exactly that)
+    "s6c_sql_pipe" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_v")
+      s.sql("""FROM events_v
+               |> WHERE value > 10
+               |> AGGREGATE count(*) AS n, round(sum(value), 2) AS total_value
+                    GROUP BY event_type
+               |> ORDER BY event_type""")
+    }),
+    // correlated LATERAL subquery with per-row LIMIT — top-3 balances
+    // per market segment written as the SQL a warehouse user reaches
+    // for; Catalyst decorrelates the lateral into a join (no per-row
+    // re-execution), which is what makes the surface safe at 100 TB
+    "j10_lateral_topn" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""SELECT seg.c_mktsegment, t.c_custkey, t.c_acctbal
+               FROM (SELECT DISTINCT c_mktsegment FROM customer_v) seg,
+               LATERAL (SELECT c_custkey, c_acctbal FROM customer_v c
+                        WHERE c.c_mktsegment = seg.c_mktsegment
+                        ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+               ORDER BY seg.c_mktsegment, t.c_acctbal DESC, t.c_custkey""")
+    }),
 
     // ---- generator / golden pipeline (SURVEY §2.1 S7) ----
     "s7_generator" -> ((s, _) => Generator.voters(s, 1000)),
@@ -1373,6 +1398,11 @@ object SparkEntry {
     // backend swap as semantics-free on the driver's own gate
     "t25_stream_rocksdb_dedup" -> ((s, d) =>
       StreamOps.streamingDedupUsersRocksDB(s, d, statePartitions = Some(8))),
+    // Spark 4's transformWithState (arbitrary typed state cells behind a
+    // StatefulProcessor, RocksDB-only backend): per-user running totals,
+    // last emit per key graded against the batch GROUP BY
+    "t26_stream_transform_with_state" -> ((s, d) =>
+      StreamOps.transformWithStateTotals(s, d, statePartitions = Some(8))),
     "t8_stream_asof" -> ((s, d) =>
       StreamOps.streamingAsOfAttribution(s, d, statePartitions = Some(8))),
     // streaming SCD2: each change CLOSES the key's open version (append
@@ -3589,6 +3619,28 @@ object SparkEntry {
                         WHERE r.hop < 3)
          SELECT src AS doc_id, count(DISTINCT dst) AS n_reach
          FROM reach GROUP BY src ORDER BY doc_id""",
+    // pipe syntax is parser surface only: the oracle is the ordinary
+    // filtered aggregate the pipes desugar to
+    "s6c_sql_pipe" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+         FROM events WHERE value > 10
+         GROUP BY event_type ORDER BY event_type""",
+    // DuckDB runs the identical correlated LATERAL (same per-row LIMIT,
+    // same tie-breaks)
+    "j10_lateral_topn" ->
+      """SELECT seg.c_mktsegment, t.c_custkey, t.c_acctbal
+         FROM (SELECT DISTINCT c_mktsegment FROM customer) seg,
+         LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+                  WHERE c.c_mktsegment = seg.c_mktsegment
+                  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+         ORDER BY seg.c_mktsegment, t.c_acctbal DESC, t.c_custkey""",
+    // TWS totals: the last emit per user must equal the batch GROUP BY
+    // (integer cents — the same per-row rounding as incr_agg_merge)
+    "t26_stream_transform_with_state" ->
+      """SELECT user_id, count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "s7_generator" ->
       s"""SELECT id AS voter_id,
                  ${partyCase("id")} AS party_affiliation,

@@ -603,6 +603,73 @@ object StreamOps {
       streamingDedupUsers(spark, dir, statePartitions)
     }
 
+  /** The processor behind [[transformWithStateTotals]]: one
+    * `ValueState[(n, cents)]` per user, folded over each batch's rows and
+    * re-emitted — the arbitrary-state cell Spark 4's `transformWithState`
+    * gives an operator author, with the lifecycle (init per partition,
+    * handleInputRows per key per batch) made explicit. Cents are integer,
+    * so the fold is order-insensitive and the emitted totals replay
+    * exactly in SQL. */
+  private class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long, Long)] {
+    @transient private var totals:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long)] = {
+      var (n, cents) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { case (_, c) => n += 1; cents += c }
+      totals.update((n, cents))
+      Iterator.single((key, n, cents))
+    }
+  }
+
+  /** T26: per-user running totals on **`transformWithState`** — Spark 4's
+    * arbitrary-state operator (successor of `mapGroupsWithState`, the
+    * reference's per-voter state in `main.py:55-59` generalized): typed
+    * state cells behind a `StatefulProcessorHandle`, explicit TTL config,
+    * timers, and a RocksDB-only state backend (conf-scoped here exactly
+    * as in [[streamingDedupUsersRocksDB]] — TWS refuses the HDFS-heap
+    * provider by design, because arbitrary state is what grows past
+    * heap at 100 TB). Update mode emits each touched user's running
+    * (n_events, total_cents) per micro-batch; the graded frame keeps the
+    * LAST emit per user — n_events is strictly increasing per key, so
+    * `max(struct(n_events, total_cents))` selects it deterministically —
+    * which must equal the batch GROUP BY the oracle replays. */
+  def transformWithStateTotals(spark: SparkSession, dir: String,
+                               statePartitions: Option[Int] = None): DataFrame = {
+    val snap = withConf(spark, Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+      runFileStream(spark, dir, "update", statePartitions) { df =>
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        val s = df.sparkSession
+        import s.implicits._
+        df.select(col("user_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new RunningTotalsProcessor,
+            TimeMode.None(), OutputMode.Update())
+          .toDF("user_id", "n_events", "total_cents")
+      }
+    }
+    snap.groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("total_cents"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.total_cents").as("total_cents"))
+      .orderBy("user_id")
+  }
+
   /** T4: late-data DROP on the graded path — append-mode hourly window
     * aggregate with a 1-hour watermark, fed in two batches: batch 1 is
     * 4/5 of the events (advancing the watermark to max(ts) − 1 h), batch
