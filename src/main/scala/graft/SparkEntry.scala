@@ -1403,6 +1403,11 @@ object SparkEntry {
     // last emit per key graded against the batch GROUP BY
     "t26_stream_transform_with_state" -> ((s, d) =>
       StreamOps.transformWithStateTotals(s, d, statePartitions = Some(8))),
+    // Spark 4's state data source: read the dedup state back OUT of the
+    // checkpoint as a batch frame — the state-audit surface; the keys
+    // must be exactly the distinct-user set (t5's oracle)
+    "t27_state_source_read" -> ((s, d) =>
+      StreamOps.stateSourceDedupAudit(s, d, statePartitions = Some(8))),
     "t8_stream_asof" -> ((s, d) =>
       StreamOps.streamingAsOfAttribution(s, d, statePartitions = Some(8))),
     // streaming SCD2: each change CLOSES the key's open version (append
@@ -3786,6 +3791,9 @@ object SparkEntry {
     "t5_stream_dedup_users" -> "SELECT DISTINCT user_id FROM events",
     // same truth as t5: the RocksDB backend swap must be semantics-free
     "t25_stream_rocksdb_dedup" -> "SELECT DISTINCT user_id FROM events",
+    // the checkpoint's dropDuplicates state keys ARE the distinct users
+    "t27_state_source_read" ->
+      "SELECT DISTINCT user_id FROM events ORDER BY user_id",
     // any re-emission of a late duplicate adds a row and goes red
     "t5b_stream_dedup_watermarked" -> "SELECT DISTINCT user_id FROM events",
     // session_window semantics at microsecond precision: a new session

@@ -670,6 +670,44 @@ object StreamOps {
       .orderBy("user_id")
   }
 
+  /** T27: STATE-STORE READBACK — Spark 4's state data source (format
+    * `statestore`), the operational surface a 100 TB deployment uses to
+    * audit, debug, or seed-migrate checkpointed state without replaying
+    * the stream. The harness runs [[streamingDedupUsers]]' pipeline
+    * against an EXPLICIT checkpoint (two paced files, so state survives
+    * a batch boundary), stops the query, then reads the keyed state OUT
+    * of the checkpoint as a batch frame. `dropDuplicates`' state keys
+    * ARE the distinct-user set, so the readback grades against t5's own
+    * oracle — proving the persisted state is exactly the semantic state,
+    * not an opaque blob. The read is partitioned like the state itself
+    * (one task per state partition); nothing is replayed. */
+  def stateSourceDedupAudit(spark: SparkSession, dir: String,
+                            statePartitions: Option[Int] = None): DataFrame =
+      withNoDataBatchesOff(spark) {
+        withShufflePartitions(spark, statePartitions) {
+    val (root, topic) = freshTopic("graft_t27_")
+    val ckpt = root.resolve("ckpt").toString
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    stageTopicFile(root, topic, "f0",
+      ev.filter(pmod(col("event_id"), lit(2)) === 0))
+    stageTopicFile(root, topic, "f1",
+      ev.filter(pmod(col("event_id"), lit(2)) === 1))
+    val table = freshName("graft_t27")
+    val q = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(topic.toString)
+      .dropDuplicates("user_id").select("user_id")
+      .writeStream.format("memory").queryName(table)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.format("statestore").option("path", ckpt).load()
+      .select(col("key.user_id").as("user_id"))
+      .orderBy("user_id")
+  } }
+
   /** T4: late-data DROP on the graded path — append-mode hourly window
     * aggregate with a 1-hour watermark, fed in two batches: batch 1 is
     * 4/5 of the events (advancing the watermark to max(ts) − 1 h), batch

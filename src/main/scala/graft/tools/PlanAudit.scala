@@ -26,7 +26,7 @@ object PlanAudit {
     "t20_stream_left_outer_join", "t21_stream_leaderboard",
     "t22_stream_merge_delete", "t23_stream_drift_psi",
     "t24_stream_nfc_dedup", "t25_stream_rocksdb_dedup",
-    "t26_stream_transform_with_state",
+    "t26_stream_transform_with_state", "t27_state_source_read",
     "s8_write_then_emit", "s9_file_sink_exactly_once",
     "s10_wire_emit_exactly_once",
     "s5c_jdbc_upsert_replay", "s5d_jdbc_txnlog_replay", "s4_avro_source",
