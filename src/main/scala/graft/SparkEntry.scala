@@ -1319,6 +1319,25 @@ object SparkEntry {
 
     // ---- generator / golden pipeline (SURVEY §2.1 S7) ----
     "s7_generator" -> ((s, _) => Generator.voters(s, 1000)),
+    // the same generator behind a full DataSource V2 CONNECTOR: id-range
+    // filters are pushed INTO the source (pruned rows never generated —
+    // GenSourceSpec asserts the narrowed interval in the scan), columns
+    // are pruned at the leaf, the residual gender filter re-checks above
+    "s7b_pushdown_source" -> ((s, _) =>
+      s.read.format(classOf[graft.sources.GenSource].getName)
+        .option("rows", 1000).option("partitions", 4).load()
+        .filter(col("voter_id") >= 100 && col("voter_id") < 600 &&
+                col("gender") === "female")
+        .select("voter_id", "party_affiliation", "registered_age")
+        .orderBy("voter_id")),
+    // COUNT(*) pushed INTO the connector (SupportsPushDownAggregates):
+    // each partition answers by arithmetic, no row ever generated —
+    // the metadata-count path parquet footers give a warehouse scan
+    "s7c_count_pushdown" -> ((s, _) =>
+      s.read.format(classOf[graft.sources.GenSource].getName)
+        .option("rows", 1000).option("partitions", 4).load()
+        .filter(col("voter_id") >= 100 && col("voter_id") < 600)
+        .selectExpr("count(*) AS n_rows")),
     "gen_votes_golden" -> ((s, _) => Generator.goldenTally(s, 1000)),
 
     // ---- full 21-field vote pipeline (P2/P4/F8 over VoteSchema) ----
@@ -3653,6 +3672,18 @@ object SparkEntry {
                  CASE WHEN id % 2 = 1 THEN 'female' ELSE 'male' END AS gender,
                  CAST(18 + (id * 2654435761) % 60 AS INTEGER) AS registered_age
           FROM range(1000) t(id)""",
+    // the connector's arithmetic is the generator's: the oracle replays
+    // the formulas under the pushed id range + the residual gender gate
+    "s7b_pushdown_source" ->
+      s"""SELECT id AS voter_id,
+                 ${partyCase("id")} AS party_affiliation,
+                 CAST(18 + (id * 2654435761) % 60 AS INTEGER) AS registered_age
+          FROM range(1000) t(id)
+          WHERE id >= 100 AND id < 600 AND id % 2 = 1
+          ORDER BY voter_id""",
+    "s7c_count_pushdown" ->
+      """SELECT count(*) AS n_rows FROM range(1000) t(id)
+         WHERE id >= 100 AND id < 600""",
     "gen_votes_golden" ->
       """SELECT 'candidate_' || CAST((id * 31 + 7) % 3 AS VARCHAR) AS candidate_name,
                 count(*) AS total_votes

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The DataSource V2 connector (`s7b_pushdown_source`): filter pushdown
+  * must narrow the GENERATED interval (pruned rows never exist), column
+  * pruning must reach the leaf, and the output must be bit-identical to
+  * the DataFrame generator it wraps. */
+class GenSourceSpec extends SparkSpec {
+
+  private def source(rows: Long = 1000, parts: Int = 4) =
+    spark.read.format(classOf[graft.sources.GenSource].getName)
+      .option("rows", rows).option("partitions", parts).load()
+
+  test("full scan is bit-identical to Generator.voters") {
+    val got = source().orderBy("voter_id").collect().toSeq
+    val want = graft.gen.Generator.voters(spark, 1000)
+      .orderBy("voter_id").collect().toSeq
+    assert(got.size === 1000 && got === want)
+  }
+
+  test("id-range filters narrow the scan interval at the leaf") {
+    val q = source()
+      .filter(col("voter_id") >= 100 && col("voter_id") < 600)
+      .select("voter_id")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("lo=100") && plan.contains("hi=600"),
+      s"expected the pushed interval in the scan description:\n$plan")
+    assert(q.count() === 500)
+  }
+
+  test("column pruning reaches the leaf; equality pins one row") {
+    val q = source().filter(col("voter_id") === 42)
+      .select("party_affiliation")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("lo=42") && plan.contains("hi=43"),
+      s"equality must collapse the interval:\n$plan")
+    // the equality filter is consumed by the interval, so voter_id is
+    // not even read — the scan narrows to the one projected column
+    assert(plan.contains("cols=party_affiliation)"),
+      s"only the needed columns may reach the reader:\n$plan")
+    assert(q.collect().map(_.getString(0)).toSeq ===
+      Seq(graft.gen.Generator.Parties(42 % 3)))
+  }
+
+  test("residual filters still apply above the scan") {
+    val got = source()
+      .filter(col("voter_id") < 10 && col("gender") === "female")
+      .select("voter_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(1L, 3L, 5L, 7L, 9L))
+  }
+
+  test("partition planning splits the narrowed interval, empty slices dropped") {
+    val q = source(rows = 1000, parts = 8)
+      .filter(col("voter_id") >= 998).select("voter_id")
+    // 2 surviving ids over 8 requested partitions → non-empty slices only
+    assert(q.rdd.getNumPartitions <= 2)
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq === Seq(998L, 999L))
+  }
+
+  test("COUNT(*) is answered by arithmetic — no rows generated") {
+    val q = source()
+      .filter(col("voter_id") >= 100 && col("voter_id") < 600)
+      .selectExpr("count(*) AS n_rows")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GenCountScan(lo=100, hi=600)"),
+      s"expected the pushed-count scan:\n$plan")
+    assert(q.collect().head.getLong(0) === 500L)
+  }
+
+  test("pushed COUNT over an empty interval is 0, not an empty result") {
+    val q = source()
+      .filter(col("voter_id") >= 600 && col("voter_id") < 600)
+      .selectExpr("count(*) AS n_rows")
+    assert(q.collect().head.getLong(0) === 0L)
+  }
+}
