@@ -172,9 +172,6 @@ object Joins {
     * lazy frame would silently grade the default plan. */
   def bloomPrunedJoin(spark: SparkSession, lineitem: DataFrame,
                       orders: DataFrame): DataFrame =
-    graft.streaming.StreamOps.withConf(spark, bloomConfs) {
-      val out = graft.TmpDirs.create("graft_bloomjoin_").toString
-      bloomJoinPlan(lineitem, orders).write.mode("overwrite").parquet(out)
-      spark.read.parquet(out)
-    }
+    Storage.materializeUnderConf(spark, bloomConfs)(
+      bloomJoinPlan(lineitem, orders))
 }

@@ -330,36 +330,59 @@ object Storage {
     "spark.sql.cbo.joinReorder.enabled" -> "true")
 
   private val cboRegistered = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), String]()
+    (SparkSession, String, String, String), String]()
 
-  /** Register `tableNames` of the sf directory as EXTERNAL parquet
-    * catalog tables (zero copy — the table points at the source file)
-    * and `ANALYZE ... COMPUTE STATISTICS FOR COLUMNS` the given columns,
-    * once per (session, sfDir). Catalog-level row counts + per-column
-    * NDV/min/max are what the CBO estimates filter selectivity and join
-    * cardinality from; without them every reorder decision falls back to
-    * raw file sizes. Table names are suffixed by an sfDir hash so two
-    * scale factors can coexist in one session. Returns the qualified
-    * name for each requested logical table. */
+  /** Register each named table of the sf directory as an EXTERNAL
+    * parquet catalog table (zero copy — the table points at the source
+    * file) and `ANALYZE ... COMPUTE STATISTICS FOR COLUMNS` the given
+    * columns, memoized PER TABLE per (session, sfDir, column list).
+    * Catalog-level row counts + per-column NDV/min/max are what the CBO
+    * estimates filter selectivity and join cardinality from; without
+    * them every reorder decision falls back to raw file sizes. The
+    * catalog name carries the sfDir hash AND a column-list hash, so two
+    * scale factors — or two registrations of the same table with
+    * different stats columns — are distinct tables that can never
+    * clobber each other's DDL or serve stats computed for a different
+    * request. DDL+ANALYZE run OUTSIDE the map lock (the truthCache
+    * discipline); a lost race re-runs idempotent DDL on the same name,
+    * harmlessly. Returns the qualified name per requested table. */
   private[graft] def cboTables(spark: SparkSession, sfDir: String,
       tables: Map[String, Seq[String]]): Map[String, String] = {
     sweep(cboRegistered)
     val sfx = java.lang.Integer.toHexString(sfDir.hashCode & 0x7fffffff)
-    def name(t: String) = s"g_cbo_${t}_$sfx"
-    val spec = tables.toSeq.sortBy(_._1)
-      .map { case (t, cs) => s"$t:${cs.mkString(",")}" }.mkString(";")
-    cboRegistered.computeIfAbsent((spark, sfDir, spec), { _ =>
-      tables.foreach { case (t, statsCols) =>
-        spark.sql(s"DROP TABLE IF EXISTS ${name(t)}")
-        spark.sql(s"CREATE TABLE ${name(t)} USING parquet " +
-          s"OPTIONS (path '$sfDir/$t.parquet')")
-        spark.sql(s"ANALYZE TABLE ${name(t)} COMPUTE STATISTICS " +
-          s"FOR COLUMNS ${statsCols.mkString(", ")}")
+    tables.map { case (t, statsCols) =>
+      val cols = statsCols.mkString(",")
+      val name = s"g_cbo_${t}_${sfx}_" +
+        java.lang.Integer.toHexString(cols.hashCode & 0x7fffffff)
+      val key = (spark, sfDir, t, cols)
+      if (cboRegistered.get(key) == null) {
+        spark.synchronized {
+          spark.sql(s"DROP TABLE IF EXISTS $name")
+          spark.sql(s"CREATE TABLE $name USING parquet " +
+            s"OPTIONS (path '$sfDir/$t.parquet')")
+          spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS " +
+            s"FOR COLUMNS ${statsCols.mkString(", ")}")
+        }
+        cboRegistered.putIfAbsent(key, name)
       }
-      sfx
-    })
-    tables.keys.map(t => t -> name(t)).toMap
+      t -> name
+    }
   }
+
+  /** Materialize `plan` to a fresh scratch dir WITH `confs` applied,
+    * returning a batch read of the result — the shared seat harness for
+    * optimizer-conf-scoped graded queries ([[cboStarJoin]],
+    * [[graft.ops.Joins.bloomPrunedJoin]]): optimizer rules read session
+    * confs at ACTION time, so returning the lazy frame would silently
+    * grade the default plan. Outputs are KB-scale aggregates; dirs are
+    * temp-rooted and reaped with the container. */
+  private[graft] def materializeUnderConf(spark: SparkSession,
+      confs: Map[String, String])(plan: => DataFrame): DataFrame =
+    graft.streaming.StreamOps.withConf(spark, confs) {
+      val out = graft.TmpDirs.create("graft_seat_").toString
+      plan.write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+    }
 
   /** The star join [[cboStarJoin]] materializes, written in the WORST
     * syntactic order — fact ⋈ fact first, the selective dim last. */
@@ -392,9 +415,5 @@ object Storage {
     * are plan-transparent and oracled). Materialized inside the conf
     * scope — the optimizer reads session confs at action time. */
   def cboStarJoin(spark: SparkSession, sfDir: String): DataFrame =
-    graft.streaming.StreamOps.withConf(spark, cboConfs) {
-      val out = graft.TmpDirs.create("graft_cbo_").toString
-      cboStarJoinPlan(spark, sfDir).write.mode("overwrite").parquet(out)
-      spark.read.parquet(out)
-    }
+    materializeUnderConf(spark, cboConfs)(cboStarJoinPlan(spark, sfDir))
 }

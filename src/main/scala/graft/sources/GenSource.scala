@@ -26,10 +26,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    interval, so pruned rows are never materialized — the connector
   *    equivalent of a JDBC WHERE clause or a Kafka offset seek. At
   *    100 TB this is the difference between scanning the firehose and
-  *    reading the slice. Non-id filters are returned as residuals and
-  *    Spark re-applies them above the scan (and id filters are also kept
-  *    as residuals — cheap, and keeps the contract honest if a future
-  *    edit loosens the interval arithmetic).
+  *    reading the slice. Handled id filters are FULLY CONSUMED (the
+  *    half-open-interval translation is exact, and a clean scan is what
+  *    lets COUNT(*) push down); non-id filters — and id bounds whose
+  *    translation would overflow — come back as residuals Spark
+  *    evaluates above the scan.
   *  - **Column pruning INTO the source**
   *    (`SupportsPushDownRequiredColumns`): only requested fields are
   *    computed per row (an unrequested `voter_name` never allocates its
@@ -94,14 +95,19 @@ private class GenScanBuilder(rows: Long, parts: Int)
     * consumed (no residual, no post-scan Filter node) — which is also
     * what lets an aggregate land on the bare scan. Anything else stays a
     * residual Spark evaluates above the scan. Narrowing is monotone, so
-    * conjunctions compose. */
+    * conjunctions compose. Bounds whose half-open translation would
+    * overflow `v + 1` past Long.MaxValue are NOT handled (left residual)
+    * — consuming them with wrapped arithmetic would silently empty the
+    * scan on a tautological filter. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (handled, residual) = filters.partition {
-      case GreaterThan("voter_id", v: Long) => lo = math.max(lo, v + 1); true
+      case GreaterThan("voter_id", v: Long) if v < Long.MaxValue =>
+        lo = math.max(lo, v + 1); true
       case GreaterThanOrEqual("voter_id", v: Long) => lo = math.max(lo, v); true
       case LessThan("voter_id", v: Long) => hi = math.min(hi, v); true
-      case LessThanOrEqual("voter_id", v: Long) => hi = math.min(hi, v + 1); true
-      case EqualTo("voter_id", v: Long) =>
+      case LessThanOrEqual("voter_id", v: Long) if v < Long.MaxValue =>
+        hi = math.min(hi, v + 1); true
+      case EqualTo("voter_id", v: Long) if v < Long.MaxValue =>
         lo = math.max(lo, v); hi = math.min(hi, v + 1); true
       case _ => false
     }
@@ -141,11 +147,7 @@ private class GenCountScan(lo: Long, hi: Long, parts: Int)
   override def toBatch: Batch = this
   override def description(): String = s"GenCountScan(lo=$lo, hi=$hi)"
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(0L, hi - lo)
-    val k = math.max(1, parts)
-    val ps = (0 until k).map { i =>
-      GenPartition(lo + i * n / k, lo + (i + 1) * n / k)
-    }.filter(p => p.end > p.start).toArray[InputPartition]
+    val ps = GenPartition.slice(lo, hi, parts)
     // an empty interval still must yield count 0: one empty-range row
     if (ps.isEmpty) Array[InputPartition](GenPartition(0, 0)) else ps
   }
@@ -170,18 +172,26 @@ private class GenScan(lo: Long, hi: Long, parts: Int, required: StructType)
   override def toBatch: Batch = this
   override def description(): String =
     s"GenScan(lo=$lo, hi=$hi, cols=${required.fieldNames.mkString(",")})"
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(0L, hi - lo)
-    val k = math.max(1, parts)
-    (0 until k).map { i =>
-      GenPartition(lo + i * n / k, lo + (i + 1) * n / k)
-    }.filter(p => p.end > p.start).toArray[InputPartition]
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    GenPartition.slice(lo, hi, parts)
   override def createReaderFactory(): PartitionReaderFactory =
     new GenReaderFactory(required.fieldNames)
 }
 
 private case class GenPartition(start: Long, end: Long) extends InputPartition
+
+private object GenPartition {
+  /** Contiguous interval slices, empty slices dropped — shared by the
+    * row scan and the pushed-count scan so the arithmetic cannot
+    * diverge. */
+  def slice(lo: Long, hi: Long, parts: Int): Array[InputPartition] = {
+    val n = math.max(0L, hi - lo)
+    val k = math.max(1, parts)
+    (0 until k).map { i =>
+      GenPartition(lo + i * n / k, lo + (i + 1) * n / k)
+    }.filter(p => p.end > p.start).toArray
+  }
+}
 
 private class GenReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
@@ -199,7 +209,10 @@ private class GenReaderFactory(fields: Array[String])
           case "gender" =>
             UTF8String.fromString(if (id % 2 == 1) "female" else "male")
           case "registered_age" =>
-            java.lang.Integer.valueOf((18 + (id * GenSource.Mix) % 60).toInt)
+            // floorMod = Spark's pmod: identical even where id * Mix
+            // wraps negative (plain % would dip below 18 there)
+            java.lang.Integer.valueOf(
+              (18 + Math.floorMod(id * GenSource.Mix, 60L)).toInt)
         }
         new GenericInternalRow(values.asInstanceOf[Array[Any]])
       }
