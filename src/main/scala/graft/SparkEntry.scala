@@ -1338,6 +1338,21 @@ object SparkEntry {
         .option("rows", 1000).option("partitions", 4).load()
         .filter(col("voter_id") >= 100 && col("voter_id") < 600)
         .selectExpr("count(*) AS n_rows")),
+    // the WRITE half of the connector story: a DSv2 sink running the
+    // real two-phase commit protocol (task temp files → driver rename +
+    // _SUCCESS manifest; abort sweeps) — the round trip through it must
+    // be value-lossless (CommitSinkSpec pins truncate and abort)
+    "s7d_sink_commit" -> ((s, d) => {
+      val agg = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+             sum(round(col("value") * 100).cast("long")).as("total_cents"))
+      val dir = graft.TmpDirs.create("graft_sink_").toString
+      agg.write.format(classOf[graft.sources.CommitSink].getName)
+        .option("path", dir).mode("append").save()
+      s.read.schema("event_type STRING, n_events BIGINT, total_cents BIGINT")
+        .csv(dir).orderBy("event_type")
+    }),
     "gen_votes_golden" -> ((s, _) => Generator.goldenTally(s, 1000)),
 
     // ---- full 21-field vote pipeline (P2/P4/F8 over VoteSchema) ----
@@ -3684,6 +3699,13 @@ object SparkEntry {
     "s7c_count_pushdown" ->
       """SELECT count(*) AS n_rows FROM range(1000) t(id)
          WHERE id >= 100 AND id < 600""",
+    // the sink round trip is value-transparent: the oracle replays the
+    // aggregate the sink carried (same cents discipline as incr_agg)
+    "s7d_sink_commit" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "gen_votes_golden" ->
       """SELECT 'candidate_' || CAST((id * 31 + 7) % 3 AS VARCHAR) AS candidate_name,
                 count(*) AS total_votes

@@ -683,6 +683,14 @@ object StreamOps {
     * (one task per state partition); nothing is replayed. */
   def stateSourceDedupAudit(spark: SparkSession, dir: String,
                             statePartitions: Option[Int] = None): DataFrame =
+    stateSourceDedupAuditWithCkpt(spark, dir, statePartitions)._1
+
+  /** [[stateSourceDedupAudit]] plus the checkpoint path, so specs can
+    * additionally probe the `state-metadata` companion source (operator
+    * name, state partition count, committed batch range). */
+  private[graft] def stateSourceDedupAuditWithCkpt(
+      spark: SparkSession, dir: String,
+      statePartitions: Option[Int]): (DataFrame, String) =
       withNoDataBatchesOff(spark) {
         withShufflePartitions(spark, statePartitions) {
     val (root, topic) = freshTopic("graft_t27_")
@@ -703,9 +711,9 @@ object StreamOps {
       .option("checkpointLocation", ckpt)
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.format("statestore").option("path", ckpt).load()
+    (spark.read.format("statestore").option("path", ckpt).load()
       .select(col("key.user_id").as("user_id"))
-      .orderBy("user_id")
+      .orderBy("user_id"), ckpt)
   } }
 
   /** T4: late-data DROP on the graded path — append-mode hourly window

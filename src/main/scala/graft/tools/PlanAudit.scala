@@ -43,7 +43,10 @@ object PlanAudit {
     // composite: materialized INSIDE their conf scope (optimizer confs are
     // read at action time), so the returned frame is a scratch-parquet
     // scan; the interesting plans are pinned by BloomFilterJoinSpec/CboSpec
-    "j9_bloom_join", "storage_cbo_stats")
+    "j9_bloom_join", "storage_cbo_stats",
+    // composite: runs the sink write on construction; the returned frame
+    // is the CSV readback
+    "s7d_sink_commit")
 
   /** `--summary <dir>`: one markdown row of physical-plan features per
     * query — shuffle count, join strategies, parquet pushdown, codegen. */

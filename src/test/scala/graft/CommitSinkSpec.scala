@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+/** The DSv2 commit-protocol sink (`s7d_sink_commit`): committed output
+  * is all-or-nothing, truncate replaces instead of doubling, and a
+  * failed job leaves nothing visible. */
+class CommitSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir() = graft.TmpDirs.create("graft_sinkspec_").toString
+
+  private def write(df: org.apache.spark.sql.DataFrame, dir: String,
+                    mode: String): Unit =
+    df.write.format(classOf[graft.sources.CommitSink].getName)
+      .option("path", dir).mode(mode).save()
+
+  private def parts(dir: String): Seq[String] =
+    Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("part-")).toSeq
+
+  test("round trip is value-lossless; manifest counts rows; temp swept") {
+    val dir = freshDir()
+    val df = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v")
+    write(df.repartition(2), dir, "append")
+    val back = spark.read.schema("k STRING, v BIGINT").csv(dir)
+      .as[(String, Long)].collect().toSet
+    assert(back === Set(("a", 1L), ("b", 2L), ("c", 3L)))
+    assert(Files.readString(Paths.get(dir, "_SUCCESS")).trim == "rows=3")
+    assert(!Files.exists(Paths.get(dir, "_temporary")),
+      "temp dir must be swept at commit")
+  }
+
+  test("overwrite truncates at commit: a restated write replaces parts") {
+    val dir = freshDir()
+    write(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), dir, "append")
+    write(Seq(("z", 9L)).toDF("k", "v").repartition(1), dir, "overwrite")
+    val back = spark.read.schema("k STRING, v BIGINT").csv(dir)
+      .as[(String, Long)].collect().toSet
+    assert(back === Set(("z", 9L)), s"parts now: ${parts(dir)}")
+    assert(Files.readString(Paths.get(dir, "_SUCCESS")).trim == "rows=1")
+  }
+
+  test("a failed job aborts: no part files, no manifest, temp swept") {
+    val dir = freshDir()
+    val poison = spark.range(100).select(
+      when(col("id") === 50, expr("raise_error('boom')"))
+        .otherwise(col("id").cast("string")).as("s"))
+    intercept[Exception] { write(poison.repartition(4), dir, "append") }
+    val visible =
+      if (Files.isDirectory(Paths.get(dir)))
+        Files.list(Paths.get(dir)).iterator().asScala
+          .map(_.getFileName.toString)
+          .filterNot(_ == "_temporary").toSeq
+      else Seq.empty
+    assert(visible.isEmpty, s"nothing may be visible after abort: $visible")
+    val tmp = Paths.get(dir, "_temporary")
+    assert(!Files.exists(tmp) ||
+      Files.list(tmp).iterator().asScala.isEmpty,
+      "in-flight temp files must be swept on abort")
+  }
+}

@@ -17,4 +17,17 @@ class StateSourceSpec extends SparkSpec {
       .select("user_id").distinct().as[Long].collect().toSet
     assert(fromState.nonEmpty && fromState === want)
   }
+
+  test("state-metadata names the operator and the committed batch range") {
+    val (_, ckpt) = StreamOps
+      .stateSourceDedupAuditWithCkpt(spark, sfDir, Some(4))
+    val m = spark.read.format("state-metadata").load(ckpt).collect()
+    assert(m.length === 1, s"one stateful operator expected: ${m.toSeq}")
+    val row = m.head
+    assert(row.getAs[String]("operatorName") === "dedupe")
+    assert(row.getAs[Int]("numPartitions") === 4)
+    // two paced files → batches 0 and 1 committed
+    assert(row.getAs[Long]("minBatchId") === 0L)
+    assert(row.getAs[Long]("maxBatchId") === 1L)
+  }
 }
