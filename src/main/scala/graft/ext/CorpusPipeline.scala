@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   *
   *   language gate ([[TextOps.isEnglishPredicate]]) → quality gate
   *   ([[TextOps.qualityOkPredicate]]) → exact dedup (keep the smallest
-  *   doc_id per content digest — the windowed form of
+  *   doc_id per content digest — the narrow digest-aggregation form of
   *   [[graft.ops.Dedup.exactByContent]]) → near-dup removal (drop the
   *   larger id of every exact-Jaccard ≥ `tau` pair,
   *   [[DedupOps.ngramJaccardPairs]]) → deterministic train/val/test split
@@ -39,7 +39,6 @@ object CorpusPipeline {
     * ONE differential SQL oracle grade the whole composition. */
   def prepareFull(spark: SparkSession, docs: DataFrame,
                   tau: Double = 0.5, evalMod: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val eval = docs.filter(pmod(col("doc_id"), lit(evalMod)) === 0)
     val corpus = docs.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
     // The gate survivors feed three consumers, but a materialization was
@@ -54,10 +53,16 @@ object CorpusPipeline {
     val contaminated = DedupOps.decontaminate(keptRep, eval)
       .filter(col("contaminated")).select("doc_id")
     val clean = keptRep.join(contaminated, Seq("doc_id"), "left_anti")
+    // exact dedup as ONE NARROW aggregation: everything downstream needs
+    // only doc_id, so shuffle (digest, doc_id) pairs — ~24 bytes/row —
+    // and take min(doc_id) per digest. The previous window form
+    // (min over partitionBy(md5(text))) shuffled the FULL ROW including
+    // the text and sorted it within partitions; at 100 TB that is the
+    // difference between shuffling the corpus and shuffling its digests.
     val canon = clean
-      .withColumn("__keep", col("doc_id") ===
-        min("doc_id").over(Window.partitionBy(md5(col("text").cast("binary")))))
-      .filter(col("__keep")).drop("__keep")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("__dg"))
+      .groupBy("__dg").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
     val survivors = canon.join(nearDupLosers(docs, canon, tau),
       Seq("doc_id"), "left_anti")
     SampleOps.splitAssign(survivors, "doc_id").select("doc_id", "split")
@@ -82,16 +87,16 @@ object CorpusPipeline {
 
   def prepare(spark: SparkSession, docs: DataFrame,
               tau: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // gates are scan-side FILTERS (pushable, no join, no second scan)
     val kept = docs.filter(
       TextOps.isEnglishPredicate && TextOps.qualityOkPredicate)
-    // exact dedup as a window, not an agg+join: keep the smallest doc_id
-    // per content digest — one exchange on the digest
+    // exact dedup as ONE NARROW aggregation (see prepareFull): only
+    // doc_id flows downstream, so shuffle (digest, doc_id) pairs and
+    // min-reduce — never the text the window form used to move
     val keptCanon = kept
-      .withColumn("__keep", col("doc_id") ===
-        min("doc_id").over(Window.partitionBy(md5(col("text").cast("binary")))))
-      .filter(col("__keep")).drop("__keep")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("__dg"))
+      .groupBy("__dg").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
     val survivors = keptCanon.join(nearDupLosers(docs, keptCanon, tau),
       Seq("doc_id"), "left_anti")
     SampleOps.splitAssign(survivors, "doc_id").select("doc_id", "split")
