@@ -53,16 +53,14 @@ object CorpusPipeline {
     val contaminated = DedupOps.decontaminate(keptRep, eval)
       .filter(col("contaminated")).select("doc_id")
     val clean = keptRep.join(contaminated, Seq("doc_id"), "left_anti")
-    // exact dedup as ONE NARROW aggregation: everything downstream needs
-    // only doc_id, so shuffle (digest, doc_id) pairs — ~24 bytes/row —
-    // and take min(doc_id) per digest. The previous window form
-    // (min over partitionBy(md5(text))) shuffled the FULL ROW including
-    // the text and sorted it within partitions; at 100 TB that is the
-    // difference between shuffling the corpus and shuffling its digests.
-    val canon = clean
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("__dg"))
-      .groupBy("__dg").agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
+    // exact dedup as ONE NARROW aggregation — [[graft.ops.Dedup
+    // .exactByContent]]'s shape, reused: everything downstream needs only
+    // doc_id, so the shuffle carries (digest, doc_id) pairs, never the
+    // text. The previous window form (min over partitionBy(md5(text)))
+    // shuffled the FULL ROW and sorted it within partitions; at 100 TB
+    // that is the difference between shuffling the corpus and shuffling
+    // its digests.
+    val canon = graft.ops.Dedup.exactByContent(clean).select("doc_id")
     val survivors = canon.join(nearDupLosers(docs, canon, tau),
       Seq("doc_id"), "left_anti")
     SampleOps.splitAssign(survivors, "doc_id").select("doc_id", "split")
@@ -91,12 +89,9 @@ object CorpusPipeline {
     val kept = docs.filter(
       TextOps.isEnglishPredicate && TextOps.qualityOkPredicate)
     // exact dedup as ONE NARROW aggregation (see prepareFull): only
-    // doc_id flows downstream, so shuffle (digest, doc_id) pairs and
-    // min-reduce — never the text the window form used to move
-    val keptCanon = kept
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("__dg"))
-      .groupBy("__dg").agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
+    // doc_id flows downstream — Dedup.exactByContent shuffles
+    // (digest, doc_id) pairs, never the text the window form used to move
+    val keptCanon = graft.ops.Dedup.exactByContent(kept).select("doc_id")
     val survivors = keptCanon.join(nearDupLosers(docs, keptCanon, tau),
       Seq("doc_id"), "left_anti")
     SampleOps.splitAssign(survivors, "doc_id").select("doc_id", "split")

@@ -27,9 +27,11 @@ class CommitSinkSpec extends SparkSpec {
     val dir = freshDir()
     val df = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v")
     write(df.repartition(2), dir, "append")
+    // sorted-Seq compare, not a Set: a double-visible part (rename
+    // collision class of bug) must fail, not collapse
     val back = spark.read.schema("k STRING, v BIGINT").csv(dir)
-      .as[(String, Long)].collect().toSet
-    assert(back === Set(("a", 1L), ("b", 2L), ("c", 3L)))
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(back === Seq(("a", 1L), ("b", 2L), ("c", 3L)))
     assert(Files.readString(Paths.get(dir, "_SUCCESS")).trim == "rows=3")
     assert(!Files.exists(Paths.get(dir, "_temporary")),
       "temp dir must be swept at commit")
@@ -40,9 +42,39 @@ class CommitSinkSpec extends SparkSpec {
     write(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), dir, "append")
     write(Seq(("z", 9L)).toDF("k", "v").repartition(1), dir, "overwrite")
     val back = spark.read.schema("k STRING, v BIGINT").csv(dir)
-      .as[(String, Long)].collect().toSet
-    assert(back === Set(("z", 9L)), s"parts now: ${parts(dir)}")
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(back === Seq(("z", 9L)), s"parts now: ${parts(dir)}")
     assert(Files.readString(Paths.get(dir, "_SUCCESS")).trim == "rows=1")
+  }
+
+  test("append from a second write cannot clobber the first's parts") {
+    val dir = freshDir()
+    write(Seq(("a", 1L)).toDF("k", "v").repartition(1), dir, "append")
+    write(Seq(("b", 2L)).toDF("k", "v").repartition(1), dir, "append")
+    // both single-task writes used partitionId 0 — the queryId in the
+    // final part name is what keeps them distinct
+    assert(parts(dir).size === 2, s"parts: ${parts(dir)}")
+    val back = spark.read.schema("k STRING, v BIGINT").csv(dir)
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(back === Seq(("a", 1L), ("b", 2L)))
+  }
+
+  test("nulls and delimiter/quote/newline strings survive the round trip") {
+    val dir = freshDir()
+    val df = Seq[(String, java.lang.Long)](
+      ("plain", 1L), ("comma,inside", 2L), ("quote\"inside", 3L),
+      ("line\nbreak", 4L), (null, 5L), ("x", null))
+      .toDF("k", "v")
+    write(df.repartition(1), dir, "append")
+    val back = spark.read.schema("k STRING, v BIGINT")
+      .option("multiLine", true).csv(dir)
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))))
+      .sortBy(p => (p._1 == null, p._1, p._2 == null)).toSeq
+    val want = Seq[(String, java.lang.Long)](
+      ("comma,inside", 2L), ("line\nbreak", 4L), ("plain", 1L),
+      ("quote\"inside", 3L), ("x", null), (null, 5L))
+    assert(back === want, s"got $back")
   }
 
   test("a failed job aborts: no part files, no manifest, temp swept") {
