@@ -1338,6 +1338,13 @@ object SparkEntry {
         .option("rows", 1000).option("partitions", 4).load()
         .filter(col("voter_id") >= 100 && col("voter_id") < 600)
         .selectExpr("count(*) AS n_rows")),
+    // the STREAMING read path of the same connector: a MicroBatchStream
+    // with a real offset log + admission control (step ids per trigger →
+    // ceil(rows/step) genuine micro-batches) — the Kafka-shaped source
+    // surface minus the broker, graded against the batch formula
+    "s7e_stream_source" -> ((s, _) =>
+      StreamOps.customSourceStreamTally(s, rows = 1000L, step = 256L,
+        statePartitions = Some(4))),
     // the WRITE half of the connector story: a DSv2 sink running the
     // real two-phase commit protocol (task temp files → driver rename +
     // _SUCCESS manifest; abort sweeps) — the round trip through it must
@@ -3699,6 +3706,13 @@ object SparkEntry {
     "s7c_count_pushdown" ->
       """SELECT count(*) AS n_rows FROM range(1000) t(id)
          WHERE id >= 100 AND id < 600""",
+    // the streamed tally over 4 offset-paced micro-batches must equal
+    // the batch formula
+    "s7e_stream_source" ->
+      s"""SELECT ${partyCase("id")} AS party_affiliation,
+                 count(*) AS n_voters
+          FROM range(1000) t(id)
+          GROUP BY 1 ORDER BY party_affiliation""",
     // the sink round trip is value-transparent: the oracle replays the
     // aggregate the sink carried (same cents discipline as incr_agg)
     "s7d_sink_commit" ->

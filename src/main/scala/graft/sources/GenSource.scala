@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, ReadMaxRows, SupportsAdmissionControl, Offset => StreamOffset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -51,7 +52,8 @@ class GenSource extends TableProvider {
                         properties: JMap[String, String]): Table = {
     val rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L)
     val parts = Option(properties.get("partitions")).map(_.toInt).getOrElse(4)
-    new GenTable(rows, parts)
+    val step = Option(properties.get("step")).map(_.toLong).getOrElse(256L)
+    new GenTable(rows, parts, step)
   }
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -69,16 +71,17 @@ object GenSource {
   private[sources] val Mix = 2654435761L
 }
 
-private class GenTable(rows: Long, parts: Int) extends Table with SupportsRead {
+private class GenTable(rows: Long, parts: Int, step: Long)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_gen($rows)"
   override def schema(): StructType = GenSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GenScanBuilder(rows, parts)
+    new GenScanBuilder(rows, parts, step)
 }
 
-private class GenScanBuilder(rows: Long, parts: Int)
+private class GenScanBuilder(rows: Long, parts: Int, step: Long = 256L)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -135,7 +138,7 @@ private class GenScanBuilder(rows: Long, parts: Int)
 
   override def build(): Scan =
     if (countPushed) new GenCountScan(lo, hi, parts)
-    else new GenScan(lo, hi, parts, required)
+    else new GenScan(lo, hi, parts, required, step)
 }
 
 /** The pushed-COUNT scan: one partial-count row per planned partition. */
@@ -166,7 +169,8 @@ private class GenCountScan(lo: Long, hi: Long, parts: Int)
     }
 }
 
-private class GenScan(lo: Long, hi: Long, parts: Int, required: StructType)
+private class GenScan(lo: Long, hi: Long, parts: Int, required: StructType,
+                      step: Long = 256L)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -176,6 +180,54 @@ private class GenScan(lo: Long, hi: Long, parts: Int, required: StructType)
     GenPartition.slice(lo, hi, parts)
   override def createReaderFactory(): PartitionReaderFactory =
     new GenReaderFactory(required.fieldNames)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GenMicroBatchStream(lo, hi, parts, step, required.fieldNames)
+}
+
+/** Committed position in the id space — the connector's "Kafka offset". */
+private case class GenOffset(v: Long) extends StreamOffset {
+  override def json(): String = v.toString
+}
+
+/** The STREAMING read path: the generator as a micro-batch source with
+  * real offset bookkeeping — `initialOffset` → per-trigger
+  * `latestOffset(start, limit)` under ADMISSION CONTROL (the maxRows
+  * read limit caps each batch at `step` ids — the
+  * maxOffsetsPerTrigger/maxFilesPerTrigger backpressure contract) →
+  * `planInputPartitions(start, end)` over exactly the admitted id range
+  * → engine-side commit. Offsets serialize through `json()` into the
+  * checkpoint's offset log, so recovery replays from the committed
+  * position — the complete Kafka-shaped source surface, minus only the
+  * broker. Stateless between calls: pacing derives from the START
+  * offset the engine hands back, so a restarted query resumes exactly
+  * where the checkpoint says, with no driver-side mutable position. */
+private class GenMicroBatchStream(lo: Long, hi: Long, parts: Int, step: Long,
+                                  fields: Array[String])
+    extends MicroBatchStream with SupportsAdmissionControl {
+  override def initialOffset(): StreamOffset = GenOffset(lo)
+  override def deserializeOffset(json: String): StreamOffset =
+    GenOffset(json.toLong)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(step)
+  override def latestOffset(start: StreamOffset, limit: ReadLimit): StreamOffset = {
+    val s = start.asInstanceOf[GenOffset].v
+    val cap = limit match {
+      case r: ReadMaxRows => math.max(1L, r.maxRows())
+      case _ => math.max(1L, step)
+    }
+    GenOffset(math.min(hi, s + cap))
+  }
+  override def latestOffset(): StreamOffset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is used")
+  override def reportLatestOffset(): StreamOffset = GenOffset(hi)
+  override def commit(end: StreamOffset): Unit = ()
+  override def stop(): Unit = ()
+  override def planInputPartitions(start: StreamOffset,
+                                   end: StreamOffset): Array[InputPartition] =
+    GenPartition.slice(start.asInstanceOf[GenOffset].v,
+      end.asInstanceOf[GenOffset].v, parts)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenReaderFactory(fields)
 }
 
 private case class GenPartition(start: Long, end: Long) extends InputPartition

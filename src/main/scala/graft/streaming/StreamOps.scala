@@ -670,6 +670,32 @@ object StreamOps {
       .orderBy("user_id")
   }
 
+  /** S7e: the generator CONNECTOR as a STREAMING source — the micro-batch
+    * read path of [[graft.sources.GenSource]] ([[graft.sources.GenSource]]'s
+    * `GenMicroBatchStream`: offset log + admission control, the complete
+    * Kafka-shaped surface minus the broker) driven through a complete-mode
+    * tally. `step` ids are admitted per trigger, so the run REALLY spans
+    * ceil(rows/step) micro-batches with offsets committed between them;
+    * the final snapshot must equal the batch formula the oracle replays. */
+  def customSourceStreamTally(spark: SparkSession, rows: Long = 1000L,
+                              step: Long = 256L,
+                              statePartitions: Option[Int] = None): DataFrame =
+    withNoDataBatchesOff(spark) {
+      withShufflePartitions(spark, statePartitions) {
+        val table = freshName("graft_s7e")
+        val q = spark.readStream
+          .format(classOf[graft.sources.GenSource].getName)
+          .option("rows", rows).option("partitions", 4).option("step", step)
+          .load()
+          .groupBy("party_affiliation")
+          .agg(count(lit(1)).as("n_voters"))
+          .writeStream.format("memory").queryName(table)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        spark.table(table).orderBy("party_affiliation")
+      }
+    }
+
   /** T27: STATE-STORE READBACK — Spark 4's state data source (format
     * `statestore`), the operational surface a 100 TB deployment uses to
     * audit, debug, or seed-migrate checkpointed state without replaying

@@ -46,7 +46,9 @@ object PlanAudit {
     "j9_bloom_join", "storage_cbo_stats",
     // composite: runs the sink write on construction; the returned frame
     // is the CSV readback
-    "s7d_sink_commit")
+    "s7d_sink_commit",
+    // streaming: drives the connector's MicroBatchStream on construction
+    "s7e_stream_source")
 
   /** `--summary <dir>`: one markdown row of physical-plan features per
     * query — shuffle count, join strategies, parquet pushdown, codegen. */

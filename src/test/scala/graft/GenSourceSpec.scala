@@ -74,4 +74,32 @@ class GenSourceSpec extends SparkSpec {
       .selectExpr("count(*) AS n_rows")
     assert(q.collect().head.getLong(0) === 0L)
   }
+
+  test("streaming read: admission control paces genuine micro-batches") {
+    val table = "g_s7e_spec"
+    val q = spark.readStream
+      .format(classOf[graft.sources.GenSource].getName)
+      .option("rows", 1000).option("partitions", 4).option("step", 256)
+      .load()
+      .groupBy("party_affiliation")
+      .agg(count(lit(1)).as("n_voters"))
+      .writeStream.format("memory").queryName(table)
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches === 4,
+        s"1000 ids at 256/trigger must span 4 batches, got $dataBatches: " +
+          q.recentProgress.map(_.numInputRows).mkString(","))
+      val end = q.recentProgress.filter(_.numInputRows > 0)
+        .last.sources.head.endOffset
+      assert(end == "1000", s"final committed offset must be 1000, got $end")
+    } finally q.stop()
+    val got = spark.table(table)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = graft.gen.Generator.voters(spark, 1000)
+      .groupBy("party_affiliation").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === want, "streamed tally must equal the batch generator's")
+  }
 }
