@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, ReadMaxRows, SupportsAdmissionControl, Offset => StreamOffset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow, Offset => StreamOffset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -81,7 +81,7 @@ private class GenTable(rows: Long, parts: Int, step: Long)
     new GenScanBuilder(rows, parts, step)
 }
 
-private class GenScanBuilder(rows: Long, parts: Int, step: Long = 256L)
+private class GenScanBuilder(rows: Long, parts: Int, step: Long)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -170,7 +170,7 @@ private class GenCountScan(lo: Long, hi: Long, parts: Int)
 }
 
 private class GenScan(lo: Long, hi: Long, parts: Int, required: StructType,
-                      step: Long = 256L)
+                      step: Long)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -203,18 +203,40 @@ private case class GenOffset(v: Long) extends StreamOffset {
   * where the checkpoint says, with no driver-side mutable position. */
 private class GenMicroBatchStream(lo: Long, hi: Long, parts: Int, step: Long,
                                   fields: Array[String])
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
   override def initialOffset(): StreamOffset = GenOffset(lo)
   override def deserializeOffset(json: String): StreamOffset =
     GenOffset(json.toLong)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(step)
+  /** AvailableNow support: the full extent is fixed (`hi`), so there is
+    * no position to snapshot — the engine's multi-batch executor drains
+    * to `hi` under the default read limit and stops. */
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  /** End offset for the next batch: the admitted row cap above `start`.
+    * ReadAllAvailable (Trigger.Once / the single-batch executor) MUST
+    * admit everything — capping it at `step` would commit a PARTIAL
+    * result as success — and so does any unrecognized limit kind: the
+    * safe direction is always to admit more, never to silently drop.
+    * The row cap is overflow-saturated (the batch side's pushFilters
+    * discipline): a huge maxRows near Long.MaxValue clamps to `hi`. */
   override def latestOffset(start: StreamOffset, limit: ReadLimit): StreamOffset = {
     val s = start.asInstanceOf[GenOffset].v
-    val cap = limit match {
-      case r: ReadMaxRows => math.max(1L, r.maxRows())
-      case _ => math.max(1L, step)
+    def admit(l: ReadLimit): Long = l match {
+      case _: ReadAllAvailable => hi
+      case r: ReadMaxRows =>
+        val cap = math.min(math.max(1L, r.maxRows()), Long.MaxValue - s)
+        math.min(hi, s + cap)
+      case c: CompositeReadLimit =>
+        // honor the tightest row cap among the components
+        val ends = c.getReadLimits.toSeq.collect {
+          case r: ReadMaxRows =>
+            math.min(hi, s + math.min(math.max(1L, r.maxRows()),
+              Long.MaxValue - s))
+        }
+        if (ends.nonEmpty) ends.min else hi
+      case _ => hi
     }
-    GenOffset(math.min(hi, s + cap))
+    GenOffset(admit(limit))
   }
   override def latestOffset(): StreamOffset =
     throw new UnsupportedOperationException(

@@ -680,8 +680,7 @@ object StreamOps {
   def customSourceStreamTally(spark: SparkSession, rows: Long = 1000L,
                               step: Long = 256L,
                               statePartitions: Option[Int] = None): DataFrame =
-    withNoDataBatchesOff(spark) {
-      withShufflePartitions(spark, statePartitions) {
+      perfScope(spark, statePartitions) {
         val table = freshName("graft_s7e")
         val q = spark.readStream
           .format(classOf[graft.sources.GenSource].getName)
@@ -694,7 +693,6 @@ object StreamOps {
         try q.processAllAvailable() finally q.stop()
         spark.table(table).orderBy("party_affiliation")
       }
-    }
 
   /** T27: STATE-STORE READBACK — Spark 4's state data source (format
     * `statestore`), the operational surface a 100 TB deployment uses to

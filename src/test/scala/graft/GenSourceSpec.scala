@@ -87,12 +87,20 @@ class GenSourceSpec extends SparkSpec {
       .outputMode("complete").start()
     try {
       q.processAllAvailable()
-      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      // recentProgress publishes AFTER commit visibility — poll briefly
+      // so the final batch's progress entry has landed (the same
+      // discipline Spark's own suites use around recentProgress)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      def dataProgress() = q.recentProgress.filter(_.numInputRows > 0)
+      while (System.nanoTime() < deadline &&
+             (dataProgress().length < 4 ||
+              dataProgress().last.sources.head.endOffset != "1000"))
+        Thread.sleep(50)
+      val dataBatches = dataProgress().length
       assert(dataBatches === 4,
         s"1000 ids at 256/trigger must span 4 batches, got $dataBatches: " +
           q.recentProgress.map(_.numInputRows).mkString(","))
-      val end = q.recentProgress.filter(_.numInputRows > 0)
-        .last.sources.head.endOffset
+      val end = dataProgress().last.sources.head.endOffset
       assert(end == "1000", s"final committed offset must be 1000, got $end")
     } finally q.stop()
     val got = spark.table(table)
@@ -101,5 +109,24 @@ class GenSourceSpec extends SparkSpec {
       .groupBy("party_affiliation").count()
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got === want, "streamed tally must equal the batch generator's")
+  }
+
+  test("Trigger.AvailableNow drains to the full extent, never a partial commit") {
+    val table = "g_s7e_avnow"
+    val q = spark.readStream
+      .format(classOf[graft.sources.GenSource].getName)
+      .option("rows", 1000).option("partitions", 4).option("step", 256)
+      .load()
+      .groupBy("party_affiliation")
+      .agg(count(lit(1)).as("n_voters"))
+      .writeStream.format("memory").queryName(table)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(60000) finally q.stop()
+    val total = spark.table(table)
+      .agg(org.apache.spark.sql.functions.sum("n_voters")).head().getLong(0)
+    assert(total === 1000L,
+      s"AvailableNow must process ALL 1000 rows before terminating, got $total")
   }
 }
