@@ -1360,6 +1360,42 @@ object SparkEntry {
       s.read.schema("event_type STRING, n_events BIGINT, total_cents BIGINT")
         .csv(dir).orderBy("event_type")
     }),
+    // the sink's OVERWRITE path graded end-to-end, including its crash
+    // safety: generation A (click-only tally) is committed; an overwrite
+    // attempt is then FAILED mid-commit via the crash-injection hook —
+    // Spark aborts, the sink must restore generation A exactly (graded
+    // as phase 'after_abort'); the retried overwrite must then replace
+    // it wholesale, old rows fully gone (phase 'final')
+    "s7d_commit_overwrite" -> ((s, d) => {
+      val evs = Tables.events(s, d)
+      def tally(df: DataFrame) = df.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+             sum(round(col("value") * 100).cast("long")).as("total_cents"))
+      val dir = graft.TmpDirs.create("graft_sink_ow_").toString
+      val fmt = classOf[graft.sources.CommitSink].getName
+      tally(evs.filter(col("event_type") === "click"))
+        .write.format(fmt).option("path", dir).mode("append").save()
+      graft.sources.CommitSinkFailpoints.set(dir, step =>
+        if (step == "stage-stale") sys.error("injected mid-commit crash"))
+      try tally(evs).write.format(fmt).option("path", dir)
+        .mode("overwrite").save()
+      catch { case _: Throwable => () }
+      finally graft.sources.CommitSinkFailpoints.clear(dir)
+      val readSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_type STRING, n_events BIGINT, total_cents BIGINT")
+      // pin the restored generation's rows BEFORE the retried overwrite
+      // replaces the files (csv reads are lazy); the restored tally is
+      // one row per gated event type — a driver-side constant, not data
+      val restored = s.read.schema(readSchema).csv(dir).collect().toSeq
+      tally(evs).write.format(fmt).option("path", dir)
+        .mode("overwrite").save()
+      s.createDataFrame(java.util.Arrays.asList(restored: _*), readSchema)
+        .withColumn("phase", lit("after_abort"))
+        .unionAll(s.read.schema(readSchema).csv(dir)
+          .withColumn("phase", lit("final")))
+        .select("phase", "event_type", "n_events", "total_cents")
+        .orderBy("phase", "event_type")
+    }),
     "gen_votes_golden" -> ((s, _) => Generator.goldenTally(s, 1000)),
 
     // ---- full 21-field vote pipeline (P2/P4/F8 over VoteSchema) ----
@@ -3720,6 +3756,24 @@ object SparkEntry {
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                   AS total_cents
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // the overwrite grade replays both generations: 'after_abort' is the
+    // click-only generation the failed overwrite must have RESTORED;
+    // 'final' is the full tally that must have fully replaced it —
+    // leftover generation-A rows would surface as extra 'final' rows
+    "s7d_commit_overwrite" ->
+      """SELECT * FROM (
+           SELECT 'after_abort' AS phase, event_type,
+                  count(*) AS n_events,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS total_cents
+           FROM events WHERE event_type = 'click' GROUP BY event_type
+           UNION ALL
+           SELECT 'final' AS phase, event_type,
+                  count(*) AS n_events,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS total_cents
+           FROM events GROUP BY event_type
+         ) ORDER BY phase, event_type""",
     "gen_votes_golden" ->
       """SELECT 'candidate_' || CAST((id * 31 + 7) % 3 AS VARCHAR) AS candidate_name,
                 count(*) AS total_votes

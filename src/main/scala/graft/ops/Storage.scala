@@ -332,6 +332,14 @@ object Storage {
   private val cboRegistered = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String, String), String]()
 
+  /** One JVM-global lock PER DERIVED TABLE NAME: two sessions sharing a
+    * warehouse derive the same catalog name, so serializing on the
+    * session object (per-session) would let their DROP/CREATE/ANALYZE
+    * interleave. computeIfAbsent gives every name exactly one monitor;
+    * distinct names (different sfDir or stats columns) stay concurrent. */
+  private val cboDdlLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Register each named table of the sf directory as an EXTERNAL
     * parquet catalog table (zero copy — the table points at the source
     * file) and `ANALYZE ... COMPUTE STATISTICS FOR COLUMNS` the given
@@ -356,7 +364,7 @@ object Storage {
         java.lang.Integer.toHexString(cols.hashCode & 0x7fffffff)
       val key = (spark, sfDir, t, cols)
       if (cboRegistered.get(key) == null) {
-        spark.synchronized {
+        cboDdlLocks.computeIfAbsent(name, _ => new Object).synchronized {
           spark.sql(s"DROP TABLE IF EXISTS $name")
           spark.sql(s"CREATE TABLE $name USING parquet " +
             s"OPTIONS (path '$sfDir/$t.parquet')")

@@ -34,8 +34,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * connector API: at 100 TB it is what makes a 10 000-task write either
   * fully land or fully vanish, with stragglers' duplicate attempts
   * discarded at rename time. `SupportsTruncate` maps `mode("overwrite")`
-  * to a commit-time clear of prior parts, so a restated write replaces
-  * rather than doubles.
+  * to a commit-time replacement of prior parts, so a restated write
+  * replaces rather than doubles.
+  *
+  * Overwrite ordering is CRASH-SAFE: the new generation's parts are
+  * renamed in FIRST (their names carry the queryId, so they cannot
+  * collide with any prior generation), the prior generation's parts are
+  * then STAGED out to a reversible holding dir (renamed, never deleted,
+  * under `_temporary/<queryId>.stale/`), and `_SUCCESS` — the commit
+  * point — is written last; only then is the staging dir reaped. A
+  * crash, rename failure, or disk-full at ANY step therefore never
+  * destroys previously committed bytes: before the commit point every
+  * prior part still exists (in place or staged), and `abort()` restores
+  * the prior generation exactly — it deletes this query's renamed-in
+  * parts and moves the staged parts back. `CommitSinkSpec` drives a
+  * failure at every step and proves both invariants.
   *
   * Encoding: CSV readable back by Spark's own reader under default
   * options (which ignores `_`-prefixed paths, so in-flight temp files
@@ -53,6 +66,23 @@ class CommitSink extends TableProvider {
     new CommitSinkTable(schema,
       Option(properties.get("path")).getOrElse(
         throw new IllegalArgumentException("CommitSink requires a path option")))
+}
+
+/** Test-only crash injection: specs register a hook per sink path that
+  * [[CommitSinkBatchWrite.commit]] invokes at each named step
+  * (`rename-in`, `stage-stale`, `success`); throwing from the hook
+  * simulates a failure at exactly that point. Keyed by path so
+  * concurrently running suites cannot trip each other. Production cost:
+  * one empty-map lookup per commit step. */
+private[graft] object CommitSinkFailpoints {
+  private val hooks =
+    new java.util.concurrent.ConcurrentHashMap[String, String => Unit]()
+  def set(path: String, hook: String => Unit): Unit = hooks.put(path, hook)
+  def clear(path: String): Unit = hooks.remove(path)
+  def fire(path: String, step: String): Unit = {
+    val h = hooks.get(path)
+    if (h != null) h(step)
+  }
 }
 
 private object CommitSinkIO {
@@ -89,49 +119,88 @@ private class CommitSinkWriteBuilder(schema: StructType, path: String,
   }
 }
 
-private case class CommitMsg(tempPath: String, partitionId: Int,
-                             taskId: Long, rows: Long)
+private[graft] case class CommitMsg(tempPath: String, partitionId: Int,
+                                    taskId: Long, rows: Long)
     extends WriterCommitMessage
 
-private class CommitSinkBatchWrite(schema: StructType, path: String,
-                                   queryId: String, truncateFirst: Boolean)
+private[graft] class CommitSinkBatchWrite(
+    schema: StructType, path: String,
+    queryId: String, truncateFirst: Boolean)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new CommitSinkWriterFactory(schema, path, queryId)
 
-  /** The all-or-nothing instant: clear prior parts if truncating, then
-    * rename exactly the committed attempts into place. Runs on the
-    * driver after EVERY task has task-committed. */
+  private def staleDir: Path = Paths.get(path, "_temporary", s"$queryId.stale")
+
+  /** The commit, ordered so that a failure at ANY step preserves every
+    * byte of the previously committed generation (in place or staged —
+    * never deleted before the commit point). Runs on the driver after
+    * EVERY task has task-committed.
+    *
+    *  1. rename the new attempts' files in FIRST — their names carry
+    *     the queryId, so they cannot collide with prior parts; a crash
+    *     here leaves the prior generation (and its `_SUCCESS`) intact;
+    *  2. truncate only: STAGE prior parts out to `_temporary/
+    *     <queryId>.stale/` — a rename, reversible, never a delete; a
+    *     crash here leaves every prior byte on disk and [[abort]] (or
+    *     an operator, after a hard crash) can restore them;
+    *  3. write `_SUCCESS` — the commit point — and only THEN reap the
+    *     staging dir and this query's temp dir. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
-    if (truncateFirst) {
-      CommitSinkIO.listDir(dir)
-        .filter(_.getFileName.toString.startsWith("part-"))
-        .foreach(Files.delete)
-    }
     var total = 0L
     messages.foreach { case CommitMsg(tmp, pid, tid, rows) =>
+      CommitSinkFailpoints.fire(path, "rename-in")
       Files.move(Paths.get(tmp),
         dir.resolve(s"part-$queryId-$pid-$tid.csv"),
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
       total += rows
     }
+    if (truncateFirst) {
+      val stale = staleDir
+      Files.createDirectories(stale)
+      CommitSinkIO.listDir(dir)
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && !n.startsWith(s"part-$queryId-")
+        }
+        .foreach { p =>
+          CommitSinkFailpoints.fire(path, "stage-stale")
+          Files.move(p, stale.resolve(p.getFileName),
+            StandardCopyOption.ATOMIC_MOVE)
+        }
+    }
+    CommitSinkFailpoints.fire(path, "success")
     Files.writeString(dir.resolve("_SUCCESS"), s"rows=$total\n")
     sweepOwnTemp()
   }
 
-  /** Any task failed beyond retry: nothing becomes visible. Only THIS
-    * query's temp subdir is swept — concurrent writers are untouched. */
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  /** Task failure beyond retry, or a throw from [[commit]] itself:
+    * nothing of THIS query becomes (or stays) visible. Undoes a partial
+    * commit — deletes this query's renamed-in parts, moves any staged
+    * prior parts back into place — then sweeps only this query's temp
+    * dirs; concurrent writers are untouched. */
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    CommitSinkIO.listDir(dir)
+      .filter(_.getFileName.toString.startsWith(s"part-$queryId-"))
+      .foreach(p =>
+        try Files.deleteIfExists(p) catch { case _: Throwable => () })
+    CommitSinkIO.listDir(staleDir).foreach(p =>
+      try Files.move(p, dir.resolve(p.getFileName),
+        StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: Throwable => () })
     sweepOwnTemp()
+  }
 
   private def sweepOwnTemp(): Unit = {
-    val own = Paths.get(path, "_temporary", queryId)
-    CommitSinkIO.listDir(own).foreach(p =>
-      try Files.deleteIfExists(p) catch { case _: Throwable => () })
-    try Files.deleteIfExists(own) catch { case _: Throwable => () }
+    Seq(Paths.get(path, "_temporary", queryId), staleDir).foreach { own =>
+      CommitSinkIO.listDir(own).foreach(p =>
+        try Files.deleteIfExists(p) catch { case _: Throwable => () })
+      try Files.deleteIfExists(own) catch { case _: Throwable => () }
+    }
     // reap the shared parent only when empty (another query may be live)
     try Files.deleteIfExists(Paths.get(path, "_temporary"))
     catch { case _: Throwable => () }

@@ -252,18 +252,23 @@ private class GenMicroBatchStream(lo: Long, hi: Long, parts: Int, step: Long,
     new GenReaderFactory(fields)
 }
 
-private case class GenPartition(start: Long, end: Long) extends InputPartition
+private[graft] case class GenPartition(start: Long, end: Long)
+    extends InputPartition
 
-private object GenPartition {
+private[graft] object GenPartition {
   /** Contiguous interval slices, empty slices dropped — shared by the
     * row scan and the pushed-count scan so the arithmetic cannot
-    * diverge. */
+    * diverge. Boundary i is computed as n/k*i + (n%k)*i/k — the naive
+    * i*n/k overflows Long for a user-supplied `rows` near
+    * Long.MaxValue, inverting slice bounds; this split keeps every
+    * intermediate ≤ n (i ≤ k and n%k < k, so (n%k)*i ≤ n%k * k which
+    * for k ≤ Int.MaxValue stays inside Long whenever n does). */
   def slice(lo: Long, hi: Long, parts: Int): Array[InputPartition] = {
     val n = math.max(0L, hi - lo)
     val k = math.max(1, parts)
-    (0 until k).map { i =>
-      GenPartition(lo + i * n / k, lo + (i + 1) * n / k)
-    }.filter(p => p.end > p.start).toArray
+    def bound(i: Int): Long = lo + n / k * i + n % k * i / k
+    (0 until k).map(i => GenPartition(bound(i), bound(i + 1)))
+      .filter(p => p.end > p.start).toArray
   }
 }
 

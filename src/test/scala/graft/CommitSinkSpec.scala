@@ -77,6 +77,85 @@ class CommitSinkSpec extends SparkSpec {
     assert(back === want, s"got $back")
   }
 
+  test("overwrite commit crashing at ANY step never destroys the prior generation") {
+    // drives CommitSinkBatchWrite.commit DIRECTLY (no Spark job, no
+    // abort) — the hard-crash simulation: after a throw at each
+    // failpoint, every byte of generation A must still exist, in place
+    // or staged under _temporary/<qid>.stale; abort() must then restore
+    // generation A exactly.
+    import graft.sources.{CommitMsg, CommitSinkBatchWrite, CommitSinkFailpoints}
+    val schema = org.apache.spark.sql.types.StructType(Nil)
+    for ((step, nth) <- Seq(("rename-in", 1), ("rename-in", 2),
+                            ("stage-stale", 1), ("stage-stale", 2),
+                            ("success", 1))) {
+      val dir = freshDir()
+      // generation A: two committed parts + manifest
+      write(Seq(("a", 1L), ("b", 2L)).toDF("k", "v").repartition(2),
+        dir, "append")
+      val genAParts = parts(dir).toSet
+      assert(genAParts.size === 2)
+      // generation B: two staged task outputs for a fresh queryId
+      val qid = s"crash_${step}_$nth"
+      val tmp = Paths.get(dir, "_temporary", qid)
+      Files.createDirectories(tmp)
+      val msgs = (0 to 1).map { i =>
+        val f = tmp.resolve(s"$i-$i.csv")
+        Files.writeString(f, s"z$i,9\n")
+        CommitMsg(f.toString, i, i.toLong, 1L)
+      }.toArray[org.apache.spark.sql.connector.write.WriterCommitMessage]
+      val bw = new CommitSinkBatchWrite(schema, dir, qid, true)
+      var calls = 0
+      CommitSinkFailpoints.set(dir, s => {
+        if (s == step) { calls += 1; if (calls == nth) sys.error(s"boom at $s#$nth") }
+      })
+      try intercept[RuntimeException] { bw.commit(msgs) }
+      finally CommitSinkFailpoints.clear(dir)
+      // hard-crash invariant: generation A's bytes all survive somewhere
+      val stale = Paths.get(dir, "_temporary", s"$qid.stale")
+      val surviving = parts(dir).toSet ++ (
+        if (Files.isDirectory(stale))
+          Files.list(stale).iterator().asScala
+            .map(_.getFileName.toString).toSet
+        else Set.empty[String])
+      assert(genAParts.subsetOf(surviving),
+        s"[$step#$nth] prior parts lost: ${genAParts -- surviving}")
+      assert(Files.readString(Paths.get(dir, "_SUCCESS")).trim == "rows=2",
+        s"[$step#$nth] prior manifest must survive an uncommitted attempt")
+      // and abort() restores generation A exactly
+      bw.abort(msgs)
+      assert(parts(dir).toSet === genAParts,
+        s"[$step#$nth] abort must restore exactly the prior parts")
+      val back = spark.read.schema("k STRING, v BIGINT").csv(dir)
+        .as[(String, Long)].collect().sorted.toSeq
+      assert(back === Seq(("a", 1L), ("b", 2L)), s"[$step#$nth] got $back")
+      assert(!Files.exists(Paths.get(dir, "_temporary")),
+        s"[$step#$nth] abort must sweep temp + staging")
+    }
+  }
+
+  test("a mid-commit failure under Spark aborts AND restores the prior generation") {
+    import graft.sources.CommitSinkFailpoints
+    val dir = freshDir()
+    write(Seq(("a", 1L), ("b", 2L)).toDF("k", "v").repartition(2),
+      dir, "append")
+    CommitSinkFailpoints.set(dir,
+      s => if (s == "stage-stale") sys.error("boom mid-overwrite"))
+    try intercept[Exception] {
+      write(Seq(("z", 9L)).toDF("k", "v").repartition(1), dir, "overwrite")
+    } finally CommitSinkFailpoints.clear(dir)
+    val back = spark.read.schema("k STRING, v BIGINT").csv(dir)
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(back === Seq(("a", 1L), ("b", 2L)),
+      s"failed overwrite must leave generation A exactly; got $back")
+    assert(Files.readString(Paths.get(dir, "_SUCCESS")).trim == "rows=2")
+    // and the sink remains usable: the retried overwrite lands cleanly
+    write(Seq(("z", 9L)).toDF("k", "v").repartition(1), dir, "overwrite")
+    val retried = spark.read.schema("k STRING, v BIGINT").csv(dir)
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(retried === Seq(("z", 9L)))
+    assert(Files.readString(Paths.get(dir, "_SUCCESS")).trim == "rows=1")
+  }
+
   test("a failed job aborts: no part files, no manifest, temp swept") {
     val dir = freshDir()
     val poison = spark.range(100).select(

@@ -12,6 +12,12 @@ class GenSourceSpec extends SparkSpec {
     spark.read.format(classOf[graft.sources.GenSource].getName)
       .option("rows", rows).option("partitions", parts).load()
 
+  // memory-sink names must be fresh per run: a same-session re-run of
+  // the suite would otherwise collide on the registered query name
+  private val nameCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  private def freshName(prefix: String): String =
+    s"${prefix}_${nameCounter.incrementAndGet()}_${System.nanoTime()}"
+
   test("full scan is bit-identical to Generator.voters") {
     val got = source().orderBy("voter_id").collect().toSeq
     val want = graft.gen.Generator.voters(spark, 1000)
@@ -58,6 +64,32 @@ class GenSourceSpec extends SparkSpec {
     assert(q.collect().map(_.getLong(0)).sorted.toSeq === Seq(998L, 999L))
   }
 
+  test("slice boundaries near Long.MaxValue stay monotone and non-overlapping") {
+    // the naive i*n/k boundary overflows Long here and inverts slices
+    for ((lo, hi) <- Seq((0L, Long.MaxValue), (5L, Long.MaxValue),
+                         (Long.MaxValue - 1000L, Long.MaxValue));
+         k <- Seq(1, 3, 32, 1000)) {
+      val slices = graft.sources.GenPartition.slice(lo, hi, k)
+        .map(_.asInstanceOf[graft.sources.GenPartition])
+      assert(slices.nonEmpty, s"($lo,$hi,$k) lost the interval")
+      assert(slices.head.start === lo && slices.last.end === hi,
+        s"($lo,$hi,$k) must cover the interval exactly")
+      slices.foreach(p => assert(p.end > p.start,
+        s"($lo,$hi,$k) produced inverted/empty slice $p"))
+      slices.sliding(2).foreach {
+        case Array(a, b) => assert(a.end === b.start,
+          s"($lo,$hi,$k) slices must be contiguous: $a then $b")
+        case _ => ()
+      }
+      // balanced: no slice may exceed ceil(n/k) (the naive formula's
+      // overflow shows up here as one giant or negative-width slice)
+      val n = hi - lo
+      val ceil = n / k + (if (n % k == 0) 0 else 1)
+      slices.foreach(p => assert(p.end - p.start <= ceil,
+        s"($lo,$hi,$k) slice $p wider than ceil(n/k)=$ceil"))
+    }
+  }
+
   test("COUNT(*) is answered by arithmetic — no rows generated") {
     val q = source()
       .filter(col("voter_id") >= 100 && col("voter_id") < 600)
@@ -76,7 +108,7 @@ class GenSourceSpec extends SparkSpec {
   }
 
   test("streaming read: admission control paces genuine micro-batches") {
-    val table = "g_s7e_spec"
+    val table = freshName("g_s7e_spec")
     val q = spark.readStream
       .format(classOf[graft.sources.GenSource].getName)
       .option("rows", 1000).option("partitions", 4).option("step", 256)
@@ -112,7 +144,7 @@ class GenSourceSpec extends SparkSpec {
   }
 
   test("Trigger.AvailableNow drains to the full extent, never a partial commit") {
-    val table = "g_s7e_avnow"
+    val table = freshName("g_s7e_avnow")
     val q = spark.readStream
       .format(classOf[graft.sources.GenSource].getName)
       .option("rows", 1000).option("partitions", 4).option("step", 256)
