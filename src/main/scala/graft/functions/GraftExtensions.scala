@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.nfcNormalizeDescriptor)
     ext.injectFunction(GraftExtensions.damerauDescriptor)
     ext.injectFunction(GraftExtensions.centroidArgmaxDescriptor)
+    ext.injectFunction(GraftExtensions.topBigramCountDescriptor)
     ext.injectOptimizerRule(_ => NativeVectorMathRule)
   }
 }
@@ -99,6 +100,16 @@ object GraftExtensions {
        CentroidArgmax(children(0), children(1))
      })
 
+  private[functions] val topBigramCountDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("top_bigram_count"),
+     new ExpressionInfo(classOf[TopBigramCount].getName, "top_bigram_count"),
+     (children: Seq[Expression]) => {
+       require(children.size == 1,
+         "top_bigram_count(words) takes exactly 1 arg")
+       TopBigramCount(children.head)
+     })
+
   /** Spark's own BloomFilterAggregate/BloomFilterMightContain, surfaced
     * under graft names: the engine-internal pair InjectRuntimeFilter plans
     * with has no SQL registration, but an explicit Bloom pre-filter (build
@@ -137,7 +148,8 @@ object GraftExtensions {
     Seq(cosineSimDescriptor, hyperplaneSigDescriptor, simHash64Descriptor,
         bloomAggDescriptor, bloomMightContainDescriptor,
         jaroWinklerDescriptor, nfcNormalizeDescriptor,
-        damerauDescriptor, centroidArgmaxDescriptor).foreach {
+        damerauDescriptor, centroidArgmaxDescriptor,
+        topBigramCountDescriptor).foreach {
       case (id, info, builder) =>
         if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
     }

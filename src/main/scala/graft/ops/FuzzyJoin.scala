@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Edit-distance similarity join (entity resolution / fuzzy dedup of
@@ -51,16 +51,32 @@ object FuzzyJoin {
 
   /** The probe rows a dirty string can match: every (target_len,
     * seg_idx, seg_text) key reachable within k edits. Built by
-    * exploding a CONSTANT (k+1)(2k+1)² literal grid of (length offset,
-    * segment index, start shift) and computing the substring with plain
-    * codegen'd expressions — an earlier nested higher-order-function
-    * form produced the same rows but evaluated interpreted lambdas per
-    * element and cost ~1 s per million probes; the literal-grid explode
-    * whole-stage-codegens. */
+    * exploding a CONSTANT literal grid of (length offset, segment
+    * index, start shift) — pruned below — and computing the substring
+    * with plain codegen'd expressions; an earlier nested
+    * higher-order-function form produced the same rows but evaluated
+    * interpreted lambdas per element and cost ~1 s per million probes;
+    * the literal-grid explode whole-stage-codegens. */
   private[graft] def probeRows(dirty: DataFrame, dirtyCol: String,
                                carryCols: Seq[String], k: Int): DataFrame = {
+    // Multi-match-aware grid pruning (PassJoin's substring selection,
+    // derived from the indel budget): the probe's start shift Δ is the
+    // net insertions-minus-deletions BEFORE the untouched segment, and
+    // the after-part nets to (dl - L) - Δ = -lOff - Δ; each indel is
+    // before or after, so |Δ| + |lOff + Δ| ≤ k. Boundary segments are
+    // tighter still: nothing precedes segment 0 (no deletions before →
+    // Δ ≥ 0) and nothing follows segment k (no deletions after →
+    // Δ ≤ -lOff). For k=2 this cuts the grid 75 → 31 cells — and the
+    // LAST segment (the low-selectivity tail, e.g. a shared brand
+    // suffix) from 25 to 9, which is where candidate blow-up lived.
+    // Completeness is unchanged (the dropped cells cannot correspond to
+    // any ≤k edit script); the differential oracle brute-forces the
+    // same predicate and the spec pins the boundary cases.
     val grid = for {
       lOff <- -k to k; i <- 0 to k; sh <- -k to k
+      if math.abs(sh) + math.abs(lOff + sh) <= k
+      if i != 0 || sh >= 0
+      if i != k || sh <= -lOff
     } yield (lOff, i, sh)
     val segLen = lenOf(k, "_L", "_i")
     val segStart = startOf(k, "_L", "_i")
@@ -119,7 +135,12 @@ object FuzzyJoin {
       .select((carryCols :+ dirtyCol :+ cleanCol).map(col): _*)
       .withColumn("dist",
         levenshtein(col(dirtyCol), col(cleanCol), k).cast("long"))
-      .filter(col("dist") >= 0 && col("dist") <= k)
+      // threshold levenshtein returns -1 iff distance > k, so this one
+      // comparison is the whole verify. Phrased as != -1 (not
+      // 0 <= dist <= k) deliberately: the filter is pushed into the
+      // join condition with `dist` substituted, and the two-sided form
+      // evaluates the O(k·n) levenshtein TWICE per candidate pair there
+      .filter(col("dist") =!= -1L)
       .distinct()
   }
 

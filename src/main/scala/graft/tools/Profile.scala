@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Local profiling harness (not part of the driver contract): times the
+  * named SparkEntry queries N times each in one warmed session, printing
+  * per-run seconds — the fast feedback loop for per-query optimization
+  * without Bench's full warm-up region. Usage:
+  *   runMain graft.tools.Profile <sfDir> <reps> <name>[,<name>...]
+  * Pass `-x` before a name to .explain("formatted") it after timing. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    graft.TmpDirs.install()
+    val sfDir = args(0)
+    val reps = args(1).toInt
+    val explain = args.contains("-x")
+    val names = args.drop(2).filterNot(_ == "-x").flatMap(_.split(','))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[profile] $name%-28s ${times.map(t => f"$t%6.2f").mkString(" ")}")
+      if (explain) fn(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
