@@ -390,14 +390,18 @@ object DedupOps {
     * narrower at corpus scale, with identical results absent a
     * (hash, length) double collision. */
   def substringDupSpans(docs: DataFrame, w: Int = 13): DataFrame = {
-    val wins = fingerprinted(docs
+    // Windows never exist as strings: the native NgramFingerprints
+    // kernel emits 8-byte window keys directly (same collision budget
+    // as the previous (xxhash64, length) string fingerprints — see the
+    // kernel's doc), so both shuffles below carry longs and the
+    // interpreted 13-token concat_ws lambda is gone.
+    graft.functions.GraftExtensions.register(docs.sparkSession)
+    val wins = docs
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= w)
       .select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(0, size(words) - $w), i -> concat_ws(' ', slice(words, i + 1, $w)))"))
-          .as("win")), "win")
-    val winKey = Seq("win_h", "win_l")
+        explode(expr(s"ngram_fingerprints(words, $w)")).as("win_h"))
+    val winKey = Seq("win_h")
     // Collapse to per-(window, doc) occurrence counts FIRST: the raw
     // occurrence stream (n_words rows per doc) rides exactly ONE shuffle,
     // with map-side partial counts. Document frequency is then a plain

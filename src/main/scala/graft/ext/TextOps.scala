@@ -324,32 +324,40 @@ object TextOps {
     * fan out quadratically. Output is |sources|² at most, driver-safe. */
   def crossSourceOverlap(docs: DataFrame, n: Int,
                          maxDf: Long = 1000000L): DataFrame = {
-    // Shingle strings are fingerprinted (xxhash64 + length — 12-byte key
-    // pair) MAP-SIDE, before the distinct: the distinct, the df cap, and
-    // the pair join are all shuffles, and none of them needs the string
-    // back. Results stay defined by shingle content (the oracle computes
-    // on strings); a collision needs both hash and length to coincide.
+    // Shingles never exist as strings: the native
+    // [[graft.functions.NgramFingerprints]] kernel mixes per-word hashes
+    // straight into 8-byte window fingerprints MAP-SIDE, so the
+    // distinct, the df cap, and the pair join — all shuffles — carry
+    // longs, and the interpreted transform/concat_ws lambda that used to
+    // build (then immediately hash away) every shingle string is gone.
+    // Results stay defined by shingle content (the oracle computes on
+    // strings); collisions are the same N²·2⁻⁶⁵ budget as the previous
+    // (xxhash64, length) string keys, deterministic per corpus.
+    graft.functions.GraftExtensions.register(docs.sparkSession)
     val sh = docs
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= n)
       .select(col("source"),
-        explode(array_distinct(expr(
-          s"transform(sequence(0, size(words) - $n), i -> concat_ws(' ', slice(words, i + 1, $n)))")))
-          .as("shingle"))
-      .select(col("source"), xxhash64(col("shingle")).as("sh_h"),
-        length(col("shingle")).as("sh_l"))
+        explode(array_distinct(expr(s"ngram_fingerprints(words, $n)")))
+          .as("sh_h"))
       .distinct()
-      .localCheckpoint()
-    val shKey = Seq("sh_h", "sh_l")
-    val rare = sh.groupBy(shKey.map(col): _*).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(shKey.map(col): _*)
-    val shCapped = sh.join(rare, shKey)
+    // One aggregation per shingle replaces the df-cap join + self-join:
+    // the source set per shingle is bounded by |sources| (the inverted
+    // index's value list), so collecting it and emitting the sorted
+    // pairs directly saves two full shuffles of the shingle stream —
+    // at these key sizes the stage-scheduling floor, not bytes, was the
+    // cost. The pair-emission HOF runs only on shingles shared by ≥2
+    // sources (the rare tail after the filter). df ≡ size(srcs), so the
+    // maxDf guard is the same predicate it always was.
     val sizes = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
-
-    val a = shCapped.select((col("source").as("src_a") +: shKey.map(col)): _*)
-    val b = shCapped.select((col("source").as("src_b") +: shKey.map(col)): _*)
-    a.join(b, shKey)
-      .filter(col("src_a") < col("src_b"))
+    sh.groupBy("sh_h")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2 && size(col("srcs")) <= maxDf)
+      .select(explode(expr(
+        """flatten(transform(srcs, (x, i) ->
+             transform(slice(srcs, i + 2, size(srcs)),
+                       y -> struct(x AS src_a, y AS src_b))))""")).as("p"))
+      .select(col("p.src_a"), col("p.src_b"))
       .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
       .join(sizes.select(col("source").as("src_a"), col("n_sh").as("n_a")), "src_a")
       .join(sizes.select(col("source").as("src_b"), col("n_sh").as("n_b")), "src_b")

@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.damerauDescriptor)
     ext.injectFunction(GraftExtensions.centroidArgmaxDescriptor)
     ext.injectFunction(GraftExtensions.topBigramCountDescriptor)
+    ext.injectFunction(GraftExtensions.ngramFingerprintsDescriptor)
     ext.injectOptimizerRule(_ => NativeVectorMathRule)
   }
 }
@@ -110,6 +111,22 @@ object GraftExtensions {
        TopBigramCount(children.head)
      })
 
+  private[functions] val ngramFingerprintsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("ngram_fingerprints"),
+     new ExpressionInfo(classOf[NgramFingerprints].getName,
+       "ngram_fingerprints"),
+     (children: Seq[Expression]) => {
+       require(children.size == 2,
+         "ngram_fingerprints(words, n) takes exactly 2 args")
+       val n = children(1) match {
+         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+         case other => throw new IllegalArgumentException(
+           s"ngram_fingerprints n must be an int literal, got $other")
+       }
+       NgramFingerprints(children(0), n)
+     })
+
   /** Spark's own BloomFilterAggregate/BloomFilterMightContain, surfaced
     * under graft names: the engine-internal pair InjectRuntimeFilter plans
     * with has no SQL registration, but an explicit Bloom pre-filter (build
@@ -149,7 +166,7 @@ object GraftExtensions {
         bloomAggDescriptor, bloomMightContainDescriptor,
         jaroWinklerDescriptor, nfcNormalizeDescriptor,
         damerauDescriptor, centroidArgmaxDescriptor,
-        topBigramCountDescriptor).foreach {
+        topBigramCountDescriptor, ngramFingerprintsDescriptor).foreach {
       case (id, info, builder) =>
         if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
     }
