@@ -375,43 +375,44 @@ object TextOps {
     * structure, so the unit is a fixed `blockWords`-word block (the line
     * stand-in; [[cdcChunks]] offers the edit-robust boundary alternative).
     *
-    * Scale shape: blocks are corpus_tokens/blockWords rows, but block
-    * TEXT never rides a shuffle. The document-frequency fold aggregates
-    * on (source, xxhash64(block)) — 8-byte keys, map-side deduped — and
-    * only the boilerplate survivors (df > maxDf: a set that is small by
-    * construction, since each member repeats across many documents) come
-    * back, so the drop is a LEFT ANTI join that AQE converts to a
-    * broadcast at runtime. The rebuild's doc_id shuffle is the single
-    * text-carrying exchange, and it moves exactly the kept corpus once —
-    * never a doc×doc comparison anywhere. The df key is the
-    * (xxhash64, length) PAIR, so dropping an innocent block takes a
-    * double collision — far below concern even at the ~10^12-block
-    * scale — while the shuffle key stays 12 bytes; results are defined
-    * by block content. Output is integers + reassembled text — the
-    * cross-engine compare is exact, no float anywhere. */
+    * Scale shape: block TEXT never rides a shuffle. The document-
+    * frequency fold aggregates on (source, xxhash64(block)) — 8-byte
+    * keys, map-side deduped — and the boilerplate survivors (df > maxDf:
+    * a set that is small by construction, since each member repeats
+    * across many documents) fold to ONE per-source bad-fingerprint set
+    * that BROADCASTS back. The drop and the reassembly then happen
+    * per-row — the document's block array is filtered in place, order
+    * preserved by construction — so the df aggregation is the pipeline's
+    * ONLY exchange; the previous formulation's groupBy(doc_id) rebuild
+    * (collect_list + array_sort of every kept block through a second,
+    * text-carrying shuffle) is gone, and never a doc×doc comparison
+    * anywhere. Dropping an innocent block takes an xxhash64 collision
+    * INSIDE one source's block set — the usual fingerprint budget;
+    * results are defined by block content. Output is integers +
+    * reassembled text — the cross-engine compare is exact, no float
+    * anywhere. */
   def boilerplateRemove(docs: DataFrame, blockWords: Int = 8,
                         maxDf: Long = 3): DataFrame = {
-    val blocks = docs
+    val withBlk = docs
       .withColumn("words", expr("filter(split(text, ' '), w -> w <> '')"))
       .withColumn("blk", expr(
         s"""transform(sequence(0, cast(ceil(size(words) / ${blockWords}.0d) as int) - 1),
             i -> concat_ws(' ', slice(words, i * $blockWords + 1, $blockWords)))"""))
-      .select(col("doc_id"), col("source"), size(col("blk")).as("n_blocks"),
-        posexplode(col("blk")).as(Seq("pos", "block")))
-      .withColumn("bh", xxhash64(col("block")))
-      .withColumn("bl", length(col("block")))
-    val boiler = blocks
-      .groupBy("source", "bh", "bl")
+      .withColumn("fps", expr("transform(blk, b -> xxhash64(b))"))
+    val boiler = withBlk
+      .select(col("source"), col("doc_id"), explode(col("fps")).as("bh"))
+      .groupBy("source", "bh")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") > maxDf)
-      .select("source", "bh", "bl")
-    blocks.join(boiler, Seq("source", "bh", "bl"), "left_anti")
-      .groupBy("doc_id")
-      .agg(first("n_blocks").as("n_blocks"),
-           count(lit(1)).as("n_kept"),
-           concat_ws(" ",
-             expr("transform(array_sort(collect_list(struct(pos, block))), s -> s.block)"))
-             .as("clean_text"))
+      .groupBy("source").agg(collect_set(col("bh")).as("bad"))
+    withBlk.join(broadcast(boiler), Seq("source"), "left")
+      .withColumn("bad", coalesce(col("bad"), typedlit(Array.empty[Long])))
+      .withColumn("kept",
+        expr("filter(blk, (b, i) -> NOT array_contains(bad, fps[i]))"))
+      .select(col("doc_id"),
+        size(col("blk")).as("n_blocks"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kept")).as("clean_text"))
       .orderBy("doc_id")
   }
 
@@ -451,12 +452,16 @@ object TextOps {
   /** Document fingerprints: a content digest (md5 of whitespace-normalized
     * lowercase text) and a 31-polynomial rolling hash over characters —
     * the building block of shingle/Rabin-Karp style fingerprinting. */
-  def fingerprints(docs: DataFrame): DataFrame =
+  def fingerprints(docs: DataFrame): DataFrame = {
+    // the rolling hash runs in the native CharPolyHash kernel — the SQL
+    // HOF form it replaces evaluated an interpreted lambda per CHARACTER
+    // of every document; values are bit-identical (spec-pinned)
+    graft.functions.GraftExtensions.register(docs.sparkSession)
     docs.select(
       col("doc_id"),
       md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("content_md5"),
-      expr("aggregate(filter(split(text, ''), c -> c <> ''), 0L, (acc, c) -> pmod(acc * 31 + ascii(c), 1000000007L))")
-        .as("rolling_hash"))
+      expr("char_poly_hash(text)").as("rolling_hash"))
+  }
 
   /** Content-defined chunking — variable-size chunk boundaries placed
     * where the rolling hash of the trailing 3-word window hits
@@ -468,28 +473,20 @@ object TextOps {
     * replay it bit-exactly; all arithmetic stays in non-negative longs
     * (no float, no sign-dependent division).
     *
-    * Scale shape: per-word hashes via HOFs (one codegen'd map), then
-    * posexplode + a doc-partitioned window for the trailing-3 hash and
-    * the running boundary count — every frame is confined to one
-    * document; the final fold is a (doc, chunk) hash aggregate. */
+    * Scale shape: the entire computation — per-word char hashes,
+    * trailing-3 boundary rule, span assembly — depends only on ONE
+    * document's own tokens, so it runs in the native
+    * [[graft.functions.CdcChunkSpans]] kernel: one O(|words|) pass per
+    * row, zero exchanges. The window formulation it replaces (posexplode
+    * every word position + a doc-partitioned window + a (doc, chunk)
+    * aggregate) shuffled and sorted the corpus's full token stream for a
+    * per-document statistic; the kernel is spec-pinned bit-identical. */
   def cdcChunks(docs: DataFrame, divisor: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val pos = docs
-      .withColumn("wh",
-        expr("""transform(filter(split(text, ' '), w -> w <> ''),
-                w -> aggregate(filter(split(w, ''), c -> c <> ''), 0L,
-                               (a, c) -> pmod(a * 31 + ascii(c), 1000000007L)))"""))
-      .select(col("doc_id"), posexplode(col("wh")).as(Seq("pos", "h")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    pos
-      .withColumn("h1", lag("h", 1).over(w))
-      .withColumn("h2", lag("h", 2).over(w))
-      .withColumn("boundary",
-        when(col("h2").isNotNull &&
-             pmod(col("h2") * 961 + col("h1") * 31 + col("h"),
-               lit(1000000007L)) % divisor === 0, 1L).otherwise(0L))
-      .withColumn("chunk_id", sum("boundary").over(w))
-      .groupBy("doc_id", "chunk_id")
-      .agg(count(lit(1)).as("n_tokens"), min("pos").as("start_pos"))
+    graft.functions.GraftExtensions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"),
+        explode(expr(s"cdc_chunk_spans(split(text, ' '), $divisor)")).as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        col("c.n_tokens").as("n_tokens"), col("c.start_pos").as("start_pos"))
   }
 }

@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.centroidArgmaxDescriptor)
     ext.injectFunction(GraftExtensions.topBigramCountDescriptor)
     ext.injectFunction(GraftExtensions.ngramFingerprintsDescriptor)
+    ext.injectFunction(GraftExtensions.cdcChunkSpansDescriptor)
+    ext.injectFunction(GraftExtensions.charPolyHashDescriptor)
     ext.injectOptimizerRule(_ => NativeVectorMathRule)
   }
 }
@@ -127,6 +129,31 @@ object GraftExtensions {
        NgramFingerprints(children(0), n)
      })
 
+  private[functions] val cdcChunkSpansDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("cdc_chunk_spans"),
+     new ExpressionInfo(classOf[CdcChunkSpans].getName, "cdc_chunk_spans"),
+     (children: Seq[Expression]) => {
+       require(children.size == 2,
+         "cdc_chunk_spans(words, divisor) takes exactly 2 args")
+       val d = children(1) match {
+         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+         case other => throw new IllegalArgumentException(
+           s"cdc_chunk_spans divisor must be an int literal, got $other")
+       }
+       CdcChunkSpans(children(0), d)
+     })
+
+  private[functions] val charPolyHashDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("char_poly_hash"),
+     new ExpressionInfo(classOf[CharPolyHash].getName, "char_poly_hash"),
+     (children: Seq[Expression]) => {
+       require(children.size == 1,
+         "char_poly_hash(s) takes exactly 1 arg")
+       CharPolyHash(children.head)
+     })
+
   /** Spark's own BloomFilterAggregate/BloomFilterMightContain, surfaced
     * under graft names: the engine-internal pair InjectRuntimeFilter plans
     * with has no SQL registration, but an explicit Bloom pre-filter (build
@@ -166,7 +193,8 @@ object GraftExtensions {
         bloomAggDescriptor, bloomMightContainDescriptor,
         jaroWinklerDescriptor, nfcNormalizeDescriptor,
         damerauDescriptor, centroidArgmaxDescriptor,
-        topBigramCountDescriptor, ngramFingerprintsDescriptor).foreach {
+        topBigramCountDescriptor, ngramFingerprintsDescriptor,
+        cdcChunkSpansDescriptor, charPolyHashDescriptor).foreach {
       case (id, info, builder) =>
         if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
     }

@@ -68,11 +68,11 @@ class ShuffleKeySpec extends SparkSpec {
     assert(keys.exists(_.contains("sh_h#")), s"fingerprint key missing: $keys")
   }
 
-  test("boilerplateRemove dfs on (hash, length), never raw blocks") {
+  test("boilerplateRemove dfs on fingerprints, never raw blocks") {
     val keys = keyContexts(graft.ext.TextOps.boilerplateRemove(docs))
     assert(!keysCarry(keys, "block"), s"raw block key in: $keys")
-    assert(keys.exists(k => k.contains("bh#") && k.contains("bl#")),
-      s"(bh, bl) pair key missing: $keys")
+    assert(!keysCarry(keys, "blk"), s"raw block-array key in: $keys")
+    assert(keys.exists(_.contains("bh#")), s"fingerprint key missing: $keys")
   }
 
   test("incrementalDedup's cross-set join keys on fingerprints") {
