@@ -112,6 +112,21 @@ object Bench {
           "storage_nested_pruning").foreach { n =>
         warm { SparkEntry.queries(n)(spark, sfDir).count() }
       }
+      // Whole-board codegen warm at the SMALLEST fixture: one pass over
+      // every query at sf0.001 compiles every generated-class family the
+      // board touches (generated classes are expression-tree-keyed, so
+      // the sf-dir difference cannot miss the cache) — the general form
+      // of the per-family pins above, closing the remaining first-run
+      // spikes (q21's join family measured 6.4 s first run vs 1.3 s
+      // steady; PageRank's fold 5.9 vs 1.2). Data volume at sf0.001 is
+      // trivial, so this is compile time, not compute; every step stays
+      // individually guarded and the timed region below still does all
+      // its work at the real sfDir.
+      val warmBoard = "/root/testdata/sf0.001"
+      if (new java.io.File(s"$warmBoard/events.parquet").exists())
+        SparkEntry.queries.foreach { case (_, fn) =>
+          warm { fn(spark, warmBoard).count() }
+        }
       val warmSf = "/root/testdata/sf0.001"
       if (new java.io.File(s"$warmSf/events.parquet").exists()) {
         val sp = Some(2)

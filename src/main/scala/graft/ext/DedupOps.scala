@@ -437,20 +437,24 @@ object DedupOps {
     * ([[graft.streaming.StreamOps.streamingDecontaminationFeed]]): the
     * extra projected columns ride along (`keep` lists them). */
   private[graft] def tokenWindows(df: DataFrame, w: Int,
-                                  keep: Seq[String] = Nil): DataFrame = df
-    .withColumn("words", split(col("text"), " "))
-    .filter(size(col("words")) >= w)
-    .select((col("doc_id") +: keep.map(col)) :+
-      explode(expr(
-        s"transform(sequence(0, size(words) - $w), i -> concat_ws(' ', slice(words, i + 1, $w)))"))
-        .as("win"): _*)
+                                  keep: Seq[String] = Nil): DataFrame = {
+    // windows never exist as strings (NgramFingerprints — see the
+    // kernel's doc for the collision budget); both sides of every
+    // window join use THIS builder, so cross-side equality is by
+    // construction
+    graft.functions.GraftExtensions.register(df.sparkSession)
+    df.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= w)
+      .select((col("doc_id") +: keep.map(col)) :+
+        explode(expr(s"ngram_fingerprints(words, $w)")).as("win_h"): _*)
+  }
 
   def decontaminate(corpus: DataFrame, evalDocs: DataFrame,
                     w: Int = 13): DataFrame = {
     def wins(df: DataFrame): DataFrame = tokenWindows(df, w)
-    val ev = broadcast(wins(evalDocs).select("win").distinct())
-    val perDoc = wins(corpus).join(ev, Seq("win"), "left_semi")
-      .groupBy("doc_id").agg(countDistinct("win").as("n_eval_windows"))
+    val ev = broadcast(wins(evalDocs).select("win_h").distinct())
+    val perDoc = wins(corpus).join(ev, Seq("win_h"), "left_semi")
+      .groupBy("doc_id").agg(countDistinct("win_h").as("n_eval_windows"))
     corpus.select("doc_id").join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_eval_windows"), lit(0L)).as("n_eval_windows"))

@@ -1225,7 +1225,7 @@ object StreamOps {
     // instead of re-running the explode. Unpersisted after the run.
     val evalWins = graft.ext.DedupOps.tokenWindows(
         docs.filter(pmod(col("doc_id"), lit(evalMod)) === 0), w)
-      .select("win").distinct().persist()
+      .select("win_h").distinct().persist()
     val table = freshName("graft_t14")
     val stream = docStream(spark, dir)
       .filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
@@ -1233,7 +1233,7 @@ object StreamOps {
     // is the stateful dropDuplicates (t5's machinery, keyed on doc_id —
     // O(contaminated docs) state), then a plain count per language
     val q = graft.ext.DedupOps.tokenWindows(stream, w, keep = Seq("lang"))
-      .join(broadcast(evalWins), Seq("win"), "left_semi")
+      .join(broadcast(evalWins), Seq("win_h"), "left_semi")
       .select("doc_id", "lang")
       .dropDuplicates("doc_id")
       .groupBy("lang")
