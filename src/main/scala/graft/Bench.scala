@@ -146,6 +146,10 @@ object Bench {
     // one-time cost the warm region absorbed this run
     System.err.println(
       f"[bench] warm-up ${(System.nanoTime() - warmT0) / 1e9}%.1f s")
+    // drop the warm region's garbage before the timed region (the memos
+    // and generated classes survive; a full GC here stops the warm
+    // pass's dead allocations from becoming timed-region GC pauses)
+    System.gc()
     // Machine-speed calibration: a fixed, deterministic, CPU-bound op
     // (no I/O, no shuffle) timed in the same warmed JVM. Reported as
     // "calib" in the JSON so per-round totals can be normalized for

@@ -409,6 +409,11 @@ object TextOps {
       .withColumn("bad", coalesce(col("bad"), typedlit(Array.empty[Long])))
       .withColumn("kept",
         expr("filter(blk, (b, i) -> NOT array_contains(bad, fps[i]))"))
+      // a doc whose EVERY block was boilerplate leaves the result
+      // entirely (the join+group formulation this replaced had no row
+      // to group; the oracle agrees) — doesn't arise in the fixture,
+      // pinned anyway so a regenerated corpus can't diverge silently
+      .filter(size(col("kept")) > 0)
       .select(col("doc_id"),
         size(col("blk")).as("n_blocks"),
         size(col("kept")).cast("long").as("n_kept"),

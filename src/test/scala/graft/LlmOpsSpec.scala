@@ -504,6 +504,24 @@ class LlmOpsSpec extends SparkSpec {
       "rho sigma tau upsilon phi chi psi omega")))
   }
 
+  test("boilerplate removal: an all-boilerplate doc leaves the result entirely") {
+    // doc 4 is NOTHING BUT the shared banner — after the drop it has no
+    // kept blocks and must vanish (the oracle's join+group form has no
+    // row to group for it), not linger as an empty-text row
+    val banner = "cookie notice accept all terms privacy contact footer"
+    val docs = Seq(
+      (0L, s"$banner alpha beta gamma delta", "web"),
+      (1L, s"$banner epsilon zeta eta theta", "web"),
+      (2L, s"$banner iota kappa lambda mu", "web"),
+      (3L, s"$banner nu xi omicron pi", "web"),
+      (4L, banner, "web")
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.boilerplateRemove(docs, blockWords = 4, maxDf = 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out === Seq(0L, 1L, 2L, 3L),
+      "the fully-boilerplate doc must be absent")
+  }
+
   test("boilerplate removal: df threshold is per-source, not corpus-wide") {
     // the same banner in two docs of each of two sources: per-source df=2
     // stays under maxDf=3 even though corpus-wide df=4 would exceed it
