@@ -124,6 +124,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ngram fingerprints are faithful to window-string identity on random corpora") {
+    // the kernel keys must induce exactly the equivalence classes the
+    // joined window STRINGS induce: same distinct-count per doc, and the
+    // same cross-doc shared-window multiset — a mixing bug (e.g. an
+    // order-insensitive combine conflating (a,b) with (b,a)) or an
+    // accidental collision would break one of these
+    graft.functions.GraftExtensions.register(spark)
+    corpora(4, 23L).foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 3)
+      val byString = df.select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(0, size(words) - 3), i -> concat_ws(' ', slice(words, i + 1, 3)))"))
+            .as("win"))
+      val byKernel = df.select(col("doc_id"),
+          explode(expr("ngram_fingerprints(words, 3)")).as("win"))
+      def shape(d: org.apache.spark.sql.DataFrame) = (
+        d.distinct().count(),
+        d.groupBy("doc_id").agg(countDistinct("win").as("n"))
+          .as[(Long, Long)].collect().toMap,
+        d.distinct().groupBy("win").count()
+          .groupBy("count").count().as[(Long, Long)].collect().toMap)
+      assert(shape(byString) === shape(byKernel))
+    }
+  }
+
   test("repetition and unigram-score invariants hold for random corpora") {
     import graft.ext.TextOps
     corpora(4, 11L).foreach { docs =>
