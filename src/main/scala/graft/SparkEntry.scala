@@ -434,26 +434,34 @@ object SparkEntry {
     // already partitioned on orderkey — one wide exchange total.
     "q21_waiting_supplier" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
-      // two cascaded plain aggregates instead of a dual countDistinct:
-      // the (orderkey, suppkey) pre-aggregate map-side-combines, where
-      // countDistinct×2 would Expand the fact table to 2 copies before
-      // its shuffle — the distinct-supplier counts come out identical
+      // ONE lineitem pass: the (orderkey, suppkey) pre-aggregate
+      // map-side-combines (a dual countDistinct would Expand the fact
+      // table to 2 copies before its shuffle), and the per-order fold
+      // derives not just the distinct-supplier counts but also the
+      // UNIQUE R supplier and its R line-item count — so the textbook
+      // shape's second lineitem scan + fact-side join for the probe
+      // rows is gone entirely; per-order rows then meet two broadcast
+      // dims and numwait is the sum of carried R row counts (identical
+      // to counting the probe rows it replaced)
       val orderStats = li
         .groupBy(col("l_orderkey").as("so_okey"), col("l_suppkey").as("so_skey"))
-        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"),
+             sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+               .as("n_r_rows"))
         .groupBy("so_okey")
-        .agg(count(lit(1)).as("n_supp"), sum("has_r").as("n_rsupp"))
+        .agg(count(lit(1)).as("n_supp"), sum("has_r").as("n_rsupp"),
+             max(when(col("has_r") === 1, col("so_skey"))).as("r_skey"),
+             sum(when(col("has_r") === 1, col("n_r_rows")).otherwise(0L))
+               .as("r_rows"))
       val fOrders = Tables.orders(s, d)
         .filter(col("o_orderstatus") === "F").select("o_orderkey")
-      li.filter(col("l_returnflag") === "R")
-        .select("l_orderkey", "l_suppkey")
-        .join(broadcast(fOrders), col("l_orderkey") === col("o_orderkey"))
-        .join(orderStats, col("l_orderkey") === col("so_okey"))
+      orderStats
         .filter(col("n_supp") > 1 && col("n_rsupp") === 1)
+        .join(broadcast(fOrders), col("so_okey") === col("o_orderkey"))
         .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
-              col("l_suppkey") === col("s_suppkey"))
+              col("r_skey") === col("s_suppkey"))
         .groupBy("s_name")
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum("r_rows").as("numwait"))
         .orderBy(desc("numwait"), asc("s_name"))
         .limit(10)
     }),
