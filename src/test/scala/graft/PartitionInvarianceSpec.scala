@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Partition-count invariance of the fingerprint-keyed operator family.
+  *
+  * The round-10 kernels (NgramFingerprints, TopBigramCount,
+  * CdcChunkSpans, CharPolyHash) compute per-row statistics whose graded
+  * RESULTS must not depend on how the input happens to be partitioned —
+  * at 100 TB the same operator runs over thousands of splits whose
+  * boundaries the engine does not control, and a result that shifts
+  * with task decomposition would be non-deterministic across cluster
+  * sizes. Content-based fingerprints guarantee this by construction
+  * (the key is a pure function of the row), but the guarantee spans
+  * whole pipelines (explodes, aggregations, broadcast joins, per-source
+  * broadcast sets), so this spec pins it end to end: each operator must
+  * return IDENTICAL rows over one partition, over seven hash-split
+  * partitions, and over a reshuffled row order.
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  /** The three adversarial layouts: everything in one task, hash-split
+    * across more tasks than the spec session's shuffle partitions, and
+    * a row order unrelated to doc_id. */
+  private def layouts(df: DataFrame): Seq[DataFrame] = Seq(
+    df.repartition(1),
+    df.repartition(7, col("doc_id")),
+    df.orderBy(desc("doc_id")))
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def pinInvariant(name: String)(op: DataFrame => DataFrame): Unit =
+    test(s"$name is invariant to input partitioning") {
+      val want = rows(op(layouts(docs).head))
+      assert(want.nonEmpty, s"$name returned no rows at spec scale")
+      layouts(docs).tail.foreach { alt =>
+        assert(rows(op(alt)) == want, s"$name shifted with partitioning")
+      }
+    }
+
+  pinInvariant("repetition")(graft.ext.TextOps.repetition(_))
+  pinInvariant("cdcChunks")(graft.ext.TextOps.cdcChunks(_, 16))
+  pinInvariant("boilerplateRemove")(graft.ext.TextOps.boilerplateRemove(_))
+  pinInvariant("crossSourceOverlap")(graft.ext.TextOps.crossSourceOverlap(_, 3))
+  pinInvariant("substringDupSpans")(graft.ext.DedupOps.substringDupSpans(_, 13))
+  pinInvariant("decontaminate") { d =>
+    // eval side fixed; only the corpus side's layout varies
+    graft.ext.DedupOps.decontaminate(d, docs.filter(col("doc_id") % 10 === 0), 13)
+  }
+}
