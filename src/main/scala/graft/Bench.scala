@@ -122,13 +122,11 @@ object Bench {
       // trivial, so this is compile time, not compute; every step stays
       // individually guarded and the timed region below still does all
       // its work at the real sfDir.
-      val warmBoard = "/root/testdata/sf0.001"
-      if (new java.io.File(s"$warmBoard/events.parquet").exists())
-        SparkEntry.queries.foreach { case (_, fn) =>
-          warm { fn(spark, warmBoard).count() }
-        }
       val warmSf = "/root/testdata/sf0.001"
       if (new java.io.File(s"$warmSf/events.parquet").exists()) {
+        SparkEntry.queries.foreach { case (_, fn) =>
+          warm { fn(spark, warmSf).count() }
+        }
         val sp = Some(2)
         val S = graft.streaming.StreamOps
         warm { S.cumulativeTally(spark, warmSf, sp).count() }            // streaming agg

@@ -385,10 +385,12 @@ object DedupOps {
     * Windows are position-multiset (NOT distinct per doc): the fraction
     * measures duplicated SPAN MASS, so a window repeated inside one doc
     * weighs each occurrence. The raw 13-token window string (~80-100
-    * bytes) is [[fingerprinted]] map-side BEFORE the frequency groupBy
-    * and the rejoin — both shuffles carry the 12-byte key pair, ~10×
-    * narrower at corpus scale, with identical results absent a
-    * (hash, length) double collision. */
+    * bytes) never exists at all — [[graft.functions.NgramFingerprints]]
+    * mixes per-word hashes into one 8-byte window key map-side, so both
+    * shuffles carry longs, ~12× narrower at corpus scale, with
+    * identical results absent a 64-bit fingerprint collision
+    * (P ≈ N²·2⁻⁶⁵ over N distinct windows — the kernel's documented
+    * budget). */
   def substringDupSpans(docs: DataFrame, w: Int = 13): DataFrame = {
     // Windows never exist as strings: the native NgramFingerprints
     // kernel emits 8-byte window keys directly (same collision budget

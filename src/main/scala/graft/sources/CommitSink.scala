@@ -174,14 +174,21 @@ private[graft] class CommitSinkBatchWrite(
     }
     CommitSinkFailpoints.fire(path, "success")
     Files.writeString(dir.resolve("_SUCCESS"), s"rows=$total\n")
-    sweepOwnTemp()
+    // past the commit point: the staged prior generation is garbage now
+    sweepOwnTemp(reapStale = true)
   }
 
   /** Task failure beyond retry, or a throw from [[commit]] itself:
     * nothing of THIS query becomes (or stays) visible. Undoes a partial
     * commit — deletes this query's renamed-in parts, moves any staged
     * prior parts back into place — then sweeps only this query's temp
-    * dirs; concurrent writers are untouched. */
+    * dirs; concurrent writers are untouched. The sweep NEVER deletes
+    * staged contents here: if a restore move itself failed (disk-full,
+    * transient IO), the part must stay staged on disk for operator
+    * recovery — reaping it would destroy the committed byte the whole
+    * staging design exists to preserve. The stale dir is removed only
+    * via the empty-directory delete, which fails harmlessly while
+    * anything is still staged. */
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
     CommitSinkIO.listDir(dir)
@@ -192,15 +199,22 @@ private[graft] class CommitSinkBatchWrite(
       try Files.move(p, dir.resolve(p.getFileName),
         StandardCopyOption.ATOMIC_MOVE)
       catch { case _: Throwable => () })
-    sweepOwnTemp()
+    sweepOwnTemp(reapStale = false)
   }
 
-  private def sweepOwnTemp(): Unit = {
-    Seq(Paths.get(path, "_temporary", queryId), staleDir).foreach { own =>
-      CommitSinkIO.listDir(own).foreach(p =>
+  /** `reapStale = true` only PAST the commit point, where the staged
+    * prior generation is superseded garbage; everywhere else staged
+    * files are the sole copy of committed bytes and only the
+    * empty-directory delete may touch the stale dir. */
+  private def sweepOwnTemp(reapStale: Boolean): Unit = {
+    val own = Paths.get(path, "_temporary", queryId)
+    CommitSinkIO.listDir(own).foreach(p =>
+      try Files.deleteIfExists(p) catch { case _: Throwable => () })
+    try Files.deleteIfExists(own) catch { case _: Throwable => () }
+    if (reapStale)
+      CommitSinkIO.listDir(staleDir).foreach(p =>
         try Files.deleteIfExists(p) catch { case _: Throwable => () })
-      try Files.deleteIfExists(own) catch { case _: Throwable => () }
-    }
+    try Files.deleteIfExists(staleDir) catch { case _: Throwable => () }
     // reap the shared parent only when empty (another query may be live)
     try Files.deleteIfExists(Paths.get(path, "_temporary"))
     catch { case _: Throwable => () }

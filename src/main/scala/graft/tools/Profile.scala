@@ -6,15 +6,17 @@ import org.apache.spark.sql.SparkSession
   * named SparkEntry queries N times each in one warmed session, printing
   * per-run seconds — the fast feedback loop for per-query optimization
   * without Bench's full warm-up region. Usage:
-  *   runMain graft.tools.Profile <sfDir> <reps> <name>[,<name>...]
-  * Pass `-x` before a name to .explain("formatted") it after timing. */
+  *   runMain graft.tools.Profile <sfDir> <reps> <name>[,<name>...] [-x]
+  * `-x` anywhere after the two positional args turns on
+  * .explain("formatted") for EVERY listed query after its timings. */
 object Profile {
   def main(args: Array[String]): Unit = {
     graft.TmpDirs.install()
     val sfDir = args(0)
     val reps = args(1).toInt
-    val explain = args.contains("-x")
-    val names = args.drop(2).filterNot(_ == "-x").flatMap(_.split(','))
+    val rest = args.drop(2)
+    val explain = rest.contains("-x")
+    val names = rest.filterNot(_ == "-x").flatMap(_.split(','))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -19,9 +19,19 @@ class CommitSinkSpec extends SparkSpec {
     df.write.format(classOf[graft.sources.CommitSink].getName)
       .option("path", dir).mode(mode).save()
 
+  /** Directory entry names with the `Files.list` stream CLOSED — the
+    * same fd discipline the production CommitSinkIO.listDir documents;
+    * the crash-matrix test lists per iteration, so a leaked fd per call
+    * would accumulate across the suite. */
+  private def ls(p: java.nio.file.Path): Seq[String] = {
+    if (!Files.isDirectory(p)) return Seq.empty
+    val s = Files.list(p)
+    try s.iterator().asScala.map(_.getFileName.toString).toList
+    finally s.close()
+  }
+
   private def parts(dir: String): Seq[String] =
-    Files.list(Paths.get(dir)).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("part-")).toSeq
+    ls(Paths.get(dir)).filter(_.startsWith("part-"))
 
   test("round trip is value-lossless; manifest counts rows; temp swept") {
     val dir = freshDir()
@@ -112,11 +122,7 @@ class CommitSinkSpec extends SparkSpec {
       finally CommitSinkFailpoints.clear(dir)
       // hard-crash invariant: generation A's bytes all survive somewhere
       val stale = Paths.get(dir, "_temporary", s"$qid.stale")
-      val surviving = parts(dir).toSet ++ (
-        if (Files.isDirectory(stale))
-          Files.list(stale).iterator().asScala
-            .map(_.getFileName.toString).toSet
-        else Set.empty[String])
+      val surviving = parts(dir).toSet ++ ls(stale).toSet
       assert(genAParts.subsetOf(surviving),
         s"[$step#$nth] prior parts lost: ${genAParts -- surviving}")
       assert(Files.readString(Paths.get(dir, "_SUCCESS")).trim == "rows=2",
@@ -162,16 +168,52 @@ class CommitSinkSpec extends SparkSpec {
       when(col("id") === 50, expr("raise_error('boom')"))
         .otherwise(col("id").cast("string")).as("s"))
     intercept[Exception] { write(poison.repartition(4), dir, "append") }
-    val visible =
-      if (Files.isDirectory(Paths.get(dir)))
-        Files.list(Paths.get(dir)).iterator().asScala
-          .map(_.getFileName.toString)
-          .filterNot(_ == "_temporary").toSeq
-      else Seq.empty
+    val visible = ls(Paths.get(dir)).filterNot(_ == "_temporary")
     assert(visible.isEmpty, s"nothing may be visible after abort: $visible")
-    val tmp = Paths.get(dir, "_temporary")
-    assert(!Files.exists(tmp) ||
-      Files.list(tmp).iterator().asScala.isEmpty,
+    assert(ls(Paths.get(dir, "_temporary")).isEmpty,
       "in-flight temp files must be swept on abort")
+  }
+
+  test("abort never reaps a staged part whose restore failed") {
+    // the one corner where abort's best-effort restore can fail while
+    // the staged file is the SOLE copy of a committed byte: the sweep
+    // must leave it staged for operator recovery, never delete it.
+    import graft.sources.{CommitMsg, CommitSinkBatchWrite, CommitSinkFailpoints}
+    val dir = freshDir()
+    write(Seq(("a", 1L)).toDF("k", "v").repartition(1), dir, "append")
+    val genAName = parts(dir).head
+    val genABytes = Files.readString(Paths.get(dir, genAName))
+    val qid = "abort_restore_fail"
+    val tmp = Paths.get(dir, "_temporary", qid)
+    Files.createDirectories(tmp)
+    val f = tmp.resolve("0-0.csv")
+    Files.writeString(f, "z,9\n")
+    val msgs = Array[org.apache.spark.sql.connector.write.WriterCommitMessage](
+      CommitMsg(f.toString, 0, 0L, 1L))
+    val bw = new CommitSinkBatchWrite(
+      org.apache.spark.sql.types.StructType(Nil), dir, qid, true)
+    // crash at the commit point: generation A is fully staged by then
+    CommitSinkFailpoints.set(dir,
+      s => if (s == "success") sys.error("boom at commit point"))
+    try intercept[RuntimeException] { bw.commit(msgs) }
+    finally CommitSinkFailpoints.clear(dir)
+    val stale = Paths.get(dir, "_temporary", s"$qid.stale")
+    assert(ls(stale) === Seq(genAName), "precondition: part staged")
+    // block the restore: a non-empty directory squats on the part's
+    // original path, so abort's ATOMIC_MOVE back must throw (swallowed)
+    val squatter = Paths.get(dir, genAName)
+    Files.createDirectories(squatter.resolve("occupied"))
+    bw.abort(msgs)
+    // the restore failed — the staged copy must still exist, bytes intact
+    assert(Files.exists(stale.resolve(genAName)),
+      "sweep must not reap a staged part that could not be restored")
+    assert(Files.readString(stale.resolve(genAName)) === genABytes)
+    // unblock and prove the staged copy is still restorable by hand
+    Files.delete(squatter.resolve("occupied"))
+    Files.delete(squatter)
+    Files.move(stale.resolve(genAName), squatter)
+    val back = spark.read.schema("k STRING, v BIGINT").csv(dir)
+      .as[(String, Long)].collect().toSeq
+    assert(back === Seq(("a", 1L)))
   }
 }
