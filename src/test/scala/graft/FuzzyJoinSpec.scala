@@ -74,6 +74,37 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(blocked(dirty, clean, 2) == brute(dirty, clean, 2))
   }
 
+  test("randomized edit-script parity across k = 1, 2, 3") {
+    // seeded random corpora hammer the PRUNED probe grid (the indel-
+    // budget cells dropped in round 10) from angles no crafted fixture
+    // anticipates: random clean strings of varied lengths, each dirtied
+    // by a random script of 0..k+1 edits (sub/del/ins at random
+    // positions), parity with brute force at every k — a pruned cell
+    // that was actually reachable by some edit script loses a match
+    // and flips the set compare
+    val rnd = new scala.util.Random(20260814L)
+    val alpha = "abcdefg "
+    def word(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    for (k <- 1 to 3) {
+      val clean = Seq.fill(6)(word(k + 2 + rnd.nextInt(10))).distinct
+      val dirty = (0 until 40).map { i =>
+        var s = clean(rnd.nextInt(clean.size))
+        val edits = rnd.nextInt(k + 2)
+        for (_ <- 0 until edits if s.nonEmpty) rnd.nextInt(3) match {
+          case 0 => val p = rnd.nextInt(s.length)
+                    s = s.updated(p, alpha(rnd.nextInt(alpha.length)))
+          case 1 => val p = rnd.nextInt(s.length)
+                    s = s.take(p) + s.drop(p + 1)
+          case _ => val p = rnd.nextInt(s.length + 1)
+                    s = s.take(p) + alpha(rnd.nextInt(alpha.length)) + s.drop(p)
+        }
+        (i.toLong, s)
+      }
+      assert(blocked(dirty, clean, k) == brute(dirty, clean, k),
+        s"parity broke at k=$k")
+    }
+  }
+
   test("plan is an equi-join on segment keys, never a cross product") {
     val plan = FuzzyJoin.fuzzyPartMatch(Tables.part(spark, sfDir))
       .queryExecution.executedPlan.toString
