@@ -160,7 +160,13 @@ object SampleOps {
     * Scale shape: priorities are a pure codegen'd projection; the
     * global top-k is TakeOrderedAndProject (per-partition heaps of k,
     * never a global sort) — the same plan a 100 TB "best N documents
-    * by quality" selection wants. Ties (same priority) break on key. */
+    * by quality" selection wants. Ties (same priority) break on key.
+    *
+    * Precondition: weights must satisfy w < 2³² (w·P must fit in Long;
+    * P = 2³¹−1). Quality-score weights (token counts, TTR scores) are
+    * orders of magnitude below this; for heavier weights (raw byte
+    * counts of TB-scale blobs) rescale the weight column first —
+    * priority sampling is invariant under a constant weight rescale. */
   def weightedExactK(df: DataFrame, key: String, weight: Column,
                      k: Int): DataFrame = {
     val P = 2147483647L
@@ -180,6 +186,10 @@ object SampleOps {
     * balanced labels the miss chance is ~(1/L)^nProbes, and anchors whose
     * probes all collide with their own label drop out (counted by spec).
     *
+    * Precondition: ids are DENSE 0..N−1 (true for generated embedding
+    * tables; a sparse id space makes probes miss their candidate and
+    * silently drops anchors — remap by rank first if ids have holes).
+    *
     * Scale shape: N arrives as a 1-row broadcast scalar (the q22
     * pattern); probing is a bounded explode (×nProbes) followed by one
     * hash join on candidate id against the id→label projection; first-hit
@@ -191,8 +201,13 @@ object SampleOps {
         col(labelCol).as("anchor_label"))
       .crossJoin(broadcast(nRow))
       .select(col("anchor_id"), col("anchor_label"),
+        // anchor_id is reduced mod N BEFORE the ·37: identical result
+        // ((a·37) mod N ≡ ((a mod N)·37) mod N) but the intermediate
+        // stays ≤ 37·N, so huge ids cannot overflow Long and flip the
+        // remainder negative (which would probe a nonexistent id)
         posexplode(array((0 until nProbes).map(j =>
-          (col("anchor_id") * 37 + lit(11 * j + 1)) % col("n_total")): _*))
+          ((col("anchor_id") % col("n_total")) * 37 + lit(11 * j + 1))
+            % col("n_total")): _*))
           .as(Seq("j", "cand_id")))
     val labels = vectors.select(col(idCol).as("cand_id"),
       col(labelCol).as("neg_label"))

@@ -105,6 +105,12 @@ object EventAnalytics {
     * value is bit-identical to the direct-from-ticks computation the
     * oracle runs. */
   def ohlcRollup(events: DataFrame, fineSeconds: Int = 900): DataFrame = {
+    // a fine bar that straddled an hour boundary would be assigned
+    // wholesale to its START's hour by the date_trunc below, silently
+    // breaking the bit-identical-to-direct invariant — only divisors
+    // of the coarse bar width are mergeable
+    require(fineSeconds > 0 && 3600 % fineSeconds == 0,
+      s"fineSeconds must divide 3600, got $fineSeconds")
     val fine = events
       .select(col("event_type"), col("ts"), col("value"),
         round(col("value") * 100, 0).cast("long").as("cents"))
@@ -134,8 +140,11 @@ object EventAnalytics {
   }
 
   /** Anomaly flags over the hourly count series: an hour is anomalous
-    * when its count exceeds the trailing-24h mean by more than `sigmas`
-    * sample standard deviations. The entire test is INTEGER arithmetic:
+    * when its count DEVIATES from the trailing-24h mean by more than
+    * `sigmas` sample standard deviations — two-sided, so outage dips
+    * flag alongside spikes (the squared form below is exactly the
+    * |deviation| test; the oracle replays the same two-sided predicate).
+    * The entire test is INTEGER arithmetic:
     * with s = Σn, sq = Σn², c = window size over the trailing frame,
     *
     *   (n − s/c)² > σ²·(sq − s²/c)/(c−1)
@@ -203,6 +212,14 @@ object EventAnalytics {
     * cell at offset k of a g-hour gap gets `(prev·(g−k) + next·k) div g`
     * — every term non-negative, so truncating division agrees between
     * engines (no float, no negative-division semantics).
+    *
+    * Edge semantics: the spine spans the GLOBAL [min, max] hour range
+    * across all types, so a spine cell before a type's first
+    * observation (or after its last) has no neighbor on one side —
+    * interpolation is undefined there and `v_cents` is NULL with
+    * `interpolated = true`; consumers that want extrapolation must
+    * choose their own edge rule (hold-nearest, zero, drop). The oracle
+    * replays the identical NULL-edge semantics.
     *
     * Scale shape: the window runs over the AGGREGATED hours × types
     * series (the facts fold map-side first), partitioned by event_type;
@@ -308,8 +325,10 @@ object EventAnalytics {
     * Scale shape: ONE shuffle on user_id feeds the `lead` window; the
     * pair counts that leave it are |types|² rows (25 here), so the
     * marginal sums and lift run on a handful of rows via two tiny
-    * window folds — the 100 TB input never moves twice. Lift is a
-    * division of exact integers, IEEE-identical across engines. */
+    * window folds — the 100 TB input never moves twice. Lift multiplies
+    * in double (long·long would overflow past ~3e9 transitions); the
+    * counts involved are exact in double up to 2^53, so the rounded
+    * quotient is IEEE-identical across engines. */
   def transitionMatrix(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -328,8 +347,13 @@ object EventAnalytics {
       .withColumn("n_to", sum("n_trans").over(wt))
       .withColumn("n_total", sum("n_trans").over(wg))
       .select(col("from_type"), col("to_type"), col("n_trans"),
-        round(col("n_trans") * col("n_total") /
-              (col("n_from") * col("n_to")), 4).as("lift"))
+        // numerator/denominator go through double BEFORE the multiply:
+        // the long·long products overflow past ~3e9 transitions (1e12 at
+        // the documented scale), wrapping silently under non-ANSI
+        // arithmetic; in double the products stay exact up to 2^53 and
+        // merely lose ulps beyond — never the sign
+        round(col("n_trans").cast("double") * col("n_total") /
+              (col("n_from").cast("double") * col("n_to")), 4).as("lift"))
       .orderBy("from_type", "to_type")
   }
 }

@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -91,6 +89,15 @@ object JdbcIO {
           }
         }
         conn.commit()
+      } catch {
+        // roll back BEFORE close: JDBC leaves close-with-open-txn
+        // implementation-defined (some drivers COMMIT the partial
+        // batch, Derby throws from close and masks the root cause) —
+        // an explicit rollback keeps the partition all-or-nothing and
+        // lets Spark's task retry redeliver it cleanly
+        case t: Throwable =>
+          try conn.rollback() catch { case _: Throwable => () }
+          throw t
       } finally conn.close()
     }
   }
@@ -102,7 +109,7 @@ object JdbcIO {
     try {
       val st = conn.createStatement()
       st.executeUpdate(s"CREATE TABLE $table " +
-        "(user_id BIGINT PRIMARY KEY, total_value DOUBLE)")
+        "(user_id BIGINT PRIMARY KEY, total_value DOUBLE PRECISION)")
     } finally conn.close()
   }
 
@@ -133,6 +140,15 @@ object JdbcIO {
           }
         }
         conn.commit()
+      } catch {
+        // roll back BEFORE close: JDBC leaves close-with-open-txn
+        // implementation-defined (some drivers COMMIT the partial
+        // batch, Derby throws from close and masks the root cause) —
+        // an explicit rollback keeps the partition all-or-nothing and
+        // lets Spark's task retry redeliver it cleanly
+        case t: Throwable =>
+          try conn.rollback() catch { case _: Throwable => () }
+          throw t
       } finally conn.close()
     }
   }
@@ -213,6 +229,13 @@ object JdbcIO {
           }
           conn.commit()
         }
+      } catch {
+        // same rollback-before-close discipline as the upsert sinks;
+        // here it additionally guarantees a failed apply releases its
+        // CLAIM row, so the task retry can re-claim the epoch slot
+        case t: Throwable =>
+          try conn.rollback() catch { case _: Throwable => () }
+          throw t
       } finally conn.close()
       }
     }

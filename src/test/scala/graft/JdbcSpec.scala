@@ -89,6 +89,33 @@ class JdbcSpec extends SparkSpec {
     assert(got === Map(1L -> 105L, 2L -> 200L, 3L -> 7L))
   }
 
+  test("a failed delta apply rolls back its claim so the retry re-applies") {
+    // the rollback-before-close discipline end to end: a mid-transaction
+    // failure AFTER the epoch claim is inserted must release the claim
+    // (and any partial deltas) — otherwise the task retry would hit the
+    // claim, skip the epoch, and the deltas would be lost forever
+    val url = JdbcIO.freshUrl()
+    JdbcIO.createDeltaTables(url, "t_cents_r", "t_log_r")
+    val e0 = Seq((1L, 100L)).toDF("user_id", "delta_cents").coalesce(1)
+    JdbcIO.applyDeltasExactlyOnce(e0, url, "t_cents_r", "t_log_r", batchId = 0L)
+    // epoch 1 against a table that doesn't exist: the claim insert into
+    // t_log_r succeeds first, then the UPDATE prepare throws — the
+    // whole transaction (claim included) must roll back
+    val e1 = Seq((1L, 5L)).toDF("user_id", "delta_cents").coalesce(1)
+    intercept[Exception] {
+      JdbcIO.applyDeltasExactlyOnce(e1, url, "t_absent", "t_log_r", batchId = 1L)
+    }
+    val claims = JdbcIO.readTable(spark, url, "t_log_r")
+      .select("batch_id").as[Long].collect().toSet
+    assert(claims === Set(0L),
+      "the failed epoch's claim must be rolled back, not left committed")
+    // and the retry of epoch 1 against the real table now applies
+    JdbcIO.applyDeltasExactlyOnce(e1, url, "t_cents_r", "t_log_r", batchId = 1L)
+    val got = JdbcIO.readTable(spark, url, "t_cents_r")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 105L))
+  }
+
   test("jdbcTxnLogReplay converges to batch per-user cent totals with doubled epochs") {
     val got = graft.streaming.StreamOps
       .jdbcTxnLogReplay(spark, sfDir, statePartitions = Some(4))
