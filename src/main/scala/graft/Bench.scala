@@ -105,6 +105,15 @@ object Bench {
       // streaming-machinery warms above. storage_bucketed_join is
       // deliberately absent: it re-stages its tables per call (the
       // write is part of its graded surface), so warming cannot help.
+      // Media file-dir fixture pre-stage at the REAL sfDir: the staged
+      // <doc_id>.{bin,png} directories are memoized per (session, sfDir)
+      // but each bench JVM starts with an empty memo, so the first timed
+      // s4_binary_source / s4_image_source call was paying the one-time
+      // fixture WRITE (thousands of small files) on top of the graded
+      // READ — same write-outside-the-timed-region discipline as the
+      // storage seats below.
+      warm { graft.sources.MediaFiles.textFileDir(spark, sfDir) }
+      warm { graft.sources.MediaFiles.pngFileDir(spark, sfDir) }
       Seq("storage_compact", "storage_cbo_stats", "storage_zorder_scan",
           "storage_dpp_join", "storage_partition_pruning",
           "storage_dynamic_overwrite", "storage_evolving_read",

@@ -23,6 +23,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ImageCodec {
 
+  // ImageIO defaults to DISK-backed stream caches: every read/write
+  // allocates a FileCache{Input,Output}Stream that creates and deletes a
+  // temp FILE — per-image filesystem I/O that serializes on the tmp dir
+  // and swings wildly under a noisy host. Our payloads are tens-to-
+  // hundreds of bytes, so the in-memory cache is strictly better; the
+  // flag is JVM-global (public JDK API), so it also covers Spark's
+  // `image` datasource reads once this class has loaded. Decoded bytes
+  // are identical either way — this changes only where the stream
+  // buffers.
+  ImageIO.setUseCache(false)
+
   /** Pixel pattern: gray(x, y | seed) = (7x + 13y + 31·seed) mod 256.
     * Linear in both axes with coprime strides, so any decode bug —
     * transposed axes, row-stride drift, channel expansion — shifts many

@@ -24,6 +24,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object VideoCodec {
 
+  // Same disk-cache opt-out as [[ImageCodec]] (see the comment there):
+  // this codec does PER-FRAME ImageIO read/write, so the default
+  // FileCache streams cost a temp-file create+delete per frame.
+  // Idempotent; repeated here so the flag is set even when this class
+  // loads without ImageCodec.
+  ImageIO.setUseCache(false)
+
   def nFramesOf(docId: Long): Int = ((docId % 4L) + 2L).toInt
 
   import ImageCodec.MediaRow
