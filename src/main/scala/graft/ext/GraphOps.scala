@@ -53,12 +53,16 @@ object GraphOps {
         col("node").as("score_fp"))
     val init = scale / nNodes
     val base = ((scale / nNodes) * (den - num)) / den
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // out-degree is loop-invariant: attach it to the edge rows ONCE and
+    // checkpoint, so each iteration is one join + one fold instead of
+    // re-deriving deg and re-joining it every round
+    val edgesDeg = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint()
     var pr = nodes.select(col("node"), lit(init).as("score"))
     (1 to iters).foreach { _ =>
-      val contrib = edges
+      val contrib = edgesDeg
         .join(pr, col("src") === col("node")).drop("node")
-        .join(deg, "src")
         .select(col("dst"), expr("score div deg").as("c"))
         .groupBy("dst").agg(sum("c").as("s"))
       pr = nodes
