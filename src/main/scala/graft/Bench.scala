@@ -114,12 +114,15 @@ object Bench {
       // storage seats below.
       warm { graft.sources.MediaFiles.textFileDir(spark, sfDir) }
       warm { graft.sources.MediaFiles.pngFileDir(spark, sfDir) }
+      // queries is a def that rebuilds the full entry map per access —
+      // materialize once for the lookups here and the whole-board pass
+      val allQueries = SparkEntry.queries
       Seq("storage_compact", "storage_cbo_stats", "storage_zorder_scan",
           "storage_dpp_join", "storage_partition_pruning",
           "storage_dynamic_overwrite", "storage_evolving_read",
           "storage_sorted_export", "storage_codec_zstd",
           "storage_nested_pruning").foreach { n =>
-        warm { SparkEntry.queries(n)(spark, sfDir).count() }
+        warm { allQueries(n)(spark, sfDir).count() }
       }
       // Whole-board codegen warm at the SMALLEST fixture: one pass over
       // every query at sf0.001 compiles every generated-class family the
@@ -133,7 +136,7 @@ object Bench {
       // its work at the real sfDir.
       val warmSf = "/root/testdata/sf0.001"
       if (new java.io.File(s"$warmSf/events.parquet").exists()) {
-        SparkEntry.queries.foreach { case (_, fn) =>
+        allQueries.foreach { case (_, fn) =>
           warm { fn(spark, warmSf).count() }
         }
         val sp = Some(2)

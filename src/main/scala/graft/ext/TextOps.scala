@@ -377,45 +377,73 @@ object TextOps {
     *
     * Scale shape: block TEXT never rides a shuffle. The document-
     * frequency fold aggregates on (source, xxhash64(block)) — 8-byte
-    * keys, map-side deduped — and the boilerplate survivors (df > maxDf:
-    * a set that is small by construction, since each member repeats
-    * across many documents) fold to ONE per-source bad-fingerprint set
-    * that BROADCASTS back. The drop and the reassembly then happen
-    * per-row — the document's block array is filtered in place, order
-    * preserved by construction — so the df aggregation is the pipeline's
-    * ONLY exchange; the previous formulation's groupBy(doc_id) rebuild
-    * (collect_list + array_sort of every kept block through a second,
-    * text-carrying shuffle) is gone, and never a doc×doc comparison
-    * anywhere. Dropping an innocent block takes an xxhash64 collision
-    * INSIDE one source's block set — the usual fingerprint budget;
-    * results are defined by block content. Output is integers +
-    * reassembled text — the cross-engine compare is exact, no float
-    * anywhere. */
+    * keys, map-side deduped. What happens to the df > maxDf survivors is
+    * the `broadcastBadSets` choice:
+    *
+    *   - `true` (default): each source's bad fingerprints fold to ONE
+    *     per-source set that BROADCASTS back; the drop and reassembly
+    *     are then per-row array ops (order preserved by construction),
+    *     so the df aggregation is the pipeline's ONLY exchange. Right
+    *     whenever the bad sets are dimension-sized (the common case:
+    *     nav/footer/banner templates per source). The ceiling is real,
+    *     though — maxDf bounds each member's df, NOT the number of
+    *     distinct bad blocks, so a template-heavy source with millions
+    *     of distinct repeated variants can outgrow a broadcast.
+    *   - `false`: the corpus-scale shape — bad fingerprints stay a
+    *     DISTRIBUTED (source, bh) relation, blocks anti-join it on the
+    *     8-byte key, and each document reassembles via an ordered
+    *     collect. Two more exchanges (block fingerprints + the rebuild),
+    *     but no single-row set and no broadcast anywhere, so it degrades
+    *     gracefully at any bad-set cardinality. Same rows out — a spec
+    *     pins the two paths byte-identical.
+    *
+    * Never a doc×doc comparison in either path. Dropping an innocent
+    * block takes an xxhash64 collision INSIDE one source's block set —
+    * the usual fingerprint budget; results are defined by block content.
+    * Output is integers + reassembled text — the cross-engine compare is
+    * exact, no float anywhere. */
   def boilerplateRemove(docs: DataFrame, blockWords: Int = 8,
-                        maxDf: Long = 3): DataFrame = {
+                        maxDf: Long = 3,
+                        broadcastBadSets: Boolean = true): DataFrame = {
     val withBlk = docs
       .withColumn("words", expr("filter(split(text, ' '), w -> w <> '')"))
       .withColumn("blk", expr(
         s"""transform(sequence(0, cast(ceil(size(words) / ${blockWords}.0d) as int) - 1),
             i -> concat_ws(' ', slice(words, i * $blockWords + 1, $blockWords)))"""))
       .withColumn("fps", expr("transform(blk, b -> xxhash64(b))"))
-    val boiler = withBlk
+    val badRows = withBlk
       .select(col("source"), col("doc_id"), explode(col("fps")).as("bh"))
       .groupBy("source", "bh")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") > maxDf)
-      .groupBy("source").agg(collect_set(col("bh")).as("bad"))
-    withBlk.join(broadcast(boiler), Seq("source"), "left")
-      .withColumn("bad", coalesce(col("bad"), typedlit(Array.empty[Long])))
-      .withColumn("kept",
-        expr("filter(blk, (b, i) -> NOT array_contains(bad, fps[i]))"))
+      .select("source", "bh")
+    val kept =
+      if (broadcastBadSets) {
+        val boiler = badRows.groupBy("source").agg(collect_set(col("bh")).as("bad"))
+        withBlk.join(broadcast(boiler), Seq("source"), "left")
+          .withColumn("bad", coalesce(col("bad"), typedlit(Array.empty[Long])))
+          .select(col("doc_id"), size(col("blk")).as("n_blocks"),
+            expr("filter(blk, (b, i) -> NOT array_contains(bad, fps[i]))")
+              .as("kept"))
+      } else {
+        withBlk
+          .select(col("source"), col("doc_id"), size(col("blk")).as("n_blocks"),
+            posexplode(expr("arrays_zip(blk, fps)")).as(Seq("pos", "z")))
+          .select(col("source"), col("doc_id"), col("n_blocks"), col("pos"),
+            col("z.blk").as("b"), col("z.fps").as("bh"))
+          .join(badRows, Seq("source", "bh"), "left_anti")
+          .groupBy("doc_id", "n_blocks")
+          .agg(sort_array(collect_list(struct(col("pos"), col("b")))).as("ks"))
+          .select(col("doc_id"), col("n_blocks"),
+            expr("transform(ks, k -> k.b)").as("kept"))
+      }
+    kept
       // a doc whose EVERY block was boilerplate leaves the result
-      // entirely (the join+group formulation this replaced had no row
-      // to group; the oracle agrees) — doesn't arise in the fixture,
-      // pinned anyway so a regenerated corpus can't diverge silently
+      // entirely (the join+group formulation has no row to group; the
+      // oracle agrees) — doesn't arise in the fixture, pinned anyway so
+      // a regenerated corpus can't diverge silently
       .filter(size(col("kept")) > 0)
-      .select(col("doc_id"),
-        size(col("blk")).as("n_blocks"),
+      .select(col("doc_id"), col("n_blocks"),
         size(col("kept")).cast("long").as("n_kept"),
         concat_ws(" ", col("kept")).as("clean_text"))
       .orderBy("doc_id")

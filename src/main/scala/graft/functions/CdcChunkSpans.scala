@@ -51,22 +51,10 @@ case class CdcChunkSpans(child: Expression, divisor: Int)
 object CdcChunkSpans {
   private final val Mod = 1000000007L
 
-  /** 31-polynomial char hash mod 1e9+7 over the word's Unicode code
-    * points — the kernel replay of
-    * `aggregate(filter(split(w, ''), c -> c <> ''), 0L, (a, c) -> pmod(a * 31 + ascii(c), 1000000007L))`
-    * (`ascii` returns the leading code point; iterating code points is
-    * the same sequence `split(w, '')` yields for BMP-and-below text). */
-  private def wordHash(s: String): Long = {
-    var a = 0L
-    var i = 0
-    val n = s.length
-    while (i < n) {
-      val cp = s.codePointAt(i)
-      a = (a * 31 + cp) % Mod
-      i += Character.charCount(cp)
-    }
-    a
-  }
+  // Per-word hash is [[CharPolyHash.hash]] — the ONE implementation of
+  // the spec-pinned 31-polynomial mod-1e9+7 code-point hash (a second
+  // copy here could silently drift from the one the fingerprint
+  // operators grade against).
 
   def spans(words: ArrayData, divisor: Int): ArrayData = {
     val m = words.numElements()
@@ -76,7 +64,7 @@ object CdcChunkSpans {
     var i = 0
     while (i < m) {
       val u = words.getUTF8String(i)
-      if (u != null && u.numBytes() > 0) { h(n) = wordHash(u.toString); n += 1 }
+      if (u != null && u.numBytes() > 0) { h(n) = CharPolyHash.hash(u); n += 1 }
       i += 1
     }
     if (n == 0) return new GenericArrayData(Array.empty[Any])

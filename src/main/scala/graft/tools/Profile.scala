@@ -24,8 +24,11 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // queries is a def that rebuilds the full entry map per access —
+    // materialize it once for the lookup loop
+    val qs = graft.SparkEntry.queries
     names.foreach { name =>
-      val fn = graft.SparkEntry.queries(name)
+      val fn = qs(name)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()

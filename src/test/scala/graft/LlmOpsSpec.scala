@@ -522,6 +522,37 @@ class LlmOpsSpec extends SparkSpec {
       "the fully-boilerplate doc must be absent")
   }
 
+  test("boilerplate removal: broadcast and distributed bad-set paths are byte-identical") {
+    // richer corpus than the banner fixtures: two sources, each with its
+    // own banner above the df threshold, a cross-source banner below the
+    // per-source threshold, an all-boilerplate doc, and unique bodies —
+    // every behavior the other boilerplate specs pin, exercised through
+    // BOTH plans
+    val bannerA = "cookie notice accept all terms privacy contact footer"
+    val bannerB = "subscribe now daily newsletter special offer limited time"
+    val shared = "shared banner words here"
+    val docs = ((0 until 6).map(i =>
+        (i.toLong, s"$bannerA body${i}a body${i}b body${i}c body${i}d", "a")) ++
+      (6 until 12).map(i =>
+        (i.toLong, s"$bannerB body${i}a body${i}b body${i}c body${i}d", "b")) ++
+      Seq((12L, bannerA, "a"),
+          (13L, s"$shared uniq13 one two three", "a"),
+          (14L, s"$shared uniq14 four five six", "b")))
+      .toDF("doc_id", "text", "source")
+    val bc = TextOps.boilerplateRemove(docs, blockWords = 4, maxDf = 3,
+        broadcastBadSets = true)
+      .as[(Long, Int, Long, String)].collect().sortBy(_._1).toSeq
+    val dist = TextOps.boilerplateRemove(docs, blockWords = 4, maxDf = 3,
+        broadcastBadSets = false)
+      .as[(Long, Int, Long, String)].collect().sortBy(_._1).toSeq
+    assert(bc === dist)
+    // sanity on content, not just parity: banners dropped, bodies intact,
+    // the all-boilerplate doc gone, the under-threshold banner kept
+    assert(!bc.exists(_._1 == 12L))
+    assert(bc.find(_._1 == 0L).get._4 === "body0a body0b body0c body0d")
+    assert(bc.find(_._1 == 13L).get._4.startsWith("shared banner"))
+  }
+
   test("boilerplate removal: df threshold is per-source, not corpus-wide") {
     // the same banner in two docs of each of two sources: per-source df=2
     // stays under maxDf=3 even though corpus-wide df=4 would exceed it
