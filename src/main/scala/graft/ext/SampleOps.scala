@@ -165,8 +165,12 @@ object SampleOps {
     * Precondition: weights must satisfy w < 2³² (w·P must fit in Long;
     * P = 2³¹−1). Quality-score weights (token counts, TTR scores) are
     * orders of magnitude below this; for heavier weights (raw byte
-    * counts of TB-scale blobs) rescale the weight column first —
-    * priority sampling is invariant under a constant weight rescale. */
+    * counts of TB-scale blobs) rescale the weight column first. The
+    * real-valued priority order w/u is invariant under a constant
+    * rescale; the INTEGER priority preserves it except where floor
+    * rounding collapses near-equal priorities into a tie (then the key
+    * tie-break decides) — a rescale can therefore swap members of the
+    * selection boundary's tie class, never anything ranked strictly. */
   def weightedExactK(df: DataFrame, key: String, weight: Column,
                      k: Int): DataFrame = {
     val P = 2147483647L

@@ -216,4 +216,53 @@ class CommitSinkSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(back === Seq(("a", 1L)))
   }
+
+  test("interleaved queries on one path: commit, abort, and truncate stay isolated") {
+    // The scaladoc's concurrency claims, driven as a real interleaving
+    // (the sequential two-append test can't show them): while one
+    // query's task outputs sit staged, ANOTHER query commits, aborts,
+    // or truncates on the same path — and neither the in-flight temp
+    // files nor the other query's committed parts are ever touched.
+    import graft.sources.{CommitMsg, CommitSinkBatchWrite}
+    import org.apache.spark.sql.connector.write.WriterCommitMessage
+    val schema = org.apache.spark.sql.types.StructType(Nil)
+    def stage(dir: String, qid: String, row: String): (Array[WriterCommitMessage], java.nio.file.Path) = {
+      val tmp = Paths.get(dir, "_temporary", qid)
+      Files.createDirectories(tmp)
+      val f = tmp.resolve("0-0.csv")
+      Files.writeString(f, s"$row\n")
+      (Array[WriterCommitMessage](CommitMsg(f.toString, 0, 0L, 1L)), f)
+    }
+    val dir = freshDir()
+    // generation A committed through the normal Spark path
+    write(Seq(("a", 1L)).toDF("k", "v").repartition(1), dir, "append")
+    val genA = parts(dir).toSet
+    // B and C both in flight (staged, uncommitted) with distinct queryIds
+    val (bMsgs, _) = stage(dir, "qB", "b,2")
+    val (cMsgs, cTmp) = stage(dir, "qC", "c,3")
+    // B commits while C's temp files are live: C must be untouched
+    new CommitSinkBatchWrite(schema, dir, "qB", false).commit(bMsgs)
+    assert(Files.exists(cTmp), "a commit must not sweep another query's temp")
+    assert(parts(dir).toSet.size === 2, s"A + B visible: ${parts(dir)}")
+    // C aborts: only C's temp goes; A's and B's committed parts stay
+    new CommitSinkBatchWrite(schema, dir, "qC", false).abort(cMsgs)
+    assert(!Files.exists(cTmp), "abort must sweep its own temp")
+    assert(genA.subsetOf(parts(dir).toSet) && parts(dir).size === 2,
+      s"abort must not touch other queries' parts: ${parts(dir)}")
+    // D (truncate) commits while E (append) is still staged: the
+    // truncate replaces every COMMITTED part but must leave E's
+    // in-flight temp alone; E then lands beside D
+    val (dMsgs, _) = stage(dir, "qD", "d,4")
+    val (eMsgs, eTmp) = stage(dir, "qE", "e,5")
+    new CommitSinkBatchWrite(schema, dir, "qD", true).commit(dMsgs)
+    assert(Files.exists(eTmp), "truncate must not sweep another query's temp")
+    assert(parts(dir).forall(_.startsWith("part-qD-")),
+      s"truncate replaces all committed parts: ${parts(dir)}")
+    new CommitSinkBatchWrite(schema, dir, "qE", false).commit(eMsgs)
+    val back = spark.read.schema("k STRING, v BIGINT").csv(dir)
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(back === Seq(("d", 4L), ("e", 5L)), s"got $back")
+    assert(!Files.exists(Paths.get(dir, "_temporary")),
+      "all temp swept once every query has resolved")
+  }
 }

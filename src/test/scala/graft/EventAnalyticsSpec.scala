@@ -96,4 +96,33 @@ class EventAnalyticsSpec extends SparkSpec {
       .head().getDouble(0)
     assert(math.abs(chk - 1.0) < 0.01, s"lift mass should normalize, got $chk")
   }
+
+  test("anomaly flags are two-sided: an outage dip flags like a spike") {
+    // constant 10/hour, one dip hour (1) then one spike hour (50); the
+    // dip's trailing frame is all-constant (variance 0, any deviation
+    // flags), the spike deviates far beyond 3σ of its frame — both must
+    // flag, and only they; warm-up hours (c < 2) must stay unjudged
+    val rows = for {
+      h <- 0 until 30
+      n = if (h == 20) 1 else if (h == 25) 50 else 10
+      i <- 0 until n
+    } yield (new Timestamp(h * 3600000L + i * 1000L), "x")
+    val ev = rows.toDF("ts", "event_type")
+    val out = EventAnalytics.anomalyFlags(ev, sigmas = 3)
+      .select("n", "is_anomaly").as[(Long, Boolean)].collect()
+    val flagged = out.filter(_._2).map(_._1).sorted.toSeq
+    assert(flagged === Seq(1L, 50L),
+      s"exactly the dip and the spike must flag, got $flagged")
+    // all 28 constant hours emit false — including hours 0/1, whose
+    // trailing frames are too small to judge (c < 2)
+    assert(out.count(r => !r._2 && r._1 == 10L) === 28,
+      "constant hours (incl. the two warm-up hours) must not flag")
+  }
+
+  test("ohlcRollup rejects a fine width that straddles the coarse bar") {
+    val ev = Seq((new Timestamp(0L), "x", 1.0, 1L))
+      .toDF("ts", "event_type", "value", "event_id")
+    intercept[IllegalArgumentException] { EventAnalytics.ohlcRollup(ev, 7) }
+    intercept[IllegalArgumentException] { EventAnalytics.ohlcRollup(ev, 0) }
+  }
 }
