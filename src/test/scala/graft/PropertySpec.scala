@@ -286,4 +286,81 @@ class PropertySpec extends SparkSpec {
       assert(kept.subsetOf(boosted))
     }
   }
+
+  /** Tie-heavy generator for the as-of differentials: sub-second ms
+    * offsets (the unix_timestamp second-truncation seam), few users, a
+    * narrow second range, and colliding event_ids — exactly the ties
+    * the fixture's wide id/ts space almost never produces. */
+  private val tieEvGen: Gen[Ev] = for {
+    id <- Gen.choose(0L, 40L)
+    secs <- Gen.choose(0L, 30L)
+    ms <- Gen.oneOf(0L, 250L, 500L, 750L)
+    user <- Gen.choose(0L, 3L)
+    typ <- Gen.oneOf("click", "view", "purchase")
+  } yield Ev(id, new Timestamp(1704067200000L + secs * 1000 + ms), user, typ, 1.0)
+
+  test("as-of joins match a driver-side replay on tie-heavy random batches") {
+    import graft.ops.AsOfJoin
+    val tol = 5L
+    def sec(ms: Long) = Math.floorDiv(ms, 1000L)
+    type Row4 = (Long, Long, Option[Long], Option[Long])
+    def brute(batch: List[Ev], forward: Boolean): Seq[Row4] =
+      batch.filter(_.event_type == "purchase").map { l =>
+        val cands = batch.filter(e => e.event_type == "click" &&
+          e.user_id == l.user_id &&
+          (if (forward) e.ts.getTime >= l.ts.getTime
+           else e.ts.getTime <= l.ts.getTime))
+        // backward: latest ts wins; forward: earliest ts wins — at
+        // equal ts both directions keep the larger event_id
+        val best = cands.sortBy(e =>
+          (if (forward) e.ts.getTime else -e.ts.getTime, -e.event_id))
+          .headOption
+        val gap = best.map(r =>
+          if (forward) sec(r.ts.getTime) - sec(l.ts.getTime)
+          else sec(l.ts.getTime) - sec(r.ts.getTime))
+        val in = best.nonEmpty && gap.get <= tol
+        (l.event_id, l.user_id,
+          if (in) Some(best.get.event_id) else None,
+          if (in) gap else None)
+      }.sorted.toSeq
+    def got(df: org.apache.spark.sql.DataFrame): Seq[Row4] =
+      df.as[(Long, Long, Option[Long], Option[Long])].collect().sorted.toSeq
+    val gen = Gen.listOfN(70, tieEvGen)
+    val params = Gen.Parameters.default
+    Iterator.iterate(Seed(905L))(_.next)
+      .map(s => gen.apply(params, s)).collect { case Some(b) => b }
+      .take(6).foreach { batch =>
+        val df = batch.toDF()
+        assert(got(AsOfJoin.attribution(df, "purchase", "click", tol))
+          === brute(batch, forward = false), "backward as-of diverged")
+        assert(got(AsOfJoin.attributionForward(df, "purchase", "click", tol))
+          === brute(batch, forward = true), "forward as-of diverged")
+      }
+  }
+
+  test("both sessionize forms match a driver-side replay on tie-heavy batches") {
+    import graft.ops.Sessionize
+    val gap = 5L
+    def brute(batch: List[Ev]): Map[Long, Long] =
+      batch.groupBy(_.user_id).map { case (u, evs) =>
+        val ts = evs.sortBy(e => (e.ts.getTime, e.event_id)).map(_.ts.getTime)
+        u -> (1L + ts.zip(ts.tail).count { case (a, b) =>
+          b / 1000 - a / 1000 > gap })
+      }
+    val gen = Gen.listOfN(70, tieEvGen)
+    val params = Gen.Parameters.default
+    Iterator.iterate(Seed(1217L))(_.next)
+      .map(s => gen.apply(params, s)).collect { case Some(b) => b }
+      .take(5).foreach { batch =>
+        val df = batch.toDF()
+        val want = brute(batch)
+        val grouped = Sessionize.sessionsPerUser(spark, df, gap)
+          .as[(Long, Long)].collect().toMap
+        assert(grouped === want, "flatMapGroups form diverged")
+        val secondary = Sessionize
+          .sessionsPerUserSecondarySort(spark, df, gap)
+          .as[(Long, Long)].collect().toMap
+        assert(secondary === want, "secondary-sort form diverged")
+      }
+  }
 }
