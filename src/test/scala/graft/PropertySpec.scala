@@ -363,4 +363,88 @@ class PropertySpec extends SparkSpec {
         assert(secondary === want, "secondary-sort form diverged")
       }
   }
+
+  test("bucketed range join emits exactly the brute-force pair multiset") {
+    import graft.ops.RangeJoin
+    val win = 5L
+    def sec(ms: Long) = Math.floorDiv(ms, 1000L)
+    def brute(batch: List[Ev]): Seq[(Long, Long, Long, Long)] =
+      (for {
+        l <- batch if l.event_type == "purchase"
+        r <- batch if r.event_type == "click" && r.user_id == l.user_id
+        gap = sec(l.ts.getTime) - sec(r.ts.getTime)
+        if gap >= 0 && gap <= win
+      } yield (l.event_id, r.event_id, l.user_id, gap)).sorted
+    val gen = Gen.listOfN(70, tieEvGen)
+    val params = Gen.Parameters.default
+    Iterator.iterate(Seed(2331L))(_.next)
+      .map(s => gen.apply(params, s)).collect { case Some(b) => b }
+      .take(5).foreach { batch =>
+        // multiset compare (sorted seq, not set): the bucketed join's
+        // exactly-once claim means a pair duplicated by the two-bucket
+        // explode must FAIL, not collapse
+        val got = RangeJoin
+          .trailingWindowPairs(batch.toDF(), "purchase", "click", win)
+          .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+        assert(got === brute(batch), "range-join pair multiset diverged")
+      }
+  }
+
+  test("top-k per group matches a driver-side replay of the tie rules") {
+    import graft.ops.Windows
+    // unit values make every total an exact small integer (a float-sum
+    // replay would hinge on summation order); the interesting seam is
+    // the (desc total, asc user) tie-break, which collisions hit hard
+    val k = 3
+    def brute(batch: List[Ev]): Seq[(String, Long, Double, Int)] =
+      batch.groupBy(e => (e.event_type, e.user_id)).toSeq
+        .map { case ((t, u), es) => (t, u, es.size.toDouble) }
+        .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+          rows.sortBy(r => (-r._3, r._2)).zipWithIndex.take(k)
+            .map { case ((t, u, v), i) => (t, u, v, i + 1) }
+        }.sorted
+    val gen = Gen.listOfN(70, tieEvGen)
+    val params = Gen.Parameters.default
+    Iterator.iterate(Seed(3449L))(_.next)
+      .map(s => gen.apply(params, s)).collect { case Some(b) => b }
+      .take(5).foreach { batch =>
+        val got = Windows.topKPerGroup(batch.toDF(), k)
+          .as[(String, Long, Double, Int)].collect().sorted.toSeq
+        assert(got === brute(batch), "top-k per group diverged")
+      }
+  }
+
+  /** Day-spread generator for the streaks replay (tieEvGen's 31-second
+    * span never crosses a date line). */
+  private val dayEvGen: Gen[Ev] = for {
+    id <- Gen.choose(0L, 40L)
+    day <- Gen.choose(0L, 9L)
+    secs <- Gen.choose(0L, 86399L)
+    user <- Gen.choose(0L, 3L)
+  } yield Ev(id, new Timestamp(1704067200000L + day * 86400000L + secs * 1000L),
+    user, "click", 1.0)
+
+  test("activity streaks match a driver-side gaps-and-islands replay") {
+    import graft.ops.Sessionize
+    def brute(batch: List[Ev]): Map[Long, (Long, Long, Long)] =
+      batch.groupBy(_.user_id).map { case (u, evs) =>
+        val days = evs.map(e =>
+          Math.floorDiv(e.ts.getTime, 86400000L)).distinct.sorted
+        val runs = days.foldLeft(List.empty[Long]) {
+          case (len :: rest, d) if days.contains(d - 1) => (len + 1) :: rest
+          case (acc, _) => 1L :: acc
+        }
+        u -> (days.size.toLong, runs.max, runs.size.toLong)
+      }
+    val gen = Gen.listOfN(50, dayEvGen)
+    val params = Gen.Parameters.default
+    Iterator.iterate(Seed(4567L))(_.next)
+      .map(s => gen.apply(params, s)).collect { case Some(b) => b }
+      .take(5).foreach { batch =>
+        val got = Sessionize.activityStreaks(batch.toDF())
+          .as[(Long, Long, Long, Long)].collect()
+          .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+        assert(got === brute(batch), "streaks diverged")
+      }
+  }
 }
