@@ -47,6 +47,13 @@ class PropertySpec extends SparkSpec {
       assert(dd.count() === df.select("user_id").distinct().count())
       val dd2 = Dedup.firstPerKey(dd, "user_id", "event_id")
       assert(dd.exceptAll(dd2).isEmpty)
+      // the kept (key, tiebreak) pair is deterministic even when ids
+      // collide: always the user's minimum event_id
+      val pairs = dd.select("user_id", "event_id")
+        .as[(Long, Long)].collect().toMap
+      val want = batch.groupBy(_.user_id)
+        .map { case (u, es) => u -> es.map(_.event_id).min }
+      assert(pairs === want, "first-per-key did not keep the min tiebreak")
     }
   }
 
