@@ -454,4 +454,58 @@ class PropertySpec extends SparkSpec {
         assert(got === brute(batch), "streaks diverged")
       }
   }
+
+  test("funnel matches a strictly-after replay on same-instant stage events") {
+    import graft.ops.EventAnalytics
+    val stages = Seq("view", "click", "purchase")
+    def brute(batch: List[Ev]): Seq[Long] = {
+      val byUser = batch.groupBy(_.user_id)
+      stages.indices.map { k =>
+        byUser.values.count { evs =>
+          // fold stage by stage: earliest event of stage i strictly
+          // after the reached time of stage i-1 (None = not reached)
+          stages.take(k + 1).foldLeft(Option(Long.MinValue)) {
+            (reached, st) => reached.flatMap { t =>
+              val c = evs.filter(e => e.event_type == st && e.ts.getTime > t)
+              if (c.isEmpty) None else Some(c.map(_.ts.getTime).min)
+            }
+          }.nonEmpty
+        }.toLong
+      }
+    }
+    val gen = Gen.listOfN(70, tieEvGen)
+    val params = Gen.Parameters.default
+    Iterator.iterate(Seed(5881L))(_.next)
+      .map(s => gen.apply(params, s)).collect { case Some(b) => b }
+      .take(5).foreach { batch =>
+        val row = EventAnalytics.funnel(batch.toDF(), stages).head()
+        val got = stages.indices.map(row.getLong)
+        assert(got === brute(batch), "funnel counts diverged")
+        assert(got === got.sorted.reverse, "funnel must be non-increasing")
+      }
+  }
+
+  test("retention cohorts match a driver-side week replay") {
+    import graft.ops.EventAnalytics
+    val epochMs = 1704067200000L // 2024-01-01, UTC session tz
+    def brute(batch: List[Ev]): Map[(Long, Long), Long] = {
+      def week(e: Ev) =
+        Math.floorDiv(Math.floorDiv(e.ts.getTime - epochMs, 86400000L), 7L)
+      val cohort = batch.groupBy(_.user_id)
+        .map { case (u, es) => u -> es.map(week).min }
+      batch.map(e => (cohort(e.user_id), week(e) - cohort(e.user_id), e.user_id))
+        .distinct.groupBy(t => (t._1, t._2))
+        .map { case (k, v) => k -> v.size.toLong }
+    }
+    val gen = Gen.listOfN(50, dayEvGen)
+    val params = Gen.Parameters.default
+    Iterator.iterate(Seed(6007L))(_.next)
+      .map(s => gen.apply(params, s)).collect { case Some(b) => b }
+      .take(5).foreach { batch =>
+        val got = EventAnalytics.retentionCohorts(batch.toDF(), "2024-01-01")
+          .as[(Long, Long, Long)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+        assert(got === brute(batch), "retention triangle diverged")
+      }
+  }
 }
