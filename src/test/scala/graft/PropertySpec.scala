@@ -508,4 +508,57 @@ class PropertySpec extends SparkSpec {
         assert(got === brute(batch), "retention triangle diverged")
       }
   }
+
+  /** Sparse-hour generator for the interpolation replay: 35 events over
+    * 41 hours × 2 types leaves plenty of gaps AND type-specific edge
+    * cells (a type absent at the global spine's ends). Integer-valued
+    * `value` keeps cents exact — no round() ambiguity in the replay. */
+  private val hourEvGen: Gen[Ev] = for {
+    id <- Gen.choose(0L, 40L)
+    h <- Gen.choose(0L, 40L)
+    user <- Gen.choose(0L, 3L)
+    typ <- Gen.oneOf("click", "view")
+    v <- Gen.choose(0, 50)
+  } yield Ev(id, new Timestamp(1704067200000L + h * 3600000L), user, typ,
+    v.toDouble)
+
+  test("hourly interpolation matches an integer replay incl. NULL edges") {
+    import graft.ops.EventAnalytics
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:00").withZone(java.time.ZoneOffset.UTC)
+    def brute(batch: List[Ev]): Map[(String, String), (Option[Long], Boolean)] = {
+      val cents = batch.groupBy(e =>
+          (e.ts.getTime / 3600000L, e.event_type))
+        .map { case (k, es) => k -> es.map(e => (e.value * 100).toLong).sum }
+      val hours = batch.map(_.ts.getTime / 3600000L)
+      val types = batch.map(_.event_type).distinct
+      (for {
+        hx <- hours.min to hours.max; t <- types
+      } yield {
+        val key = (fmt.format(java.time.Instant.ofEpochMilli(hx * 3600000L)), t)
+        cents.get((hx, t)) match {
+          case Some(v) => key -> (Some(v), false)
+          case None =>
+            val prev = cents.keys.filter(k => k._2 == t && k._1 < hx)
+              .map(_._1).maxOption
+            val next = cents.keys.filter(k => k._2 == t && k._1 > hx)
+              .map(_._1).minOption
+            val interp = for { ph <- prev; nh <- next } yield
+              (cents((ph, t)) * (nh - hx) + cents((nh, t)) * (hx - ph)) /
+                (nh - ph)
+            key -> (interp, true)
+        }
+      }).toMap
+    }
+    val gen = Gen.listOfN(35, hourEvGen)
+    val params = Gen.Parameters.default
+    Iterator.iterate(Seed(7129L))(_.next)
+      .map(s => gen.apply(params, s)).collect { case Some(b) => b }
+      .take(5).foreach { batch =>
+        val got = EventAnalytics.interpolateHourly(batch.toDF())
+          .as[(String, String, Option[Long], Boolean)].collect()
+          .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+        assert(got === brute(batch), "interpolation series diverged")
+      }
+  }
 }
