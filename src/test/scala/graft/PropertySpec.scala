@@ -561,4 +561,34 @@ class PropertySpec extends SparkSpec {
         assert(got === brute(batch), "interpolation series diverged")
       }
   }
+
+  test("sequence packing matches the greedy first-fit replay exactly") {
+    import graft.ext.PackOps
+    val mix = 2654435761L
+    val (budget, shards) = (40, 3)
+    def brute(docs: Seq[(Long, Int)]): Map[Long, (Long, Long)] =
+      docs.map { case (id, n) =>
+        (id, java.lang.Math.floorMod(id * mix, shards.toLong), n.toLong)
+      }.groupBy(_._2).flatMap { case (sh, rows) =>
+        var seq = 0L; var acc = 0L
+        rows.sortBy(_._1).map { case (id, _, n) =>
+          if (acc > 0 && acc + n > budget) { seq += 1; acc = 0L }
+          acc += n
+          id -> (sh, seq)
+        }
+      }
+    val docGen = Gen.choose(1, 60) // token counts incl. oversized (> budget)
+    val params = Gen.Parameters.default
+    Iterator.iterate(Seed(8191L))(_.next)
+      .map(s => Gen.listOfN(50, docGen).apply(params, s))
+      .collect { case Some(ns) => ns.zipWithIndex.map { case (n, i) => (i.toLong, n) } }
+      .take(5).foreach { docs =>
+        val df = docs.map { case (id, n) =>
+          (id, (1 to n).map(_ => "w").mkString(" ")) }.toDF("doc_id", "text")
+        val got = PackOps.packSequences(df, budget, shards)
+          .as[(Long, Long, Long)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+        assert(got === brute(docs), "packing assignment diverged")
+      }
+  }
 }
