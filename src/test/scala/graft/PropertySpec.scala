@@ -591,4 +591,69 @@ class PropertySpec extends SparkSpec {
         assert(got === brute(docs), "packing assignment diverged")
       }
   }
+
+  /** Ten users over 24 distinct hours-of-day — dense enough that cosine
+    * ties and shared-hour sparsity both occur. */
+  private val profileEvGen: Gen[Ev] = for {
+    id <- Gen.choose(0L, 200L)
+    h <- Gen.choose(0L, 23L)
+    user <- Gen.choose(0L, 9L)
+  } yield Ev(id, new Timestamp(1704067200000L + h * 3600000L), user, "click", 1.0)
+
+  test("profile top-k matches an integer-dot cosine replay with its tie order") {
+    import graft.ops.EventAnalytics
+    def round6(x: Double): Double =
+      BigDecimal.valueOf(x)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    def brute(batch: List[Ev], k: Int): Seq[(Long, Double)] = {
+      val counts = batch.groupBy(e => (e.user_id, e.ts.getTime / 3600000L % 24))
+        .map { case (key, es) => key -> es.size.toLong }
+      val qu = batch.map(_.user_id).min
+      val qn = counts.collect { case ((u, h), n) if u == qu => h -> n }
+      val q2 = qn.values.map(n => n * n).sum
+      counts.keys.map(_._1).filter(_ != qu).toSeq.distinct.flatMap { u =>
+        val dot = qn.map { case (h, n) => counts.getOrElse((u, h), 0L) * n }.sum
+        // users sharing no hour with the query user never enter the
+        // dots join — they are absent, not zero-scored
+        if (dot == 0) None
+        else {
+          val n2 = counts.collect { case ((`u`, _), n) => n * n }.sum
+          Some(u -> round6(dot / math.sqrt(n2.toDouble * q2)))
+        }
+      }.sortBy { case (u, c) => (-c, u) }.take(k)
+    }
+    val gen = Gen.listOfN(80, profileEvGen)
+    val params = Gen.Parameters.default
+    Iterator.iterate(Seed(9277L))(_.next)
+      .map(s => gen.apply(params, s)).collect { case Some(b) => b }
+      .take(5).foreach { batch =>
+        val got = EventAnalytics.profileTopK(batch.toDF(), 5)
+          .as[(Long, Double)].collect().toSeq
+        assert(got === brute(batch, 5), "profile top-k diverged")
+      }
+  }
+
+  test("trailing actives match a window-membership replay on observed days") {
+    import graft.ops.EventAnalytics
+    def brute(batch: List[Ev], w: Int): Map[Long, Long] = {
+      val userDays = batch.map(e =>
+        (e.user_id, Math.floorDiv(e.ts.getTime - 1704067200000L, 86400000L)))
+        .distinct
+      val days = userDays.map(_._2).distinct
+      days.map { wd =>
+        wd -> userDays.collect {
+          case (u, d) if d <= wd && d > wd - w => u
+        }.distinct.size.toLong
+      }.toMap
+    }
+    val gen = Gen.listOfN(50, dayEvGen)
+    val params = Gen.Parameters.default
+    Iterator.iterate(Seed(10501L))(_.next)
+      .map(s => gen.apply(params, s)).collect { case Some(b) => b }
+      .take(5).foreach { batch =>
+        val got = EventAnalytics.trailingActiveUsers(batch.toDF(), 7)
+          .as[(Long, Long)].collect().toMap
+        assert(got === brute(batch, 7), "trailing actives diverged")
+      }
+  }
 }
