@@ -656,4 +656,43 @@ class PropertySpec extends SparkSpec {
         assert(got === brute(batch, 7), "trailing actives diverged")
       }
   }
+
+  test("mix rebalance and temperature mix keep exactly the replayed members") {
+    import graft.ext.SampleOps
+    val mix = 2654435761L
+    val P = 1000000007L
+    def rank(keys: Seq[Long], take: Long): Set[Long] =
+      keys.sortBy(k => (java.lang.Math.floorMod(k * mix, P), k))
+        .take(take.toInt).toSet
+    // skewed groups: one dominant language plus a tail
+    val docGen = Gen.frequency(
+      6 -> Gen.const("en"), 2 -> Gen.const("fr"),
+      1 -> Gen.const("de"), 1 -> Gen.const("sw"))
+    val params = Gen.Parameters.default
+    Iterator.iterate(Seed(11813L))(_.next)
+      .map(s => Gen.listOfN(60, docGen).apply(params, s))
+      .collect { case Some(gs) =>
+        gs.zipWithIndex.map { case (g, i) => (i.toLong, g) } }
+      .take(5).foreach { docs =>
+        val byG = docs.groupBy(_._2).map { case (g, xs) => g -> xs.map(_._1) }
+        val df = docs.toDF("doc_id", "lang")
+        // rebalance: cap = floor(mean group size), smallest keyed hashes
+        val cap = math.floor(
+          byG.values.map(_.size).sum.toDouble / byG.size).toLong
+        val wantReb = byG.flatMap { case (_, ks) => rank(ks, cap) }.toSet
+        val gotReb = SampleOps.rebalanceToMeanShare(df, "lang", "doc_id")
+          .select("doc_id").as[Long].collect().toSet
+        assert(gotReb === wantReb, "rebalance membership diverged")
+        // temperature: target = min(n_g, ((n_total div 2) * floor(sqrt n_g)) div SUM w)
+        val sw = byG.values.map(ks => math.sqrt(ks.size.toDouble).toLong).sum
+        val half = docs.size.toLong / 2
+        val wantTmp = byG.flatMap { case (_, ks) =>
+          val w = math.sqrt(ks.size.toDouble).toLong
+          rank(ks, math.min(ks.size.toLong, half * w / sw))
+        }.toSet
+        val gotTmp = SampleOps.temperatureMix(df, "lang", "doc_id")
+          .select("doc_id").as[Long].collect().toSet
+        assert(gotTmp === wantTmp, "temperature-mix membership diverged")
+      }
+  }
 }
