@@ -695,4 +695,34 @@ class PropertySpec extends SparkSpec {
         assert(gotTmp === wantTmp, "temperature-mix membership diverged")
       }
   }
+
+  test("transition matrix matches an exact replay of counts and lift") {
+    import graft.ops.EventAnalytics
+    def round4(x: Double): Double =
+      BigDecimal.valueOf(x)
+        .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    def brute(batch: List[Ev]): Map[(String, String), (Long, Double)] = {
+      val trans = batch.groupBy(_.user_id).values.toSeq.flatMap { evs =>
+        val s = evs.sortBy(e => (e.ts.getTime, e.event_id)).map(_.event_type)
+        s.zip(s.tail)
+      }
+      val n = trans.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val total = trans.size.toLong
+      val nFrom = n.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+      val nTo = n.groupBy(_._1._2).map { case (t, m) => t -> m.values.sum }
+      n.map { case ((f, t), c) =>
+        (f, t) -> (c, round4(
+          c.toDouble * total / (nFrom(f).toDouble * nTo(t)))) }
+    }
+    val gen = Gen.listOfN(70, tieEvGen)
+    val params = Gen.Parameters.default
+    Iterator.iterate(Seed(13499L))(_.next)
+      .map(s => gen.apply(params, s)).collect { case Some(b) => b }
+      .take(5).foreach { batch =>
+        val got = EventAnalytics.transitionMatrix(batch.toDF())
+          .as[(String, String, Long, Double)].collect()
+          .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+        assert(got === brute(batch), "transition matrix diverged")
+      }
+  }
 }
