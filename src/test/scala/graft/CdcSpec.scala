@@ -98,17 +98,18 @@ class CdcSpec extends SparkSpec {
           cur.foreach(state.update)
           out.iterator
       }
+    val table = freshSinkName("scd2_stream")
     val q = closed.toDF("version_id", "from_ms", "to_ms")
-      .writeStream.format("memory").queryName("scd2_stream")
+      .writeStream.format("memory").queryName(table)
       .outputMode("append").start()
     try {
       ms.addData(ev(1, "2024-01-01 10:00:00", 1, "signup"))
       q.processAllAvailable()
-      assert(spark.table("scd2_stream").count() == 0,
+      assert(spark.table(table).count() == 0,
         "open version must not emit")
       ms.addData(ev(2, "2024-01-01 11:00:00", 1, "upgrade"))
       q.processAllAvailable()
-      val rows = spark.table("scd2_stream")
+      val rows = spark.table(table)
         .as[(Long, Long, Long)].collect().toSet
       val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
       val t1 = java.sql.Timestamp.valueOf("2024-01-01 11:00:00").getTime

@@ -45,18 +45,19 @@ class StreamingSpec extends SparkSpec {
   test("T3 update-mode micro-batches grow monotonically") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Ev]
+    val table = freshSinkName("t3_mono")
     val q = ms.toDF().groupBy("event_type").agg(sum("value").as("total"))
-      .writeStream.format("memory").queryName("t3_mono")
+      .writeStream.format("memory").queryName(table)
       .outputMode("complete").start()
     try {
       ms.addData(ev(1, "2024-01-01 00:00:00", 1, "click", 1.0))
       q.processAllAvailable()
-      val after1 = spark.table("t3_mono").as[(String, Double)].collect().toMap
+      val after1 = spark.table(table).as[(String, Double)].collect().toMap
       assert(after1 === Map("click" -> 1.0))
       ms.addData(ev(2, "2024-01-01 00:01:00", 2, "click", 2.0),
                  ev(3, "2024-01-01 00:02:00", 3, "view", 5.0))
       q.processAllAvailable()
-      val after2 = spark.table("t3_mono").as[(String, Double)].collect().toMap
+      val after2 = spark.table(table).as[(String, Double)].collect().toMap
       assert(after2 === Map("click" -> 3.0, "view" -> 5.0))
     } finally q.stop()
   }
@@ -64,10 +65,11 @@ class StreamingSpec extends SparkSpec {
   test("T2/T4 watermark drops late data in append-mode window agg") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Ev]
+    val table = freshSinkName("t4_late")
     val q = ms.toDF()
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "10 minutes")).agg(count(lit(1)).as("n"))
-      .writeStream.format("memory").queryName("t4_late")
+      .writeStream.format("memory").queryName(table)
       .outputMode("append").start()
     try {
       // batch 1: two rows in the 00:00 window
@@ -83,7 +85,7 @@ class StreamingSpec extends SparkSpec {
       // batch 4: close the 01:00 window so it flushes too
       ms.addData(ev(5, "2024-01-01 02:00:00", 5, "click", 1.0))
       q.processAllAvailable()
-      val counts = spark.table("t4_late")
+      val counts = spark.table(table)
         .select(date_format(col("window.start"), "HH:mm").as("w"), col("n"))
         .as[(String, Long)].collect().toMap
       assert(counts("00:00") === 2L, "late row must not be re-counted")
@@ -94,8 +96,9 @@ class StreamingSpec extends SparkSpec {
   test("T5 streaming dedup emits each key once across micro-batches") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Ev]
+    val table = freshSinkName("t5_once")
     val q = ms.toDF().dropDuplicates("user_id").select("user_id")
-      .writeStream.format("memory").queryName("t5_once")
+      .writeStream.format("memory").queryName(table)
       .outputMode("append").start()
     try {
       ms.addData(ev(1, "2024-01-01 00:00:00", 10, "a", 1.0),
@@ -104,7 +107,7 @@ class StreamingSpec extends SparkSpec {
       ms.addData(ev(3, "2024-01-01 00:00:02", 10, "a", 1.0),
                  ev(4, "2024-01-01 00:00:03", 20, "a", 1.0))
       q.processAllAvailable()
-      val users = spark.table("t5_once").as[Long].collect().sorted
+      val users = spark.table(table).as[Long].collect().sorted
       assert(users.toSeq === Seq(10L, 20L))
     } finally q.stop()
   }
@@ -112,11 +115,12 @@ class StreamingSpec extends SparkSpec {
   test("T5 scale path: dropDuplicatesWithinWatermark bounds state and dedups in-window") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Ev]
+    val table = freshSinkName("t5_wm")
     val q = ms.toDF()
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("user_id")
       .select("user_id", "event_id")
-      .writeStream.format("memory").queryName("t5_wm")
+      .writeStream.format("memory").queryName(table)
       .outputMode("append").start()
     try {
       // in-window duplicate of user 1 -> dropped
@@ -130,7 +134,7 @@ class StreamingSpec extends SparkSpec {
       // documented trade-off vs the reference's Postgres-forever UNIQUE)
       ms.addData(ev(4, "2024-01-01 05:01:00", 1, "a", 1.0))
       q.processAllAvailable()
-      val out = spark.table("t5_wm").as[(Long, Long)].collect().toSet
+      val out = spark.table(table).as[(Long, Long)].collect().toSet
       assert(out === Set((1L, 1L), (2L, 3L), (1L, 4L)))
     } finally q.stop()
   }
@@ -189,12 +193,13 @@ class StreamingSpec extends SparkSpec {
     val ms = MemoryStream[Ev]
     ms.addData(ev(1, "2024-01-01 00:00:00", 1, "a", 1.0),
                ev(2, "2024-01-01 00:00:01", 2, "b", 2.0))
+    val table = freshSinkName("t6_avnow")
     val q = ms.toDF().groupBy("event_type").agg(count(lit(1)).as("n"))
-      .writeStream.format("memory").queryName("t6_avnow")
+      .writeStream.format("memory").queryName(table)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
     assert(!q.isActive, "AvailableNow must self-terminate")
-    assert(spark.table("t6_avnow").count() === 2L)
+    assert(spark.table(table).count() === 2L)
   }
 
   test("custom state: mapGroupsWithState keeps a running per-user count across batches") {
@@ -208,8 +213,9 @@ class StreamingSpec extends SparkSpec {
           state.update(n)
           (user, n)
       }
+    val table = freshSinkName("mgws")
     val q = counts.toDF("user_id", "n")
-      .writeStream.format("memory").queryName("mgws")
+      .writeStream.format("memory").queryName(table)
       .outputMode("update").start()
     try {
       ms.addData(ev(1, "2024-01-01 00:00:00", 1, "a", 1.0),
@@ -220,7 +226,7 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       // update mode appends one row per touched key per batch: the state
       // trajectory is (1->2), then (1->3, 2->1)
-      val rows = spark.table("mgws").as[(Long, Long)].collect().toSeq
+      val rows = spark.table(table).as[(Long, Long)].collect().toSeq
       assert(rows.count(_ == (1L, 2L)) === 1)
       assert(rows.count(_ == (1L, 3L)) === 1)
       assert(rows.count(_ == (2L, 1L)) === 1)

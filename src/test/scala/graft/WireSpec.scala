@@ -60,8 +60,9 @@ class WireSpec extends SparkSpec {
           }
           out.iterator
       }
+    val table = freshSinkName("asof_stream")
     val q = matched.toDF("purchase_id", "click_id")
-      .writeStream.format("memory").queryName("asof_stream")
+      .writeStream.format("memory").queryName(table)
       .outputMode("append").start()
     try {
       ms.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 0.0))
@@ -70,7 +71,7 @@ class WireSpec extends SparkSpec {
       ms.addData(ev(2, "2024-01-01 10:30:00", 1, "purchase", 9.0),
                  ev(3, "2024-01-01 09:00:00", 2, "purchase", 1.0))
       q.processAllAvailable()
-      val out = spark.table("asof_stream")
+      val out = spark.table(table)
         .as[(Long, Option[Long])].collect().toMap
       assert(out(2L) === Some(1L))
       assert(out(3L) === None)
@@ -93,15 +94,16 @@ class WireSpec extends SparkSpec {
       col("p_user") === col("c_user") &&
       col("c_ts") <= col("p_ts") &&
       col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+    val table = freshSinkName("ss_join")
     val q = joined.select("purchase_id", "click_id")
-      .writeStream.format("memory").queryName("ss_join").outputMode("append").start()
+      .writeStream.format("memory").queryName(table).outputMode("append").start()
     try {
       clicks.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 0.0),
                      ev(2, "2024-01-01 06:00:00", 2, "click", 0.0))
       purchases.addData(ev(10, "2024-01-01 10:30:00", 1, "purchase", 9.0),
                         ev(11, "2024-01-01 10:30:00", 2, "purchase", 9.0))
       q.processAllAvailable()
-      val out = spark.table("ss_join").as[(Long, Long)].collect().toSet
+      val out = spark.table(table).as[(Long, Long)].collect().toSet
       assert(out === Set((10L, 1L))) // user-2's click is 4.5h old -> no match
     } finally q.stop()
   }
@@ -129,20 +131,21 @@ class WireSpec extends SparkSpec {
             Iterator.empty
           }
       }
+    val table = freshSinkName("fmgws")
     val q = sessions.toDF("user_id", "n_events")
-      .writeStream.format("memory").queryName("fmgws").outputMode("append").start()
+      .writeStream.format("memory").queryName(table).outputMode("append").start()
     try {
       ms.addData(ev(1, "2024-01-01 00:00:00", 1, "a", 1.0),
                  ev(2, "2024-01-01 00:10:00", 1, "a", 1.0))
       q.processAllAvailable()
-      assert(spark.table("fmgws").isEmpty) // session still open
+      assert(spark.table(table).isEmpty) // session still open
       // event far in the future advances the watermark past the timeout
       ms.addData(ev(3, "2024-01-01 03:00:00", 2, "a", 1.0))
       q.processAllAvailable()
       // one more batch so the timed-out state is flushed
       ms.addData(ev(4, "2024-01-01 03:01:00", 2, "a", 1.0))
       q.processAllAvailable()
-      val out = spark.table("fmgws").as[(Long, Long)].collect().toSet
+      val out = spark.table(table).as[(Long, Long)].collect().toSet
       assert(out.contains((1L, 2L)), s"user-1 session (2 events) should have closed: $out")
     } finally q.stop()
   }
@@ -153,8 +156,9 @@ class WireSpec extends SparkSpec {
     val staged = ms.toDS().groupByKey(_.user_id)
       .mapGroupsWithState[(Int, Long), (Long, Int)](GroupStateTimeout.NoTimeout)(
         StreamOps.funnelStep(Seq("view", "click", "purchase")))
+    val table = freshSinkName("funnel_stream")
     val q = staged.toDF("user_id", "stage")
-      .writeStream.format("memory").queryName("funnel_stream")
+      .writeStream.format("memory").queryName(table)
       .outputMode(OutputMode.Update).start()
     try {
       // batch 1: user 1 views; user 2 clicks (click BEFORE any view)
@@ -167,7 +171,7 @@ class WireSpec extends SparkSpec {
                  ev(4, "2024-01-01 10:10:00", 1, "purchase", 5.0),
                  ev(5, "2024-01-01 10:05:00", 2, "view", 0.0))
       q.processAllAvailable()
-      val last = spark.table("funnel_stream").as[(Long, Int)].collect()
+      val last = spark.table(table).as[(Long, Int)].collect()
         .groupBy(_._1).map { case (u, rows) => (u, rows.map(_._2).max) }
       assert(last(1L) == 3, s"user 1 completed the funnel cross-batch: $last")
       assert(last(2L) == 1, s"user 2's pre-view click must not count: $last")
