@@ -12,11 +12,8 @@ class GenSourceSpec extends SparkSpec {
     spark.read.format(classOf[graft.sources.GenSource].getName)
       .option("rows", rows).option("partitions", parts).load()
 
-  // memory-sink names must be fresh per run: a same-session re-run of
-  // the suite would otherwise collide on the registered query name
-  private val nameCounter = new java.util.concurrent.atomic.AtomicLong(0)
-  private def freshName(prefix: String): String =
-    s"${prefix}_${nameCounter.incrementAndGet()}_${System.nanoTime()}"
+  // memory-sink names must be fresh per run (see SparkSpec.freshSinkName)
+  private def freshName(prefix: String): String = freshSinkName(prefix)
 
   test("full scan is bit-identical to Generator.voters") {
     val got = source().orderBy("voter_id").collect().toSeq
