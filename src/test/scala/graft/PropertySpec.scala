@@ -718,6 +718,12 @@ class PropertySpec extends SparkSpec {
     val params = Gen.Parameters.default
     Iterator.iterate(Seed(13499L))(_.next)
       .map(s => gen.apply(params, s)).collect { case Some(b) => b }
+      // two events sharing a user's ENTIRE (ts, event_id) sort key but
+      // differing in type would leave the successor order unspecified in
+      // engine and replay alike — collapse those (and only those) so the
+      // replay compares a well-defined sequence; ts and id collisions
+      // that keep the key distinct remain, which is the seam under test
+      .map(_.distinctBy(e => (e.user_id, e.ts.getTime, e.event_id)))
       .take(5).foreach { batch =>
         val got = EventAnalytics.transitionMatrix(batch.toDF())
           .as[(String, String, Long, Double)].collect()
