@@ -731,4 +731,49 @@ class PropertySpec extends SparkSpec {
         assert(got === brute(batch), "transition matrix diverged")
       }
   }
+
+  /** Varied-value generator for the winsorized replay: quarter-step
+    * doubles force fractional percentile interpolation positions. */
+  private val valEvGen: Gen[Ev] = for {
+    id <- Gen.choose(0L, 500L)
+    secs <- Gen.choose(0L, 600L)
+    user <- Gen.choose(0L, 9L)
+    typ <- Gen.oneOf("click", "view", "purchase")
+    q <- Gen.choose(0, 400)
+  } yield Ev(id, new Timestamp(1704067200000L + secs * 1000L), user, typ, q / 4.0)
+
+  test("winsorized stats match a replay of Spark's interpolated percentile") {
+    import graft.ops.Aggregates
+    def round(x: Double, s: Int): Double =
+      BigDecimal.valueOf(x)
+        .setScale(s, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    // Spark's exact percentile: pos = p·(n−1) over the sorted values,
+    // linear interpolation between the straddling ranks
+    def pct(sorted: Vector[Double], p: Double): Double = {
+      val pos = p * (sorted.size - 1)
+      val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+      sorted(lo) + (sorted(hi) - sorted(lo)) * (pos - lo)
+    }
+    def brute(batch: List[Ev]): Map[String, (Long, Long, Long, Double, Double, Long)] =
+      batch.groupBy(_.event_type).map { case (t, es) =>
+        val vs = es.map(_.value)
+        val sorted = vs.sorted.toVector
+        val (p05, p95) = (pct(sorted, 0.05), pct(sorted, 0.95))
+        val win = vs.map(v => math.min(math.max(v, p05), p95))
+        t -> (vs.size.toLong,
+          vs.count(_ < p05).toLong, vs.count(_ > p95).toLong,
+          round(p05, 4), round(p95, 4),
+          win.map(w => round(w * 1000000, 0).toLong).sum)
+      }
+    val gen = Gen.listOfN(80, valEvGen)
+    val params = Gen.Parameters.default
+    Iterator.iterate(Seed(15091L))(_.next)
+      .map(s => gen.apply(params, s)).collect { case Some(b) => b }
+      .take(5).foreach { batch =>
+        val got = Aggregates.winsorizedStats(batch.toDF())
+          .as[(String, Long, Long, Long, Double, Double, Long)].collect()
+          .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6, r._7)).toMap
+        assert(got === brute(batch), "winsorized stats diverged")
+      }
+  }
 }
