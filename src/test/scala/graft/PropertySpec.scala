@@ -776,4 +776,61 @@ class PropertySpec extends SparkSpec {
         assert(got === brute(batch), "winsorized stats diverged")
       }
   }
+
+  test("ntile, relative ranks, and the range moving average match replays") {
+    import graft.ops.Windows
+    def round(x: Double, s: Int): Double =
+      BigDecimal.valueOf(x)
+        .setScale(s, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    // quarter-step values make every sum/avg a dyadic rational — exact
+    // in double under ANY summation order, so the replays are stable
+    val gen = Gen.listOfN(80, valEvGen)
+    val params = Gen.Parameters.default
+    Iterator.iterate(Seed(16127L))(_.next)
+      .map(s => gen.apply(params, s)).collect { case Some(b) => b }
+      // unique event_ids: the ntile/order tie-breaks assume a unique key
+      .map(_.zipWithIndex.map { case (e, i) => e.copy(event_id = i.toLong) })
+      .take(5).foreach { batch =>
+        val df = batch.toDF()
+        // ntile(10) over (desc value, asc id): first n%10 buckets carry
+        // the extra row — Spark's exact distribution, replayed literally
+        val wantN = batch.groupBy(_.event_type).toSeq.flatMap { case (t, es) =>
+          val sorted = es.sortBy(e => (-e.value, e.event_id))
+          val (base, rem) = (sorted.size / 10, sorted.size % 10)
+          val buckets = (1 to 10).flatMap(b =>
+            Seq.fill(if (b <= rem) base + 1 else base)(b))
+          sorted.zip(buckets).groupBy(_._2).map { case (d, rows) =>
+            (t, d, rows.size.toLong,
+              round(rows.map(_._1.value).min, 2),
+              round(rows.map(_._1.value).max, 2)) }
+        }.sorted
+        val gotN = Windows.ntileDeciles(df)
+          .as[(String, Int, Long, Double, Double)].collect().sorted.toSeq
+        assert(gotN === wantN, "ntile deciles diverged")
+        // percent_rank = pos/(n-1), cume_dist = (pos+1)/n over the unique
+        // (spend, user) order — spends are exact dyadic sums
+        val spends = batch.groupBy(_.user_id)
+          .map { case (u, es) => (u, round(es.map(_.value).sum, 2)) }.toSeq
+          .sortBy { case (u, s) => (s, u) }
+        val n = spends.size
+        val wantR = spends.zipWithIndex.map { case ((u, s), i) =>
+          (u, s, if (n == 1) 0.0 else round(i.toDouble / (n - 1), 6),
+            round((i + 1).toDouble / n, 6)) }.sortBy(_._1)
+        val gotR = Windows.relativeSpendRank(df)
+          .as[(Long, Double, Double, Double)].collect().toSeq
+        assert(gotR === wantR, "relative ranks diverged")
+        // trailing 60 s range frame: rows sharing a second are peers
+        val wantM = batch.map { l =>
+          val t = Math.floorDiv(l.ts.getTime, 1000L)
+          val win = batch.filter(e => e.user_id == l.user_id && {
+            val s = Math.floorDiv(e.ts.getTime, 1000L)
+            s >= t - 60 && s <= t })
+          (l.event_id, l.user_id,
+            round(win.map(_.value).sum / win.size, 4))
+        }.sorted
+        val gotM = Windows.movingAvgTrailing(df, 60L)
+          .as[(Long, Long, Double)].collect().sorted.toSeq
+        assert(gotM === wantM, "range moving average diverged")
+      }
+  }
 }
