@@ -833,4 +833,37 @@ class PropertySpec extends SparkSpec {
         assert(gotM === wantM, "range moving average diverged")
       }
   }
+
+  test("lag/lead neighbors match a positional replay on tie-heavy batches") {
+    def sec(ms: Long) = Math.floorDiv(ms, 1000L)
+    def brute(batch: List[Ev]): Seq[(Long, Long, Option[Long], Option[Long], Option[Long])] =
+      batch.groupBy(_.user_id).toSeq.flatMap { case (u, evs) =>
+        val s = evs.sortBy(e => (e.ts.getTime, e.event_id))
+        s.indices.map { i =>
+          val prev = if (i > 0) Some(s(i - 1)) else None
+          val next = if (i < s.size - 1) Some(s(i + 1)) else None
+          (s(i).event_id, u, prev.map(_.event_id), next.map(_.event_id),
+            prev.map(p => sec(s(i).ts.getTime) - sec(p.ts.getTime)))
+        }
+      }.sorted
+    val gen = Gen.listOfN(70, tieEvGen)
+    val params = Gen.Parameters.default
+    Iterator.iterate(Seed(17393L))(_.next)
+      .map(s => gen.apply(params, s)).collect { case Some(b) => b }
+      .take(5).foreach { batch =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val got = batch.toDF().select(
+            col("event_id"), col("user_id"),
+            lag("event_id", 1).over(w).as("p"),
+            lead("event_id", 1).over(w).as("nx"),
+            (unix_timestamp(col("ts")) -
+              unix_timestamp(lag("ts", 1).over(w))).as("g"))
+          .as[(Long, Long, Option[Long], Option[Long], Option[Long])]
+          .collect().sorted.toSeq
+        // full-sort-key duplicates are interchangeable: the row-value
+        // MULTISET is deterministic even where row identity is not
+        assert(got === brute(batch), "lag/lead neighbors diverged")
+      }
+  }
 }
