@@ -36,6 +36,24 @@ class PropertySpec extends SparkSpec {
       .take(n).toSeq
   }
 
+  /** Draw `n` deterministic samples of `gen` from a fixed seed chain —
+    * the one boilerplate every replay test shares. */
+  private def drawn[A](gen: Gen[A], seed0: Long, n: Int): Seq[A] = {
+    val params = Gen.Parameters.default
+    Iterator.iterate(Seed(seed0))(_.next)
+      .map(s => gen.apply(params, s))
+      .collect { case Some(b) => b }
+      .take(n).toSeq
+  }
+
+  /** Spark's HALF_UP round(col, s), replayed. */
+  private def halfUp(x: Double, s: Int): Double =
+    BigDecimal.valueOf(x)
+      .setScale(s, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** unix_timestamp's floor-to-second, replayed. */
+  private def floorSec(ms: Long): Long = Math.floorDiv(ms, 1000L)
+
   test("tally conservation and dedup bound hold for random batches") {
     samples(5, 42L).foreach { batch =>
       val df = batch.toDF()
@@ -64,12 +82,7 @@ class PropertySpec extends SparkSpec {
   } yield if (hot < 8) e.copy(event_type = "landslide") else e
 
   test("salted aggregation equals plain aggregation for arbitrary skews") {
-    val gen = Gen.listOfN(80, skewedEvGen)
-    val params = Gen.Parameters.default
-    Iterator.iterate(Seed(1234L))(_.next)
-      .map(s => gen.apply(params, s))
-      .collect { case Some(b) => b }
-      .take(5).foreach { batch =>
+    drawn(Gen.listOfN(80, skewedEvGen), 1234L, 5).foreach { batch =>
         val df = batch.toDF()
         def toMap(r: org.apache.spark.sql.DataFrame) =
           r.as[(String, Double, Long)].collect()
@@ -309,7 +322,6 @@ class PropertySpec extends SparkSpec {
   test("as-of joins match a driver-side replay on tie-heavy random batches") {
     import graft.ops.AsOfJoin
     val tol = 5L
-    def sec(ms: Long) = Math.floorDiv(ms, 1000L)
     type Row4 = (Long, Long, Option[Long], Option[Long])
     def brute(batch: List[Ev], forward: Boolean): Seq[Row4] =
       batch.filter(_.event_type == "purchase").map { l =>
@@ -323,8 +335,8 @@ class PropertySpec extends SparkSpec {
           (if (forward) e.ts.getTime else -e.ts.getTime, -e.event_id))
           .headOption
         val gap = best.map(r =>
-          if (forward) sec(r.ts.getTime) - sec(l.ts.getTime)
-          else sec(l.ts.getTime) - sec(r.ts.getTime))
+          if (forward) floorSec(r.ts.getTime) - floorSec(l.ts.getTime)
+          else floorSec(l.ts.getTime) - floorSec(r.ts.getTime))
         val in = best.nonEmpty && gap.get <= tol
         (l.event_id, l.user_id,
           if (in) Some(best.get.event_id) else None,
@@ -332,11 +344,7 @@ class PropertySpec extends SparkSpec {
       }.sorted.toSeq
     def got(df: org.apache.spark.sql.DataFrame): Seq[Row4] =
       df.as[(Long, Long, Option[Long], Option[Long])].collect().sorted.toSeq
-    val gen = Gen.listOfN(70, tieEvGen)
-    val params = Gen.Parameters.default
-    Iterator.iterate(Seed(905L))(_.next)
-      .map(s => gen.apply(params, s)).collect { case Some(b) => b }
-      .take(6).foreach { batch =>
+    drawn(Gen.listOfN(70, tieEvGen), 905L, 6).foreach { batch =>
         val df = batch.toDF()
         assert(got(AsOfJoin.attribution(df, "purchase", "click", tol))
           === brute(batch, forward = false), "backward as-of diverged")
@@ -354,11 +362,7 @@ class PropertySpec extends SparkSpec {
         u -> (1L + ts.zip(ts.tail).count { case (a, b) =>
           b / 1000 - a / 1000 > gap })
       }
-    val gen = Gen.listOfN(70, tieEvGen)
-    val params = Gen.Parameters.default
-    Iterator.iterate(Seed(1217L))(_.next)
-      .map(s => gen.apply(params, s)).collect { case Some(b) => b }
-      .take(5).foreach { batch =>
+    drawn(Gen.listOfN(70, tieEvGen), 1217L, 5).foreach { batch =>
         val df = batch.toDF()
         val want = brute(batch)
         val grouped = Sessionize.sessionsPerUser(spark, df, gap)
@@ -374,19 +378,14 @@ class PropertySpec extends SparkSpec {
   test("bucketed range join emits exactly the brute-force pair multiset") {
     import graft.ops.RangeJoin
     val win = 5L
-    def sec(ms: Long) = Math.floorDiv(ms, 1000L)
     def brute(batch: List[Ev]): Seq[(Long, Long, Long, Long)] =
       (for {
         l <- batch if l.event_type == "purchase"
         r <- batch if r.event_type == "click" && r.user_id == l.user_id
-        gap = sec(l.ts.getTime) - sec(r.ts.getTime)
+        gap = floorSec(l.ts.getTime) - floorSec(r.ts.getTime)
         if gap >= 0 && gap <= win
       } yield (l.event_id, r.event_id, l.user_id, gap)).sorted
-    val gen = Gen.listOfN(70, tieEvGen)
-    val params = Gen.Parameters.default
-    Iterator.iterate(Seed(2331L))(_.next)
-      .map(s => gen.apply(params, s)).collect { case Some(b) => b }
-      .take(5).foreach { batch =>
+    drawn(Gen.listOfN(70, tieEvGen), 2331L, 5).foreach { batch =>
         // multiset compare (sorted seq, not set): the bucketed join's
         // exactly-once claim means a pair duplicated by the two-bucket
         // explode must FAIL, not collapse
@@ -410,11 +409,7 @@ class PropertySpec extends SparkSpec {
           rows.sortBy(r => (-r._3, r._2)).zipWithIndex.take(k)
             .map { case ((t, u, v), i) => (t, u, v, i + 1) }
         }.sorted
-    val gen = Gen.listOfN(70, tieEvGen)
-    val params = Gen.Parameters.default
-    Iterator.iterate(Seed(3449L))(_.next)
-      .map(s => gen.apply(params, s)).collect { case Some(b) => b }
-      .take(5).foreach { batch =>
+    drawn(Gen.listOfN(70, tieEvGen), 3449L, 5).foreach { batch =>
         val got = Windows.topKPerGroup(batch.toDF(), k)
           .as[(String, Long, Double, Int)].collect().sorted.toSeq
         assert(got === brute(batch), "top-k per group diverged")
@@ -443,11 +438,7 @@ class PropertySpec extends SparkSpec {
         }
         u -> (days.size.toLong, runs.max, runs.size.toLong)
       }
-    val gen = Gen.listOfN(50, dayEvGen)
-    val params = Gen.Parameters.default
-    Iterator.iterate(Seed(4567L))(_.next)
-      .map(s => gen.apply(params, s)).collect { case Some(b) => b }
-      .take(5).foreach { batch =>
+    drawn(Gen.listOfN(50, dayEvGen), 4567L, 5).foreach { batch =>
         val got = Sessionize.activityStreaks(batch.toDF())
           .as[(Long, Long, Long, Long)].collect()
           .map(r => r._1 -> (r._2, r._3, r._4)).toMap
@@ -473,11 +464,7 @@ class PropertySpec extends SparkSpec {
         }.toLong
       }
     }
-    val gen = Gen.listOfN(70, tieEvGen)
-    val params = Gen.Parameters.default
-    Iterator.iterate(Seed(5881L))(_.next)
-      .map(s => gen.apply(params, s)).collect { case Some(b) => b }
-      .take(5).foreach { batch =>
+    drawn(Gen.listOfN(70, tieEvGen), 5881L, 5).foreach { batch =>
         val row = EventAnalytics.funnel(batch.toDF(), stages).head()
         val got = stages.indices.map(row.getLong)
         assert(got === brute(batch), "funnel counts diverged")
@@ -497,11 +484,7 @@ class PropertySpec extends SparkSpec {
         .distinct.groupBy(t => (t._1, t._2))
         .map { case (k, v) => k -> v.size.toLong }
     }
-    val gen = Gen.listOfN(50, dayEvGen)
-    val params = Gen.Parameters.default
-    Iterator.iterate(Seed(6007L))(_.next)
-      .map(s => gen.apply(params, s)).collect { case Some(b) => b }
-      .take(5).foreach { batch =>
+    drawn(Gen.listOfN(50, dayEvGen), 6007L, 5).foreach { batch =>
         val got = EventAnalytics.retentionCohorts(batch.toDF(), "2024-01-01")
           .as[(Long, Long, Long)].collect()
           .map(r => (r._1, r._2) -> r._3).toMap
@@ -550,11 +533,7 @@ class PropertySpec extends SparkSpec {
         }
       }).toMap
     }
-    val gen = Gen.listOfN(35, hourEvGen)
-    val params = Gen.Parameters.default
-    Iterator.iterate(Seed(7129L))(_.next)
-      .map(s => gen.apply(params, s)).collect { case Some(b) => b }
-      .take(5).foreach { batch =>
+    drawn(Gen.listOfN(35, hourEvGen), 7129L, 5).foreach { batch =>
         val got = EventAnalytics.interpolateHourly(batch.toDF())
           .as[(String, String, Option[Long], Boolean)].collect()
           .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
@@ -578,11 +557,9 @@ class PropertySpec extends SparkSpec {
         }
       }
     val docGen = Gen.choose(1, 60) // token counts incl. oversized (> budget)
-    val params = Gen.Parameters.default
-    Iterator.iterate(Seed(8191L))(_.next)
-      .map(s => Gen.listOfN(50, docGen).apply(params, s))
-      .collect { case Some(ns) => ns.zipWithIndex.map { case (n, i) => (i.toLong, n) } }
-      .take(5).foreach { docs =>
+    drawn(Gen.listOfN(50, docGen), 8191L, 5)
+      .map(_.zipWithIndex.map { case (n, i) => (i.toLong, n) })
+      .foreach { docs =>
         val df = docs.map { case (id, n) =>
           (id, (1 to n).map(_ => "w").mkString(" ")) }.toDF("doc_id", "text")
         val got = PackOps.packSequences(df, budget, shards)
@@ -602,9 +579,6 @@ class PropertySpec extends SparkSpec {
 
   test("profile top-k matches an integer-dot cosine replay with its tie order") {
     import graft.ops.EventAnalytics
-    def round6(x: Double): Double =
-      BigDecimal.valueOf(x)
-        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
     def brute(batch: List[Ev], k: Int): Seq[(Long, Double)] = {
       val counts = batch.groupBy(e => (e.user_id, e.ts.getTime / 3600000L % 24))
         .map { case (key, es) => key -> es.size.toLong }
@@ -618,15 +592,11 @@ class PropertySpec extends SparkSpec {
         if (dot == 0) None
         else {
           val n2 = counts.collect { case ((`u`, _), n) => n * n }.sum
-          Some(u -> round6(dot / math.sqrt(n2.toDouble * q2)))
+          Some(u -> halfUp(dot / math.sqrt(n2.toDouble * q2), 6))
         }
       }.sortBy { case (u, c) => (-c, u) }.take(k)
     }
-    val gen = Gen.listOfN(80, profileEvGen)
-    val params = Gen.Parameters.default
-    Iterator.iterate(Seed(9277L))(_.next)
-      .map(s => gen.apply(params, s)).collect { case Some(b) => b }
-      .take(5).foreach { batch =>
+    drawn(Gen.listOfN(80, profileEvGen), 9277L, 5).foreach { batch =>
         val got = EventAnalytics.profileTopK(batch.toDF(), 5)
           .as[(Long, Double)].collect().toSeq
         assert(got === brute(batch, 5), "profile top-k diverged")
@@ -646,11 +616,7 @@ class PropertySpec extends SparkSpec {
         }.distinct.size.toLong
       }.toMap
     }
-    val gen = Gen.listOfN(50, dayEvGen)
-    val params = Gen.Parameters.default
-    Iterator.iterate(Seed(10501L))(_.next)
-      .map(s => gen.apply(params, s)).collect { case Some(b) => b }
-      .take(5).foreach { batch =>
+    drawn(Gen.listOfN(50, dayEvGen), 10501L, 5).foreach { batch =>
         val got = EventAnalytics.trailingActiveUsers(batch.toDF(), 7)
           .as[(Long, Long)].collect().toMap
         assert(got === brute(batch, 7), "trailing actives diverged")
@@ -668,12 +634,9 @@ class PropertySpec extends SparkSpec {
     val docGen = Gen.frequency(
       6 -> Gen.const("en"), 2 -> Gen.const("fr"),
       1 -> Gen.const("de"), 1 -> Gen.const("sw"))
-    val params = Gen.Parameters.default
-    Iterator.iterate(Seed(11813L))(_.next)
-      .map(s => Gen.listOfN(60, docGen).apply(params, s))
-      .collect { case Some(gs) =>
-        gs.zipWithIndex.map { case (g, i) => (i.toLong, g) } }
-      .take(5).foreach { docs =>
+    drawn(Gen.listOfN(60, docGen), 11813L, 5)
+      .map(_.zipWithIndex.map { case (g, i) => (i.toLong, g) })
+      .foreach { docs =>
         val byG = docs.groupBy(_._2).map { case (g, xs) => g -> xs.map(_._1) }
         val df = docs.toDF("doc_id", "lang")
         // rebalance: cap = floor(mean group size), smallest keyed hashes
@@ -698,9 +661,6 @@ class PropertySpec extends SparkSpec {
 
   test("transition matrix matches an exact replay of counts and lift") {
     import graft.ops.EventAnalytics
-    def round4(x: Double): Double =
-      BigDecimal.valueOf(x)
-        .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
     def brute(batch: List[Ev]): Map[(String, String), (Long, Double)] = {
       val trans = batch.groupBy(_.user_id).values.toSeq.flatMap { evs =>
         val s = evs.sortBy(e => (e.ts.getTime, e.event_id)).map(_.event_type)
@@ -711,20 +671,17 @@ class PropertySpec extends SparkSpec {
       val nFrom = n.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
       val nTo = n.groupBy(_._1._2).map { case (t, m) => t -> m.values.sum }
       n.map { case ((f, t), c) =>
-        (f, t) -> (c, round4(
-          c.toDouble * total / (nFrom(f).toDouble * nTo(t)))) }
+        (f, t) -> (c, halfUp(
+          c.toDouble * total / (nFrom(f).toDouble * nTo(t)), 4)) }
     }
-    val gen = Gen.listOfN(70, tieEvGen)
-    val params = Gen.Parameters.default
-    Iterator.iterate(Seed(13499L))(_.next)
-      .map(s => gen.apply(params, s)).collect { case Some(b) => b }
-      // two events sharing a user's ENTIRE (ts, event_id) sort key but
-      // differing in type would leave the successor order unspecified in
-      // engine and replay alike — collapse those (and only those) so the
-      // replay compares a well-defined sequence; ts and id collisions
-      // that keep the key distinct remain, which is the seam under test
+    // two events sharing a user's ENTIRE (ts, event_id) sort key but
+    // differing in type would leave the successor order unspecified in
+    // engine and replay alike — collapse those (and only those) so the
+    // replay compares a well-defined sequence; ts and id collisions
+    // that keep the key distinct remain, which is the seam under test
+    drawn(Gen.listOfN(70, tieEvGen), 13499L, 5)
       .map(_.distinctBy(e => (e.user_id, e.ts.getTime, e.event_id)))
-      .take(5).foreach { batch =>
+      .foreach { batch =>
         val got = EventAnalytics.transitionMatrix(batch.toDF())
           .as[(String, String, Long, Double)].collect()
           .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
@@ -744,9 +701,6 @@ class PropertySpec extends SparkSpec {
 
   test("winsorized stats match a replay of Spark's interpolated percentile") {
     import graft.ops.Aggregates
-    def round(x: Double, s: Int): Double =
-      BigDecimal.valueOf(x)
-        .setScale(s, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
     // Spark's exact percentile: pos = p·(n−1) over the sorted values,
     // linear interpolation between the straddling ranks
     def pct(sorted: Vector[Double], p: Double): Double = {
@@ -762,14 +716,10 @@ class PropertySpec extends SparkSpec {
         val win = vs.map(v => math.min(math.max(v, p05), p95))
         t -> (vs.size.toLong,
           vs.count(_ < p05).toLong, vs.count(_ > p95).toLong,
-          round(p05, 4), round(p95, 4),
-          win.map(w => round(w * 1000000, 0).toLong).sum)
+          halfUp(p05, 4), halfUp(p95, 4),
+          win.map(w => halfUp(w * 1000000, 0).toLong).sum)
       }
-    val gen = Gen.listOfN(80, valEvGen)
-    val params = Gen.Parameters.default
-    Iterator.iterate(Seed(15091L))(_.next)
-      .map(s => gen.apply(params, s)).collect { case Some(b) => b }
-      .take(5).foreach { batch =>
+    drawn(Gen.listOfN(80, valEvGen), 15091L, 5).foreach { batch =>
         val got = Aggregates.winsorizedStats(batch.toDF())
           .as[(String, Long, Long, Long, Double, Double, Long)].collect()
           .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6, r._7)).toMap
@@ -779,18 +729,12 @@ class PropertySpec extends SparkSpec {
 
   test("ntile, relative ranks, and the range moving average match replays") {
     import graft.ops.Windows
-    def round(x: Double, s: Int): Double =
-      BigDecimal.valueOf(x)
-        .setScale(s, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
     // quarter-step values make every sum/avg a dyadic rational — exact
     // in double under ANY summation order, so the replays are stable
-    val gen = Gen.listOfN(80, valEvGen)
-    val params = Gen.Parameters.default
-    Iterator.iterate(Seed(16127L))(_.next)
-      .map(s => gen.apply(params, s)).collect { case Some(b) => b }
-      // unique event_ids: the ntile/order tie-breaks assume a unique key
+    // unique event_ids: the ntile/order tie-breaks assume a unique key
+    drawn(Gen.listOfN(80, valEvGen), 16127L, 5)
       .map(_.zipWithIndex.map { case (e, i) => e.copy(event_id = i.toLong) })
-      .take(5).foreach { batch =>
+      .foreach { batch =>
         val df = batch.toDF()
         // ntile(10) over (desc value, asc id): first n%10 buckets carry
         // the extra row — Spark's exact distribution, replayed literally
@@ -801,8 +745,8 @@ class PropertySpec extends SparkSpec {
             Seq.fill(if (b <= rem) base + 1 else base)(b))
           sorted.zip(buckets).groupBy(_._2).map { case (d, rows) =>
             (t, d, rows.size.toLong,
-              round(rows.map(_._1.value).min, 2),
-              round(rows.map(_._1.value).max, 2)) }
+              halfUp(rows.map(_._1.value).min, 2),
+              halfUp(rows.map(_._1.value).max, 2)) }
         }.sorted
         val gotN = Windows.ntileDeciles(df)
           .as[(String, Int, Long, Double, Double)].collect().sorted.toSeq
@@ -810,12 +754,12 @@ class PropertySpec extends SparkSpec {
         // percent_rank = pos/(n-1), cume_dist = (pos+1)/n over the unique
         // (spend, user) order — spends are exact dyadic sums
         val spends = batch.groupBy(_.user_id)
-          .map { case (u, es) => (u, round(es.map(_.value).sum, 2)) }.toSeq
+          .map { case (u, es) => (u, halfUp(es.map(_.value).sum, 2)) }.toSeq
           .sortBy { case (u, s) => (s, u) }
         val n = spends.size
         val wantR = spends.zipWithIndex.map { case ((u, s), i) =>
-          (u, s, if (n == 1) 0.0 else round(i.toDouble / (n - 1), 6),
-            round((i + 1).toDouble / n, 6)) }.sortBy(_._1)
+          (u, s, if (n == 1) 0.0 else halfUp(i.toDouble / (n - 1), 6),
+            halfUp((i + 1).toDouble / n, 6)) }.sortBy(_._1)
         val gotR = Windows.relativeSpendRank(df)
           .as[(Long, Double, Double, Double)].collect().toSeq
         assert(gotR === wantR, "relative ranks diverged")
@@ -826,7 +770,7 @@ class PropertySpec extends SparkSpec {
             val s = Math.floorDiv(e.ts.getTime, 1000L)
             s >= t - 60 && s <= t })
           (l.event_id, l.user_id,
-            round(win.map(_.value).sum / win.size, 4))
+            halfUp(win.map(_.value).sum / win.size, 4))
         }.sorted
         val gotM = Windows.movingAvgTrailing(df, 60L)
           .as[(Long, Long, Double)].collect().sorted.toSeq
@@ -835,7 +779,6 @@ class PropertySpec extends SparkSpec {
   }
 
   test("lag/lead neighbors match a positional replay on tie-heavy batches") {
-    def sec(ms: Long) = Math.floorDiv(ms, 1000L)
     def brute(batch: List[Ev]): Seq[(Long, Long, Option[Long], Option[Long], Option[Long])] =
       batch.groupBy(_.user_id).toSeq.flatMap { case (u, evs) =>
         val s = evs.sortBy(e => (e.ts.getTime, e.event_id))
@@ -843,14 +786,10 @@ class PropertySpec extends SparkSpec {
           val prev = if (i > 0) Some(s(i - 1)) else None
           val next = if (i < s.size - 1) Some(s(i + 1)) else None
           (s(i).event_id, u, prev.map(_.event_id), next.map(_.event_id),
-            prev.map(p => sec(s(i).ts.getTime) - sec(p.ts.getTime)))
+            prev.map(p => floorSec(s(i).ts.getTime) - floorSec(p.ts.getTime)))
         }
       }.sorted
-    val gen = Gen.listOfN(70, tieEvGen)
-    val params = Gen.Parameters.default
-    Iterator.iterate(Seed(17393L))(_.next)
-      .map(s => gen.apply(params, s)).collect { case Some(b) => b }
-      .take(5).foreach { batch =>
+    drawn(Gen.listOfN(70, tieEvGen), 17393L, 5).foreach { batch =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy("ts", "event_id")
         val got = batch.toDF().select(
