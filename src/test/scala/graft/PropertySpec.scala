@@ -492,6 +492,26 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("hourly gap-fill matches a dense-spine replay with real zeros") {
+    import graft.ops.EventAnalytics
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:00").withZone(java.time.ZoneOffset.UTC)
+    def brute(batch: List[Ev]): Map[(String, String), Long] = {
+      val counts = batch.groupBy(e =>
+        (e.ts.getTime / 3600000L, e.event_type)).map { case (k, v) => k -> v.size.toLong }
+      val hours = batch.map(_.ts.getTime / 3600000L)
+      (for { hx <- hours.min to hours.max; t <- batch.map(_.event_type).distinct }
+        yield (fmt.format(java.time.Instant.ofEpochMilli(hx * 3600000L)), t) ->
+          counts.getOrElse((hx, t), 0L)).toMap
+    }
+    drawn(Gen.listOfN(35, hourEvGen), 18257L, 5).foreach { batch =>
+      val got = EventAnalytics.gapfillHourly(batch.toDF())
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got === brute(batch), "gap-filled series diverged")
+    }
+  }
+
   /** Sparse-hour generator for the interpolation replay: 35 events over
     * 41 hours × 2 types leaves plenty of gaps AND type-specific edge
     * cells (a type absent at the global spine's ends). Integer-valued
