@@ -10,6 +10,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     TmpDirs.install()
+    // Explicit here, not only in the codec objects' static init: the
+    // flag must hold for EVERY ImageIO user in this run (incl. Spark's
+    // `image` datasource) regardless of which class loads first.
+    javax.imageio.ImageIO.setUseCache(false)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")

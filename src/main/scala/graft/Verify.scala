@@ -6,6 +6,8 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     TmpDirs.install()
+    // see Bench.main: load-order-independent ImageIO cache opt-out
+    javax.imageio.ImageIO.setUseCache(false)
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -40,7 +40,10 @@ object GraphOps {
   def pageRankFixedPoint(edges0: DataFrame, iters: Int,
                          scale: Long = 1000000000000L,
                          num: Long = 85L, den: Long = 100L): DataFrame = {
-    val edges = edges0.toDF("src", "dst").localCheckpoint()
+    // No checkpoint of the bare edge list: the only edge-sized frame the
+    // loop reads is edgesDeg below, and holding a second checkpointed
+    // copy of the edges would double resident edge state for no use.
+    val edges = edges0.toDF("src", "dst")
     val nodes = edges.select(col("src").as("node")).distinct()
       .localCheckpoint()
     // one bounded scalar to the driver (node count), same discipline as

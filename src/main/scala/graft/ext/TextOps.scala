@@ -426,13 +426,21 @@ object TextOps {
             expr("filter(blk, (b, i) -> NOT array_contains(bad, fps[i]))")
               .as("kept"))
       } else {
+        // Reassembly groups on `rid`, a row-unique tag, NOT on doc_id:
+        // two input rows sharing a doc_id must come back as two output
+        // rows (as the broadcast path does), not merge into one
+        // interleaved document. rid is partition-layout-dependent but
+        // only a grouping key — it is dropped, so the output multiset
+        // is layout-invariant either way.
         withBlk
-          .select(col("source"), col("doc_id"), size(col("blk")).as("n_blocks"),
+          .withColumn("rid", monotonically_increasing_id())
+          .select(col("source"), col("doc_id"), col("rid"),
+            size(col("blk")).as("n_blocks"),
             posexplode(expr("arrays_zip(blk, fps)")).as(Seq("pos", "z")))
-          .select(col("source"), col("doc_id"), col("n_blocks"), col("pos"),
-            col("z.blk").as("b"), col("z.fps").as("bh"))
+          .select(col("source"), col("doc_id"), col("rid"), col("n_blocks"),
+            col("pos"), col("z.blk").as("b"), col("z.fps").as("bh"))
           .join(badRows, Seq("source", "bh"), "left_anti")
-          .groupBy("doc_id", "n_blocks")
+          .groupBy("rid", "doc_id", "n_blocks")
           .agg(sort_array(collect_list(struct(col("pos"), col("b")))).as("ks"))
           .select(col("doc_id"), col("n_blocks"),
             expr("transform(ks, k -> k.b)").as("kept"))

@@ -73,6 +73,8 @@ object PlanAudit {
   }
 
   def main(args: Array[String]): Unit = {
+    // see Bench.main: load-order-independent ImageIO cache opt-out
+    javax.imageio.ImageIO.setUseCache(false)
     val summaryMode = args.contains("--summary")
     val rest = args.filterNot(_ == "--summary")
     val dir = rest.headOption.getOrElse("/root/testdata/sf0.01")

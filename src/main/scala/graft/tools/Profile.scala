@@ -12,6 +12,8 @@ import org.apache.spark.sql.SparkSession
 object Profile {
   def main(args: Array[String]): Unit = {
     graft.TmpDirs.install()
+    // see Bench.main: load-order-independent ImageIO cache opt-out
+    javax.imageio.ImageIO.setUseCache(false)
     val sfDir = args(0)
     val reps = args(1).toInt
     val rest = args.drop(2)
