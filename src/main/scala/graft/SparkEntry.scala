@@ -929,6 +929,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
              round(sum("value"), 2).as("total_value"))
         .orderBy("c_mktsegment")),
+    // the same injected skew handled WITHOUT a salt: plain shuffle join
+    // (MERGE-hinted so broadcast can't paper over it), AQE's runtime
+    // skew split does the spreading — graded beside j7b to demonstrate
+    // the engine is correct with and without the plan-level hint
+    "j7c_aqe_skew_join" -> ((s, d) =>
+      Joins.skewJoinAqe(
+          Tables.events(s, d)
+            .withColumn("skew_key",
+              when(pmod(col("event_id"), lit(100)) < 90, lit(1L))
+                .otherwise(col("user_id")))
+            .select("event_id", "skew_key", "value"),
+          Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+          "skew_key", "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+             round(sum("value"), 2).as("total_value"))
+        .orderBy("c_mktsegment")),
 
     // edit-distance similarity join (entity resolution): deterministic
     // typo injection over part entities, then the PassJoin-style
@@ -2306,6 +2323,19 @@ object SparkEntry {
     // same join replayed over the skew-injected key: CASE mirrors the
     // engine's derivation exactly (event_id >= 0, so % == pmod)
     "j7b_salted_join_skewed" ->
+      """WITH e AS (SELECT event_id,
+                           CASE WHEN event_id % 100 < 90 THEN 1
+                                ELSE user_id END AS skew_key,
+                           value
+                    FROM events)
+         SELECT c_mktsegment, count(*) AS n_events,
+                round(sum(value), 2) AS total_value
+         FROM e JOIN customer ON skew_key = c_custkey
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""",
+    // AQE skew handling is runtime-only — the logical result is the same
+    // plain join, so the oracle is identical to j7b's
+    "j7c_aqe_skew_join" ->
       """WITH e AS (SELECT event_id,
                            CASE WHEN event_id % 100 < 90 THEN 1
                                 ELSE user_id END AS skew_key,

@@ -89,6 +89,28 @@ object Joins {
       .drop("__salt")
   }
 
+  /** J7c: the same skewed shuffle join handled by AQE's runtime skew
+    * split instead of an explicit salt — the OTHER half of the skew
+    * story [[saltedJoin]]'s scaladoc points at. The plan is the PLAIN
+    * join (no salt column, no build replication) pinned to a shuffle
+    * join with a MERGE hint: at runtime AQE's OptimizeSkewedJoin
+    * measures the actual map output, and when one partition exceeds
+    * `skewedPartitionFactor × median` (and the byte threshold) it splits
+    * that partition into advisory-sized slices, each joined against a
+    * DUPLICATED copy of the matching build partition — the same
+    * replicate-the-small-side idea as the salt, but sized from observed
+    * bytes instead of a compile-time constant, and only where skew
+    * actually materialized. Semantics-transparent like the salt (the
+    * oracle replays the plain join); the MERGE hint only forbids the
+    * broadcast strategy so the shuffle path — the one a too-big-to-
+    * broadcast build side forces at 100 TB — is what executes. The
+    * runtime split itself is asserted by SkewSpec (thresholds scaled to
+    * the fixture) and printed by `PlanAudit --aqe-skew`; at production
+    * scale the default 256 MB threshold binds instead. */
+  def skewJoinAqe(probe: DataFrame, build: DataFrame,
+                  probeKey: String, buildKey: String): DataFrame =
+    probe.hint("MERGE").join(build, col(probeKey) === col(buildKey))
+
   /** Incremental JOIN maintenance (append-only IVM) — the join sibling of
     * [[graft.ops.Aggregates.incrementalMerge]]: with facts E = E₀ ⊎ ΔE
     * and dim D = D₀ ⊎ ΔD (both append-only ingest batches), the refreshed

@@ -72,11 +72,64 @@ object PlanAudit {
       }
   }
 
+  /** `--aqe-skew`: the runtime half of the skew story. Executes the
+    * graded `j7c_aqe_skew_join` frame with AQE on and the skew thresholds
+    * scaled to the fixture's shuffle sizes (production keeps the 256 MB
+    * default), then reports whether OptimizeSkewedJoin split the hot
+    * partition — the delta vs the static summary, where the same join is
+    * one unsplit SMJ. */
+  def aqeSkewAudit(spark: SparkSession, dir: String): Unit = {
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8192",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4096",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      // AQE splits a skewed reduce partition into MAPPER ranges, so a
+      // probe side scanned as one local file (one mapper) is
+      // unsplittable no matter the thresholds; the repartition stands in
+      // for the thousands of scan mappers a 100 TB probe side has
+      val ev = graft.Tables.events(spark, dir)
+        .withColumn("skew_key",
+          when(pmod(col("event_id"), lit(100)) < 90, lit(1L))
+            .otherwise(col("user_id")))
+        .select("event_id", "skew_key", "value")
+        .repartition(8, col("event_id"))
+      val cust = graft.Tables.customer(spark, dir)
+        .select("c_custkey", "c_mktsegment")
+      val joined = graft.ops.Joins
+        .skewJoinAqe(ev, cust, "skew_key", "c_custkey")
+      // collect() drives joined's OWN QueryExecution (count() would plan
+      // a separate clone), so the adaptive plan read below is the final,
+      // post-reoptimization one; the fixture join output is bounded
+      val rows = joined.collect().length
+      val plan = joined.queryExecution.executedPlan.toString
+      val marks = "skew=\\[?true".r.findAllIn(plan.toLowerCase).size
+      println(s"\n## AQE skew-join audit (j7c_aqe_skew_join at $dir)")
+      println(s"- joined rows: $rows")
+      println(s"- skew markers in final adaptive plan: $marks " +
+        (if (marks > 0) "(hot partition SPLIT at runtime)"
+         else "(NO split — check thresholds vs fixture shuffle size)"))
+      plan.linesIterator.filter(_.toLowerCase.contains("skew"))
+        .take(4).foreach(l => println(s"    ${l.trim.take(160)}"))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     // see Bench.main: load-order-independent ImageIO cache opt-out
     javax.imageio.ImageIO.setUseCache(false)
     val summaryMode = args.contains("--summary")
-    val rest = args.filterNot(_ == "--summary")
+    val aqeSkewMode = args.contains("--aqe-skew")
+    val rest = args.filterNot(a => a == "--summary" || a == "--aqe-skew")
     val dir = rest.headOption.getOrElse("/root/testdata/sf0.01")
     val which = rest.drop(1).toSet
     val spark = SparkSession.builder()
@@ -89,6 +142,7 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (aqeSkewMode) { aqeSkewAudit(spark, dir); spark.stop(); return }
     if (summaryMode) { summary(spark, dir); spark.stop(); return }
     graft.SparkEntry.queries
       .filter { case (name, _) => which.isEmpty || which(name) }

@@ -111,6 +111,58 @@ class SkewSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("j7c: AQE splits the j7b fixture's hot partition and agrees with " +
+       "the salted join") {
+    // same injected-skew fixture as the graded j7b/j7c queries, with the
+    // skew thresholds scaled to the sf0.001 shuffle sizes so the split
+    // OptimizeSkewedJoin performs at 256 MB partitions in production is
+    // observable here
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4096",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2048",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // skew splits are MAPPER ranges — a one-file local scan is one
+      // mapper and unsplittable, so spread the probe over 8 mappers
+      // first (the stand-in for a 100 TB scan's thousands of mappers)
+      val ev = Tables.events(spark, sfDir)
+        .withColumn("skew_key",
+          when(pmod(col("event_id"), lit(100)) < 90, lit(1L))
+            .otherwise(col("user_id")))
+        .select("event_id", "skew_key", "value")
+        .repartition(8, col("event_id"))
+      val cust = Tables.customer(spark, sfDir)
+        .select("c_custkey", "c_mktsegment")
+      val joined = graft.ops.Joins
+        .skewJoinAqe(ev, cust, "skew_key", "c_custkey")
+      val aqe = joined
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap
+      val salted = graft.ops.Joins
+        .saltedJoin(ev, cust, "skew_key", "c_custkey", "event_id", 16)
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(aqe === salted)
+      // drive the bare join so ITS adaptive plan is final, then assert
+      // the skew marker — proof the hot partition was actually split,
+      // not merely that results agree
+      val bare = graft.ops.Joins.skewJoinAqe(ev, cust, "skew_key", "c_custkey")
+      assert(bare.count() > 0)
+      val plan = bare.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("skew"),
+        s"AQE should mark the hot partition as skewed:\n${plan.take(2000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("t17b triage ranks the flooding key first with a dominant share") {
     val triage = graft.streaming.StreamOps
       .deadLetterTriageSkewed(spark, sfDir, statePartitions = Some(4))
