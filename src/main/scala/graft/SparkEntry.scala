@@ -1510,6 +1510,13 @@ object SparkEntry {
     // must be exactly the distinct-user set (t5's oracle)
     "t27_state_source_read" -> ((s, d) =>
       StreamOps.stateSourceDedupAudit(s, d, statePartitions = Some(8))),
+    // checkpoint UPGRADE: restart the TWS totals stream on the same
+    // checkpoint with a WIDENED state schema (V2 adds a since-upgrade
+    // counter) under the Avro state encoding — totals must keep
+    // accumulating across the code swap, the evolved field must count
+    // exactly the post-upgrade events
+    "t28_stream_state_upgrade" -> ((s, d) =>
+      StreamOps.stateSchemaUpgradeTotals(s, d, statePartitions = Some(8))),
     "t8_stream_asof" -> ((s, d) =>
       StreamOps.streamingAsOfAttribution(s, d, statePartitions = Some(8))),
     // streaming SCD2: each change CLOSES the key's open version (append
@@ -3760,6 +3767,16 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events,
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                   AS total_cents
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    // checkpoint upgrade: totals accumulate across the restart (count/sum
+    // over ALL events); the V2-only field counts exactly the odd half —
+    // the events delivered after the new code took over the checkpoint
+    "t28_stream_state_upgrade" ->
+      """SELECT user_id, count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents,
+                CAST(count(*) FILTER (WHERE event_id % 2 = 1) AS BIGINT)
+                  AS n2_since_upgrade
          FROM events GROUP BY user_id ORDER BY user_id""",
     "s7_generator" ->
       s"""SELECT id AS voter_id,
