@@ -1517,6 +1517,13 @@ object SparkEntry {
     // exactly the post-upgrade events
     "t28_stream_state_upgrade" -> ((s, d) =>
       StreamOps.stateSchemaUpgradeTotals(s, d, statePartitions = Some(8))),
+    // streaming IVF ingest: new vectors arrive in micro-batches, are
+    // assigned to their nearest build-time cell, and land in the
+    // partitioned layout; top-k is then served against the GROWN corpus
+    // (base ∪ ingested, probed cells only) — the oracle replays the
+    // assignment, the probe, and the post-ingest ranking exactly
+    "t29_stream_ivf_ingest" -> ((s, d) =>
+      StreamOps.streamingIvfIngestServe(s, d, statePartitions = Some(4))),
     "t8_stream_asof" -> ((s, d) =>
       StreamOps.streamingAsOfAttribution(s, d, statePartitions = Some(8))),
     // streaming SCD2: each change CLOSES the key's open version (append
@@ -3778,6 +3785,55 @@ object SparkEntry {
                 CAST(count(*) FILTER (WHERE event_id % 2 = 1) AS BIGINT)
                   AS n2_since_upgrade
          FROM events GROUP BY user_id ORDER BY user_id""",
+    // full replay of the streaming IVF ingest: base centroids (even half,
+    // the ann_ivf_topk fixed-point discipline), argmax cell assignment of
+    // the odd half (the ann_kmeans_cells window discipline), probe
+    // ranking over the build-time centroids, post-ingest cosine top-k
+    "t29_stream_ivf_ingest" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS cell,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              base AS (SELECT vec_id, cell, v FROM e WHERE vec_id % 2 = 0),
+              newv AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1),
+              cj AS (SELECT cell, generate_subscripts(v, 1) AS j,
+                            unnest(v) AS x FROM base),
+              cm AS (SELECT cell, j,
+                            (CAST(sum(CAST(round(x * 16777216.0) AS BIGINT)) AS DOUBLE)
+                             / 16777216.0) / count(*) AS cjv
+                     FROM cj GROUP BY cell, j),
+              cent AS (SELECT cell, list(cjv ORDER BY j) AS cv
+                       FROM cm GROUP BY cell),
+              u AS (SELECT cell, list_transform(cv, x ->
+                      x / sqrt(list_sum(list_transform(cv, y -> y * y)))) AS uc
+                    FROM cent),
+              s AS (SELECT newv.vec_id, newv.v, u.cell,
+                           list_sum(list_transform(range(1, 65),
+                             i -> newv.v[i] * u.uc[i])) AS d
+                    FROM newv CROSS JOIN u),
+              anew AS (SELECT vec_id, v, cell FROM
+                        (SELECT vec_id, v, cell,
+                                row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, cell ASC) AS rn FROM s)
+                       WHERE rn = 1),
+              corpus AS (SELECT vec_id, cell, v FROM base
+                         UNION ALL SELECT vec_id, cell, v FROM anew),
+              q AS (SELECT v AS qv,
+                           sqrt(list_sum(list_transform(v, x -> x * x))) AS qn
+                    FROM base WHERE vec_id = 0),
+              probe AS (SELECT cent.cell FROM cent, q
+                        ORDER BY list_sum(list_transform(range(1, 65),
+                                   i -> cv[i] * q.qv[i]))
+                                 / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+                                    * q.qn) DESC,
+                                 cent.cell ASC
+                        LIMIT 3)
+         SELECT c.vec_id,
+                round(list_sum(list_transform(range(1, 65), i -> c.v[i] * q.qv[i]))
+                      / (sqrt(list_sum(list_transform(c.v, x -> x * x))) * q.qn), 6)
+                  AS cosine
+         FROM corpus c JOIN probe ON c.cell = probe.cell, q
+         WHERE c.vec_id <> 0
+         ORDER BY cosine DESC, vec_id LIMIT 10""",
     "s7_generator" ->
       s"""SELECT id AS voter_id,
                  ${partyCase("id")} AS party_affiliation,

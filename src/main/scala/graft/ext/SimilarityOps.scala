@@ -21,13 +21,13 @@ import org.apache.spark.sql.functions._
 object SimilarityOps {
 
   /** embedding column cast to array<double>. */
-  private def vecD(c: String): Column =
+  private[graft] def vecD(c: String): Column =
     expr(s"transform($c, x -> cast(x as double))")
 
-  private def dot(a: String, b: String): Column =
+  private[graft] def dot(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
 
-  private def norm(a: String): Column =
+  private[graft] def norm(a: String): Column =
     expr(s"sqrt(aggregate(transform($a, x -> x * x), 0D, (acc, v) -> acc + v))")
 
   /** Brute-force cosine top-k against the vector of `queryId`. */
@@ -96,7 +96,7 @@ object SimilarityOps {
     * OOMs the aggregation buffer at 100 TB. Here every buffer is O(1) per
     * (cell, dim) and O(d) per cell. Long headroom: |Σ xq| < 2^63 holds for
     * cells up to ~5·10^12 members at |x| ≤ 64. */
-  private def centroidsOf(assigned: DataFrame, cellCol: String): DataFrame =
+  private[graft] def centroidsOf(assigned: DataFrame, cellCol: String): DataFrame =
     assigned
       .select(col(cellCol).as("cell"),
         posexplode(expr("transform(v, x -> cast(round(x * 16777216.0) as bigint))"))

@@ -827,6 +827,110 @@ object StreamOps {
       .orderBy("user_id")
   }
 
+  /** T29: STREAMING IVF INGEST + SERVE — continuous ingest into the
+    * partitioned IVF layout, then top-k served against the GROWN corpus.
+    * The batch family builds the index once
+    * ([[graft.ext.SimilarityOps.ivfTopKPruned]]); the shape a live corpus
+    * hits next is vectors arriving AFTER the build: the coarse quantizer
+    * stays FIXED (standard IVF — centroids are a build-time artifact;
+    * re-clustering is an offline rebuild), each arriving vector is
+    * assigned to its nearest cell by the same argmax the k-means
+    * assignment uses, and lands in the layout's cell partition.
+    *
+    * Harness: the even-id half of `embeddings` is the sealed base
+    * segment (batch-written, Hive-partitioned by cell = label); its
+    * per-cell centroids are collected once (k·d doubles — bounded,
+    * independent of N). The odd-id half arrives as TWO staged files
+    * (two real micro-batches with a committed offset between) through a
+    * stateless streaming projection — unit-centroid argmax via the
+    * native [[graft.functions.CentroidArgmax]], centroids attached as a
+    * literal (no stream-static join needed) — into a parquet sink
+    * partitioned by cell (its own segment dir: a streaming sink owns its
+    * `_spark_metadata` log, so it cannot share the base dir). Serving
+    * reads base ∪ ingest pruned to the `nprobe` probed cells —
+    * `PartitionFilters` on BOTH segments (spec-asserted) — and ranks
+    * cosine top-k. The oracle replays everything: base centroids, the
+    * argmax assignment of the odd half, the probe ranking, and the
+    * post-ingest top-k, so a vector lost in ingest, assigned to the
+    * wrong cell, or served from an unprobed cell goes red. */
+  def streamingIvfIngestServe(spark: SparkSession, dir: String, k: Int = 10,
+                              nprobe: Int = 3, queryId: Long = 0L,
+                              statePartitions: Option[Int] = None): DataFrame =
+      perfScope(spark, statePartitions) {
+    import graft.ext.SimilarityOps.{vecD, dot, norm, centroidsOf}
+    graft.functions.GraftExtensions.register(spark)
+    val (root, topic) = freshTopic("graft_t29_")
+    val ckpt = root.resolve("ckpt").toString
+    val baseDir = root.resolve("base").toString
+    val ingestDir = root.resolve("ingest").toString
+
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("cell"),
+        vecD("embedding").as("v"))
+    val base = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    base.select("vec_id", "v", "cell")
+      .write.partitionBy("cell").parquet(baseDir)
+
+    // build-time quantizer: per-cell centroids of the SEALED base only
+    // (one bounded collect — cells·d doubles)
+    val cents = centroidsOf(base, "cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val unit = cents.sortBy(_._1).map { case (cell, cv) =>
+      val n = math.sqrt(cv.map(x => x * x).sum)
+      (cell, cv.map(_ / n).toSeq)
+    }.toSeq
+
+    // continuous ingest: two staged arrival files = two micro-batches
+    val newVecs = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select("vec_id", "v")
+    stageTopicFile(root, topic, "f0",
+      newVecs.filter(pmod(col("vec_id"), lit(4)) === 1))
+    stageTopicFile(root, topic, "f1",
+      newVecs.filter(pmod(col("vec_id"), lit(4)) === 3))
+    val q = spark.readStream
+      .schema("vec_id BIGINT, v ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(topic.toString)
+      .select(col("vec_id"), col("v"),
+        call_function("centroid_argmax", col("v"),
+          typedlit(unit)).as("cell"))
+      .writeStream.format("parquet")
+      .option("path", ingestDir)
+      .option("checkpointLocation", ckpt)
+      .partitionBy("cell")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // serve against the grown corpus: probe ranking uses the SAME
+    // build-time centroids (engine-side ranking, ivfTopK's expression
+    // shapes); the scan unions the sealed and ingested segments, pruned
+    // to the probed cells on both
+    val qv = base.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val centsDf = spark.createDataFrame(
+        cents.toSeq.map { case (c, cv) => (c, cv.toSeq) })
+      .toDF("cell", "cv")
+    val probed = centsDf.crossJoin(broadcast(qv))
+      .select(col("cell"),
+        (dot("cv", "qv") / (norm("cv") * norm("qv"))).as("ccos"))
+      .orderBy(desc("ccos"), asc("cell"))
+      .limit(nprobe)
+      .select("cell")
+      .collect().map(_.getLong(0))
+
+    def segment(path: String): DataFrame =
+      spark.read.schema("vec_id BIGINT, v ARRAY<DOUBLE>, cell BIGINT")
+        .parquet(path)
+        .select("vec_id", "v", "cell")
+    segment(baseDir).unionByName(segment(ingestDir))
+      .filter(col("cell").isin(probed.map(Long.box): _*))
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        round(dot("v", "qv") / (norm("v") * norm("qv")), 6).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** S7e: the generator CONNECTOR as a STREAMING source — the micro-batch
     * read path of [[graft.sources.GenSource]] ([[graft.sources.GenSource]]'s
     * `GenMicroBatchStream`: offset log + admission control, the complete

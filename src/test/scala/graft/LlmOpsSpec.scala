@@ -193,6 +193,23 @@ class LlmOpsSpec extends SparkSpec {
       s"expected exactly one partition-pruned corpus scan:\n$plan")
   }
 
+  test("streaming IVF ingest: top-k served from the grown corpus, both " +
+       "segments pruned at the directory level") {
+    val served = graft.streaming.StreamOps
+      .streamingIvfIngestServe(spark, sfDir, k = 10, nprobe = 3,
+        statePartitions = Some(2))
+    val rows = served.as[(Long, Double)].collect()
+    assert(rows.length === 10)
+    // rank order is the cosine/vec_id contract
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sorted.reverse.toSeq)
+    // serving must read base ∪ ingest with the probe pruning BOTH
+    // segment scans at the partition-listing level
+    val plan = served.queryExecution.executedPlan.toString
+    val pruned = "PartitionFilters: \\[[^\\]]*cell".r.findAllIn(plan).toSeq
+    assert(pruned.size === 2,
+      s"expected two partition-pruned segment scans:\n$plan")
+  }
+
   test("int8 rerank: corpus-wide pool is exact; pooled recall >= raw int8") {
     val emb = Tables.embeddings(spark, sfDir)
     val brute = SimilarityOps.bruteForceTopK(emb, 0L, 10)
