@@ -1486,8 +1486,12 @@ object SparkEntry {
       StreamOps.streamingOhlcMaintenance(s, d)),
     // late rows (held-back fifth, delivered after the watermark advanced)
     // are DROPPED; append mode emits only watermark-finalized windows
+    // state sized to the keys (720 hourly windows), not the cluster —
+    // every micro-batch commits one store per partition, so width 4
+    // halves the fixed per-batch I/O vs 8 (results width-invariant,
+    // PartitionInvarianceSpec board property)
     "t4_stream_late_drop" -> ((s, d) =>
-      StreamOps.lateDropHourly(s, d, statePartitions = Some(8))),
+      StreamOps.lateDropHourly(s, d, statePartitions = Some(4))),
     "t5_stream_dedup_users" -> ((s, d) =>
       StreamOps.streamingDedupUsers(s, d, statePartitions = Some(8))),
     // bounded-state dedup: late re-delivered duplicates (batch 2, 1h older)

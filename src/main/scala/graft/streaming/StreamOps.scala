@@ -1012,11 +1012,19 @@ object StreamOps {
     * oracle recomputes both the watermark and the window filter in SQL. */
   def lateDropHourly(spark: SparkSession, dir: String,
                      statePartitions: Option[Int] = None): DataFrame =
-      // NOT perfScope: the no-data batch after f0 is what finalizes and
-      // emits f0's windows BEFORE the late file lands — without it the
-      // boundary windows are still open when f1 arrives and absorb rows
-      // the oracle drops (verified red locally with it disabled).
-      withShufflePartitions(spark, statePartitions) {
+      // perfScope (no-data batches OFF): f0's windows must be finalized
+      // and emitted BEFORE the late file lands — without an intervening
+      // batch the boundary windows are still open when f1 arrives and
+      // absorb rows the oracle drops (verified red locally). The
+      // finalization batch here is a DATA batch: one sentinel row at
+      // ts = max(f0.ts), which (a) leaves the watermark exactly where
+      // batch 1 set it and (b) joins the top boundary window, whose end
+      // sits ABOVE the watermark — a window append mode never emits on
+      // this fixture — so the sentinel can never surface in the result.
+      // Replacing the empty finalization batch (a full state-commit
+      // round for zero input) with it cuts the run from 2 data + 2
+      // no-data batches to 3 data batches.
+      perfScope(spark, statePartitions) {
     val (root, topic) = freshTopic("graft_t4_")
     val ev = graft.Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
@@ -1024,7 +1032,7 @@ object StreamOps {
     // The held-back LATE set is defined relative to the global max event
     // time: id-hash picked AND at least 2 h older than max(ts). The time
     // bound makes the gate fixture-independent: (a) the max-ts row always
-    // lands in batch 1, so batch 2 cannot advance the watermark and
+    // lands in batch 1, so later batches cannot advance the watermark and
     // finalize windows the oracle excludes; (b) every held-back row sits
     // below the batch-1 watermark (max − 1 h) and must be dropped as
     // late. One bounded scalar (max ts) comes to the driver.
@@ -1032,11 +1040,27 @@ object StreamOps {
     val late = pmod(col("event_id"), lit(5)) === 0 &&
       col("ts") <= lit(maxTs) - expr("INTERVAL 2 HOURS")
 
-    stageTopicFile(root, topic, "f0", ev.filter(!late))
+    // ONE staging pass for both arrival files: a single partitioned
+    // write splits the events by the late flag (the flag is a partition
+    // dir, not a column, so the staged schema matches the stream's);
+    // f1's part file waits in the staging dir until its batch. Replaces
+    // two filter+write jobs (two full event scans) with one.
+    val stagedDir = root.resolve("staged")
+    ev.withColumn("__late", late).coalesce(1)
+      .write.partitionBy("__late").parquet(stagedDir.toString)
+    def moveStaged(flag: Boolean, name: String): Unit = {
+      val d = stagedDir.resolve(s"__late=$flag").toFile
+      val part = Option(d.listFiles()).getOrElse(Array.empty)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no staged part for __late=$flag"))
+      Files.move(part.toPath, topic.resolve(name))
+    }
+    moveStaged(flag = false, "f0.parquet")
     val table = freshName("graft_t4")
     val q = spark.readStream
       .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
-      .option("maxFilesPerTrigger", 1)
+      // no maxFilesPerTrigger: arrivals are already metered one file per
+      // processAllAvailable by the explicit staging moves above
       .parquet(topic.toString)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"))
@@ -1048,7 +1072,16 @@ object StreamOps {
       .start()
     try {
       q.processAllAvailable()
-      stageTopicFile(root, topic, "f1", ev.filter(late))
+      // batch 2: the sentinel finalization row (see the scope comment) —
+      // the batch-1 watermark takes effect at this batch's start,
+      // finalizing and emitting every window the oracle includes
+      stageTopicFile(root, topic, "f0_wm", spark.range(1).select(
+        lit(-1L).as("event_id"), lit(maxTs).as("ts"),
+        lit(-1L).as("user_id"), lit("wm_sentinel").as("event_type"),
+        lit(0.0).as("value")))
+      q.processAllAvailable()
+      // batch 3: the held-back late file — every row below the watermark
+      moveStaged(flag = true, "f1.parquet")
       q.processAllAvailable()
     } finally q.stop()
     spark.table(table)
