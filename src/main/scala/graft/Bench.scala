@@ -193,6 +193,33 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
     System.err.println(f"[bench] calib $calib%.2f s")
+    // Second probe, SECOND degradation axis: the CPU probe above is
+    // blind to filesystem/tmp-dir contention (round-10 measured calib
+    // IMPROVING 0.43→0.37 while the board slowed 172.8→175.0 s under fs
+    // pressure, and the reverse: calib 1.16 with the board at its
+    // fastest). This one is deliberately I/O-shaped — write a small
+    // parquet table to the same scratch root the streaming checkpoints
+    // and staged layouts use, read it back, delete it; best of 3, in
+    // the warmed JVM, outside the timed region. Together the pair
+    // brackets both ambient modes: calib ≈ CPU speed, calib_fs ≈
+    // small-file metadata/commit latency. Reported as "calib_fs";
+    // contract otherwise unchanged.
+    val calibFs = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      warm {
+        val d = TmpDirs.create("graft_calib_fs_")
+        val p = d.resolve("t").toString
+        spark.range(100000).selectExpr("id", "id * 31 AS v")
+          .coalesce(4).write.parquet(p)
+        spark.read.parquet(p).selectExpr("max(v)").collect()
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+        }
+        rm(d.toFile)
+      }
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    System.err.println(f"[bench] calib_fs $calibFs%.2f s")
     // Optional comma-separated name-prefix filter for local profiling runs
     // (unset in the driver's invocation → full surface, contract unchanged).
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
@@ -210,14 +237,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"calib_fs":$calibFs,"queries":$qs,"sf":"$sfDir"}"""
     // The per-query line is one giant record whose "metric":"total" head is
     // the first thing a tail-truncated log window loses (the driver recorded
     // "parsed": null two rounds running). Print a second, SHORT, final line
     // carrying the same headline so any tail window contains a parseable
     // record; the file copy keeps the full per-query detail.
     val shortLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"n":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"calib_fs":$calibFs,"n":${results.size},"sf":"$sfDir"}"""
     println(line)
     println(shortLine)
     // Belt-and-braces for the driver parse: stderr is a second raw channel
