@@ -1520,7 +1520,7 @@ object SparkEntry {
     // accumulating across the code swap, the evolved field must count
     // exactly the post-upgrade events
     "t28_stream_state_upgrade" -> ((s, d) =>
-      StreamOps.stateSchemaUpgradeTotals(s, d, statePartitions = Some(8))),
+      StreamOps.stateSchemaUpgradeTotals(s, d, statePartitions = Some(4))),
     // streaming IVF ingest: new vectors arrive in micro-batches, are
     // assigned to their nearest build-time cell, and land in the
     // partitioned layout; top-k is then served against the GROWN corpus
