@@ -570,6 +570,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(bc.find(_._1 == 13L).get._4.startsWith("shared banner"))
   }
 
+  test("boilerplate removal: duplicated doc_ids stay one-row-per-input-row " +
+       "in BOTH plans") {
+    // two input rows sharing doc_id 0 with different bodies: the
+    // broadcast path naturally emits two rows; the distributed path must
+    // NOT merge them into one interleaved document (it groups on a
+    // row-unique tag, not on doc_id)
+    val docs = Seq(
+      (0L, "alpha beta gamma delta", "a"),
+      (0L, "epsilon zeta eta theta", "a"),
+      (1L, "iota kappa lambda mu", "a")
+    ).toDF("doc_id", "text", "source")
+    def run(bc: Boolean) =
+      TextOps.boilerplateRemove(docs, blockWords = 4, maxDf = 3,
+          broadcastBadSets = bc)
+        .as[(Long, Int, Long, String)].collect()
+        .sortBy(r => (r._1, r._4)).toSeq
+    val b = run(bc = true)
+    val d = run(bc = false)
+    assert(b === d)
+    assert(b.count(_._1 == 0L) === 2,
+      s"duplicate doc_id must yield two output rows, got ${b.mkString(";")}")
+    assert(b.filter(_._1 == 0L).map(_._4).toSet ===
+      Set("alpha beta gamma delta", "epsilon zeta eta theta"))
+  }
+
   test("boilerplate removal: df threshold is per-source, not corpus-wide") {
     // the same banner in two docs of each of two sources: per-source df=2
     // stays under maxDf=3 even though corpus-wide df=4 would exceed it
