@@ -258,6 +258,7 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: ${e.getMessage}") }
     graft.ext.DedupOps.clearCaches()
     graft.ops.Storage.clearCaches()
+    graft.streaming.StreamOps.clearCaches()
     spark.stop()
   }
 }

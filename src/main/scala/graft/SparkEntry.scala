@@ -1528,6 +1528,11 @@ object SparkEntry {
     // assignment, the probe, and the post-ingest ranking exactly
     "t29_stream_ivf_ingest" -> ((s, d) =>
       StreamOps.streamingIvfIngestServe(s, d, statePartitions = Some(4))),
+    // the batched serving shape over the SAME grown corpus (memoized
+    // ingest): 10 queries — five of them JUST-INGESTED vectors — one
+    // pruned scan of their probe-cell union, bounded-heap top-k
+    "t29b_stream_ivf_batch_serve" -> ((s, d) =>
+      StreamOps.streamingIvfIngestBatchServe(s, d, statePartitions = Some(4))),
     "t8_stream_asof" -> ((s, d) =>
       StreamOps.streamingAsOfAttribution(s, d, statePartitions = Some(8))),
     // streaming SCD2: each change CLOSES the key's open version (append
@@ -3838,6 +3843,65 @@ object SparkEntry {
          FROM corpus c JOIN probe ON c.cell = probe.cell, q
          WHERE c.vec_id <> 0
          ORDER BY cosine DESC, vec_id LIMIT 10""",
+    // batched serve over the same grown corpus: per-query probe ranking
+    // over the build-time centroids, per-query top-10 within the probed
+    // cells; queries 0-9 include the five just-ingested odd vectors
+    "t29b_stream_ivf_batch_serve" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS cell,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              base AS (SELECT vec_id, cell, v FROM e WHERE vec_id % 2 = 0),
+              newv AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1),
+              cj AS (SELECT cell, generate_subscripts(v, 1) AS j,
+                            unnest(v) AS x FROM base),
+              cm AS (SELECT cell, j,
+                            (CAST(sum(CAST(round(x * 16777216.0) AS BIGINT)) AS DOUBLE)
+                             / 16777216.0) / count(*) AS cjv
+                     FROM cj GROUP BY cell, j),
+              cent AS (SELECT cell, list(cjv ORDER BY j) AS cv
+                       FROM cm GROUP BY cell),
+              u AS (SELECT cell, list_transform(cv, x ->
+                      x / sqrt(list_sum(list_transform(cv, y -> y * y)))) AS uc
+                    FROM cent),
+              s AS (SELECT newv.vec_id, newv.v, u.cell,
+                           list_sum(list_transform(range(1, 65),
+                             i -> newv.v[i] * u.uc[i])) AS d
+                    FROM newv CROSS JOIN u),
+              anew AS (SELECT vec_id, v, cell FROM
+                        (SELECT vec_id, v, cell,
+                                row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, cell ASC) AS rn FROM s)
+                       WHERE rn = 1),
+              corpus AS (SELECT vec_id, cell, v FROM base
+                         UNION ALL SELECT vec_id, cell, v FROM anew),
+              cn AS (SELECT vec_id, cell, v,
+                            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+                     FROM corpus),
+              q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+                    FROM cn WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)),
+              pr AS (SELECT q.query_id, cent.cell,
+                            row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_sum(list_transform(range(1, 65),
+                                         i -> cv[i] * q.qv[i]))
+                                       / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+                                          * q.qn) DESC,
+                                       cent.cell ASC) AS rn
+                     FROM cent, q),
+              probe AS (SELECT query_id, cell FROM pr WHERE rn <= 3),
+              sc AS (SELECT probe.query_id, cn.vec_id,
+                            round(list_sum(list_transform(range(1, 65),
+                                    i -> cn.v[i] * q.qv[i]))
+                                  / (cn.nrm * q.qn), 6) AS cosine
+                     FROM cn JOIN probe ON cn.cell = probe.cell
+                            JOIN q ON q.query_id = probe.query_id
+                     WHERE cn.vec_id <> q.query_id),
+              rk AS (SELECT query_id, vec_id,
+                            row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id) AS rn
+                     FROM sc)
+         SELECT query_id,
+                string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY rn) AS top_ids
+         FROM rk WHERE rn <= 10 GROUP BY query_id""",
     "s7_generator" ->
       s"""SELECT id AS voter_id,
                  ${partyCase("id")} AS party_affiliation,

@@ -52,6 +52,7 @@ object Verify {
     // storage layout dirs) before teardown — nothing may outlive the run
     graft.ext.DedupOps.clearCaches()
     graft.ops.Storage.clearCaches()
+    graft.streaming.StreamOps.clearCaches()
     spark.stop()
   }
 }
