@@ -1853,6 +1853,25 @@ object SparkEntry {
     // full-precision table is touched for pool rows, not N
     "ann_int8_rerank" -> ((s, d) =>
       SimilarityOps.int8RerankTopK(Tables.embeddings(s, d), 0L, 10, pool = 50)),
+    // product quantization: 8 subspace codes per vector (32x smaller
+    // than float32), deterministic label-centroid codebooks, ADC
+    // serving via a driver-built lookup table — the scan reads codes,
+    // never vectors; the oracle replays codebooks/codes/LUT/ranking
+    "ann_pq_adc_topk" -> ((s, d) =>
+      SimilarityOps.pqAdcTopK(Tables.embeddings(s, d), 0L, 10)),
+    // two-stage PQ serving: the ADC code-scan keeps an N/10 candidate
+    // pool, exact dot re-ranks it — the full-precision table is touched
+    // for pool rows, not N
+    "ann_pq_rerank" -> ((s, d) =>
+      SimilarityOps.pqRerankTopK(Tables.embeddings(s, d), 0L, 10)),
+    // PQ approximation quality of the RERANKED top-10 vs the exact-dot
+    // truth (ADC approximates dot, so dot is the apples-to-apples side).
+    // Measured 5/4/3 hits at sf0.01/0.001/0.1 — this near-uniform
+    // synthetic corpus is the worst case for a coarse quantizer (the
+    // ann_ivf_recall 0.3-floor rationale); bound 2 leaves one boundary
+    // flip of margin below the weakest measurement
+    "ann_pq_recall" -> ((s, d) =>
+      SimilarityOps.pqRecall(Tables.embeddings(s, d), 0L, 10, minHits = 2)),
     "ann_kmeans_cells" -> ((s, d) =>
       SimilarityOps.kmeansCells(Tables.embeddings(s, d), 2)
         .orderBy("vec_id")),
@@ -4986,6 +5005,153 @@ object SparkEntry {
                       / (n.nrm * q.qn), 6) AS cosine
          FROM n JOIN cand ON n.vec_id = cand.vec_id, q
          ORDER BY cosine DESC, n.vec_id LIMIT 10""",
+    // PQ replay: fixed-point label centroids → per-subspace codebooks
+    // (slice of the mean = mean of the slice), argmin-L2 codes with the
+    // (d ASC, cell ASC) tie-break, the ADC lookup table, and the final
+    // ranking — all recomputed from the raw embeddings. The per-vector
+    // score folds an ORDERED list (list(p ORDER BY s)), matching the
+    // engine's left-to-right subspace fold bit for bit.
+    "ann_pq_adc_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS cell,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              ej AS (SELECT cell, generate_subscripts(v, 1) AS j,
+                            unnest(v) AS x FROM e),
+              cm AS (SELECT cell, j,
+                            (CAST(sum(CAST(round(x * 16777216.0) AS BIGINT)) AS DOUBLE)
+                             / 16777216.0) / count(*) AS cj
+                     FROM ej GROUP BY cell, j),
+              cent AS (SELECT cell, list(cj ORDER BY j) AS cv
+                       FROM cm GROUP BY cell),
+              ss AS (SELECT unnest(range(0, 8)) AS s),
+              dist AS (SELECT e.vec_id, ss.s, cent.cell,
+                              list_sum(list_transform(range(1, 9),
+                                i -> (e.v[ss.s * 8 + i] - cent.cv[ss.s * 8 + i])
+                                     * (e.v[ss.s * 8 + i] - cent.cv[ss.s * 8 + i])))
+                                AS d
+                       FROM e CROSS JOIN ss CROSS JOIN cent),
+              codes AS (SELECT vec_id, s, cell FROM
+                         (SELECT vec_id, s, cell,
+                                 row_number() OVER (PARTITION BY vec_id, s
+                                   ORDER BY d ASC, cell ASC) AS rn FROM dist)
+                        WHERE rn = 1),
+              q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+              lut AS (SELECT ss.s, cent.cell,
+                             list_sum(list_transform(range(1, 9),
+                               i -> q.qv[ss.s * 8 + i] * cent.cv[ss.s * 8 + i]))
+                               AS p
+                      FROM cent CROSS JOIN ss, q),
+              sc AS (SELECT codes.vec_id,
+                            round(list_sum(list(lut.p ORDER BY lut.s)), 6)
+                              AS adc_score
+                     FROM codes JOIN lut ON codes.s = lut.s
+                            AND codes.cell = lut.cell
+                     WHERE codes.vec_id <> 0
+                     GROUP BY codes.vec_id)
+         SELECT vec_id, adc_score FROM sc
+         ORDER BY adc_score DESC, vec_id LIMIT 10""",
+    // two-stage replay: ADC pool of 100 (codes + LUT as above), exact
+    // dot re-rank of the pool, top-10
+    "ann_pq_rerank" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS cell,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              ej AS (SELECT cell, generate_subscripts(v, 1) AS j,
+                            unnest(v) AS x FROM e),
+              cm AS (SELECT cell, j,
+                            (CAST(sum(CAST(round(x * 16777216.0) AS BIGINT)) AS DOUBLE)
+                             / 16777216.0) / count(*) AS cj
+                     FROM ej GROUP BY cell, j),
+              cent AS (SELECT cell, list(cj ORDER BY j) AS cv
+                       FROM cm GROUP BY cell),
+              ss AS (SELECT unnest(range(0, 8)) AS s),
+              dist AS (SELECT e.vec_id, ss.s, cent.cell,
+                              list_sum(list_transform(range(1, 9),
+                                i -> (e.v[ss.s * 8 + i] - cent.cv[ss.s * 8 + i])
+                                     * (e.v[ss.s * 8 + i] - cent.cv[ss.s * 8 + i])))
+                                AS d
+                       FROM e CROSS JOIN ss CROSS JOIN cent),
+              codes AS (SELECT vec_id, s, cell FROM
+                         (SELECT vec_id, s, cell,
+                                 row_number() OVER (PARTITION BY vec_id, s
+                                   ORDER BY d ASC, cell ASC) AS rn FROM dist)
+                        WHERE rn = 1),
+              q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+              lut AS (SELECT ss.s, cent.cell,
+                             list_sum(list_transform(range(1, 9),
+                               i -> q.qv[ss.s * 8 + i] * cent.cv[ss.s * 8 + i]))
+                               AS p
+                      FROM cent CROSS JOIN ss, q),
+              adc AS (SELECT codes.vec_id,
+                             round(list_sum(list(lut.p ORDER BY lut.s)), 6)
+                               AS adc_score
+                      FROM codes JOIN lut ON codes.s = lut.s
+                             AND codes.cell = lut.cell
+                      WHERE codes.vec_id <> 0
+                      GROUP BY codes.vec_id
+                      ORDER BY adc_score DESC, vec_id
+                      LIMIT (SELECT greatest(10, CAST(count(*) // 10 AS BIGINT))
+                             FROM e))
+         SELECT e.vec_id,
+                round(list_sum(list_transform(range(1, 65),
+                        i -> e.v[i] * q.qv[i])), 6) AS dp
+         FROM e JOIN adc USING (vec_id), q
+         ORDER BY dp DESC, vec_id LIMIT 10""",
+    // recall@10 of the RERANKED ranking vs the exact-DOT truth — both
+    // sides recomputed here independently of the engine
+    "ann_pq_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS cell,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+              ej AS (SELECT cell, generate_subscripts(v, 1) AS j,
+                            unnest(v) AS x FROM e),
+              cm AS (SELECT cell, j,
+                            (CAST(sum(CAST(round(x * 16777216.0) AS BIGINT)) AS DOUBLE)
+                             / 16777216.0) / count(*) AS cj
+                     FROM ej GROUP BY cell, j),
+              cent AS (SELECT cell, list(cj ORDER BY j) AS cv
+                       FROM cm GROUP BY cell),
+              ss AS (SELECT unnest(range(0, 8)) AS s),
+              dist AS (SELECT e.vec_id, ss.s, cent.cell,
+                              list_sum(list_transform(range(1, 9),
+                                i -> (e.v[ss.s * 8 + i] - cent.cv[ss.s * 8 + i])
+                                     * (e.v[ss.s * 8 + i] - cent.cv[ss.s * 8 + i])))
+                                AS d
+                       FROM e CROSS JOIN ss CROSS JOIN cent),
+              codes AS (SELECT vec_id, s, cell FROM
+                         (SELECT vec_id, s, cell,
+                                 row_number() OVER (PARTITION BY vec_id, s
+                                   ORDER BY d ASC, cell ASC) AS rn FROM dist)
+                        WHERE rn = 1),
+              q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+              lut AS (SELECT ss.s, cent.cell,
+                             list_sum(list_transform(range(1, 9),
+                               i -> q.qv[ss.s * 8 + i] * cent.cv[ss.s * 8 + i]))
+                               AS p
+                      FROM cent CROSS JOIN ss, q),
+              adc AS (SELECT codes.vec_id,
+                             round(list_sum(list(lut.p ORDER BY lut.s)), 6)
+                               AS adc_score
+                      FROM codes JOIN lut ON codes.s = lut.s
+                             AND codes.cell = lut.cell
+                      WHERE codes.vec_id <> 0
+                      GROUP BY codes.vec_id
+                      ORDER BY adc_score DESC, vec_id
+                      LIMIT (SELECT greatest(10, CAST(count(*) // 10 AS BIGINT))
+                             FROM e)),
+              rr AS (SELECT e.vec_id,
+                            round(list_sum(list_transform(range(1, 65),
+                                    i -> e.v[i] * q.qv[i])), 6) AS dp
+                     FROM e JOIN adc USING (vec_id), q
+                     ORDER BY dp DESC, vec_id LIMIT 10),
+              bf AS (SELECT e.vec_id,
+                            round(list_sum(list_transform(range(1, 65),
+                                    i -> e.v[i] * q.qv[i])), 6) AS dp
+                     FROM e, q WHERE e.vec_id <> 0
+                     ORDER BY dp DESC, vec_id LIMIT 10)
+         SELECT CAST(count(*) AS BIGINT) AS n_hits,
+                count(*) >= 2 AS recall_ok
+         FROM rr JOIN bf USING (vec_id)""",
     "ann_int8_recall" ->
       """WITH e AS (SELECT vec_id,
                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
