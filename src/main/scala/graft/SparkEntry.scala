@@ -1328,6 +1328,11 @@ object SparkEntry {
                     GROUP BY event_type
                |> ORDER BY event_type""")
     }),
+    // SQL scripting (BEGIN/DECLARE/SET/WHILE): instant-runoff election
+    // over the seeded voters — the iterative generalization of the
+    // reference's plurality tally that genuinely needs a loop; the
+    // fixture forces a real elimination round and a 1-vote majority
+    "s6d_sql_scripting" -> ((s, _) => Scripting.instantRunoff(s, 1000L)),
     // correlated LATERAL subquery with per-row LIMIT — top-3 balances
     // per market segment written as the SQL a warehouse user reaches
     // for; Catalyst decorrelates the lateral into a join (no per-row
@@ -3787,6 +3792,35 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
          FROM events WHERE value > 10
          GROUP BY event_type ORDER BY event_type""",
+    // closed-form IRV replay for the pinned fixture (1000 ballots, 3
+    // parties → exactly one elimination round): round-1 tallies, the
+    // (votes ASC, party ASC) elimination, second-choice transfers, the
+    // majority-of-cast verdict
+    "s6d_sql_scripting" ->
+      s"""WITH b AS (SELECT id AS voter_id,
+                            ${partyCase("id")} AS first,
+                            ${partyCase("(id % 3 + 1 + id % 2) % 3")} AS second
+                     FROM range(1000) t(id)),
+               r1 AS (SELECT first AS party, count(*) AS c FROM b GROUP BY first),
+               elim AS (SELECT party FROM r1 ORDER BY c ASC, party ASC LIMIT 1),
+               fin AS (SELECT party, count(*) AS c FROM
+                        (SELECT CASE WHEN first NOT IN (SELECT party FROM elim)
+                                       THEN first
+                                     WHEN second NOT IN (SELECT party FROM elim)
+                                       THEN second
+                                END AS party FROM b)
+                       WHERE party IS NOT NULL GROUP BY party),
+               tot AS (SELECT count(*) AS total FROM b)
+          SELECT p.party,
+                 r1.c AS first_round_votes,
+                 CAST(coalesce(f.c, 0) AS BIGINT) AS final_votes,
+                 coalesce(f.c, 0) * 2 > tot.total AS is_winner,
+                 p.party IN (SELECT party FROM elim) AS eliminated
+          FROM (SELECT DISTINCT first AS party FROM b) p
+          LEFT JOIN r1 ON r1.party = p.party
+          LEFT JOIN fin f ON f.party = p.party
+          CROSS JOIN tot
+          ORDER BY p.party""",
     // DuckDB runs the identical correlated LATERAL (same per-row LIMIT,
     // same tie-breaks)
     "j10_lateral_topn" ->
