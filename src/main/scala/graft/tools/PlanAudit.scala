@@ -42,6 +42,9 @@ object PlanAudit {
     "graph_hops_to_canonical",
     // composite: builds the truth-memo edge view on construction
     "s6b_recursive_cte",
+    // composite: a SQL script EXECUTES eagerly (statement by statement)
+    // on construction; the returned frame is the final SELECT's result
+    "s6d_sql_scripting",
     // composite: materialized INSIDE their conf scope (optimizer confs are
     // read at action time), so the returned frame is a scratch-parquet
     // scan; the interesting plans are pinned by BloomFilterJoinSpec/CboSpec
