@@ -336,9 +336,17 @@ object SimilarityOps {
       })
     // argmin-by-L2 per subspace via sort on (distance, cell): strict
     // ascending struct order ties to the SMALLER cell id — the same
-    // tie-break as the oracle's ORDER BY d ASC, cell ASC window
+    // tie-break as the oracle's ORDER BY d ASC, cell ASC window.
+    // Codebooks arrive through a broadcast one-row COLUMN, not a
+    // typedlit: a literal would inline m·cells·d doubles into the
+    // expression tree, making every call (and every scale factor) a
+    // fresh multi-second Janino compile — the kmeansCells lesson; the
+    // column form keeps the tree constant, so the generated class is
+    // compiled once and cached across the whole PQ family
+    val spark = embeddings.sparkSession
+    val cbRow = spark.createDataFrame(Seq(Tuple1(cb))).toDF("cb")
     val codes = base
-      .withColumn("cb", typedlit(cb))
+      .crossJoin(broadcast(cbRow))
       .withColumn("codes", expr(
         s"""transform(sequence(0, ${m - 1}), s ->
               element_at(array_sort(transform(element_at(cb, s + 1), c ->
@@ -368,8 +376,11 @@ object SimilarityOps {
       cents.map { case (c, cv) =>
         c -> (0 until sub).map(i => qv(s * sub + i) * cv(s * sub + i)).sum
       }.toMap)
+    // LUT through a broadcast one-row column for the same
+    // compile-once reason as the codebooks above
+    val lutRow = spark.createDataFrame(Seq(Tuple1(lut))).toDF("lut")
     codes.filter(col("vec_id") =!= queryId)
-      .withColumn("lut", typedlit(lut))
+      .crossJoin(broadcast(lutRow))
       .select(col("vec_id"),
         round(expr(
           s"""aggregate(sequence(0, ${m - 1}), 0D, (a, s) ->
