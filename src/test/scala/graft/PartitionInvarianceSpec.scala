@@ -51,4 +51,21 @@ class PartitionInvarianceSpec extends SparkSpec {
     // eval side fixed; only the corpus side's layout varies
     graft.ext.DedupOps.decontaminate(d, docs.filter(col("doc_id") % 10 === 0), 13)
   }
+  pinInvariant("htmlExtract")(graft.ext.WebOps.htmlExtract(_))
+  pinInvariant("urlCanonicalize")(graft.ext.WebOps.urlCanonicalize(_))
+
+  /** The PQ family's own invariance: codes derive from fixed-point
+    * centroids (order-insensitive integer sums), so codes — and the ADC
+    * ranking built on them — must not shift with the embedding table's
+    * layout. */
+  test("PQ ADC ranking is invariant to input partitioning") {
+    def emb = Tables.embeddings(spark, sfDir)
+    val want = rows(graft.ext.SimilarityOps.pqAdcTopK(emb.repartition(1), 0L, 10))
+    assert(want.nonEmpty)
+    Seq(emb.repartition(7, col("vec_id")), emb.orderBy(desc("vec_id")))
+      .foreach { alt =>
+        assert(rows(graft.ext.SimilarityOps.pqAdcTopK(alt, 0L, 10)) == want,
+          "ADC ranking shifted with partitioning")
+      }
+  }
 }
