@@ -894,12 +894,21 @@ object StreamOps {
         }.toSeq
 
         // continuous ingest: two staged arrival files = two micro-batches
-        val newVecs = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
-          .select("vec_id", "v")
-        stageTopicFile(root, topic, "f0",
-          newVecs.filter(pmod(col("vec_id"), lit(4)) === 1))
-        stageTopicFile(root, topic, "f1",
-          newVecs.filter(pmod(col("vec_id"), lit(4)) === 3))
+        // (one partitioned write splits the arrivals — the t4 one-pass
+        // staging pattern; the flag is a partition dir, not a column)
+        val stagedDir = root.resolve("staged")
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+          .select(col("vec_id"), col("v"),
+            pmod(col("vec_id"), lit(4)).as("__arr"))
+          .coalesce(1)
+          .write.partitionBy("__arr").parquet(stagedDir.toString)
+        Seq(1 -> "f0", 3 -> "f1").foreach { case (flag, name) =>
+          val part = Option(stagedDir.resolve(s"__arr=$flag").toFile.listFiles())
+            .getOrElse(Array.empty)
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no staged part for __arr=$flag"))
+          Files.move(part.toPath, topic.resolve(s"$name.parquet"))
+        }
         val q = spark.readStream
           .schema("vec_id BIGINT, v ARRAY<DOUBLE>")
           .option("maxFilesPerTrigger", 1)
