@@ -204,9 +204,14 @@ object Bench {
     // brackets both ambient modes: calib ≈ CPU speed, calib_fs ≈
     // small-file metadata/commit latency. Reported as "calib_fs";
     // contract otherwise unchanged.
-    val calibFs = (1 to 3).map { _ =>
-      val t0 = System.nanoTime()
-      warm {
+    // NOT warm{}-guarded like the CPU probe: a swallowed I/O failure
+    // would time at ~0 and report the BEST fs reading in exactly the
+    // run where the filesystem is broken — the inverted signal. A
+    // failed probe reports the sentinel -1.0 instead ("unreadable",
+    // never "fast").
+    val calibFs =
+      try (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
         val d = TmpDirs.create("graft_calib_fs_")
         val p = d.resolve("t").toString
         spark.range(100000).selectExpr("id", "id * 31 AS v")
@@ -216,9 +221,12 @@ object Bench {
           Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
         }
         rm(d.toFile)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] calib_fs probe failed: ${e.getMessage}")
+        -1.0
       }
-      (System.nanoTime() - t0) / 1e9
-    }.min
     System.err.println(f"[bench] calib_fs $calibFs%.2f s")
     // Optional comma-separated name-prefix filter for local profiling runs
     // (unset in the driver's invocation → full surface, contract unchanged).

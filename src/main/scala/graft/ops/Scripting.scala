@@ -96,10 +96,16 @@ object Scripting {
     // the returned frame is the last statement's materialized result)
     val prev = spark.conf.getOption("spark.sql.scripting.enabled")
     spark.conf.set("spark.sql.scripting.enabled", "true")
+    // the script executes EAGERLY, so the ballots view can be dropped as
+    // soon as sql() returns — without this, every call leaks a
+    // uuid-named temp view (and its analyzed plan) for the session life
     try spark.sql(script)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.scripting.enabled", v)
-      case None    => spark.conf.unset("spark.sql.scripting.enabled")
+    finally {
+      spark.catalog.dropTempView(view)
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.scripting.enabled", v)
+        case None    => spark.conf.unset("spark.sql.scripting.enabled")
+      }
     }
   }
 }

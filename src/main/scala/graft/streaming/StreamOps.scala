@@ -865,8 +865,7 @@ object StreamOps {
     * the DedupOps/Storage clearCaches discipline). */
   def clearCaches(): Unit = ivfIngestMemo.clear()
 
-  private def ivfIngestedSegments(spark: SparkSession, dir: String,
-      statePartitions: Option[Int])
+  private def ivfIngestedSegments(spark: SparkSession, dir: String)
       : (String, String, Array[(Long, Array[Double])]) =
     ivfIngestMemo.computeIfAbsent(
       (System.identityHashCode(spark), dir), { _ =>
@@ -942,8 +941,7 @@ object StreamOps {
                               statePartitions: Option[Int] = None): DataFrame =
       perfScope(spark, statePartitions) {
     import graft.ext.SimilarityOps.{dot, norm}
-    val (baseDir, ingestDir, cents) =
-      ivfIngestedSegments(spark, dir, statePartitions)
+    val (baseDir, ingestDir, cents) = ivfIngestedSegments(spark, dir)
 
     // serve against the grown corpus: probe ranking uses the SAME
     // build-time centroids (engine-side ranking, ivfTopK's expression
@@ -989,8 +987,7 @@ object StreamOps {
       perfScope(spark, statePartitions) {
     import graft.ext.SimilarityOps.{dot, norm}
     import org.apache.spark.sql.Encoders
-    val (baseDir, ingestDir, cents) =
-      ivfIngestedSegments(spark, dir, statePartitions)
+    val (baseDir, ingestDir, cents) = ivfIngestedSegments(spark, dir)
     val corpus = ivfGrownCorpus(spark, baseDir, ingestDir)
     val qs = corpus.filter(col("vec_id").isin(queryIds.map(Long.box): _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"))

@@ -149,13 +149,15 @@ class SkewSpec extends SparkSpec {
         .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
         .as[(String, Long)].collect().toMap
       assert(aqe === salted)
-      // drive the bare join so ITS adaptive plan is final, then assert
-      // the skew marker — proof the hot partition was actually split,
-      // not merely that results agree
+      // drive the bare join with collect() — count() plans a SEPARATE
+      // QueryExecution, leaving this one's adaptive plan non-final —
+      // then assert the specific split marker (the join column is
+      // literally named skew_key, so a bare substring match on "skew"
+      // would pass vacuously)
       val bare = graft.ops.Joins.skewJoinAqe(ev, cust, "skew_key", "c_custkey")
-      assert(bare.count() > 0)
+      assert(bare.collect().nonEmpty)
       val plan = bare.queryExecution.executedPlan.toString
-      assert(plan.toLowerCase.contains("skew"),
+      assert("skew=\\[?true".r.findFirstIn(plan.toLowerCase).isDefined,
         s"AQE should mark the hot partition as skewed:\n${plan.take(2000)}")
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
