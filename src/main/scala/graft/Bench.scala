@@ -267,6 +267,7 @@ object Bench {
     graft.ext.DedupOps.clearCaches()
     graft.ops.Storage.clearCaches()
     graft.streaming.StreamOps.clearCaches()
+    graft.ext.SimilarityOps.clearCaches()
     spark.stop()
   }
 }

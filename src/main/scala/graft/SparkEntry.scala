@@ -918,11 +918,7 @@ object SparkEntry {
     // heavy-hitter fixture) — the shape that straggles one task unsalted
     "j7b_salted_join_skewed" -> ((s, d) =>
       Joins.saltedJoin(
-          Tables.events(s, d)
-            .withColumn("skew_key",
-              when(pmod(col("event_id"), lit(100)) < 90, lit(1L))
-                .otherwise(col("user_id")))
-            .select("event_id", "skew_key", "value"),
+          Joins.injectSkewKey(Tables.events(s, d)),
           Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
           "skew_key", "c_custkey", "event_id", 16)
         .groupBy("c_mktsegment")
@@ -935,11 +931,7 @@ object SparkEntry {
     // the engine is correct with and without the plan-level hint
     "j7c_aqe_skew_join" -> ((s, d) =>
       Joins.skewJoinAqe(
-          Tables.events(s, d)
-            .withColumn("skew_key",
-              when(pmod(col("event_id"), lit(100)) < 90, lit(1L))
-                .otherwise(col("user_id")))
-            .select("event_id", "skew_key", "value"),
+          Joins.injectSkewKey(Tables.events(s, d)),
           Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
           "skew_key", "c_custkey")
         .groupBy("c_mktsegment")

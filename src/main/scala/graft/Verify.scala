@@ -53,6 +53,7 @@ object Verify {
     graft.ext.DedupOps.clearCaches()
     graft.ops.Storage.clearCaches()
     graft.streaming.StreamOps.clearCaches()
+    graft.ext.SimilarityOps.clearCaches()
     spark.stop()
   }
 }

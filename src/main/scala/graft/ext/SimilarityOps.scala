@@ -319,8 +319,26 @@ object SimilarityOps {
     * dot products ON THE DRIVER (bounded) and scores each row by m map
     * lookups + adds — the entire point of PQ at 100 TB: the scan reads
     * codes, not vectors, and does no per-row float math beyond m adds. */
+  /** One codebook build per (session, input plan, m) — the family's
+    * three entry points (and rerank's nesting) otherwise repeat the
+    * corpus-wide centroid aggregation + driver collect and the pool
+    * count() on every call. Same memo discipline as the Storage layout
+    * dirs and the streaming IVF ingest; released by [[clearCaches]]. */
+  private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, Int), (DataFrame, Array[(Long, Array[Double])], Int, Long)]()
+
+  /** Release the PQ codebook memos (Verify/Bench teardown). */
+  def clearCaches(): Unit = pqMemo.clear()
+
   private def pqCodesAndBooks(embeddings: DataFrame, m: Int)
-      : (DataFrame, Array[(Long, Array[Double])], Int) = {
+      : (DataFrame, Array[(Long, Array[Double])], Int, Long) =
+    pqMemo.computeIfAbsent(
+      (System.identityHashCode(embeddings.sparkSession),
+        embeddings.queryExecution.analyzed.semanticHash(), m),
+      { _ => pqCodesAndBooksUncached(embeddings, m) })
+
+  private def pqCodesAndBooksUncached(embeddings: DataFrame, m: Int)
+      : (DataFrame, Array[(Long, Array[Double])], Int, Long) = {
     val base = embeddings.select(col("vec_id"),
       col("label").cast("long").as("cell"), vecD("embedding").as("v"))
     val cents = centroidsOf(base, "cell").collect()
@@ -355,7 +373,7 @@ object SimilarityOps {
                          (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b),
                   'cell', c._1))), 1).cell)"""))
       .select(col("vec_id"), col("v"), col("codes"))
-    (codes, cents, sub)
+    (codes, cents, sub, embeddings.count())
   }
 
   /** ADC top-k: rank the corpus by the asymmetric-distance-computation
@@ -365,7 +383,7 @@ object SimilarityOps {
     * ranking exactly. */
   def pqAdcTopK(embeddings: DataFrame, queryId: Long, k: Int,
                 m: Int = 8): DataFrame = {
-    val (codes, cents, sub) = pqCodesAndBooks(embeddings, m)
+    val (codes, cents, sub, _) = pqCodesAndBooks(embeddings, m)
     val spark = embeddings.sparkSession
     val qv = codes.filter(col("vec_id") === queryId)
       .select("v").head().getSeq[Double](0).toArray
@@ -404,9 +422,9 @@ object SimilarityOps {
                    poolDiv: Int = 10, m: Int = 8): DataFrame = {
     // pool sized to the corpus (N/poolDiv, floor k): a fixed pool stops
     // covering the exact top-k as N grows; the fraction is the knob a
-    // deployment tunes against its recall target. One bounded count to
-    // the driver.
-    val pool = math.max(k, (embeddings.count() / poolDiv).toInt)
+    // deployment tunes against its recall target. N comes from the
+    // memoized codebook build (one bounded count per session+input).
+    val pool = math.max(k, (pqCodesAndBooks(embeddings, m)._4 / poolDiv).toInt)
     val adcPool = pqAdcTopK(embeddings, queryId, pool, m).select("vec_id")
     val base = embeddings.select(col("vec_id"), vecD("embedding").as("v"))
     val q = base.filter(col("vec_id") === queryId).select(col("v").as("qv"))

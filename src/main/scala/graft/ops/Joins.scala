@@ -111,6 +111,17 @@ object Joins {
                   probeKey: String, buildKey: String): DataFrame =
     probe.hint("MERGE").join(build, col(probeKey) === col(buildKey))
 
+  /** The SHARED injected-skew fixture behind j7b/j7c and their auditors
+    * (SkewSpec, `PlanAudit --aqe-skew`): ~90% of probe rows collapse
+    // onto one deterministic hot key. One definition, so the graded
+    * queries and the plan/spec assertions can never drift apart. */
+  def injectSkewKey(events: DataFrame): DataFrame =
+    events
+      .withColumn("skew_key",
+        when(pmod(col("event_id"), lit(100)) < 90, lit(1L))
+          .otherwise(col("user_id")))
+      .select("event_id", "skew_key", "value")
+
   /** Incremental JOIN maintenance (append-only IVM) — the join sibling of
     * [[graft.ops.Aggregates.incrementalMerge]]: with facts E = E₀ ⊎ ΔE
     * and dim D = D₀ ⊎ ΔD (both append-only ingest batches), the refreshed

@@ -12,14 +12,17 @@ import org.apache.spark.sql.functions._
   * generalization that NEEDS a loop, which is exactly what the scripting
   * surface adds over declarative SQL).
   *
-  * The script is general over k candidates: each round recomputes every
-  * ballot's CURRENT choice (first preference not yet eliminated, else
-  * second, else exhausted), and while no candidate holds a strict
-  * majority of ALL CAST ballots it eliminates the weakest active
-  * candidate (fewest current votes, party name ascending as the
-  * deterministic tie-break) by appending to a `;`-joined eliminated
-  * list — scalar state only, so the loop provably terminates (one
-  * elimination per iteration). Majority is measured against cast
+  * The script is general over k candidates (candidacy = appearing as
+  * some ballot's FIRST choice): each round recomputes every ballot's
+  * CURRENT choice (first preference not yet eliminated, else second,
+  * else exhausted), and while no candidate holds a strict majority of
+  * ALL CAST ballots it eliminates the weakest ACTIVE candidate —
+  * ranked over the full active set with zero-current-vote candidates
+  * coalesced in (a candidate stripped of every current ballot must be
+  * eliminable, and first), party name ascending as the deterministic
+  * tie-break — by appending to a `;`-joined eliminated list. Scalar
+  * state only, so the loop provably terminates (one elimination per
+  * iteration). Majority is measured against cast
   * ballots, so fully-exhausted electorates terminate via the NULL lead
   * (max over no rows) falsifying the loop guard.
   *
@@ -69,9 +72,16 @@ object Scripting {
                           (SELECT count(*) AS c FROM ($cur) WHERE party IS NOT NULL
                            GROUP BY party));
             WHILE lead * 2 <= total DO
-              SET weakest = (SELECT party FROM ($cur) WHERE party IS NOT NULL
-                             GROUP BY party
-                             ORDER BY count(*) ASC, party ASC LIMIT 1);
+              SET weakest = (SELECT p.party
+                             FROM (SELECT DISTINCT first AS party FROM $view) p
+                             LEFT JOIN (SELECT party, count(*) AS c FROM ($cur)
+                                        WHERE party IS NOT NULL
+                                        GROUP BY party) t
+                                    ON t.party = p.party
+                             WHERE NOT array_contains(split(elims, ';'), p.party)
+                             ORDER BY coalesce(t.c, CAST(0 AS BIGINT)) ASC,
+                                      p.party ASC
+                             LIMIT 1);
               SET elims = CASE WHEN elims = '' THEN weakest
                                ELSE concat(elims, ';', weakest) END;
               SET lead = (SELECT max(c) FROM

@@ -76,6 +76,26 @@ object StreamOps {
     Files.move(part.toPath, topic.resolve(s"$name.parquet"))
   }
 
+  /** Move one PARTITION of a one-pass partitioned staging write into the
+    * topic as an arrival file — the shared tail of the t4/t29 staging
+    * discipline. An EMPTY split writes no partition dir at all; that is a
+    * valid arrival schedule (the stream simply never sees that file and
+    * runs one fewer batch), NOT an error — a degenerate fixture (e.g. no
+    * late rows) must produce the correct empty-delta result, not a
+    * crash. Returns whether a file landed. */
+  private[streaming] def moveStagedPart(stagedDir: java.nio.file.Path,
+                                        partitionDir: String,
+                                        topic: java.nio.file.Path,
+                                        name: String): Boolean = {
+    val d = stagedDir.resolve(partitionDir).toFile
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .find(_.getName.endsWith(".parquet")) match {
+      case Some(part) =>
+        Files.move(part.toPath, topic.resolve(s"$name.parquet")); true
+      case None => false
+    }
+  }
+
   private def freshTopic(prefix: String): (java.nio.file.Path, java.nio.file.Path) = {
     val root = graft.TmpDirs.create(prefix)
     val topic = root.resolve("topic")
@@ -902,11 +922,7 @@ object StreamOps {
           .coalesce(1)
           .write.partitionBy("__arr").parquet(stagedDir.toString)
         Seq(1 -> "f0", 3 -> "f1").foreach { case (flag, name) =>
-          val part = Option(stagedDir.resolve(s"__arr=$flag").toFile.listFiles())
-            .getOrElse(Array.empty)
-            .find(_.getName.endsWith(".parquet"))
-            .getOrElse(sys.error(s"no staged part for __arr=$flag"))
-          Files.move(part.toPath, topic.resolve(s"$name.parquet"))
+          moveStagedPart(stagedDir, s"__arr=$flag", topic, name)
         }
         val q = spark.readStream
           .schema("vec_id BIGINT, v ARRAY<DOUBLE>")
@@ -1137,14 +1153,7 @@ object StreamOps {
     val stagedDir = root.resolve("staged")
     ev.withColumn("__late", late).coalesce(1)
       .write.partitionBy("__late").parquet(stagedDir.toString)
-    def moveStaged(flag: Boolean, name: String): Unit = {
-      val d = stagedDir.resolve(s"__late=$flag").toFile
-      val part = Option(d.listFiles()).getOrElse(Array.empty)
-        .find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no staged part for __late=$flag"))
-      Files.move(part.toPath, topic.resolve(name))
-    }
-    moveStaged(flag = false, "f0.parquet")
+    moveStagedPart(stagedDir, "__late=false", topic, "f0")
     val table = freshName("graft_t4")
     val q = spark.readStream
       .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
@@ -1170,7 +1179,10 @@ object StreamOps {
         lit(0.0).as("value")))
       q.processAllAvailable()
       // batch 3: the held-back late file — every row below the watermark
-      moveStaged(flag = true, "f1.parquet")
+      // (a fixture with NO late rows stages nothing; the final
+      // processAllAvailable is then a no-op and the result is still
+      // exactly the oracle's)
+      moveStagedPart(stagedDir, "__late=true", topic, "f1")
       q.processAllAvailable()
     } finally q.stop()
     spark.table(table)

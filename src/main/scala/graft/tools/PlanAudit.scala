@@ -92,19 +92,13 @@ object PlanAudit {
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4096",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+    graft.streaming.StreamOps.withConf(spark, confs) {
       import org.apache.spark.sql.functions._
       // AQE splits a skewed reduce partition into MAPPER ranges, so a
       // probe side scanned as one local file (one mapper) is
       // unsplittable no matter the thresholds; the repartition stands in
       // for the thousands of scan mappers a 100 TB probe side has
-      val ev = graft.Tables.events(spark, dir)
-        .withColumn("skew_key",
-          when(pmod(col("event_id"), lit(100)) < 90, lit(1L))
-            .otherwise(col("user_id")))
-        .select("event_id", "skew_key", "value")
+      val ev = graft.ops.Joins.injectSkewKey(graft.Tables.events(spark, dir))
         .repartition(8, col("event_id"))
       val cust = graft.Tables.customer(spark, dir)
         .select("c_custkey", "c_mktsegment")
@@ -123,9 +117,6 @@ object PlanAudit {
          else "(NO split — check thresholds vs fixture shuffle size)"))
       plan.linesIterator.filter(_.toLowerCase.contains("skew"))
         .take(4).foreach(l => println(s"    ${l.trim.take(160)}"))
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
   }
 

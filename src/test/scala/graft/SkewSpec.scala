@@ -89,11 +89,7 @@ class SkewSpec extends SparkSpec {
 
   test("j7b fixture is genuinely skewed and the salted join replays the " +
        "plain join on it") {
-    val ev = Tables.events(spark, sfDir)
-      .withColumn("skew_key",
-        when(pmod(col("event_id"), lit(100)) < 90, lit(1L))
-          .otherwise(col("user_id")))
-      .select("event_id", "skew_key", "value")
+    val ev = graft.ops.Joins.injectSkewKey(Tables.events(spark, sfDir))
     // the injected hot key must dominate: ~90% of probe rows on key 1
     val total = ev.count()
     val hot = ev.filter(col("skew_key") === 1L).count()
@@ -125,17 +121,11 @@ class SkewSpec extends SparkSpec {
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2048",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+    graft.streaming.StreamOps.withConf(spark, confs) {
       // skew splits are MAPPER ranges — a one-file local scan is one
       // mapper and unsplittable, so spread the probe over 8 mappers
       // first (the stand-in for a 100 TB scan's thousands of mappers)
-      val ev = Tables.events(spark, sfDir)
-        .withColumn("skew_key",
-          when(pmod(col("event_id"), lit(100)) < 90, lit(1L))
-            .otherwise(col("user_id")))
-        .select("event_id", "skew_key", "value")
+      val ev = graft.ops.Joins.injectSkewKey(Tables.events(spark, sfDir))
         .repartition(8, col("event_id"))
       val cust = Tables.customer(spark, sfDir)
         .select("c_custkey", "c_mktsegment")
@@ -159,9 +149,6 @@ class SkewSpec extends SparkSpec {
       val plan = bare.queryExecution.executedPlan.toString
       assert("skew=\\[?true".r.findFirstIn(plan.toLowerCase).isDefined,
         s"AQE should mark the hot partition as skewed:\n${plan.take(2000)}")
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
   }
 
