@@ -1946,6 +1946,11 @@ object SparkEntry {
     // OOV → 0; per-doc integer invariants pin the full id sequence
     "text_tokenize_ids" -> ((s, d) =>
       TextOps.tokenizeStats(Tables.documents(s, d), 30)),
+    // tokenizer TRAINING: the BPE merge loop — 8 iterative pair-merge
+    // rounds over the distinct-word table (one distributed pair
+    // aggregation + a 1-row argmax per round; corpus touched once)
+    "text_bpe_merges" -> ((s, d) =>
+      TextOps.bpeMerges(Tables.documents(s, d), 8)),
     // unigram-LM quality signal (poor-man's perplexity): per-doc mean
     // log-probability under the corpus's own unigram distribution
     "text_unigram_score" -> ((s, d) =>
@@ -5008,6 +5013,10 @@ object SparkEntry {
                 count(*) FILTER (WHERE rank IS NULL) AS n_unk,
                 CAST(COALESCE(sum(rank), 0) AS BIGINT) AS ids_sum
          FROM j GROUP BY doc_id ORDER BY doc_id""",
+    // the BPE merge loop replayed closed-form: 8 unrolled CTE stages
+    // (pair-count → argmax → self-delimited replace), generated by the
+    // same code that documents the Spark loop's semantics
+    "text_bpe_merges" -> TextOps.bpeMergesOracleSql(8),
     // quantize -> cosine on codes -> top-10 -> hits vs float truth,
     // all recomputed here
     // Two-stage replay: quantize (per-vector 127/max|x| symmetric codes),

@@ -530,4 +530,115 @@ object TextOps {
       .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
         col("c.n_tokens").as("n_tokens"), col("c.start_pos").as("start_pos"))
   }
+
+  /** BPE merge-loop TRAINING — the iterative pair-merge algorithm
+    * (Sennrich et al. 2016) that produces a tokenizer's merge table, the
+    * canonical tokenizer-prep job over a training corpus. [[vocabulary]]
+    * and [[tokenizeStats]] cover the encode side; this is the missing
+    * train side: start from characters, repeat `nMerges` times {count
+    * adjacent symbol pairs weighted by word frequency; merge the most
+    * frequent pair everywhere}.
+    *
+    * Scale shape: the ONLY corpus-sized job is the initial word count;
+    * every merge round runs on the |vocab|-sized distinct-word table
+    * (persisted once) — one distributed pair aggregation plus a
+    * single-ROW argmax collect per round, so driver traffic is
+    * O(nMerges), independent of corpus size. At 100 TB the word-count
+    * fold shrinks the working set by ~5 orders of magnitude before the
+    * loop ever runs, which is exactly why BPE training is feasible at
+    * corpus scale.
+    *
+    * Representation: a word's symbol sequence is a SELF-DELIMITED string
+    * `(s1)(s2)…` — merging pair (l, r) is then the plain leftmost
+    * non-overlapping string replace of `(l)(r)` with `(lr)`, which IS
+    * the canonical greedy left-to-right merge scan (no delimiter is
+    * shared between adjacent matches, so `(a)(b)(a)(b)` merges both
+    * pairs and `(a)(a)(a)` merges only the first two — byte-for-byte the
+    * reference algorithm, and byte-for-byte what DuckDB's `replace`
+    * does, which is what lets the oracle replay the whole loop
+    * closed-form as unrolled CTE stages). Pair counts include
+    * overlapping occurrences (`aaa` counts (a,a) twice), matching the
+    * reference `get_stats`. Tokens are `[a-z]+` runs of the lowercased
+    * text, so `(`/`)` can never collide with a symbol. Ties break on
+    * (count DESC, left ASC, right ASC) — a total order, so the merge
+    * sequence is deterministic.
+    *
+    * Returns one row per learned merge: (merge_rank, left_sym,
+    * right_sym, merged, pair_count); stops early if the vocabulary runs
+    * out of pairs (the oracle's empty-LIMIT-1 stage degrades
+    * identically). */
+  def bpeMerges(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        regexp_replace(col("w"), "(.)", "($1)").as("s"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    try {
+      var seqs = words
+      var rank = 1
+      var dry = false
+      while (rank <= nMerges && !dry) {
+        // adjacent-pair counts over the vocab table: slice-zip keeps the
+        // whole round inside codegen (single-symbol words yield empty
+        // slices and drop out at the explode)
+        val best = seqs
+          .select(col("cnt"),
+            split(regexp_replace(col("s"), "^\\(|\\)$", ""), "\\)\\(").as("a"))
+          .select(col("cnt"), explode(expr(
+            """zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),
+                 (x, y) -> struct(x AS l, y AS r))""")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("cnt").as("c"))
+          .orderBy(desc("c"), asc("l"), asc("r"))
+          .limit(1)
+          .collect()
+        best.headOption match {
+          case Some(row) =>
+            val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+            merges += ((rank, l, r, l + r, c))
+            seqs = seqs.withColumn("s",
+              expr(s"replace(s, '($l)($r)', '($l$r)')"))
+            rank += 1
+          case None => dry = true
+        }
+      }
+    } finally words.unpersist()
+    merges.toSeq
+      .toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  /** The DuckDB replay of [[bpeMerges]] as one closed-form SQL string:
+    * `nMerges` unrolled CTE stages, each = pair-count → argmax → apply
+    * (the same self-delimited replace). Generated here so the Spark
+    * loop and its oracle can never drift on a constant. */
+  def bpeMergesOracleSql(nMerges: Int): String = {
+    val stages = (1 to nMerges).map { i =>
+      s"""exp_$i AS (
+      SELECT cnt, arr, unnest(range(1, len(arr))) AS i FROM (
+        SELECT cnt, string_split(regexp_replace(s, '^\\(|\\)$$', '', 'g'), ')(') AS arr
+        FROM seqs_${i - 1})),
+    pairs_$i AS (
+      SELECT arr[i] AS l, arr[i + 1] AS r, sum(cnt) AS c FROM exp_$i GROUP BY 1, 2),
+    best_$i AS (
+      SELECT $i AS merge_rank, l, r, c FROM pairs_$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    seqs_$i AS (
+      SELECT cnt, replace(s, '(' || l || ')(' || r || ')', '(' || l || r || ')') AS s
+      FROM seqs_${i - 1}, best_$i)"""
+    }
+    val union = (1 to nMerges).map(i => s"SELECT * FROM best_$i")
+      .mkString(" UNION ALL ")
+    s"""WITH seqs_0 AS (
+      SELECT count(*) AS cnt, regexp_replace(w, '(.)', '(\\1)', 'g') AS s FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents) GROUP BY w),
+    ${stages.mkString(",\n    ")}
+    SELECT merge_rank, l AS left_sym, r AS right_sym, l || r AS merged,
+           CAST(c AS BIGINT) AS pair_count
+    FROM ($union) ORDER BY merge_rank"""
+  }
 }

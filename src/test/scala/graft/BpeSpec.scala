@@ -1,0 +1,116 @@
+package graft
+
+import graft.ext.TextOps
+
+/** Pins [[graft.ext.TextOps.bpeMerges]] — the BPE merge-loop trainer —
+  * against an independent in-memory reference implementation of the
+  * canonical algorithm (Sennrich et al. 2016: overlap-counted pair
+  * stats, greedy leftmost non-overlapping merge application), plus
+  * determinism and the early-dry edge. The corpus-level replay is the
+  * driver's DuckDB oracle; these tests pin the SEMANTICS on inputs
+  * small enough to check by hand.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference BPE trainer over (word, count) — ~20 lines, written
+    * directly from the algorithm, sharing no code with the operator. */
+  private def refMerges(vocab: Map[String, Long],
+                        n: Int): Seq[(Int, String, String, String, Long)] = {
+    var seqs: Map[Vector[String], Long] =
+      vocab.map { case (w, c) => w.toVector.map(_.toString) -> c }
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var rank = 1
+    var done = false
+    while (rank <= n && !done) {
+      val pairs = scala.collection.mutable.Map[(String, String), Long]()
+      seqs.foreach { case (seq, c) =>
+        seq.sliding(2).foreach {
+          case Vector(a, b) => pairs((a, b)) = pairs.getOrElse((a, b), 0L) + c
+          case _            => ()
+        }
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val ((l, r), c) = pairs.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((rank, l, r, l + r, c))
+        seqs = seqs.groupMapReduce { case (seq, _) =>
+          val m = Vector.newBuilder[String]
+          var i = 0
+          while (i < seq.length) {
+            if (i + 1 < seq.length && seq(i) == l && seq(i + 1) == r) {
+              m += (l + r); i += 2
+            } else { m += seq(i); i += 1 }
+          }
+          m.result()
+        }(_._2)(_ + _)
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private def docsOf(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  private def run(df: org.apache.spark.sql.DataFrame, n: Int) =
+    TextOps.bpeMerges(df, n)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+
+  test("matches the reference trainer on the classic corpus") {
+    // the Sennrich paper's running example (word frequencies via
+    // repetition); 'lo' then 'low' are the expected first merges
+    val docs = docsOf(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+    val expected = refMerges(
+      Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 6)
+    val got = run(docs, 6)
+    assert(got === expected)
+    // first merge is (e, s) with count 9 (newest 6 + widest 3) — the
+    // hand-checkable anchor (no end-of-word marker in this variant, so
+    // 'es' outranks the paper's '</w>'-dependent sequence)
+    assert(got.head === ((1, "e", "s", "es", 9L)))
+  }
+
+  test("greedy merge application: adjacent repeats merge leftmost " +
+       "non-overlapping") {
+    // 'aaaa' with pair (a,a): greedy gives [aa, aa] — two merges kept,
+    // none overlapping; 'ababab' merges all three (ab) pairs
+    val docs = docsOf("aaaa aaaa ababab")
+    val expected = refMerges(Map("aaaa" -> 2L, "ababab" -> 1L), 3)
+    assert(run(docs, 3) === expected)
+  }
+
+  test("overlap-counted pair stats: 'aaa' counts (a,a) twice") {
+    val docs = docsOf("aaa")
+    // pairs of 'aaa' = (a,a) ×2 → first merge has count 2
+    assert(run(docs, 1) === Seq((1, "a", "a", "aa", 2L)))
+  }
+
+  test("tie-break is (count DESC, left ASC, right ASC)") {
+    // 'ab' and 'ba' both occur once ('abba' has ab@0? no: pairs of
+    // abba = (a,b),(b,b),(b,a)) — use two words making a clean tie
+    val docs = docsOf("ab ba")
+    // pairs: (a,b)=1, (b,a)=1 — tie on count, (a,b) wins on left
+    assert(run(docs, 1) === Seq((1, "a", "b", "ab", 1L)))
+  }
+
+  test("runs dry early and returns the merges learned so far") {
+    // single-char words only: zero pairs from round 1
+    val docs = docsOf("a b a c")
+    assert(run(docs, 4) === Seq.empty)
+    // one two-char word: exactly one merge possible, then dry
+    val docs2 = docsOf("ab ab c")
+    assert(run(docs2, 5) === Seq((1, "a", "b", "ab", 2L)))
+  }
+
+  test("deterministic across runs and partition widths") {
+    val d = Tables.documents(spark, sfDir)
+    val a = run(d, 4)
+    val b = run(d.repartition(7), 4)
+    assert(a === b)
+    assert(a.map(_._1) === (1 to a.length))
+  }
+}
