@@ -325,16 +325,20 @@ object SimilarityOps {
     * count() on every call. Same memo discipline as the Storage layout
     * dirs and the streaming IVF ingest; released by [[clearCaches]]. */
   private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, Int, Int), (DataFrame, Array[(Long, Array[Double])], Int, Long)]()
+    (org.apache.spark.sql.SparkSession, String, Int),
+    (DataFrame, Array[(Long, Array[Double])], Int, Long)]()
 
   /** Release the PQ codebook memos (Verify/Bench teardown). */
   def clearCaches(): Unit = pqMemo.clear()
 
   private def pqCodesAndBooks(embeddings: DataFrame, m: Int)
       : (DataFrame, Array[(Long, Array[Double])], Int, Long) =
+    // keyed on the session OBJECT (identity) and the full canonicalized
+    // plan string, not a 32-bit semanticHash — a hash collision would
+    // silently serve codebooks built from a different input
     pqMemo.computeIfAbsent(
-      (System.identityHashCode(embeddings.sparkSession),
-        embeddings.queryExecution.analyzed.semanticHash(), m),
+      (embeddings.sparkSession,
+        embeddings.queryExecution.analyzed.canonicalized.toString, m),
       { _ => pqCodesAndBooksUncached(embeddings, m) })
 
   private def pqCodesAndBooksUncached(embeddings: DataFrame, m: Int)

@@ -113,7 +113,7 @@ object Joins {
 
   /** The SHARED injected-skew fixture behind j7b/j7c and their auditors
     * (SkewSpec, `PlanAudit --aqe-skew`): ~90% of probe rows collapse
-    // onto one deterministic hot key. One definition, so the graded
+    * onto one deterministic hot key. One definition, so the graded
     * queries and the plan/spec assertions can never drift apart. */
   def injectSkewKey(events: DataFrame): DataFrame =
     events
