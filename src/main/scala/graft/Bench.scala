@@ -209,25 +209,70 @@ object Bench {
     // run where the filesystem is broken — the inverted signal. A
     // failed probe reports the sentinel -1.0 instead ("unreadable",
     // never "fast").
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree); f.delete()
+    }
     val calibFs =
       try (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
         val d = TmpDirs.create("graft_calib_fs_")
-        val p = d.resolve("t").toString
-        spark.range(100000).selectExpr("id", "id * 31 AS v")
-          .coalesce(4).write.parquet(p)
-        spark.read.parquet(p).selectExpr("max(v)").collect()
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
-        }
-        rm(d.toFile)
-        (System.nanoTime() - t0) / 1e9
+        // cleanup in finally: a probe failing mid-iteration must not
+        // leak its scratch dir in exactly the degraded-fs runs the
+        // probe targets (the dir removal itself stays inside the timed
+        // region — small-file delete latency is part of the fs signal)
+        try {
+          val t0 = System.nanoTime()
+          val p = d.resolve("t").toString
+          spark.range(100000).selectExpr("id", "id * 31 AS v")
+            .coalesce(4).write.parquet(p)
+          spark.read.parquet(p).selectExpr("max(v)").collect()
+          rmTree(d.toFile)
+          (System.nanoTime() - t0) / 1e9
+        } finally rmTree(d.toFile)
       }.min
       catch { case e: Throwable =>
         System.err.println(s"[bench] calib_fs probe failed: ${e.getMessage}")
         -1.0
       }
     System.err.println(f"[bench] calib_fs $calibFs%.2f s")
+    // Third probe, THIRD degradation axis (the round-11 gate-context
+    // mode): a bench launched right after a full suite + Verify read
+    // ~11% slower with the loss CONCENTRATED in the streaming/composite
+    // harnesses while BOTH probes above stayed flat — stream start +
+    // offset/commit-log + checkpoint + state-store machinery is a cost
+    // shape neither pure CPU nor a plain parquet round-trip exercises.
+    // This probe IS that shape: start one trivial file-stream
+    // micro-batch query against a scratch checkpoint, drain it, stop
+    // it; best of 3 in the warmed JVM, outside the timed region. Same
+    // failure discipline as calib_fs: sentinel -1.0, never "fast".
+    val calibStream =
+      try (1 to 3).map { i =>
+        val d = TmpDirs.create("graft_calib_stream_")
+        try {
+          val t0 = System.nanoTime()
+          val topic = d.resolve("topic").toString
+          spark.range(1000).selectExpr("id", "id * 31 AS v")
+            .coalesce(1).write.parquet(topic)
+          val table = s"graft_calib_stream_$i"
+          val q = spark.readStream.schema("id BIGINT, v BIGINT")
+            .parquet(topic)
+            .groupBy(org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.col("id"),
+              org.apache.spark.sql.functions.lit(8)).as("b"))
+            .count()
+            .writeStream.format("memory").queryName(table)
+            .option("checkpointLocation", d.resolve("ckpt").toString)
+            .outputMode("complete")
+            .start()
+          try q.processAllAvailable() finally q.stop()
+          spark.sql(s"DROP TABLE IF EXISTS $table")
+          (System.nanoTime() - t0) / 1e9
+        } finally rmTree(d.toFile)
+      }.min
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] calib_stream probe failed: ${e.getMessage}")
+        -1.0
+      }
+    System.err.println(f"[bench] calib_stream $calibStream%.2f s")
     // Optional comma-separated name-prefix filter for local profiling runs
     // (unset in the driver's invocation → full surface, contract unchanged).
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
@@ -245,14 +290,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"calib_fs":$calibFs,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"calib_fs":$calibFs,"calib_stream":$calibStream,"queries":$qs,"sf":"$sfDir"}"""
     // The per-query line is one giant record whose "metric":"total" head is
     // the first thing a tail-truncated log window loses (the driver recorded
     // "parsed": null two rounds running). Print a second, SHORT, final line
     // carrying the same headline so any tail window contains a parseable
     // record; the file copy keeps the full per-query detail.
     val shortLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"calib_fs":$calibFs,"n":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"calib_fs":$calibFs,"calib_stream":$calibStream,"n":${results.size},"sf":"$sfDir"}"""
     println(line)
     println(shortLine)
     // Belt-and-braces for the driver parse: stderr is a second raw channel
