@@ -5299,13 +5299,16 @@ object SparkEntry {
                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
                   '&amp;', '&') AS t
                 FROM t3)
-         SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text
+         SELECT doc_id,
+                trim(regexp_replace(t, '[ \t\n\x0B\f\r]+', ' ', 'g'))
+                  AS clean_text
          FROM t4 ORDER BY doc_id""",
     // same injected URL rebuilt from doc_id, same canonicalization steps
     "web_url_canonicalize" ->
       """WITH u0 AS (SELECT doc_id,
-                'HTTP://WWW.Site' || (doc_id % 7) || '.COM'
-                || CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':8080' END
+                CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'HTTPS' END
+                || '://WWW.Site' || (doc_id % 7) || '.COM'
+                || CASE WHEN doc_id % 4 IN (0, 3) THEN ':80' ELSE ':443' END
                 || '/path/' || doc_id
                 || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
                 || '?utm_source=feed&b=' || (doc_id % 5) || '&a=1'
@@ -5314,16 +5317,23 @@ object SparkEntry {
               FROM documents),
               s1 AS (SELECT doc_id,
                 regexp_replace(url, '#.*$', '', 'g') AS u FROM u0),
-              s2 AS (SELECT doc_id,
+              s1b AS (SELECT doc_id, u,
                 lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
-                regexp_replace(regexp_replace(
+                regexp_replace(
                   lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]+)', 1)),
-                  '^www\.', '', 'g'), ':80$', '', 'g') AS auth,
+                  '^www\.', '', 'g') AS auth0
+                FROM s1),
+              s2 AS (SELECT doc_id, scheme,
+                CASE WHEN scheme = 'http'
+                       THEN regexp_replace(auth0, ':80$', '', 'g')
+                     WHEN scheme = 'https'
+                       THEN regexp_replace(auth0, ':443$', '', 'g')
+                     ELSE auth0 END AS auth,
                 regexp_replace(
                   regexp_extract(u, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
                   '/$', '', 'g') AS path,
                 regexp_extract(u, '\?([^#]*)', 1) AS qs
-                FROM s1),
+                FROM s1b),
               s3 AS (SELECT doc_id, scheme, auth, path,
                 list_sort(list_filter(string_split(qs, '&'),
                   p -> p <> '' AND NOT regexp_matches(p, '^utm_'))) AS qkeep

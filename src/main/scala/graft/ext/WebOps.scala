@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * Both are pure per-row scalar pipelines — zero shuffle, fully inside
   * whole-stage codegen — and both are written against the regex subset
   * Java and RE2 share (inline `(?is)` flags, non-greedy `.*?`, NO
-  * backreferences — RE2 has none), so the DuckDB oracle replays the
-  * exact same patterns rather than approximating them.
+  * backreferences — RE2 has none, and NO bare `\s`: Java's `\s`
+  * includes vertical tab `\x0B` while RE2's does not, so whitespace is
+  * always the explicit class `[ \t\n\x0B\f\r]`), so the DuckDB oracle
+  * replays the exact same patterns rather than approximating them.
   *
   * Fixtures are deterministic injections over the documents table (the
   * [[PiiOps.withInjectedPii]] discipline): the oracle re-derives the
@@ -50,17 +52,24 @@ object WebOps {
       .withColumn("t", regexp_replace(col("t"), lit("&quot;"), lit("\"")))
       .withColumn("t", regexp_replace(col("t"), lit("&#39;"), lit("'")))
       .withColumn("t", regexp_replace(col("t"), lit("&amp;"), lit("&")))
-      .withColumn("t", trim(regexp_replace(col("t"), lit("\\s+"), lit(" "))))
+      .withColumn("t", trim(regexp_replace(col("t"),
+        lit("[ \\t\\n\\x0B\\f\\r]+"), lit(" "))))
       .select(col("doc_id"), col("t").as("clean_text"))
       .orderBy("doc_id")
 
   /** Deterministic crawl-shaped URLs: mixed-case scheme/host, www
-    * prefix, default and non-default ports, optional trailing slash,
-    * tracking params out of order, optional fragment. */
+    * prefix, default and non-default ports CROSSED with both schemes
+    * (doc_id mod 4: HTTP:80 and HTTPS:443 are defaults to strip;
+    * HTTP:443 and HTTPS:80 are real non-defaults to keep — the cross is
+    * what makes a scheme-blind port rule go red), optional trailing
+    * slash, tracking params out of order, optional fragment. */
   def withInjectedUrls(docs: DataFrame): DataFrame =
     docs.withColumn("url", concat(
-      lit("HTTP://WWW.Site"), pmod(col("doc_id"), lit(7)), lit(".COM"),
-      when(pmod(col("doc_id"), lit(2)) === 0, lit(":80")).otherwise(lit(":8080")),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTP"))
+        .otherwise(lit("HTTPS")),
+      lit("://WWW.Site"), pmod(col("doc_id"), lit(7)), lit(".COM"),
+      when(pmod(col("doc_id"), lit(4)).isin(0, 3), lit(":80"))
+        .otherwise(lit(":443")),
       lit("/path/"), col("doc_id"),
       when(pmod(col("doc_id"), lit(3)) === 0, lit("/")).otherwise(lit("")),
       lit("?utm_source=feed&b="), pmod(col("doc_id"), lit(5)), lit("&a=1"),
@@ -69,9 +78,11 @@ object WebOps {
 
   /** URL canonicalization — the crawl-dedup key: drop the fragment,
     * lowercase scheme and authority, strip the `www.` prefix and the
-    * http default port, strip one trailing path slash, drop `utm_*`
-    * tracking params, sort the surviving query params. Every step is a
-    * shared-subset regex or an array op both engines replay. */
+    * SCHEME'S OWN default port (`:80` only for http, `:443` only for
+    * https — a non-default port is identity-bearing and must survive),
+    * strip one trailing path slash, drop `utm_*` tracking params, sort
+    * the surviving query params. Every step is a shared-subset regex or
+    * an array op both engines replay. */
   def urlCanonicalize(docs: DataFrame): DataFrame =
     withInjectedUrls(docs)
       .withColumn("u", regexp_replace(col("url"), lit("#.*$"), lit("")))
@@ -80,7 +91,12 @@ object WebOps {
       .withColumn("auth", lower(regexp_extract(col("u"),
         "^[A-Za-z]+://([^/?#]+)", 1)))
       .withColumn("auth", regexp_replace(col("auth"), lit("^www\\."), lit("")))
-      .withColumn("auth", regexp_replace(col("auth"), lit(":80$"), lit("")))
+      .withColumn("auth",
+        when(col("scheme") === "http",
+          regexp_replace(col("auth"), lit(":80$"), lit("")))
+        .when(col("scheme") === "https",
+          regexp_replace(col("auth"), lit(":443$"), lit("")))
+        .otherwise(col("auth")))
       .withColumn("path", regexp_extract(col("u"),
         "^[A-Za-z]+://[^/?#]+([^?#]*)", 1))
       .withColumn("path", regexp_replace(col("path"), lit("/$"), lit("")))

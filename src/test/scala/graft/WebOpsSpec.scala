@@ -11,20 +11,35 @@ class WebOpsSpec extends SparkSpec {
   private def doc(id: Long, text: String) =
     Seq((id, text)).toDF("doc_id", "text")
 
-  test("URL canonicalization applies each rule and keeps non-defaults") {
+  test("URL canonicalization applies each rule, scheme-aware on ports") {
     val got = WebOps.urlCanonicalize(
-        Seq((0L, "x"), (1L, "x"), (4L, "x"), (6L, "x"))
+        Seq((0L, "x"), (1L, "x"), (2L, "x"), (3L, "x"), (4L, "x"), (6L, "x"))
           .toDF("doc_id", "text"))
       .as[(Long, String)].collect().toMap
-    // doc 0: port 80 stripped, trailing slash stripped, fragment gone,
-    // utm dropped, params sorted
+    // doc 0: http:80 is the scheme default — stripped; trailing slash
+    // stripped, fragment gone, utm dropped, params sorted
     assert(got(0L) === "http://site0.com/path/0?a=1&b=0")
-    // doc 1: NON-default port survives
-    assert(got(1L) === "http://site1.com:8080/path/1?a=1&b=1")
-    // doc 4: had a fragment (#sec4) — gone
+    // doc 1: https:443 is the scheme default — stripped
+    assert(got(1L) === "https://site1.com/path/1?a=1&b=1")
+    // doc 2: http:443 is NON-default for http — survives
+    assert(got(2L) === "http://site2.com:443/path/2?a=1&b=2")
+    // doc 3: https:80 is NON-default for https — survives (the case a
+    // scheme-blind ':80' strip would corrupt)
+    assert(got(3L) === "https://site3.com:80/path/3?a=1&b=3")
+    // doc 4: had a fragment (#sec4) — gone; http:80 stripped
     assert(got(4L) === "http://site4.com/path/4?a=1&b=4")
-    // doc 6: trailing slash (6 % 3 = 0) stripped, port 80 stripped
-    assert(got(6L) === "http://site6.com/path/6?a=1&b=1")
+    // doc 6: trailing slash (6 % 3 = 0) stripped; 6 % 4 = 2 → http:443
+    // kept
+    assert(got(6L) === "http://site6.com:443/path/6?a=1&b=1")
+  }
+
+  test("whitespace collapse uses the Java/RE2-shared class (vertical " +
+       "tab included explicitly)") {
+    // \x0B is inside Java's \s but OUTSIDE RE2's — the explicit class
+    // collapses it identically on both engines
+    val out = WebOps.htmlExtract(doc(1L, "alpha\u000Bbeta\n\tgamma"))
+      .as[(Long, String)].collect().head._2
+    assert(out === "Doc & <1> alpha beta gamma", out)
   }
 
   test("HTML extraction drops block contents, keeps text, unescapes " +
