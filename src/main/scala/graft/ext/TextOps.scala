@@ -578,14 +578,32 @@ object TextOps {
       .persist()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     try {
-      var seqs = words
       var rank = 1
       var dry = false
       while (rank <= nMerges && !dry) {
+        // The learned merges flow in through a broadcast ONE-ROW column
+        // and are re-applied as an `aggregate` fold over the persisted
+        // vocab — NOT as per-round literal `replace` chains: literals
+        // would make every round (and every dataset) a fresh generated
+        // class, while this tree is CONSTANT across rounds and inputs,
+        // so the whole loop compiles once and the bench warm pass
+        // pre-compiles it (the PQ codebook rationale,
+        // [[graft.ext.SimilarityOps]]). Re-applying i merges per round
+        // is O(nMerges²·|vocab|) cheap string work — the alternative,
+        // materializing each round's sequences, trades that for a
+        // persist/compile per round.
+        val msDf = spark.createDataFrame(
+            Seq(Tuple1(merges.toSeq.map(m => (m._2, m._3)))))
+          .toDF("ms")
         // adjacent-pair counts over the vocab table: slice-zip keeps the
         // whole round inside codegen (single-symbol words yield empty
         // slices and drop out at the explode)
-        val best = seqs
+        val best = words
+          .crossJoin(broadcast(msDf))
+          .withColumn("s", expr(
+            """aggregate(ms, s, (acc, m) ->
+                 replace(acc, concat('(', m._1, ')(', m._2, ')'),
+                              concat('(', m._1, m._2, ')')))"""))
           .select(col("cnt"),
             split(regexp_replace(col("s"), "^\\(|\\)$", ""), "\\)\\(").as("a"))
           .select(col("cnt"), explode(expr(
@@ -600,8 +618,6 @@ object TextOps {
           case Some(row) =>
             val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
             merges += ((rank, l, r, l + r, c))
-            seqs = seqs.withColumn("s",
-              expr(s"replace(s, '($l)($r)', '($l$r)')"))
             rank += 1
           case None => dry = true
         }
