@@ -313,6 +313,7 @@ object Bench {
     graft.ops.Storage.clearCaches()
     graft.streaming.StreamOps.clearCaches()
     graft.ext.SimilarityOps.clearCaches()
+    graft.ext.TextOps.clearCaches()
     spark.stop()
   }
 }

@@ -1951,6 +1951,11 @@ object SparkEntry {
     // aggregation + a 1-row argmax per round; corpus touched once)
     "text_bpe_merges" -> ((s, d) =>
       TextOps.bpeMerges(Tables.documents(s, d), 8)),
+    // the apply half: per-doc word + BPE token counts under the trained
+    // merges (merges applied on the distinct-word table, corpus joins
+    // the |vocab|-row segment side; training shared via memo)
+    "text_bpe_encode" -> ((s, d) =>
+      TextOps.bpeEncode(Tables.documents(s, d), 8)),
     // unigram-LM quality signal (poor-man's perplexity): per-doc mean
     // log-probability under the corpus's own unigram distribution
     "text_unigram_score" -> ((s, d) =>
@@ -5017,6 +5022,9 @@ object SparkEntry {
     // (pair-count → argmax → self-delimited replace), generated by the
     // same code that documents the Spark loop's semantics
     "text_bpe_merges" -> TextOps.bpeMergesOracleSql(8),
+    // the apply half replayed off the same unrolled stages: seqs_8 IS
+    // the segmented vocab; per-word token counts join back to the corpus
+    "text_bpe_encode" -> TextOps.bpeEncodeOracleSql(8),
     // quantize -> cosine on codes -> top-10 -> hits vs float truth,
     // all recomputed here
     // Two-stage replay: quantize (per-vector 127/max|x| symmetric codes),

@@ -54,6 +54,7 @@ object Verify {
     graft.ops.Storage.clearCaches()
     graft.streaming.StreamOps.clearCaches()
     graft.ext.SimilarityOps.clearCaches()
+    graft.ext.TextOps.clearCaches()
     spark.stop()
   }
 }

@@ -325,7 +325,8 @@ object SimilarityOps {
     * count() on every call. Same memo discipline as the Storage layout
     * dirs and the streaming IVF ingest; released by [[clearCaches]]. */
   private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String, Int),
+    (org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
     (DataFrame, Array[(Long, Array[Double])], Int, Long)]()
 
   /** Release the PQ codebook memos (Verify/Bench teardown). */
@@ -333,12 +334,14 @@ object SimilarityOps {
 
   private def pqCodesAndBooks(embeddings: DataFrame, m: Int)
       : (DataFrame, Array[(Long, Array[Double])], Int, Long) =
-    // keyed on the session OBJECT (identity) and the full canonicalized
-    // plan string, not a 32-bit semanticHash — a hash collision would
-    // silently serve codebooks built from a different input
+    // keyed on the session OBJECT (identity) and the canonicalized plan
+    // OBJECT (structural equality — includes LocalRelation data, which
+    // both a 32-bit semanticHash and the plan's toString can miss), so
+    // a collision can never silently serve codebooks built from a
+    // different input
     pqMemo.computeIfAbsent(
       (embeddings.sparkSession,
-        embeddings.queryExecution.analyzed.canonicalized.toString, m),
+        embeddings.queryExecution.analyzed.canonicalized, m),
       { _ => pqCodesAndBooksUncached(embeddings, m) })
 
   private def pqCodesAndBooksUncached(embeddings: DataFrame, m: Int)

@@ -106,6 +106,55 @@ class BpeSpec extends SparkSpec {
     assert(run(docs2, 5) === Seq((1, "a", "b", "ab", 2L)))
   }
 
+  /** Reference merge application: greedy leftmost non-overlapping. */
+  private def refSegment(word: String,
+                         merges: Seq[(String, String)]): Vector[String] = {
+    var seq = word.toVector.map(_.toString)
+    merges.foreach { case (l, r) =>
+      val m = Vector.newBuilder[String]
+      var i = 0
+      while (i < seq.length) {
+        if (i + 1 < seq.length && seq(i) == l && seq(i + 1) == r) {
+          m += (l + r); i += 2
+        } else { m += seq(i); i += 1 }
+      }
+      seq = m.result()
+    }
+    seq
+  }
+
+  test("encode: per-doc counts match the reference trainer + application") {
+    val texts = Seq("low lower low newest", "widest newest low est")
+    val docs = docsOf(texts: _*)
+    val vocab = texts.flatMap(_.split(" ")).groupBy(identity)
+      .map { case (w, ws) => w -> ws.length.toLong }
+    val merges = refMerges(vocab, 4).map(m => (m._2, m._3))
+    val expected = texts.zipWithIndex.map { case (t, i) =>
+      val ws = t.split(" ").toSeq
+      (i.toLong, ws.length.toLong,
+        ws.map(w => refSegment(w, merges).length.toLong).sum)
+    }
+    val got = TextOps.bpeEncode(docs, 4)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === expected)
+  }
+
+  test("encode is consistent with the trained merge table (shared memo)") {
+    val d = Tables.documents(spark, sfDir)
+    val merges = run(d, 3).map(m => (m._2, m._3))
+    // total BPE tokens = total chars-as-symbols minus one per applied
+    // merge occurrence; check via an independent recount on a sample doc
+    val sample = d.orderBy("doc_id").limit(1)
+      .select("text").as[String].head()
+    val words = "[a-z]+".r.findAllIn(sample.toLowerCase).toSeq
+    val expectedTokens = words.map(w => refSegment(w, merges).length.toLong).sum
+    val got = TextOps.bpeEncode(d, 3)
+      .orderBy("doc_id").limit(1)
+      .as[(Long, Long, Long)].head()
+    assert(got._2 === words.length.toLong)
+    assert(got._3 === expectedTokens)
+  }
+
   test("deterministic across runs and partition widths") {
     val d = Tables.documents(spark, sfDir)
     val a = run(d, 4)
