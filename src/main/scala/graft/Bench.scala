@@ -264,7 +264,8 @@ object Bench {
             .outputMode("complete")
             .start()
           try q.processAllAvailable() finally q.stop()
-          spark.sql(s"DROP TABLE IF EXISTS $table")
+          // the memory sink registers a TEMP VIEW, not a table
+          spark.catalog.dropTempView(table)
           (System.nanoTime() - t0) / 1e9
         } finally rmTree(d.toFile)
       }.min

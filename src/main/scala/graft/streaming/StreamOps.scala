@@ -911,8 +911,9 @@ object StreamOps {
     * independent of N). The odd-id half arrives as TWO staged files
     * (two real micro-batches with a committed offset between) through a
     * stateless streaming projection — unit-centroid argmax via the
-    * native [[graft.functions.CentroidArgmax]], centroids attached as a
-    * literal (no stream-static join needed) — into a parquet sink
+    * native [[graft.functions.CentroidArgmax]], centroids attached via
+    * a broadcast one-row stream-static join (compile-once, not a
+    * typedlit) — into a parquet sink
     * partitioned by cell (its own segment dir: a streaming sink owns its
     * `_spark_metadata` log, so it cannot share the base dir). Serving
     * reads base ∪ ingest pruned to the `nprobe` probed cells —

@@ -38,6 +38,10 @@ object PlanAudit {
     // composite: runs the checkpointed propagation loop on construction —
     // the final frame is a sort over the last checkpoint, not the loop
     "graph_pagerank_neardup",
+    // composite: runs the 8-round merge loop on construction — the final
+    // frame is the collected merge table, not the loop (the encode seat
+    // text_bpe_encode carries the family's static plan)
+    "text_bpe_merges",
     // composite: runs the level-synchronous frontier loop on construction
     "graph_hops_to_canonical",
     // composite: builds the truth-memo edge view on construction
