@@ -572,7 +572,7 @@ object TextOps {
     * ([[bpeMerges]]) learns, and re-running the 8-round loop for the
     * apply would double the board's cost for zero information (the
     * pqMemo discipline, including its key: session OBJECT +
-    * canonicalized plan string). Released by [[clearCaches]]. */
+    * canonicalized plan OBJECT). Released by [[clearCaches]]. */
   private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession,
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
