@@ -1549,6 +1549,19 @@ object SparkEntry {
     "t15_stream_timeout_sessions" -> ((s, d) =>
       StreamOps.streamingTimeoutSessions(s, d, statePartitions = Some(8))
         .orderBy("user_id", "start_us")),
+    // the SAME session machine on transformWithState TIMERS
+    // (registerTimer/deleteTimer/handleExpiredTimer, TimeMode.EventTime)
+    // — graded by t15's oracle, so a hash match certifies the two timer
+    // APIs' close semantics are identical (the TWS migration contract)
+    "t30_stream_tws_timer_sessions" -> ((s, d) =>
+      StreamOps.twsTimerSessions(s, d, statePartitions = Some(8))
+        .orderBy("user_id", "start_us")),
+    // Trigger.AvailableNow: drain the backlog in admission-controlled
+    // micro-batches, then the ENGINE stops itself — termination is the
+    // query's own decision, graded by reaching the full tally
+    "t31_stream_available_now" -> ((s, d) =>
+      StreamOps.availableNowTally(s, d, statePartitions = Some(4))
+        .orderBy("event_type")),
     // data-quality audit: scan rules fold in ONE multi-aggregate pass,
     // referential integrity is the one anti join; the fixture is clean,
     // so violations are INJECTED deterministically (the pii/a10
@@ -2673,6 +2686,36 @@ object SparkEntry {
          WHERE s.sid < tl.last_sid
             OR (s.end_us + 1800000000) // 1000 < mx.max_us // 1000
          ORDER BY s.user_id, s.start_us""",
+    // t15's oracle VERBATIM: the TWS-timer form must close the exact
+    // same sessions under the exact same ms fire condition — the
+    // API-migration parity this seat grades
+    "t30_stream_tws_timer_sessions" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+                           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS pus
+                    FROM events),
+              m AS (SELECT user_id, us,
+                           sum(CASE WHEN pus IS NULL OR us - pus > 1800000000
+                                    THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM o),
+              s AS (SELECT user_id, sid, min(us) AS start_us,
+                           max(us) AS end_us, count(*) AS n_events
+                    FROM m GROUP BY user_id, sid),
+              mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+              tl AS (SELECT user_id, max(sid) AS last_sid FROM s
+                     GROUP BY user_id)
+         SELECT s.user_id, s.start_us, s.end_us, s.n_events
+         FROM s JOIN tl USING (user_id) CROSS JOIN mx
+         WHERE s.sid < tl.last_sid
+            OR (s.end_us + 1800000000) // 1000 < mx.max_us // 1000
+         ORDER BY s.user_id, s.start_us""",
+    // AvailableNow reaches the same complete-mode tally as t3 before the
+    // engine stops itself
+    "t31_stream_available_now" ->
+      """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
     // identical injected VALUES; the null-key row counts under BOTH
     // null_orderkey and orphan_orderkey (null never matches the parent)
     "dq_audit" ->

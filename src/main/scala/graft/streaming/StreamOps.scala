@@ -1653,6 +1653,134 @@ object StreamOps {
     spark.table(table)
   }
 
+  /** The open session held by [[TimerSessionsProcessor]]. */
+  private[streaming] case class OpenSess(start_us: Long, last_us: Long,
+                                         n: Long)
+
+  /** The t30 processor: [[streamingTimeoutSessions]]'s keyed state
+    * machine re-expressed on Spark 4's `transformWithState` TIMER
+    * surface — `registerTimer`/`deleteTimer` on the handle plus the
+    * `handleExpiredTimer` callback (TimeMode.EventTime), the successor
+    * API of `GroupStateTimeout.EventTimeTimeout`. Each batch folds the
+    * key's rows in event-time order, closing sessions in-batch on the
+    * gap; the surviving open session re-arms ONE timer at
+    * floor((last + gap) / 1000) ms — the previous timer is explicitly
+    * deleted first (the old API replaced it implicitly; TWS timers are
+    * a SET, so an undeleted stale timer would fire a ghost close).
+    * Timer fire = the engine's own watermark pass, emitting the open
+    * session and clearing state. */
+  private class TimerSessionsProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, ClosedSession] {
+    @transient private var sess:
+        org.apache.spark.sql.streaming.ValueState[OpenSess] = _
+    private def timerMs(lastUs: Long): Long =
+      Math.floorDiv(lastUs + gapUs, 1000L)
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sess = getHandle.getValueState[OpenSess]("sess",
+        org.apache.spark.sql.Encoders.product[OpenSess],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[ClosedSession] = {
+      val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+      var cur = if (sess.exists()) Some(sess.get()) else None
+      val prevTimer = cur.map(c => timerMs(c.last_us))
+      sorted.foreach { e =>
+        val m = tsMicros(e.ts)
+        cur match {
+          case Some(OpenSess(start, last, n)) if m - last > gapUs =>
+            out += ClosedSession(user, start, last, n)
+            cur = Some(OpenSess(m, m, 1L))
+          case Some(OpenSess(start, _, n)) =>
+            cur = Some(OpenSess(start, m, n + 1L))
+          case None =>
+            cur = Some(OpenSess(m, m, 1L))
+        }
+      }
+      cur.foreach { c =>
+        sess.update(c)
+        prevTimer.filter(_ != timerMs(c.last_us))
+          .foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(timerMs(c.last_us))
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(user: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[ClosedSession] =
+      if (sess.exists()) {
+        val c = sess.get()
+        sess.clear()
+        Iterator.single(ClosedSession(user, c.start_us, c.last_us, c.n))
+      } else Iterator.empty
+  }
+
+  /** T30: timer-closed sessionization on **`transformWithState`
+    * TIMERS** — the one TWS surface t26/t28 don't exercise (they use
+    * state cells only): `registerTimer`/`deleteTimer`/
+    * `handleExpiredTimer` under `TimeMode.EventTime`, the successor of
+    * t15's `GroupStateTimeout.EventTimeTimeout`. Same harness shape and
+    * the SAME ORACLE as [[streamingTimeoutSessions]] — a hash match
+    * grades that the two timer APIs implement identical close
+    * semantics (in-batch gap close + watermark-fired timeout close,
+    * open tails held in state), which is exactly the migration
+    * contract a deployment moving t15-era code onto TWS relies on.
+    * RocksDB provider conf-scoped as in [[transformWithStateTotals]]
+    * (TWS refuses the HDFS-heap provider by design). */
+  def twsTimerSessions(spark: SparkSession, dir: String,
+                       gapSec: Long = 1800L,
+                       statePartitions: Option[Int] = None): DataFrame =
+    withConf(spark, Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+      withShufflePartitions(spark, statePartitions) {
+        import spark.implicits._
+        val table = freshName("graft_t30")
+        val closed = eventStream(spark, dir)
+          .withWatermark("ts", "0 seconds")
+          .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+          .groupByKey(_.user_id)
+          .transformWithState(new TimerSessionsProcessor(gapSec * 1000000L),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+        val q = closed.toDF()
+          .writeStream.format("memory").queryName(table)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        spark.table(table)
+      }
+    }
+
+  /** T31: **`Trigger.AvailableNow`** — the production drain trigger: the
+    * query plans ALL currently-available input up front, processes it in
+    * admission-controlled micro-batches (`maxFilesPerTrigger` still
+    * paces), commits offsets per batch, then STOPS ITSELF. This is how a
+    * deployment runs "catch up on the backlog, then exit" with the same
+    * checkpoint its continuous form uses — the other harnesses drive
+    * completion from the outside with `processAllAvailable`; here
+    * termination is the ENGINE's own decision, graded by the query
+    * reaching the full cumulative tally before it stops. */
+  def availableNowTally(spark: SparkSession, dir: String,
+                        statePartitions: Option[Int] = None): DataFrame =
+    perfScope(spark, statePartitions) {
+      val table = freshName("graft_t31")
+      val q = eventStream(spark, dir)
+        .groupBy("event_type")
+        .agg(round(sum("value"), 2).as("total_value"),
+             count(lit(1)).as("n_events"))
+        .writeStream.format("memory").queryName(table)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      spark.table(table)
+    }
+
   /** T14: streaming decontamination feed — the quarantine side of
     * [[graft.ext.DedupOps.decontaminate]] run as documents LAND: each
     * micro-batch's docs explode into 13-token windows, semi-join the
