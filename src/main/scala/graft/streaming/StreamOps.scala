@@ -1777,7 +1777,15 @@ object StreamOps {
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try q.awaitTermination() finally q.stop()
+      // bounded await: self-termination is the graded behavior, but an
+      // unbounded block here would hang the whole Verify run if the
+      // drain ever wedged — after the timeout the stop() turns a hung
+      // seat into one red oracle instead of a dead round
+      try {
+        val done = q.awaitTermination(300000L)
+        if (!done) System.err.println(
+          "[t31] AvailableNow did not self-terminate within 300 s")
+      } finally q.stop()
       spark.table(table)
     }
 
