@@ -1506,6 +1506,14 @@ object SparkEntry {
     // last emit per key graded against the batch GROUP BY
     "t26_stream_transform_with_state" -> ((s, d) =>
       StreamOps.transformWithStateTotals(s, d, statePartitions = Some(8))),
+    // TWS MapState cell: per-(user, type) running totals — one state
+    // row per map ENTRY, the layout a growing per-key map needs
+    "t32_stream_tws_map_state" -> ((s, d) =>
+      StreamOps.twsMapStateTotals(s, d, statePartitions = Some(4))),
+    // TWS ListState cell: bounded last-3-events buffer per user —
+    // incremental append + trim, the recent-activity window shape
+    "t33_stream_tws_list_state" -> ((s, d) =>
+      StreamOps.twsListStateLastK(s, d, k = 3, statePartitions = Some(4))),
     // Spark 4's state data source: read the dedup state back OUT of the
     // checkpoint as a batch frame — the state-audit surface; the keys
     // must be exactly the distinct-user set (t5's oracle)
@@ -1554,7 +1562,7 @@ object SparkEntry {
     // — graded by t15's oracle, so a hash match certifies the two timer
     // APIs' close semantics are identical (the TWS migration contract)
     "t30_stream_tws_timer_sessions" -> ((s, d) =>
-      StreamOps.twsTimerSessions(s, d, statePartitions = Some(8))
+      StreamOps.twsTimerSessions(s, d, statePartitions = Some(4))
         .orderBy("user_id", "start_us")),
     // Trigger.AvailableNow: drain the backlog in admission-controlled
     // micro-batches, then the ENGINE stops itself — termination is the
@@ -3891,6 +3899,32 @@ object SparkEntry {
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                   AS total_cents
          FROM events GROUP BY user_id ORDER BY user_id""",
+    // t26's replay one key deeper: the MapState cell must reproduce the
+    // per-(user, type) GROUP BY exactly
+    "t32_stream_tws_map_state" ->
+      """SELECT user_id, event_type, count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents
+         FROM events GROUP BY user_id, event_type
+         ORDER BY user_id, event_type""",
+    // per user: total count + the ids of the 3 latest events by
+    // (event time, event_id), latest first — the ListState buffer's
+    // exact contents
+    "t33_stream_tws_list_state" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id
+                    FROM events),
+              r AS (SELECT user_id, event_id,
+                           row_number() OVER (PARTITION BY user_id
+                             ORDER BY us DESC, event_id DESC) AS rn
+                    FROM e),
+              topk AS (SELECT user_id,
+                              string_agg(CAST(event_id AS VARCHAR), ','
+                                ORDER BY rn) AS recent_ids
+                       FROM r WHERE rn <= 3 GROUP BY user_id),
+              n AS (SELECT user_id, count(*) AS n_seen FROM e
+                    GROUP BY user_id)
+         SELECT user_id, CAST(n_seen AS BIGINT) AS n_seen, recent_ids
+         FROM n JOIN topk USING (user_id) ORDER BY user_id""",
     // checkpoint upgrade: totals accumulate across the restart (count/sum
     // over ALL events); the V2-only field counts exactly the odd half —
     // the events delivered after the new code took over the checkpoint

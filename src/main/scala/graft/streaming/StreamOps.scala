@@ -1756,6 +1756,161 @@ object StreamOps {
       }
     }
 
+  /** The t32 processor: per-user per-event-type running (n, cents) in a
+    * **MapState** cell — the keyed-map state layout (one state-store row
+    * per map ENTRY under RocksDB, so a user's map grows past any single
+    * row's value size and individual entries update without rewriting
+    * the whole map — the reason MapState exists vs a ValueState holding
+    * a Scala Map). Update-mode emission per touched (user, type); `n`
+    * is strictly increasing per key pair, so the graded frame's
+    * max-struct selection is deterministic (the t26 discipline). */
+  private class PerTypeTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String, Long), (Long, String, Long, Long)] {
+    @transient private var totals:
+        org.apache.spark.sql.streaming.MapState[String, (Long, Long)] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getMapState[String, (Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, String, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, String, Long, Long)] = {
+      val touched = scala.collection.mutable.LinkedHashSet[String]()
+      rows.foreach { case (_, tpe, cents) =>
+        val (n, c) = if (totals.containsKey(tpe)) totals.getValue(tpe)
+                     else (0L, 0L)
+        totals.updateValue(tpe, (n + 1, c + cents))
+        touched += tpe
+      }
+      touched.iterator.map { tpe =>
+        val (n, c) = totals.getValue(tpe)
+        (user, tpe, n, c)
+      }
+    }
+  }
+
+  /** T32: per-(user, event_type) running totals on a **TWS `MapState`**
+    * cell — with t26 (ValueState), t28 (state-schema evolution), t30
+    * (timers) and t33 (ListState) this completes the
+    * `transformWithState` surface. Graded like t26: update-mode emits
+    * carry a strictly-increasing `n` per (user, type), the final frame
+    * keeps the last emit per pair, and the batch GROUP BY is the
+    * oracle. */
+  def twsMapStateTotals(spark: SparkSession, dir: String,
+                        statePartitions: Option[Int] = None): DataFrame = {
+    val snap = withConf(spark, Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+      runFileStream(spark, dir, "update", statePartitions) { df =>
+        val s = df.sparkSession
+        import s.implicits._
+        df.select(col("user_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .as[(Long, String, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new PerTypeTotalsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF("user_id", "event_type", "n_events", "total_cents")
+      }
+    }
+    snap.groupBy("user_id", "event_type")
+      .agg(max(struct(col("n_events"), col("total_cents"))).as("m"))
+      .select(col("user_id"), col("event_type"),
+        col("m.n_events").as("n_events"),
+        col("m.total_cents").as("total_cents"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** The t33 processor: per-user LAST-`k` event buffer in a **ListState**
+    * cell — the bounded recent-activity window (fraud/abuse features,
+    * "last N actions" serving) that a ValueState-of-Seq would rewrite
+    * wholesale every batch; ListState appends incrementally and is the
+    * layout RocksDB stores as one row per element. Each batch appends
+    * the key's new (event-time µs, event_id) pairs, trims the buffer to
+    * the `k` latest by (us, id) — `put` rewrites only when the buffer
+    * actually overflowed — and emits (user, n_seen, csv of the ids,
+    * latest first). `n_seen` is strictly increasing per user, so the
+    * last emit per user is selectable by max-struct (t26 discipline). */
+  private class LastKEventsProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), (Long, Long, String)] {
+    @transient private var buf:
+        org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+    @transient private var seen:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      buf = getHandle.getListState[(Long, Long)]("recent",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, String)] = {
+      var n = if (seen.exists()) seen.get() else 0L
+      var appended = 0
+      rows.foreach { case (_, us, id) =>
+        buf.appendValue((us, id)); n += 1; appended += 1
+      }
+      seen.update(n)
+      val all = buf.get().toSeq.sortBy { case (us, id) => (-us, -id) }
+      if (all.length > k) buf.put(all.take(k).toArray)
+      val latest = all.take(k)
+      Iterator.single((user, n,
+        latest.map(_._2).mkString(",")))
+    }
+  }
+
+  /** The t33 pipeline over any event frame — shared with the
+    * cross-batch spec, which drives it through MemoryStream batch
+    * boundaries to pin the buffer CARRY and trim across batches. */
+  private[graft] def twsLastKPipeline(k: Int)(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new LastKEventsProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("user_id", "n_seen", "recent_ids")
+  }
+
+  /** T33: last-`k` events per user on a **TWS `ListState`** cell (see
+    * [[LastKEventsProcessor]]). The oracle replays the same window in
+    * SQL: per user, the total event count and the ids of the `k` latest
+    * events by (event time, event_id), latest first. */
+  def twsListStateLastK(spark: SparkSession, dir: String, k: Int = 3,
+                        statePartitions: Option[Int] = None): DataFrame = {
+    val snap = withConf(spark, Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+      runFileStream(spark, dir, "update", statePartitions)(
+        twsLastKPipeline(k))
+    }
+    snap.groupBy("user_id")
+      .agg(max(struct(col("n_seen"), col("recent_ids"))).as("m"))
+      .select(col("user_id"), col("m.n_seen").as("n_seen"),
+        col("m.recent_ids").as("recent_ids"))
+      .orderBy("user_id")
+  }
+
   /** T31: **`Trigger.AvailableNow`** — the production drain trigger: the
     * query plans ALL currently-available input up front, processes it in
     * admission-controlled micro-batches (`maxFilesPerTrigger` still

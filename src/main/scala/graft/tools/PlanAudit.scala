@@ -29,7 +29,8 @@ object PlanAudit {
     "t26_stream_transform_with_state", "t27_state_source_read",
     "t28_stream_state_upgrade", "t29_stream_ivf_ingest",
     "t29b_stream_ivf_batch_serve", "t30_stream_tws_timer_sessions",
-    "t31_stream_available_now",
+    "t31_stream_available_now", "t32_stream_tws_map_state",
+    "t33_stream_tws_list_state",
     "s8_write_then_emit", "s9_file_sink_exactly_once",
     "s10_wire_emit_exactly_once",
     "s5c_jdbc_upsert_replay", "s5d_jdbc_txnlog_replay", "s4_avro_source",

@@ -67,6 +67,43 @@ class TransformWithStateSpec extends SparkSpec {
       "fixture must close at least one tail session via the timer path")
   }
 
+  test("t32 MapState per-(user, type) totals equal the batch group-by") {
+    val got = StreamOps.twsMapStateTotals(spark, sfDir,
+        statePartitions = Some(4))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got.nonEmpty && got === want)
+  }
+
+  test("t33 ListState buffer CARRIES and trims across micro-batches") {
+    import graft.streaming.StreamOps.Ev
+    def ev(id: Long, sec: Long) =
+      Ev(id, new java.sql.Timestamp(sec * 1000L), 1L, "click", 1.0)
+    // five events for one user over THREE batches ([e1 e2][e3 e4][e5]):
+    // the batch-2/3 emissions can only be right if the buffer carried
+    // batch-1 state and trimmed to the 3 latest
+    val data = Seq(ev(1, 10), ev(2, 20), ev(3, 30), ev(4, 40), ev(5, 50))
+    val emits = graft.streaming.StreamOps.withConf(spark, Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+      StreamOps.runStream(spark, data, nBatches = 3, outputMode = "update")(
+        StreamOps.twsLastKPipeline(3))
+    }.collect().map(r => (r.getLong(1), r.getString(2))).toSet
+    assert(emits === Set(
+      (2L, "2,1"),        // after batch 1
+      (4L, "4,3,2"),      // after batch 2: e1 trimmed out
+      (5L, "5,4,3")))     // after batch 3: carried buffer, e2 gone
+  }
+
   test("t31 AvailableNow terminates itself and lands the full tally") {
     val got = StreamOps.availableNowTally(spark, sfDir,
         statePartitions = Some(4))
