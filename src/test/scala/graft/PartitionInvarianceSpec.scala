@@ -68,4 +68,18 @@ class PartitionInvarianceSpec extends SparkSpec {
           "ADC ranking shifted with partitioning")
       }
   }
+
+  /** The BPE trainer folds exact integer pair counts with a total-order
+    * argmax, so the learned merge SEQUENCE — and the encode built on
+    * it — must not shift with the corpus's layout. (The memo keys on
+    * the canonicalized plan, so each layout below trains fresh.) */
+  test("BPE merges + encode are invariant to input partitioning") {
+    def m(df: DataFrame) = rows(graft.ext.TextOps.bpeMerges(df, 4))
+    def e(df: DataFrame) = rows(graft.ext.TextOps.bpeEncode(df, 4))
+    val want = (m(docs.repartition(1)), e(docs.repartition(1)))
+    assert(want._1.nonEmpty && want._2.nonEmpty)
+    layouts(docs).tail.foreach { alt =>
+      assert((m(alt), e(alt)) == want, "BPE shifted with partitioning")
+    }
+  }
 }
