@@ -700,17 +700,33 @@ object TextOps {
     * its oracles can never drift on a constant. */
   private def bpeOracleStages(nMerges: Int): String = {
     val stages = (1 to nMerges).map { i =>
+      // bestpad: when the vocab runs DRY before round i (best_i empty),
+      // a bare cross join with the empty best would zero seqs_i and
+      // every later stage — the ENCODE oracle would then drop all rows
+      // while the Spark loop still encodes under the partial merge
+      // table. The pad row carries a '#' pair no [a-z] symbol can ever
+      // contain, so its replace is the identity and seqs_i degrades to
+      // seqs_{i-1} — exactly the Spark loop's early-stop. The merge
+      // TABLE still unions the unpadded best_i, so dry rounds emit no
+      // merge row, also matching the loop. best_i is MATERIALIZED:
+      // it is referenced twice per stage (bestpad + the final union),
+      // and DuckDB inlines plain CTEs, which re-derives the whole
+      // stage chain per reference — measured minutes vs 0.1 s.
       s"""exp_$i AS (
       SELECT cnt, arr, unnest(range(1, len(arr))) AS i FROM (
         SELECT cnt, string_split(regexp_replace(s, '^\\(|\\)$$', '', 'g'), ')(') AS arr
         FROM seqs_${i - 1})),
     pairs_$i AS (
       SELECT arr[i] AS l, arr[i + 1] AS r, sum(cnt) AS c FROM exp_$i GROUP BY 1, 2),
-    best_$i AS (
+    best_$i AS MATERIALIZED (
       SELECT $i AS merge_rank, l, r, c FROM pairs_$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    bestpad_$i AS (
+      SELECT l, r FROM best_$i
+      UNION ALL
+      SELECT '#', '#' WHERE NOT EXISTS (SELECT 1 FROM best_$i)),
     seqs_$i AS (
       SELECT w, cnt, replace(s, '(' || l || ')(' || r || ')', '(' || l || r || ')') AS s
-      FROM seqs_${i - 1}, best_$i)"""
+      FROM seqs_${i - 1}, bestpad_$i)"""
     }
     s"""WITH seqs_0 AS (
       SELECT w, count(*) AS cnt, regexp_replace(w, '(.)', '(\\1)', 'g') AS s FROM (

@@ -155,6 +155,15 @@ class BpeSpec extends SparkSpec {
     assert(got._3 === expectedTokens)
   }
 
+  test("encode under an early-dry vocabulary uses the partial merge " +
+       "table (the oracle's bestpad degradation)") {
+    // one merge possible, then dry: encode must still count every doc's
+    // tokens under the single learned merge — 'ab ab c' → 3 tokens
+    val got = TextOps.bpeEncode(docsOf("ab ab c"), 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 3L, 3L)))
+  }
+
   test("deterministic across runs and partition widths") {
     val d = Tables.documents(spark, sfDir)
     val a = run(d, 4)
