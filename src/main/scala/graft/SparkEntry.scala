@@ -1501,6 +1501,12 @@ object SparkEntry {
     // backend swap as semantics-free on the driver's own gate
     "t25_stream_rocksdb_dedup" -> ((s, d) =>
       StreamOps.streamingDedupUsersRocksDB(s, d, statePartitions = Some(8))),
+    // t25's backend under CHANGELOG checkpointing + kill-and-restart:
+    // per-batch checkpoints upload only state deltas, recovery replays
+    // changelog over snapshot; the union of the two phases' emissions
+    // hash-matches t5's oracle only if phase 2 recovered the store
+    "t35_stream_changelog_recover" -> ((s, d) =>
+      StreamOps.changelogRecoverDedup(s, d, statePartitions = Some(8))),
     // Spark 4's transformWithState (arbitrary typed state cells behind a
     // StatefulProcessor, RocksDB-only backend): per-user running totals,
     // last emit per key graded against the batch GROUP BY
@@ -1514,6 +1520,13 @@ object SparkEntry {
     // incremental append + trim, the recent-activity window shape
     "t33_stream_tws_list_state" -> ((s, d) =>
       StreamOps.twsListStateLastK(s, d, k = 3, statePartitions = Some(4))),
+    // TWS state TTL: two staged micro-batches under a 1 ms
+    // processing-time TTL — batch 0's cells have EXPIRED when batch 1
+    // reads them, so the odd half re-counts from zero; the union of
+    // both batches' emissions only matches the per-half oracle if
+    // expiry really reset the fold
+    "t34_stream_tws_ttl" -> ((s, d) =>
+      StreamOps.twsTtlTotals(s, d, statePartitions = Some(4))),
     // Spark 4's state data source: read the dedup state back OUT of the
     // checkpoint as a batch frame — the state-audit surface; the keys
     // must be exactly the distinct-user set (t5's oracle)
@@ -1649,6 +1662,12 @@ object SparkEntry {
     // watermark delay stay in state, as live pipelines leave them
     "t20_stream_left_outer_join" -> ((s, d) =>
       StreamOps.streamStreamLeftOuterJoin(s, d, statePartitions = Some(4))),
+    // stream-stream FULL OUTER interval join: null rows emit on BOTH
+    // eviction directions — unmatched purchases when the watermark
+    // passes purchase_ts, unmatched clicks when it passes
+    // click_ts + tolerance (no future purchase can land in range)
+    "t36_stream_full_outer_join" -> ((s, d) =>
+      StreamOps.streamStreamFullOuterJoin(s, d, statePartitions = Some(4))),
     // live leaderboard: stream maintains ONLY the O(keys) tally state;
     // rank / share / gap-to-leader computed over the |keys|-row snapshot
     // (ranking inside the stream would global-sort state per batch)
@@ -1977,6 +1996,12 @@ object SparkEntry {
     // the |vocab|-row segment side; training shared via memo)
     "text_bpe_encode" -> ((s, d) =>
       TextOps.bpeEncode(Tables.documents(s, d), 8)),
+    // the decode half closing the tokenizer loop: text → ids → text
+    // through the inverted vocab (26 letters ∪ trained merges, so the
+    // id space is closed over any corpus); graded per doc by
+    // decode(encode(x)) = normalize(x) plus the exact token count
+    "text_bpe_roundtrip" -> ((s, d) =>
+      TextOps.bpeRoundtrip(Tables.documents(s, d), 8)),
     // unigram-LM quality signal (poor-man's perplexity): per-doc mean
     // log-probability under the corpus's own unigram distribution
     "text_unigram_score" -> ((s, d) =>
@@ -4232,6 +4257,25 @@ object SparkEntry {
     "t5_stream_dedup_users" -> "SELECT DISTINCT user_id FROM events",
     // same truth as t5: the RocksDB backend swap must be semantics-free
     "t25_stream_rocksdb_dedup" -> "SELECT DISTINCT user_id FROM events",
+    // t5's truth again: the union of the two phases' append emissions
+    // equals the distinct-user set only if the restart RECOVERED the
+    // dedup state (a lost store re-emits the even half as duplicates,
+    // which UNION ALL-style hashing would catch as multiplicity)
+    "t35_stream_changelog_recover" -> "SELECT DISTINCT user_id FROM events",
+    // per-half totals: batch 0 = even event_ids, batch 1 = odd; the 1 ms
+    // TTL guarantees batch 0's cells are expired reads by batch 1, so
+    // the odd half re-counts from zero — cumulative (un-expired) totals
+    // would break the hash for every user present in both halves
+    "t34_stream_tws_ttl" ->
+      """SELECT user_id, count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents
+         FROM events WHERE event_id % 2 = 0 GROUP BY user_id
+         UNION ALL
+         SELECT user_id, count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents
+         FROM events WHERE event_id % 2 = 1 GROUP BY user_id""",
     // the checkpoint's dropDuplicates state keys ARE the distinct users
     "t27_state_source_read" ->
       "SELECT DISTINCT user_id FROM events ORDER BY user_id",
@@ -4324,6 +4368,39 @@ object SparkEntry {
                                         WHERE m.purchase_id = p.purchase_id)
                         AND epoch_us(p.pts) // 1000 < wm.w)
          SELECT * FROM m UNION ALL SELECT * FROM unm""",
+    // full-outer replay: t20's matched + unmatched-purchase halves plus
+    // the second eviction direction — unmatched CLICKS emit when the
+    // watermark passes click_ts + tolerance (cts_ms + 3600000 < w, the
+    // point past which no in-range purchase can still arrive); clicks
+    // inside the final horizon stay in state and must NOT appear
+    "t36_stream_full_outer_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS pts
+                    FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT event_id AS click_id, user_id, ts AS cts
+                    FROM events WHERE event_type = 'click'),
+              m AS (SELECT p.purchase_id, c.click_id, p.user_id,
+                           date_diff('microsecond', c.cts, p.pts) AS gap_us
+                    FROM p JOIN c ON p.user_id = c.user_id
+                     AND c.cts <= p.pts
+                     AND p.pts <= c.cts + INTERVAL 3600 SECONDS),
+              wm AS (SELECT least(
+                       (SELECT max(epoch_us(cts)) // 1000 FROM c),
+                       (SELECT max(epoch_us(pts)) // 1000 FROM p))
+                       - 3600000 AS w),
+              unm AS (SELECT p.purchase_id, CAST(NULL AS BIGINT) AS click_id,
+                             p.user_id, CAST(NULL AS BIGINT) AS gap_us
+                      FROM p CROSS JOIN wm
+                      WHERE NOT EXISTS (SELECT 1 FROM m
+                                        WHERE m.purchase_id = p.purchase_id)
+                        AND epoch_us(p.pts) // 1000 < wm.w),
+              unc AS (SELECT CAST(NULL AS BIGINT) AS purchase_id, c.click_id,
+                             c.user_id, CAST(NULL AS BIGINT) AS gap_us
+                      FROM c CROSS JOIN wm
+                      WHERE NOT EXISTS (SELECT 1 FROM m
+                                        WHERE m.click_id = c.click_id)
+                        AND epoch_us(c.cts) // 1000 + 3600000 < wm.w)
+         SELECT * FROM m UNION ALL SELECT * FROM unm
+         UNION ALL SELECT * FROM unc""",
     "t8_stream_asof" ->
       """WITH u AS (
            SELECT user_id, ts, event_id, 1 AS tag,
@@ -5102,6 +5179,7 @@ object SparkEntry {
     // the apply half replayed off the same unrolled stages: seqs_8 IS
     // the segmented vocab; per-word token counts join back to the corpus
     "text_bpe_encode" -> TextOps.bpeEncodeOracleSql(8),
+    "text_bpe_roundtrip" -> TextOps.bpeRoundtripOracleSql(8),
     // quantize -> cosine on codes -> top-10 -> hits vs float truth,
     // all recomputed here
     // Two-stage replay: quantize (per-vector 127/max|x| symmetric codes),

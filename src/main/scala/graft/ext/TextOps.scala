@@ -693,6 +693,80 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BPE DECODE / round-trip — closes the tokenizer loop: text → ids
+    * under the trained merge table, then ids → text through the
+    * INVERTED vocabulary, graded per document by
+    * `decode(encode(x)) = normalize(x)` (normalize = the lowercased
+    * `[a-z]+` token stream joined by single spaces — exactly the train
+    * side's input normalization).
+    *
+    * The id space is the 26 letters ∪ the trained merged symbols, so
+    * it is CLOSED over any apply corpus: every segment of every word
+    * is either a trained merge or a single letter, and an
+    * out-of-vocabulary word just falls back toward characters — ids
+    * are never null (the OOV spec pins this on a disjoint apply
+    * corpus). Decode reads ONLY (word position, ids): ids map back to
+    * symbols through a broadcast one-row reverse-vocab array (compile-
+    * once, the merge-loop discipline), symbols concatenate per word,
+    * words rejoin in document order via one array_sort fold — no
+    * single-partition window. Train/apply split: `train` learns the
+    * merges (memoized), `docs` is encoded/decoded. */
+  private[graft] def bpeRoundtripApply(train: DataFrame, docs: DataFrame,
+                                       nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val merges = bpeTrain(train, nMerges).map(m => (m._2, m._3))
+    val rv = (('a' to 'z').map(_.toString) ++
+      merges.map { case (l, r) => l + r }).distinct.sorted
+    val vmap = rv.zipWithIndex.map { case (s, i) => (s, i.toLong) }
+    // one-row broadcast constants: merge list (the compile-once fold),
+    // symbol→id entries, and the id-indexed reverse vocab
+    val constDf = spark.createDataFrame(Seq((merges, vmap, rv)))
+      .toDF("ms", "vmap", "rv")
+    val docWords = docs.select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")))
+      .toDF("doc_id", "wpos", "w")
+    // ENCODE: segment the distinct-word table under the trained merges
+    // (|vocab|-sized work), map symbols to ids, join back by word
+    val segments = docWords.select("w").distinct()
+      .crossJoin(broadcast(constDf))
+      .withColumn("s", regexp_replace(col("w"), "(.)", "($1)"))
+      .withColumn("s", expr(
+        """aggregate(ms, s, (acc, m) ->
+             replace(acc, concat('(', m._1, ')(', m._2, ')'),
+                          concat('(', m._1, m._2, ')')))"""))
+      .select(col("w"), expr(
+        """transform(split(regexp_replace(s, '^\\(|\\)$', ''), '\\)\\('),
+             sym -> map_from_entries(vmap)[sym])""").as("ids"))
+    val encoded = docWords.join(broadcast(segments), "w")
+      .select(col("doc_id"), col("wpos"), col("ids"))
+    // DECODE from (wpos, ids) alone: ids → symbols via the reverse
+    // vocab, concatenated per word, words re-joined in document order
+    val decoded = encoded
+      .crossJoin(broadcast(constDf.select("rv")))
+      .select(col("doc_id"), col("wpos"),
+        expr("""concat_ws('', transform(ids,
+                  i -> element_at(rv, cast(i + 1 AS int))))""").as("word"),
+        size(col("ids")).cast("long").as("n_sym"))
+      .groupBy("doc_id")
+      .agg(sum("n_sym").as("n_bpe_tokens"),
+        expr("""array_join(transform(
+                  array_sort(collect_list(struct(wpos, word))),
+                  t -> t.word), ' ')""").as("decoded"))
+    val norm = docs.select(col("doc_id"), expr(
+      "array_join(regexp_extract_all(lower(text), '[a-z]+', 0), ' ')")
+      .as("norm"))
+    decoded.join(norm, "doc_id")
+      .select(col("doc_id"), col("n_bpe_tokens"),
+        (col("decoded") === col("norm")).as("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
+
+  /** The graded round-trip seat: train and apply on the same corpus
+    * (the spec additionally drives [[bpeRoundtripApply]] with a
+    * DISJOINT apply corpus to pin OOV fallback-to-characters). */
+  def bpeRoundtrip(docs: DataFrame, nMerges: Int): DataFrame =
+    bpeRoundtripApply(docs, docs, nMerges)
+
   /** The shared WITH-clause body of the two BPE oracles: seqs_0 (vocab
     * with counts and self-delimited char sequences, keyed by word) plus
     * `nMerges` unrolled stages, each = pair-count → argmax → apply (the
@@ -745,6 +819,28 @@ object TextOps {
            CAST(c AS BIGINT) AS pair_count
     FROM ($union) ORDER BY merge_rank"""
   }
+
+  /** The DuckDB replay of [[bpeRoundtrip]]: token counts off the final
+    * segment stage (as in [[bpeEncodeOracleSql]]) and the round-trip
+    * boolean replayed through the oracle's OWN segment table — per
+    * word, stripping the segment delimiters must reproduce the word
+    * (the merge fold is lossless), so the per-doc conjunction is the
+    * decode(encode(x)) = normalize(x) check. */
+  def bpeRoundtripOracleSql(nMerges: Int): String =
+    s"""${bpeOracleStages(nMerges)},
+    toks AS (
+      SELECT w, CAST(len(string_split(
+               regexp_replace(s, '^\\(|\\)$$', '', 'g'), ')(')) AS BIGINT)
+               AS n_sym,
+             (regexp_replace(s, '\\(|\\)', '', 'g') = w) AS word_ok
+      FROM seqs_$nMerges),
+    dw AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents)
+    SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+           bool_and(word_ok) AS roundtrip_ok
+    FROM dw JOIN toks USING (w)
+    GROUP BY doc_id ORDER BY doc_id"""
 
   /** The DuckDB replay of [[bpeEncode]]: the final seqs_N stage IS the
     * segmented vocab — per-word token counts join back to the corpus

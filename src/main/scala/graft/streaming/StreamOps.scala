@@ -155,10 +155,71 @@ object StreamOps {
                           topic: java.nio.file.Path, name: String): Unit = {
     val dst = topic.resolve(s"$name.parquet")
     try { Files.createLink(dst, src); () }
-    catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-      Files.copy(src, dst); ()
+    catch {
+      // fall back to a copy only where linking is structurally
+      // impossible (fs without hard links, cross-device); a duplicate
+      // arrival name must surface as FileAlreadyExistsException from
+      // the link attempt, not as a confusing copy-time error
+      case _: UnsupportedOperationException => Files.copy(src, dst); ()
+      case e: java.nio.file.FileSystemException
+          if !e.isInstanceOf[java.nio.file.FileAlreadyExistsException] =>
+        Files.copy(src, dst); ()
     }
   }
+
+  /** One-pass click/purchase split of the events table — the shared
+    * staged layout behind the stream-stream join family (t10 inner,
+    * t20 left-outer, t36 full-outer). Each join query needs a CLICKS
+    * stream and a PURCHASES stream; built from the raw events topic
+    * those two sources scan the FULL table twice per query to keep a
+    * few percent of the rows. Staged once per (session, fixture): one
+    * partitioned write of the three join columns split by type, each
+    * half landing in its own immutable topic dir. Offset logs are
+    * per-query (each memory-sink query checkpoints privately), so the
+    * topic dirs are SHARED across every join in the session — the
+    * per-query source cost drops from two full-table scans to two
+    * type-only three-column scans. */
+  private val typeTopicMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Map[String, java.nio.file.Path]]()
+
+  private def typedTopicDirs(spark: SparkSession, dir: String)
+      : Map[String, java.nio.file.Path] =
+    typeTopicMemo.computeIfAbsent((spark, dir), { _ =>
+      val root = graft.TmpDirs.create("graft_type_topics_")
+      val staged = root.resolve("staged")
+      val types = Seq("click", "purchase")
+      val ev = graft.Tables.events(spark, dir)
+        .filter(col("event_type").isin(types: _*))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type").as("__et"))
+      ev.coalesce(1).write.partitionBy("__et").parquet(staged.toString)
+      types.map { t =>
+        val topic = root.resolve(s"topic_$t")
+        Files.createDirectory(topic)
+        if (!moveStagedPart(staged, s"__et=$t", topic, "f0")) {
+          // degenerate fixture: no rows of this type — stage an empty
+          // single-part file so the stream still sees one arrival and
+          // runs its batch (the parityStagedFiles discipline)
+          val emptyDir = root.resolve(s"empty_$t")
+          ev.limit(0).drop("__et").coalesce(1).write.parquet(emptyDir.toString)
+          val part = Option(emptyDir.toFile.listFiles())
+            .getOrElse(Array.empty)
+            .filter(_.getName.endsWith(".parquet")).head
+          Files.move(part.toPath, topic.resolve("f0.parquet")); ()
+        }
+        t -> topic
+      }.toMap
+    })
+
+  /** Stream of ONE event type from the staged split — the staged file's
+    * ts was written post-[[graft.Tables.normalizeTs]], so a plain
+    * TIMESTAMP declaration matches the physical type. */
+  private def typedEventStream(spark: SparkSession, dir: String,
+                               eventType: String): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(typedTopicDirs(spark, dir)(eventType).toString)
 
   private def freshTopic(prefix: String): (java.nio.file.Path, java.nio.file.Path) = {
     val root = graft.TmpDirs.create(prefix)
@@ -352,6 +413,62 @@ object StreamOps {
     try q2.processAllAvailable() finally q2.stop()
     spark.table(table2)
   }
+
+  /** T35: RocksDB **changelog checkpointing** under kill-and-restart —
+    * the 100 TB recovery-cost knob: with changelog checkpointing ON,
+    * each micro-batch uploads only the batch's state DELTA (a changelog
+    * file) instead of a full SST snapshot, and recovery replays
+    * changelogs over the last materialized snapshot — per-batch
+    * checkpoint cost becomes O(changed keys), not O(total state), which
+    * is the difference between a feasible and an infeasible commit
+    * interval once keyed state reaches TB scale. Harness is the t1
+    * kill-and-restart discipline over the t5 dedup pipeline: phase 1
+    * streams the even half under the RocksDB provider with changelog
+    * checkpointing enabled, STOPS; phase 2 drops the odd half and
+    * restarts from the same checkpoint. The offset log prevents a
+    * rescan of file 0, so the union of the two phases' append-mode
+    * emissions equals the distinct-user set ONLY if phase 2 recovered
+    * the dedup state from snapshot+changelog — a lost store would
+    * re-emit the even half's users as duplicates and break the hash.
+    * Same oracle as t5: the checkpoint-format swap is semantics-free. */
+  def changelogRecoverDedup(spark: SparkSession, dir: String,
+                            statePartitions: Option[Int] = None): DataFrame =
+    withConf(spark, Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true")) {
+      perfScope(spark, statePartitions) {
+        val (root, topic) = freshTopic("graft_t35_")
+        val ckpt = root.resolve("ckpt").toString
+        // append-mode emissions land in a FILE sink (the s9 shape): the
+        // memory sink refuses checkpoint recovery in append mode, and
+        // the sink log doubles as the exactly-once witness
+        val out = root.resolve("out").toString
+        val (even, odd) = parityStagedFiles(spark, dir)
+
+        def start() =
+          spark.readStream
+            .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(topic.toString)
+            .dropDuplicates("user_id").select("user_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+
+        linkArrival(even, topic, "f0")
+        val q1 = start()
+        try q1.processAllAvailable() finally q1.stop()
+
+        linkArrival(odd, topic, "f1")
+        val q2 = start()
+        try q2.processAllAvailable() finally q2.stop()
+        spark.read.parquet(out)
+      }
+    }
 
   /** S9: exactly-once FILE SINK — the durability seat t1 proves for
     * STATE, proven for OUTPUT: the parquet sink's `_spark_metadata`
@@ -944,7 +1061,9 @@ object StreamOps {
   /** Release the per-session ingest layouts and staged parity splits
     * (Verify/Bench teardown — the DedupOps/Storage clearCaches
     * discipline). */
-  def clearCaches(): Unit = { ivfIngestMemo.clear(); parityStageMemo.clear() }
+  def clearCaches(): Unit = {
+    ivfIngestMemo.clear(); parityStageMemo.clear(); typeTopicMemo.clear()
+  }
 
   private def ivfIngestedSegments(spark: SparkSession, dir: String)
       : (String, String, Array[(Long, Array[Double])]) =
@@ -1355,18 +1474,27 @@ object StreamOps {
       streamStreamIntervalJoinInner(spark, dir, toleranceSec)
     }
 
-  private def streamStreamIntervalJoinInner(
-      spark: SparkSession, dir: String, toleranceSec: Long): DataFrame = {
-    val clicks = eventStream(spark, dir)
-      .filter(col("event_type") === "click")
+  /** The two watermarked sides every stream-stream join here builds on.
+    * Sources are the staged per-type topics ([[typedTopicDirs]]), not
+    * full-table filters — the watermark each side tracks is identical
+    * (the EventTimeWatermark node sat ABOVE the type filter before, so
+    * it always saw only that type's rows). */
+  private def joinSides(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val clicks = typedEventStream(spark, dir, "click")
       .select(col("event_id").as("click_id"),
         col("user_id").as("click_user"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "1 hour")
-    val purchases = eventStream(spark, dir)
-      .filter(col("event_type") === "purchase")
+    val purchases = typedEventStream(spark, dir, "purchase")
       .select(col("event_id").as("purchase_id"),
         col("user_id"), col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", "1 hour")
+    (clicks, purchases)
+  }
+
+  private def streamStreamIntervalJoinInner(
+      spark: SparkSession, dir: String, toleranceSec: Long): DataFrame = {
+    val (clicks, purchases) = joinSides(spark, dir)
     val table = freshName("graft_ssj")
     val q = purchases.join(clicks,
         col("user_id") === col("click_user") &&
@@ -1402,16 +1530,7 @@ object StreamOps {
                                 toleranceSec: Long = 3600L,
                                 statePartitions: Option[Int] = None): DataFrame =
     withShufflePartitions(spark, statePartitions) {
-      val clicks = eventStream(spark, dir)
-        .filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"),
-          col("user_id").as("click_user"), col("ts").as("click_ts"))
-        .withWatermark("click_ts", "1 hour")
-      val purchases = eventStream(spark, dir)
-        .filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"),
-          col("user_id"), col("ts").as("purchase_ts"))
-        .withWatermark("purchase_ts", "1 hour")
+      val (clicks, purchases) = joinSides(spark, dir)
       val table = freshName("graft_ssoj")
       val q = purchases.join(clicks,
           col("user_id") === col("click_user") &&
@@ -1419,6 +1538,44 @@ object StreamOps {
           col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $toleranceSec SECONDS"),
           "leftOuter")
         .select(col("purchase_id"), col("click_id"), col("user_id"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+            .as("gap_us"))
+        .writeStream.format("memory").queryName(table)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(table)
+    }
+
+  /** T36: stream-stream FULL OUTER interval join — completes the
+    * streaming join matrix (inner [[streamStreamIntervalJoin]],
+    * left-outer [[streamStreamLeftOuterJoin]]) with null-extended rows
+    * emitted on BOTH eviction directions. Matched (purchase, click)
+    * pairs emit as they match. An unmatched PURCHASE emits
+    * (purchase_id, NULL) when the watermark passes `purchase_ts` — the
+    * t20 direction, derived from `click_ts ≤ purchase_ts`. An unmatched
+    * CLICK emits (NULL, click_id) when the watermark passes
+    * `click_ts + tolerance` — the point past which no future purchase
+    * can land inside `[click_ts, click_ts + tolerance]`, derived from
+    * `purchase_ts ≤ click_ts + tolerance`. Rows inside the final
+    * watermark delay stay in state unemitted on both sides, exactly as
+    * a live pipeline leaves them; the oracle replays both eviction
+    * predicates in the exec's own ms arithmetic. State is
+    * O(tolerance horizon) per side, unchanged from the inner join. */
+  def streamStreamFullOuterJoin(spark: SparkSession, dir: String,
+                                toleranceSec: Long = 3600L,
+                                statePartitions: Option[Int] = None): DataFrame =
+    withShufflePartitions(spark, statePartitions) {
+      val (clicks, purchases) = joinSides(spark, dir)
+      val table = freshName("graft_ssfoj")
+      val q = purchases.join(clicks,
+          col("user_id") === col("click_user") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $toleranceSec SECONDS"),
+          "fullOuter")
+        .select(col("purchase_id"), col("click_id"),
+          // the purchase side's user_id is NULL on click-only rows
+          coalesce(col("user_id"), col("click_user")).as("user_id"),
           (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
             .as("gap_us"))
         .writeStream.format("memory").queryName(table)
@@ -1800,10 +1957,14 @@ object StreamOps {
         totals.updateValue(tpe, (n + 1, c + cents))
         touched += tpe
       }
-      touched.iterator.map { tpe =>
+      // materialize the emissions EAGERLY: a lazy iterator here would
+      // read MapState after handleInputRows returns, which only works
+      // because the current exec wraps the result with an implicit-key
+      // scope — an internal detail, not an API guarantee
+      touched.toSeq.map { tpe =>
         val (n, c) = totals.getValue(tpe)
         (user, tpe, n, c)
-      }
+      }.iterator
     }
   }
 
@@ -1878,7 +2039,9 @@ object StreamOps {
         buf.appendValue((us, id)); n += 1
       }
       seen.update(n)
-      val all = buf.get().toSeq.sortBy { case (us, id) => (-us, -id) }
+      // toList: drain the ListState iterator eagerly inside the call
+      // (same no-state-reads-after-return discipline as above)
+      val all = buf.get().toList.sortBy { case (us, id) => (-us, -id) }
       if (all.length > k) buf.put(all.take(k).toArray)
       val latest = all.take(k)
       Iterator.single((user, n,
@@ -1920,6 +2083,107 @@ object StreamOps {
         col("m.recent_ids").as("recent_ids"))
       .orderBy("user_id")
   }
+
+  /** The t34 processor: per-user running (n, cents) in a ValueState
+    * carrying a **TTL** — the state-retention knob that keeps unbounded
+    * keyed state bounded in a long-running deployment (abandoned keys
+    * age out instead of accumulating forever). TWS TTL is
+    * PROCESSING-time based: an entry written by batch B expires
+    * `ttl` after B's batch timestamp, and the read path NEVER returns
+    * an expired value (the documented guarantee the harness leans on).
+    * Emissions are materialized eagerly (the MapState discipline
+    * above). */
+  private class TtlTotalsProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long, Long)] {
+    @transient private var totals:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig(ttl))
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long)] = {
+      // an expired cell reads as absent — the fold restarts from zero
+      var (n, c) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { case (_, cents) => n += 1; c += cents }
+      totals.update((n, c))
+      Iterator.single((user, n, c))
+    }
+  }
+
+  /** The t34 pipeline over any event frame — shared with the
+    * cross-batch spec, which drives it through MemoryStream batch
+    * boundaries to pin expiry (ttl ≪ batch gap → per-batch re-count)
+    * and the control (ttl ≫ run length → cumulative). */
+  private[graft] def twsTtlPipeline(ttl: java.time.Duration)
+                                   (df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TtlTotalsProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("user_id", "n_events", "total_cents")
+  }
+
+  /** T34: state TTL on a TWS ValueState cell, graded by entries
+    * ACTUALLY expiring — the remaining `transformWithState` surface
+    * after t26 (ValueState) / t28 (schema evolution) / t30 (timers) /
+    * t32 (MapState) / t33 (ListState). Two staged arrivals (the shared
+    * parity split) drain as two micro-batches under a 1 ms TTL;
+    * micro-batches are never 1 ms apart (each commits a state store
+    * round), so every cell batch 0 wrote has expired when batch 1
+    * reads it and the odd half's counts RE-START FROM ZERO. The graded
+    * frame is the union of both batches' update-mode emissions, so the
+    * oracle is exactly "per-user totals over the even half UNION ALL
+    * per-user totals over the odd half" — a query that only hash-matches
+    * if expiry really reset the fold (un-expired state would emit
+    * cumulative totals for every user in both halves). The spec
+    * additionally pins the control: TTLConfig.NONE over the same two
+    * batches yields cumulative totals. */
+  def twsTtlTotals(spark: SparkSession, dir: String,
+                   ttl: java.time.Duration = java.time.Duration.ofMillis(1),
+                   statePartitions: Option[Int] = None): DataFrame =
+    withConf(spark, Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+      perfScope(spark, statePartitions) {
+        import spark.implicits._
+        val (root, topic) = freshTopic("graft_t34_")
+        val (even, odd) = parityStagedFiles(spark, dir)
+        linkArrival(even, topic, "f0")
+        linkArrival(odd, topic, "f1")
+        val table = freshName("graft_t34")
+        val q = spark.readStream
+          .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(topic.toString)
+          .select(col("user_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new TtlTotalsProcessor(ttl),
+            org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF("user_id", "n_events", "total_cents")
+          .writeStream.format("memory").queryName(table)
+          .outputMode("update")
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        spark.table(table)
+      }
+    }
 
   /** T31: **`Trigger.AvailableNow`** — the production drain trigger: the
     * query plans ALL currently-available input up front, processes it in

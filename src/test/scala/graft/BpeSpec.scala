@@ -164,6 +164,37 @@ class BpeSpec extends SparkSpec {
     assert(got === Seq((0L, 3L, 3L)))
   }
 
+  test("roundtrip: decode(encode(x)) = normalize(x) on every doc, " +
+       "token counts match encode") {
+    val docs = docsOf("the Quick brown fox! 42", "low lower lowest",
+      "newer wider", "aaa aa a")
+    val rt = TextOps.bpeRoundtrip(docs, 4)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(rt.map(_._1) === Seq(0L, 1L, 2L, 3L))
+    assert(rt.forall(_._3), s"round-trip must hold per doc: $rt")
+    val enc = TextOps.bpeEncode(docs, 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(rt.map(r => r._1 -> r._2).toMap === enc,
+      "roundtrip token counts must equal the encode seat's")
+  }
+
+  test("roundtrip OOV: an apply corpus DISJOINT from training falls " +
+       "back to characters and still decodes exactly") {
+    val train = docsOf("low lower lowest low low", "newer newest")
+    // apply words share no merged symbol pair and even introduce
+    // letters absent from training ('z', 'q') — the id space must
+    // close over them via the single-letter fallback
+    val apply = docsOf("zq quiz fizz", "buzz")
+    val rt = TextOps.bpeRoundtripApply(train, apply, 4)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(rt.nonEmpty && rt.forall(_._3),
+      s"OOV apply corpus must still round-trip: $rt")
+    // pure-fallback words tokenize to one id per character
+    val byDoc = rt.map(r => r._1 -> r._2).toMap
+    assert(byDoc(0L) === "zq quiz fizz".count(_.isLetter),
+      "unseen words must decompose to single-letter ids")
+  }
+
   test("deterministic across runs and partition widths") {
     val d = Tables.documents(spark, sfDir)
     val a = run(d, 4)

@@ -371,6 +371,80 @@ class StreamingSpec extends SparkSpec {
       "retained-in-state branch vacuous: widen the fixture")
   }
 
+  test("T36 full-outer join: matched parity + null emission in BOTH " +
+       "eviction directions") {
+    val streamed = StreamOps.streamStreamFullOuterJoin(spark, sfDir)
+      .as[(Option[Long], Option[Long], Long, Option[Long])].collect().toSet
+    val ev = Tables.events(spark, sfDir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("cu"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val matched = p
+      .join(c, col("user_id") === col("cu") &&
+        col("cts") <= col("ts") &&
+        col("ts") <= col("cts") + expr("INTERVAL 3600 SECONDS"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("ts")) - unix_micros(col("cts"))).as("gap_us"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (Some(t._1): Option[Long], Some(t._2): Option[Long],
+        t._3, Some(t._4): Option[Long]))
+      .toSet
+    val maxC = c.agg(max(unix_micros(col("cts")))).head.getLong(0) / 1000
+    val maxP = p.agg(max(unix_micros(col("ts")))).head.getLong(0) / 1000
+    val wMs = math.min(maxC, maxP) - 3600000L
+    val matchedP = matched.flatMap(_._1)
+    val matchedC = matched.flatMap(_._2)
+    // purchase eviction (the t20 direction): watermark passes purchase_ts
+    val nullClick = p
+      .filter(unix_micros(col("ts")) / 1000 < wMs)
+      .select("purchase_id", "user_id")
+      .as[(Long, Long)].collect()
+      .filter { case (pid, _) => !matchedP.contains(pid) }
+      .map { case (pid, uid) =>
+        (Some(pid): Option[Long], None: Option[Long], uid,
+          None: Option[Long]) }
+      .toSet
+    // click eviction: watermark passes click_ts + tolerance — no future
+    // purchase can still land inside [click_ts, click_ts + tol]
+    val nullPurchase = c
+      .filter(unix_micros(col("cts")) / 1000 + 3600000L < wMs)
+      .select("click_id", "cu")
+      .as[(Long, Long)].collect()
+      .filter { case (cid, _) => !matchedC.contains(cid) }
+      .map { case (cid, uid) =>
+        (None: Option[Long], Some(cid): Option[Long], uid,
+          None: Option[Long]) }
+      .toSet
+    assert(streamed === matched ++ nullClick ++ nullPurchase,
+      "full-outer stream must emit matches plus exactly the evicted " +
+        "unmatched rows of BOTH sides")
+    assert(matched.nonEmpty, "matched branch vacuous at this SF")
+    assert(nullClick.nonEmpty, "purchase-eviction branch vacuous")
+    assert(nullPurchase.nonEmpty, "click-eviction branch vacuous")
+    // both sides withhold rows inside the final horizon
+    val unmatchedClicks = c.select("click_id").as[Long].collect()
+      .count(cid => !matchedC.contains(cid))
+    assert(unmatchedClicks > nullPurchase.size,
+      "click retained-in-state branch vacuous: widen the fixture")
+  }
+
+  test("T35 changelog checkpointing recovers dedup state across restart") {
+    val got = StreamOps.changelogRecoverDedup(spark, sfDir,
+        statePartitions = Some(4))
+      .as[Long].collect().sorted
+    val want = Tables.events(spark, sfDir)
+      .select("user_id").distinct().as[Long].collect().sorted
+    // exact multiset equality: a lost store would re-emit the even
+    // half's users as DUPLICATES, not change the distinct set
+    assert(got.toSeq === want.toSeq)
+    assert(!spark.conf.getOption(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+      .exists(_ == "true"),
+      "the changelog conf must not survive the query")
+  }
+
   test("T21 leaderboard: snapshot ranking has exact batch parity") {
     val rows = StreamOps.streamingLeaderboard(spark, sfDir)
       .as[(Int, String, Long, Long, Long)].collect().toSeq

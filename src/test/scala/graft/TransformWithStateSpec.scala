@@ -104,6 +104,38 @@ class TransformWithStateSpec extends SparkSpec {
       (5L, "5,4,3")))     // after batch 3: carried buffer, e2 gone
   }
 
+  test("t34 state TTL: expired cells re-count from zero across a real " +
+       "batch boundary; the no-expiry control stays cumulative") {
+    import graft.streaming.StreamOps.Ev
+    def ev(id: Long, v: Double) =
+      Ev(id, new java.sql.Timestamp(id * 1000L), 7L, "click", v)
+    val data = Seq(ev(1, 1.0), ev(2, 2.0), ev(3, 3.0), ev(4, 4.0))
+    // no-data micro-batches OFF is load-bearing here, not just perf:
+    // TWS under TimeMode.ProcessingTime reschedules a no-data batch
+    // whenever processing time advances (that is how PT timers/TTL
+    // sweeps fire), so an un-scoped run never goes idle
+    val rocks = Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
+    // ttl 1 ms ≪ the inter-batch gap (each micro-batch commits a state
+    // round, so consecutive batch timestamps are never 1 ms apart):
+    // batch 2 must read batch 1's cell as EXPIRED and restart the fold
+    val expired = StreamOps.withConf(spark, rocks) {
+      StreamOps.runStream(spark, data, nBatches = 2, outputMode = "update")(
+        StreamOps.twsTtlPipeline(java.time.Duration.ofMillis(1)))
+    }.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expired === Set((7L, 2L, 300L), (7L, 2L, 700L)),
+      "batch 2 must re-count from zero after expiry")
+    // control: ttl ≫ run length — the same pipeline stays cumulative
+    val kept = StreamOps.withConf(spark, rocks) {
+      StreamOps.runStream(spark, data, nBatches = 2, outputMode = "update")(
+        StreamOps.twsTtlPipeline(java.time.Duration.ofDays(1)))
+    }.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(kept === Set((7L, 2L, 300L), (7L, 4L, 1000L)),
+      "an unexpired cell must keep accumulating")
+  }
+
   test("t31 AvailableNow terminates itself and lands the full tally") {
     val got = StreamOps.availableNowTally(spark, sfDir,
         statePartitions = Some(4))
