@@ -17,11 +17,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // fork-free local checkpoint renames (see TmpDirs.localFsFastConfs);
+    // SPARK_GRAFT_LOCALFS_FAST=0 restores the stock managers for A/B
+    if (sys.env.getOrElse("SPARK_GRAFT_LOCALFS_FAST", "1") == "1")
+      TmpDirs.localFsFastConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen paths once so per-query numbers reflect the
     // query, not whichever entry happens to run first (map order shifted
@@ -215,19 +219,21 @@ object Bench {
     val calibFs =
       try (1 to 3).map { _ =>
         val d = TmpDirs.create("graft_calib_fs_")
-        // cleanup in finally: a probe failing mid-iteration must not
-        // leak its scratch dir in exactly the degraded-fs runs the
-        // probe targets (the dir removal itself stays inside the timed
-        // region — small-file delete latency is part of the fs signal)
+        // the dir removal is part of the timed region (small-file
+        // delete latency is part of the fs signal); the finally only
+        // cleans up when a FAILURE left the timed delete unreached, so
+        // a probe failing mid-iteration doesn't leak its scratch dir
+        // in exactly the degraded-fs runs the probe targets
+        var cleaned = false
         try {
           val t0 = System.nanoTime()
           val p = d.resolve("t").toString
           spark.range(100000).selectExpr("id", "id * 31 AS v")
             .coalesce(4).write.parquet(p)
           spark.read.parquet(p).selectExpr("max(v)").collect()
-          rmTree(d.toFile)
+          rmTree(d.toFile); cleaned = true
           (System.nanoTime() - t0) / 1e9
-        } finally rmTree(d.toFile)
+        } finally if (!cleaned) rmTree(d.toFile)
       }.min
       catch { case e: Throwable =>
         System.err.println(s"[bench] calib_fs probe failed: ${e.getMessage}")
@@ -310,6 +316,26 @@ object Bench {
     // so a whole-file json parse keeps working.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line)
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: ${e.getMessage}") }
+    // First-class per-query artifact at the repo root: the driver's
+    // preserved BENCH_r{N}.json truncates to a log tail (~55 of 270
+    // per-query entries survive), so cross-round per-query regression
+    // judging needs the full map committed. Round number = 1 + the
+    // highest BENCH_r*.json already present (the driver writes round
+    // N's file only AFTER this bench runs); SPARK_GRAFT_ROUND
+    // overrides when the heuristic is wrong. Full runs only — a
+    // prefix-filtered profiling run must not masquerade as the board.
+    if (filter.isEmpty) {
+      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+        val rx = "BENCH_r0*(\\d+)\\.json".r
+        Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .flatMap(f => rx.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+          .foldLeft(0)(Math.max) + 1
+      }
+      val pq = java.nio.file.Paths.get(s"bench_perquery_r$round.json")
+      try { java.nio.file.Files.writeString(pq, line); () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] write $pq failed: ${e.getMessage}") }
+    }
     graft.ext.DedupOps.clearCaches()
     graft.ops.Storage.clearCaches()
     graft.streaming.StreamOps.clearCaches()

@@ -59,4 +59,32 @@ object TmpDirs {
       if (System.getProperty("spark.local.dir") == null)
         System.setProperty("spark.local.dir", diskTmp)
     }
+
+  /** Local-filesystem checkpoint fast path, the companion tuning to the
+    * RAM-backed scratch above. The default FileContext-based checkpoint
+    * manager routes every offset-log / commit-log / state-delta RENAME
+    * through Hadoop's ChecksumFs → `FileSystem.rename(3-arg)` →
+    * `FileUtil.readLink`, which **forks a shell process per rename**
+    * (jstack-verified on this tree) — with ~4 renames per micro-batch
+    * per stateful partition across ~54 streaming seats, that is the
+    * dominant and LOAD-SENSITIVE share of the board's fixed streaming
+    * cost (fork latency degrades with host load — the `calib_stream`
+    * ambient mode). The FileSystem-based manager renames via
+    * `java.io.File` directly, and `RawLocalFileSystem` additionally
+    * skips the `.crc` shadow file each checkpoint write otherwise
+    * creates (2× the small-file count). Semantics are unchanged for
+    * this harness: the FileContext manager's advantage — rename
+    * atomicity against a concurrent ZOMBIE writer on the same
+    * checkpoint — needs two simultaneous drivers, which a single-JVM
+    * sequential run never has. On a real cluster checkpoints live on
+    * HDFS/object storage and this key is simply not set.
+    *
+    * Deliberately NOT set: `fs.file.impl=RawLocalFileSystem` (to skip
+    * `.crc` shadow files) — measured to break RocksDB state-store
+    * commits (CANNOT_WRITE_STATE_STORE.CANNOT_COMMIT on the provider's
+    * first checkpoint); the fork elimination above is the win that
+    * matters and stands alone. */
+  val localFsFastConfs: Map[String, String] = Map(
+    "spark.sql.streaming.checkpointFileManagerClass" ->
+      "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
 }

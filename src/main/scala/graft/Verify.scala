@@ -10,12 +10,15 @@ object Verify {
     javax.imageio.ImageIO.setUseCache(false)
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // fork-free local checkpoint renames (see TmpDirs.localFsFastConfs)
+    if (sys.env.getOrElse("SPARK_GRAFT_LOCALFS_FAST", "1") == "1")
+      TmpDirs.localFsFastConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // local-iteration filter, same contract as Bench's: comma-separated

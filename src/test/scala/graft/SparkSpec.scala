@@ -22,13 +22,16 @@ object SparkSpec {
   private[graft] val sinkNames = new java.util.concurrent.atomic.AtomicLong(0)
 
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // fork-free local checkpoint renames — same session tuning as the
+    // driver-contract mains (TmpDirs.localFsFastConfs)
+    TmpDirs.localFsFastConfs.foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
