@@ -30,7 +30,8 @@ object PlanAudit {
     "t28_stream_state_upgrade", "t29_stream_ivf_ingest",
     "t29b_stream_ivf_batch_serve", "t30_stream_tws_timer_sessions",
     "t31_stream_available_now", "t32_stream_tws_map_state",
-    "t33_stream_tws_list_state",
+    "t33_stream_tws_list_state", "t34_stream_tws_ttl",
+    "t35_stream_changelog_recover", "t36_stream_full_outer_join",
     "s8_write_then_emit", "s9_file_sink_exactly_once",
     "s10_wire_emit_exactly_once",
     "s5c_jdbc_upsert_replay", "s5d_jdbc_txnlog_replay", "s4_avro_source",
@@ -41,8 +42,9 @@ object PlanAudit {
     // the final frame is a sort over the last checkpoint, not the loop
     "graph_pagerank_neardup",
     // composite: runs the 8-round merge loop on construction — the final
-    // frame is the collected merge table, not the loop (the encode seat
-    // text_bpe_encode carries the family's static plan)
+    // frame is the collected merge table, not the loop (the encode and
+    // roundtrip seats carry the family's static plans; both train
+    // through the same memo on construction)
     "text_bpe_merges",
     // composite: runs the level-synchronous frontier loop on construction
     "graph_hops_to_canonical",
