@@ -1527,6 +1527,12 @@ object SparkEntry {
     // expiry really reset the fold
     "t34_stream_tws_ttl" -> ((s, d) =>
       StreamOps.twsTtlTotals(s, d, statePartitions = Some(4))),
+    // TWS INITIAL STATE: keyed state warm-starts from a batch frame
+    // (prior deployment's even-half totals), the stream folds only the
+    // odd half — the serving view must equal the full-table GROUP BY
+    // (t26's oracle), proving the handoff lost and re-read nothing
+    "t37_stream_tws_initial_state" -> ((s, d) =>
+      StreamOps.twsInitialStateTotals(s, d, statePartitions = Some(4))),
     // Spark 4's state data source: read the dedup state back OUT of the
     // checkpoint as a batch frame — the state-audit surface; the keys
     // must be exactly the distinct-user set (t5's oracle)
@@ -3920,6 +3926,13 @@ object SparkEntry {
     // TWS totals: the last emit per user must equal the batch GROUP BY
     // (integer cents — the same per-row rounding as incr_agg_merge)
     "t26_stream_transform_with_state" ->
+      """SELECT user_id, count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    // t26's truth verbatim: the warm-start handoff (batch even-half
+    // seed + odd-half stream) must reassemble the FULL-table totals
+    "t37_stream_tws_initial_state" ->
       """SELECT user_id, count(*) AS n_events,
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                   AS total_cents

@@ -2185,6 +2185,102 @@ object StreamOps {
       }
     }
 
+  /** The t37 processor: the t26 running-totals fold warm-started from a
+    * prior deployment's materialized state — `handleInitialState` seeds
+    * the ValueState cell once per key BEFORE the first batch touches
+    * it (the `StatefulProcessorWithInitialState` surface). */
+  private class WarmStartTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, Long), (Long, Long, Long), (Long, Long)] {
+    @transient private var totals:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInitialState(user: Long, warm: (Long, Long),
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Unit =
+      totals.update(warm)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long)] = {
+      var (n, c) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { case (_, cents) => n += 1; c += cents }
+      totals.update((n, c))
+      Iterator.single((user, n, c))
+    }
+  }
+
+  /** T37: `transformWithState` with **INITIAL STATE** — the warm-start
+    * migration a live deployment actually performs: keyed state
+    * bootstraps from a BATCH frame (the prior system's materialized
+    * totals), the stream folds only the NEW traffic, and the assembled
+    * serving view must equal the full-table GROUP BY — t26's oracle
+    * verbatim, so a hash match proves the handoff lost nothing and
+    * re-read nothing. The split makes BOTH serving paths non-vacuous
+    * at every SF by construction: users with `user_id % 3 = 0` are
+    * DEPARTED — their complete history lives in the warm store and the
+    * stream filter drops their arrivals (they surface from the
+    * warm-start side, never emitted); every other user's even half is
+    * warm and their odd half streams, so their fold STARTS from the
+    * seeded cell. */
+  def twsInitialStateTotals(spark: SparkSession, dir: String,
+                            statePartitions: Option[Int] = None): DataFrame =
+    withConf(spark, Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+      perfScope(spark, statePartitions) {
+        import spark.implicits._
+        val (root, topic) = freshTopic("graft_t37_")
+        val (_, odd) = parityStagedFiles(spark, dir)
+        linkArrival(odd, topic, "f0")
+        // the prior deployment's state: departed users complete, active
+        // users up to the handoff point (their even half)
+        val warm = graft.Tables.events(spark, dir)
+          .filter(pmod(col("user_id"), lit(3)) === 0 ||
+            pmod(col("event_id"), lit(2)) === 0)
+          .select(col("user_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum("cents").as("total_cents"))
+        val init = warm.as[(Long, Long, Long)]
+          .groupByKey(_._1).mapValues(t => (t._2, t._3))
+        val table = freshName("graft_t37")
+        val q = spark.readStream
+          .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(topic.toString)
+          .filter(pmod(col("user_id"), lit(3)) =!= 0)
+          .select(col("user_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new WarmStartTotalsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update(),
+            init)
+          .toDF("user_id", "n_events", "total_cents")
+          .writeStream.format("memory").queryName(table)
+          .outputMode("update")
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        val emitted = spark.table(table)
+          .groupBy("user_id")
+          .agg(max(struct(col("n_events"), col("total_cents"))).as("m"))
+          .select(col("user_id"), col("m.n_events").as("n_events"),
+            col("m.total_cents").as("total_cents"))
+        emitted.unionByName(
+            warm.join(emitted.select("user_id"), Seq("user_id"), "left_anti"))
+          .orderBy("user_id")
+      }
+    }
+
   /** T31: **`Trigger.AvailableNow`** — the production drain trigger: the
     * query plans ALL currently-available input up front, processes it in
     * admission-controlled micro-batches (`maxFilesPerTrigger` still

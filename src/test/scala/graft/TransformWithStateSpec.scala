@@ -136,6 +136,36 @@ class TransformWithStateSpec extends SparkSpec {
       "an unexpired cell must keep accumulating")
   }
 
+  test("t37 initial state: the warm-start handoff reassembles the " +
+       "full-table totals, both serving paths non-vacuous") {
+    val got = StreamOps.twsInitialStateTotals(spark, sfDir,
+        statePartitions = Some(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("cents").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty && got === want,
+      "warm seed + streamed tail must equal the full-table GROUP BY")
+    // both serving paths non-vacuous: departed users (%3 == 0, warm
+    // store only) and active users with streamed odd-half events
+    // (seeded fold)
+    val ev = Tables.events(spark, sfDir)
+    import ev.sparkSession.implicits._
+    val departed = ev.filter(pmod(col("user_id"), lit(3)) === 0)
+      .select("user_id").as[Long].collect().toSet
+    val streamed = ev.filter(pmod(col("user_id"), lit(3)) =!= 0 &&
+        pmod(col("event_id"), lit(2)) === 1)
+      .select("user_id").as[Long].collect().toSet
+    assert(departed.nonEmpty, "warm-only (departed-user) path vacuous")
+    assert(streamed.nonEmpty, "seeded-fold path vacuous")
+    // the departed users' totals can only have come from the warm side
+    assert(departed.subsetOf(got.map(_._1)),
+      "departed users must surface from the warm store")
+  }
+
   test("t31 AvailableNow terminates itself and lands the full tally") {
     val got = StreamOps.availableNowTally(spark, sfDir,
         statePartitions = Some(4))
