@@ -1674,6 +1674,11 @@ object SparkEntry {
     // click_ts + tolerance (no future purchase can land in range)
     "t36_stream_full_outer_join" -> ((s, d) =>
       StreamOps.streamStreamFullOuterJoin(s, d, statePartitions = Some(4))),
+    // stream-stream LEFT SEMI: the existence flavor — one row per
+    // matched purchase regardless of click fan-out, unmatched never
+    // emit; the batch EXISTS is the oracle (no eviction arithmetic)
+    "t38_stream_semi_join" -> ((s, d) =>
+      StreamOps.streamStreamSemiJoin(s, d, statePartitions = Some(4))),
     // live leaderboard: stream maintains ONLY the O(keys) tally state;
     // rank / share / gap-to-leader computed over the |keys|-row snapshot
     // (ranking inside the stream would global-sort state per batch)
@@ -4414,6 +4419,17 @@ object SparkEntry {
                         AND epoch_us(c.cts) // 1000 + 3600000 < wm.w)
          SELECT * FROM m UNION ALL SELECT * FROM unm
          UNION ALL SELECT * FROM unc""",
+    // semi replay: the plain EXISTS — matched purchases emit exactly
+    // once on first match, unmatched never, so no watermark arithmetic
+    "t38_stream_semi_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+                epoch_us(p.ts) AS purchase_us
+         FROM events p
+         WHERE p.event_type = 'purchase' AND EXISTS (
+           SELECT 1 FROM events c
+           WHERE c.event_type = 'click' AND c.user_id = p.user_id
+             AND c.ts <= p.ts
+             AND p.ts <= c.ts + INTERVAL 3600 SECONDS)""",
     "t8_stream_asof" ->
       """WITH u AS (
            SELECT user_id, ts, event_id, 1 AS tag,

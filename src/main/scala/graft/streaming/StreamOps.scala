@@ -1585,6 +1585,37 @@ object StreamOps {
       spark.table(table)
     }
 
+  /** T38: stream-stream LEFT SEMI interval join — the EXISTENCE flavor
+    * completing the join matrix (inner t10, left-outer t20, full-outer
+    * t36): each purchase emits AT MOST ONCE, when a click inside
+    * `[purchase_ts - tolerance, purchase_ts]` for the same user is
+    * seen; the click payload never surfaces (no pair explosion — a
+    * purchase with twenty in-range clicks is still ONE output row,
+    * which is the fan-out-free shape an attribution EXISTS check wants
+    * at 100 TB). Unmatched purchases never emit — no eviction-time
+    * null row, so the oracle is the plain batch EXISTS replay with no
+    * watermark arithmetic. State stays O(tolerance horizon) per side,
+    * as in the other flavors. */
+  def streamStreamSemiJoin(spark: SparkSession, dir: String,
+                           toleranceSec: Long = 3600L,
+                           statePartitions: Option[Int] = None): DataFrame =
+    perfScope(spark, statePartitions) {
+      val (clicks, purchases) = joinSides(spark, dir)
+      val table = freshName("graft_sssj")
+      val q = purchases.join(clicks,
+          col("user_id") === col("click_user") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $toleranceSec SECONDS"),
+          "leftSemi")
+        .select(col("purchase_id"), col("user_id"),
+          unix_micros(col("purchase_ts")).as("purchase_us"))
+        .writeStream.format("memory").queryName(table)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(table)
+    }
+
   /** Output row of the streaming as-of join. */
   final case class AsOfMatch(left_id: Long, user_id: Long,
                              matched_right_id: Option[Long], gap_s: Option[Long])

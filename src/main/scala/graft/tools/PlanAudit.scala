@@ -32,7 +32,7 @@ object PlanAudit {
     "t31_stream_available_now", "t32_stream_tws_map_state",
     "t33_stream_tws_list_state", "t34_stream_tws_ttl",
     "t35_stream_changelog_recover", "t36_stream_full_outer_join",
-    "t37_stream_tws_initial_state",
+    "t37_stream_tws_initial_state", "t38_stream_semi_join",
     "s8_write_then_emit", "s9_file_sink_exactly_once",
     "s10_wire_emit_exactly_once",
     "s5c_jdbc_upsert_replay", "s5d_jdbc_txnlog_replay", "s4_avro_source",

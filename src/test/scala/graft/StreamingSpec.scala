@@ -430,6 +430,46 @@ class StreamingSpec extends SparkSpec {
       "click retained-in-state branch vacuous: widen the fixture")
   }
 
+  test("T38 semi join: one emit per matched purchase, no click payload, " +
+       "exact batch-EXISTS parity") {
+    val streamed = StreamOps.streamStreamSemiJoin(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(streamed.map(_._1).distinct.size === streamed.size,
+      "a purchase must emit at most once regardless of click fan-out")
+    val ev = Tables.events(spark, sfDir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("cu"), col("ts").as("cts"))
+    val batch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      .join(c, col("user_id") === col("cu") &&
+        col("cts") <= col("ts") &&
+        col("ts") <= col("cts") + expr("INTERVAL 3600 SECONDS"), "leftsemi")
+      .select(col("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed.toSet === batch)
+    assert(streamed.nonEmpty)
+    // at-most-once under REAL fan-out: at 1 h no fixture purchase has
+    // two in-range clicks, so re-run the engine at 24 h where many do
+    // — each fanned-out purchase must still be a single output row
+    val wideTol = 86400L
+    val wide = StreamOps.streamStreamSemiJoin(spark, sfDir, wideTol)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(wide.map(_._1).distinct.size === wide.size,
+      "fan-out purchases must emit once")
+    val fanned = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      .join(c, col("user_id") === col("cu") &&
+        col("cts") <= col("ts") &&
+        col("ts") <= col("cts") + expr(s"INTERVAL $wideTol SECONDS"))
+      .groupBy("purchase_id").count().filter(col("count") > 1)
+      .select("purchase_id").as[Long].collect().toSet
+    assert(fanned.nonEmpty, "fan-out branch vacuous even at 24 h")
+    assert(fanned.subsetOf(wide.map(_._1).toSet),
+      "every fanned-out purchase must appear exactly once")
+  }
+
   test("T35 changelog checkpointing recovers dedup state across restart") {
     val got = StreamOps.changelogRecoverDedup(spark, sfDir,
         statePartitions = Some(4))
