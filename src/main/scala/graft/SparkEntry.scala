@@ -1533,6 +1533,12 @@ object SparkEntry {
     // (t26's oracle), proving the handoff lost and re-read nothing
     "t37_stream_tws_initial_state" -> ((s, d) =>
       StreamOps.twsInitialStateTotals(s, d, statePartitions = Some(4))),
+    // state data source over TWS state: read the "totals" ValueState
+    // cell back out of the checkpoint (stateVarName addressing, column
+    // families, state schema v2) — the audit must equal the batch
+    // GROUP BY, certifying writer and reader at once
+    "t39_tws_state_source_read" -> ((s, d) =>
+      StreamOps.twsStateSourceAudit(s, d, statePartitions = Some(4))),
     // Spark 4's state data source: read the dedup state back OUT of the
     // checkpoint as a batch frame — the state-audit surface; the keys
     // must be exactly the distinct-user set (t5's oracle)
@@ -3931,6 +3937,12 @@ object SparkEntry {
     // TWS totals: the last emit per user must equal the batch GROUP BY
     // (integer cents — the same per-row rounding as incr_agg_merge)
     "t26_stream_transform_with_state" ->
+      """SELECT user_id, count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    // t26's truth verbatim, read back OUT of the checkpoint this time
+    "t39_tws_state_source_read" ->
       """SELECT user_id, count(*) AS n_events,
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                   AS total_cents

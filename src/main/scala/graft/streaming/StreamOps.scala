@@ -1955,6 +1955,48 @@ object StreamOps {
       }
     }
 
+  /** T39: the **state data source over TWS state** — t27 reads the
+    * legacy dedup operator's state back out of a checkpoint; this seat
+    * does the same for the `transformWithState` format (column
+    * families, state schema v2, `stateVarName` addressing): run the
+    * t26 totals to completion, then audit the "totals" ValueState cell
+    * as a batch frame. The audited (user, n, cents) rows must equal
+    * the batch GROUP BY — t26's oracle verbatim — which certifies both
+    * directions: the processor left exactly the right state behind,
+    * and the reader decodes the new format exactly. */
+  def twsStateSourceAudit(spark: SparkSession, dir: String,
+                          statePartitions: Option[Int] = None): DataFrame =
+    withConf(spark, Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+      perfScope(spark, statePartitions) {
+        import spark.implicits._
+        val root = graft.TmpDirs.create("graft_t39_")
+        val ckpt = root.resolve("ckpt").toString
+        val table = freshName("graft_t39")
+        val q = eventStream(spark, dir)
+          .select(col("user_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new RunningTotalsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF("user_id", "n_events", "total_cents")
+          .writeStream.format("memory").queryName(table)
+          .option("checkpointLocation", ckpt)
+          .outputMode("update").start()
+        try q.processAllAvailable() finally q.stop()
+        spark.read.format("statestore")
+          .option("path", ckpt)
+          .option("stateVarName", "totals").load()
+          .select(col("key.value").as("user_id"),
+            col("value._1").as("n_events"),
+            col("value._2").as("total_cents"))
+          .orderBy("user_id")
+      }
+    }
+
   /** The t32 processor: per-user per-event-type running (n, cents) in a
     * **MapState** cell — the keyed-map state layout (one state-store row
     * per map ENTRY under RocksDB, so a user's map grows past any single

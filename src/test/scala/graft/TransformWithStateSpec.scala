@@ -166,6 +166,21 @@ class TransformWithStateSpec extends SparkSpec {
       "departed users must surface from the warm store")
   }
 
+  test("t39 state source reads the TWS ValueState cell back as exactly " +
+       "the batch GROUP BY") {
+    val got = StreamOps.twsStateSourceAudit(spark, sfDir,
+        statePartitions = Some(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("cents").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty && got === want,
+      "the audited state must certify writer AND reader at once")
+  }
+
   test("t31 AvailableNow terminates itself and lands the full tally") {
     val got = StreamOps.availableNowTally(spark, sfDir,
         statePartitions = Some(4))
