@@ -325,12 +325,20 @@ object Bench {
     // overrides when the heuristic is wrong. Full runs only — a
     // prefix-filtered profiling run must not masquerade as the board.
     if (filter.isEmpty) {
-      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
-        val rx = "BENCH_r0*(\\d+)\\.json".r
-        Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-          .flatMap(f => rx.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-          .foldLeft(0)(Math.max) + 1
-      }
+      val round = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption)
+        .getOrElse {
+          // anchored (not substring) so a stale BENCH_r12.json.bak can't
+          // count; the committed perquery files participate so a run in
+          // round N (driver's BENCH_rN.json not yet written) re-labels N
+          // while a round-N+1 run can never clobber round N's artifact
+          def maxRound(pattern: scala.util.matching.Regex): Int =
+            Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+              .flatMap(f => pattern.unapplySeq(f.getName)
+                .flatMap(_.headOption).map(_.toInt))
+              .foldLeft(0)(Math.max)
+          Math.max(maxRound("^BENCH_r0*(\\d+)\\.json$".r) + 1,
+                   maxRound("^bench_perquery_r0*(\\d+)\\.json$".r))
+        }
       val pq = java.nio.file.Paths.get(s"bench_perquery_r$round.json")
       try { java.nio.file.Files.writeString(pq, line); () }
       catch { case e: Throwable =>

@@ -102,6 +102,20 @@ object StreamOps {
     }
   }
 
+  /** Write `proto.limit(0)` as ONE empty parquet part under `dir` and
+    * return the part path — the shared degenerate-fixture fallback for
+    * the staged-split builders: an empty staged half is a valid
+    * zero-row ARRIVAL (the stream sees the file, runs the batch, adds
+    * nothing), not an error. */
+  private def stageEmptySinglePart(dir: java.nio.file.Path,
+                                   proto: DataFrame): java.nio.file.Path = {
+    proto.limit(0).coalesce(1).write.parquet(dir.toString)
+    Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .headOption.map(_.toPath)
+      .getOrElse(sys.error(s"empty-stage write produced no part under $dir"))
+  }
+
   /** One-pass parity split of the events table — the shared staged
     * layout behind every two-phase durability harness (t1 kill/restart,
     * s9 file-sink exactly-once, s10 wire-emit replay, t27 state
@@ -133,17 +147,10 @@ object StreamOps {
         require(fs.length <= 1,
           s"parity stage __par=$parity: ${fs.length} part files — " +
             "the staging write must coalesce(1)")
-        fs.headOption.map(_.toPath).getOrElse {
+        fs.headOption.map(_.toPath).getOrElse(
           // degenerate fixture: this parity half is EMPTY (no partition
-          // dir written). The harnesses' contract treats an empty half
-          // as a valid zero-row ARRIVAL (the moveStagedPart discipline),
-          // so stage an empty single-part file rather than crash —
-          // the stream sees the file, runs the batch, adds nothing.
-          val emptyDir = root.resolve(s"empty_$parity")
-          ev.limit(0).coalesce(1).write.parquet(emptyDir.toString)
-          Option(emptyDir.toFile.listFiles()).getOrElse(Array.empty)
-            .filter(_.getName.endsWith(".parquet")).head.toPath
-        }
+          // dir written) — stage a zero-row arrival rather than crash
+          stageEmptySinglePart(root.resolve(s"empty_$parity"), ev))
       }
       (part(0), part(1))
     })
@@ -197,15 +204,11 @@ object StreamOps {
         val topic = root.resolve(s"topic_$t")
         Files.createDirectory(topic)
         if (!moveStagedPart(staged, s"__et=$t", topic, "f0")) {
-          // degenerate fixture: no rows of this type — stage an empty
-          // single-part file so the stream still sees one arrival and
-          // runs its batch (the parityStagedFiles discipline)
-          val emptyDir = root.resolve(s"empty_$t")
-          ev.limit(0).drop("__et").coalesce(1).write.parquet(emptyDir.toString)
-          val part = Option(emptyDir.toFile.listFiles())
-            .getOrElse(Array.empty)
-            .filter(_.getName.endsWith(".parquet")).head
-          Files.move(part.toPath, topic.resolve("f0.parquet")); ()
+          // degenerate fixture: no rows of this type — stage a zero-row
+          // arrival so the stream still sees one batch
+          val part = stageEmptySinglePart(
+            root.resolve(s"empty_$t"), ev.drop("__et"))
+          Files.move(part, topic.resolve("f0.parquet")); ()
         }
         t -> topic
       }.toMap
@@ -309,9 +312,11 @@ object StreamOps {
       Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false"))(body)
 
   /** [[withNoDataBatchesOff]] + [[withShufflePartitions]] — the scope the
-    * bespoke harnesses below run in, EXCEPT the two whose emission needs
-    * the trailing empty batch (t15 timers, t20 outer eviction), which use
-    * [[withShufflePartitions]] alone. */
+    * bespoke harnesses below run in, EXCEPT the ones whose emission
+    * needs the trailing empty batch — t15 timers and the t20/t36 outer
+    * evictions — which use [[withShufflePartitions]] alone. Keep that
+    * list current: wrapping a new eviction- or timer-emitting harness
+    * in this scope silently suppresses its watermark-fired rows. */
   private[graft] def perfScope[T](spark: SparkSession, statePartitions: Option[Int])
                           (body: => T): T =
     withNoDataBatchesOff(spark)(withShufflePartitions(spark, statePartitions)(body))
@@ -2213,47 +2218,45 @@ object StreamOps {
     * ACTUALLY expiring — the remaining `transformWithState` surface
     * after t26 (ValueState) / t28 (schema evolution) / t30 (timers) /
     * t32 (MapState) / t33 (ListState). Two staged arrivals (the shared
-    * parity split) drain as two micro-batches under a 1 ms TTL;
-    * micro-batches are never 1 ms apart (each commits a state store
-    * round), so every cell batch 0 wrote has expired when batch 1
-    * reads it and the odd half's counts RE-START FROM ZERO. The graded
-    * frame is the union of both batches' update-mode emissions, so the
-    * oracle is exactly "per-user totals over the even half UNION ALL
-    * per-user totals over the odd half" — a query that only hash-matches
-    * if expiry really reset the fold (un-expired state would emit
-    * cumulative totals for every user in both halves). The spec
-    * additionally pins the control: TTLConfig.NONE over the same two
-    * batches yields cumulative totals. */
+    * parity split) drain as two micro-batches; the odd half lands only
+    * AFTER batch 0 is drained and a 2×ttl wall-clock sleep has passed,
+    * so batch 1's processing time is PROVABLY past every batch-0
+    * cell's expiration — no race against however fast the fork-free
+    * commit path makes consecutive batches. The odd half's counts thus
+    * RE-START FROM ZERO, and the graded frame (the union of both
+    * batches' update-mode emissions) matches the oracle — "per-user
+    * totals over the even half UNION ALL per-user totals over the odd
+    * half" — only if expiry really reset the fold (un-expired state
+    * would emit cumulative totals for every user in both halves). The
+    * spec additionally pins the control: a never-expiring TTL over the
+    * same two batches yields cumulative totals. */
   def twsTtlTotals(spark: SparkSession, dir: String,
-                   ttl: java.time.Duration = java.time.Duration.ofMillis(1),
+                   ttl: java.time.Duration = java.time.Duration.ofMillis(50),
                    statePartitions: Option[Int] = None): DataFrame =
     withConf(spark, Map(
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
       perfScope(spark, statePartitions) {
-        import spark.implicits._
         val (root, topic) = freshTopic("graft_t34_")
         val (even, odd) = parityStagedFiles(spark, dir)
         linkArrival(even, topic, "f0")
-        linkArrival(odd, topic, "f1")
         val table = freshName("graft_t34")
-        val q = spark.readStream
-          .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
-          .option("maxFilesPerTrigger", 1)
-          .parquet(topic.toString)
-          .select(col("user_id"),
-            round(col("value") * 100).cast("long").as("cents"))
-          .as[(Long, Long)]
-          .groupByKey(_._1)
-          .transformWithState(new TtlTotalsProcessor(ttl),
-            org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
-            org.apache.spark.sql.streaming.OutputMode.Update())
-          .toDF("user_id", "n_events", "total_cents")
+        val q = twsTtlPipeline(ttl)(spark.readStream
+            .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(topic.toString))
           .writeStream.format("memory").queryName(table)
           .outputMode("update")
           .option("checkpointLocation", root.resolve("ckpt").toString)
           .start()
-        try q.processAllAvailable() finally q.stop()
+        try {
+          q.processAllAvailable()
+          // capped so a caller-supplied long ttl (deliberately
+          // unexpirable) cannot stall the harness
+          Thread.sleep(math.min(2 * ttl.toMillis, 1000L))
+          linkArrival(odd, topic, "f1")
+          q.processAllAvailable()
+        } finally q.stop()
         spark.table(table)
       }
     }
@@ -2313,14 +2316,21 @@ object StreamOps {
         val (_, odd) = parityStagedFiles(spark, dir)
         linkArrival(odd, topic, "f0")
         // the prior deployment's state: departed users complete, active
-        // users up to the handoff point (their even half)
-        val warm = graft.Tables.events(spark, dir)
+        // users up to the handoff point (their even half). MATERIALIZED
+        // once to scratch — exactly how a deployment stages the prior
+        // system's table — because it is read twice (the initial-state
+        // seed and the warm-only side of the serving view); deriving it
+        // lazily would re-scan and re-aggregate the events table
+        val warmPath = root.resolve("warm").toString
+        graft.Tables.events(spark, dir)
           .filter(pmod(col("user_id"), lit(3)) === 0 ||
             pmod(col("event_id"), lit(2)) === 0)
           .select(col("user_id"),
             round(col("value") * 100).cast("long").as("cents"))
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_events"), sum("cents").as("total_cents"))
+          .write.parquet(warmPath)
+        val warm = spark.read.parquet(warmPath)
         val init = warm.as[(Long, Long, Long)]
           .groupByKey(_._1).mapValues(t => (t._2, t._3))
         val table = freshName("graft_t37")

@@ -118,20 +118,35 @@ class TransformWithStateSpec extends SparkSpec {
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
       "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
-    // ttl 1 ms ≪ the inter-batch gap (each micro-batch commits a state
-    // round, so consecutive batch timestamps are never 1 ms apart):
-    // batch 2 must read batch 1's cell as EXPIRED and restart the fold
-    val expired = StreamOps.withConf(spark, rocks) {
-      StreamOps.runStream(spark, data, nBatches = 2, outputMode = "update")(
-        StreamOps.twsTtlPipeline(java.time.Duration.ofMillis(1)))
-    }.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // drive two batches with a wall-clock gap PROVABLY past the ttl
+    // (the harness discipline: never race batch speed against expiry)
+    def run(ttl: java.time.Duration): Set[(Long, Long, Long)] =
+      StreamOps.withConf(spark, rocks) {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import spark.implicits._
+        implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val ms = MemoryStream[graft.streaming.StreamOps.Ev]
+        val name = freshSinkName("t34spec")
+        val q = StreamOps.twsTtlPipeline(ttl)(ms.toDF())
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          ms.addData(data.take(2)); q.processAllAvailable()
+          // capped: for the short ttl this is 2×ttl (provably past
+          // expiry); for the never-expiring control any gap does
+          Thread.sleep(math.min(2 * math.max(ttl.toMillis, 1L), 100L))
+          ms.addData(data.drop(2)); q.processAllAvailable()
+        } finally q.stop()
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      }
+    // ttl 20 ms ≪ the enforced 40 ms gap: batch 2 must read batch 1's
+    // cell as EXPIRED and restart the fold
+    val expired = run(java.time.Duration.ofMillis(20))
     assert(expired === Set((7L, 2L, 300L), (7L, 2L, 700L)),
       "batch 2 must re-count from zero after expiry")
     // control: ttl ≫ run length — the same pipeline stays cumulative
-    val kept = StreamOps.withConf(spark, rocks) {
-      StreamOps.runStream(spark, data, nBatches = 2, outputMode = "update")(
-        StreamOps.twsTtlPipeline(java.time.Duration.ofDays(1)))
-    }.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val kept = run(java.time.Duration.ofDays(1))
     assert(kept === Set((7L, 2L, 300L), (7L, 4L, 1000L)),
       "an unexpired cell must keep accumulating")
   }
