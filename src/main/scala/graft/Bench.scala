@@ -132,6 +132,11 @@ object Bench {
       // storage seats below.
       warm { graft.sources.MediaFiles.textFileDir(spark, sfDir) }
       warm { graft.sources.MediaFiles.pngFileDir(spark, sfDir) }
+      // staged streaming layouts at the REAL sfDir: the parity split and
+      // typed join topics are memoized per (session, dir), so without
+      // this the one-time coalesced write lands inside the timed region
+      // of whichever t1/t10-family query the map orders first
+      warm { graft.streaming.StreamOps.warmStagedLayouts(spark, sfDir) }
       // queries is a def that rebuilds the full entry map per access —
       // materialize once for the lookups here and the whole-board pass
       val allQueries = SparkEntry.queries
