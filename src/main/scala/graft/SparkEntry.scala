@@ -1544,6 +1544,12 @@ object SparkEntry {
     // must be exactly the distinct-user set (t5's oracle)
     "t27_state_source_read" -> ((s, d) =>
       StreamOps.stateSourceDedupAudit(s, d, statePartitions = Some(8))),
+    // state TIME-TRAVEL over a changelog checkpoint: as-of read at
+    // batchId=0 (must be the even half alone — no backward leakage) +
+    // the change feed from batch 1 (exactly the odd half's new users);
+    // the post-incident state-audit surface
+    "t41_state_time_travel" -> ((s, d) =>
+      StreamOps.stateTimeTravelDedup(s, d, statePartitions = Some(8))),
     // checkpoint UPGRADE: restart the TWS totals stream on the same
     // checkpoint with a WIDENED state schema (V2 adds a since-upgrade
     // counter) under the Avro state encoding — totals must keep
@@ -1685,6 +1691,12 @@ object SparkEntry {
     // emit; the batch EXISTS is the oracle (no eviction arithmetic)
     "t38_stream_semi_join" -> ((s, d) =>
       StreamOps.streamStreamSemiJoin(s, d, statePartitions = Some(4))),
+    // stream-stream RIGHT OUTER: the last supported flavor — null rows
+    // emit ONLY on the click side, when the watermark passes
+    // click_ts + tolerance (t36's second eviction direction alone);
+    // unmatched purchases never emit
+    "t40_stream_right_outer_join" -> ((s, d) =>
+      StreamOps.streamStreamRightOuterJoin(s, d, statePartitions = Some(4))),
     // live leaderboard: stream maintains ONLY the O(keys) tally state;
     // rank / share / gap-to-leader computed over the |keys|-row snapshot
     // (ranking inside the stream would global-sort state per batch)
@@ -1730,6 +1742,13 @@ object SparkEntry {
     "dedup_minhash_recall" -> ((s, d) =>
       DedupOps.minHashRecall(Tables.documents(s, d), 3, bands = 8, rows = 2,
                              tau = 0.5, minRecall = 0.8)),
+    // the banding's OTHER contract: false-positive candidates are what
+    // the exact-Jaccard verify stage pays for at 100 TB — the FP rate
+    // of the 8×2 banding must stay bounded (same truth + candidate
+    // memos as the recall seat; the extra grading is join-only)
+    "dedup_minhash_precision" -> ((s, d) =>
+      DedupOps.minHashPrecision(Tables.documents(s, d), 3, bands = 8,
+                                rows = 2, tau = 0.5, maxFpRate = 0.5)),
     // 4×16-bit banding catches ALL pairs at hamming <= 3 (pigeonhole) and
     // most at 4-5 (a band must stay clean); the fixture's planted dups sit
     // at hamming 0-5, so the gate recall is 23/25 = 0.92 here.
@@ -4309,6 +4328,16 @@ object SparkEntry {
     // the checkpoint's dropDuplicates state keys ARE the distinct users
     "t27_state_source_read" ->
       "SELECT DISTINCT user_id FROM events ORDER BY user_id",
+    // time-travel replay over the user-keyed split: the as-of-batch-0
+    // read is batch 0's distinct users (user_id % 3 <> 0); the batch-1
+    // change feed is exactly the users batch 1 newly added (% 3 = 0)
+    "t41_state_time_travel" ->
+      """SELECT user_id, 'asof_batch0' AS src
+         FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 3 <> 0)
+         UNION ALL
+         SELECT user_id, 'feed_batch1' AS src
+         FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 3 = 0)
+         ORDER BY src, user_id""",
     // any re-emission of a late duplicate adds a row and goes red
     "t5b_stream_dedup_watermarked" -> "SELECT DISTINCT user_id FROM events",
     // session_window semantics at microsecond precision: a new session
@@ -4442,6 +4471,31 @@ object SparkEntry {
            WHERE c.event_type = 'click' AND c.user_id = p.user_id
              AND c.ts <= p.ts
              AND p.ts <= c.ts + INTERVAL 3600 SECONDS)""",
+    // right-outer replay: t20's matched half plus ONLY the second
+    // eviction direction — unmatched CLICKS emit when the watermark
+    // passes click_ts + tolerance; unmatched purchases never emit, and
+    // clicks inside the final horizon stay in state
+    "t40_stream_right_outer_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS pts
+                    FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT event_id AS click_id, user_id, ts AS cts
+                    FROM events WHERE event_type = 'click'),
+              m AS (SELECT p.purchase_id, c.click_id, p.user_id,
+                           date_diff('microsecond', c.cts, p.pts) AS gap_us
+                    FROM p JOIN c ON p.user_id = c.user_id
+                     AND c.cts <= p.pts
+                     AND p.pts <= c.cts + INTERVAL 3600 SECONDS),
+              wm AS (SELECT least(
+                       (SELECT max(epoch_us(cts)) // 1000 FROM c),
+                       (SELECT max(epoch_us(pts)) // 1000 FROM p))
+                       - 3600000 AS w),
+              unc AS (SELECT CAST(NULL AS BIGINT) AS purchase_id, c.click_id,
+                             c.user_id, CAST(NULL AS BIGINT) AS gap_us
+                      FROM c CROSS JOIN wm
+                      WHERE NOT EXISTS (SELECT 1 FROM m
+                                        WHERE m.click_id = c.click_id)
+                        AND epoch_us(c.cts) // 1000 + 3600000 < wm.w)
+         SELECT * FROM m UNION ALL SELECT * FROM unc""",
     "t8_stream_asof" ->
       """WITH u AS (
            SELECT user_id, ts, event_id, 1 AS tag,
@@ -4527,6 +4581,24 @@ object SparkEntry {
                     JOIN sizes sa ON sa.doc_id = doc_a
                     JOIN sizes sb ON sb.doc_id = doc_b)
          SELECT count(*) AS n_true_pairs, true AS recall_ok FROM j WHERE jac >= 0.5""",
+    // precision side: the truth size is the same recomputable count; the
+    // FP-rate verdict over the engine's own candidate set must hold
+    "dedup_minhash_precision" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3),
+              sh AS (SELECT doc_id,
+                            unnest(list_distinct(list_transform(range(1, len(words) - 1),
+                              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+                     FROM w),
+              sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+              com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id),
+              j AS (SELECT n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jac
+                    FROM com
+                    JOIN sizes sa ON sa.doc_id = doc_a
+                    JOIN sizes sb ON sb.doc_id = doc_b)
+         SELECT count(*) AS n_true_pairs, true AS precision_ok FROM j WHERE jac >= 0.5""",
     "dedup_simhash_recall" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
                     WHERE len(string_split(text, ' ')) >= 3),

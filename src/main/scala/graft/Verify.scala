@@ -55,6 +55,7 @@ object Verify {
     // storage layout dirs) before teardown — nothing may outlive the run
     graft.ext.DedupOps.clearCaches()
     graft.ops.Storage.clearCaches()
+    graft.ops.FuzzyJoin.clearCaches()
     graft.streaming.StreamOps.clearCaches()
     graft.ext.SimilarityOps.clearCaches()
     graft.ext.TextOps.clearCaches()

@@ -267,6 +267,35 @@ object DedupOps {
       minHashCandidates(docs, n, bands, rows),
       minRecall)
 
+  /** MinHash/LSH candidate PRECISION vs exact Jaccard ≥ `tau` — the
+    * other half of [[minHashRecall]]'s contract, and the one that sets
+    * the VERIFY-stage cost at 100 TB: every false-positive candidate the
+    * banding emits is a pair the exact-Jaccard verify stage must score,
+    * so a precision collapse (e.g. rows too small for the corpus's
+    * background similarity) multiplies the expensive stage's input while
+    * recall stays perfect. Emits the truth size (externally
+    * recomputable) and a verdict that the false-positive rate of the
+    * candidate set — |candidates \ truth| / |candidates| — stays under
+    * `maxFpRate`. Both frames come from the same session memos the
+    * recall seat uses, so the extra grading is join-only. */
+  def minHashPrecision(docs: DataFrame, n: Int, bands: Int, rows: Int,
+                       tau: Double, maxFpRate: Double): DataFrame = {
+    val truth = truthPairsAbove(docs, n, tau)
+    // candidate-side stats: every candidate, flagged by truth membership
+    val stats = minHashCandidates(docs, n, bands, rows)
+      .join(truth.withColumn("hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_candidates"),
+           coalesce(sum("hit"), lit(0L)).as("n_caught"))
+    // emit the externally-recomputable truth size (the recall seat's
+    // contract) + the engine-side verdict; 1-row × 1-row width fold
+    truth.agg(count(lit(1)).as("n_true_pairs"))
+      .crossJoin(stats)
+      .select(col("n_true_pairs"),
+        ((col("n_candidates") - col("n_caught"))
+          <= col("n_candidates").cast("double") * lit(maxFpRate))
+          .as("precision_ok"))
+  }
+
   /** SimHash band-join recall vs exact Jaccard ≥ `tau`. */
   def simHashRecall(docs: DataFrame, maxHamming: Int,
                     n: Int, tau: Double, minRecall: Double): DataFrame =

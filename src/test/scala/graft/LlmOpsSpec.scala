@@ -107,6 +107,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(!cands.contains((3L, 4L)), "unrelated docs should not be candidates")
   }
 
+  test("MinHash LSH precision: the banding's false-positive rate is " +
+       "bounded, and the graded verdict reflects the raw counts") {
+    val docs = Tables.documents(spark, sfDir)
+    val truth = DedupOps.ngramJaccardPairsAbove(docs, 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val cands = DedupOps.minHashCandidates(docs, 3, bands = 8, rows = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.nonEmpty, "candidate set vacuous at this SF")
+    val fp = (cands -- truth).size.toDouble / cands.size
+    info(f"measured FP rate ${fp}%.3f over ${cands.size} candidates, " +
+      s"${truth.size} truth pairs")
+    // the graded seat's bound, checked against the raw sets it grades
+    assert(fp <= 0.5, f"8×2 banding FP rate $fp%.3f blew the graded bound")
+    val verdict = DedupOps.minHashPrecision(docs, 3, bands = 8, rows = 2,
+        tau = 0.5, maxFpRate = 0.5)
+      .as[(Long, Boolean)].head()
+    assert(verdict._1 === truth.size.toLong,
+      "emitted truth size must match the recomputable count")
+    assert(verdict._2, "precision verdict must hold on the graded fixture")
+    // and the verdict is REAL: an absurdly tight bound must flip it
+    val tight = DedupOps.minHashPrecision(docs, 3, bands = 8, rows = 2,
+        tau = 0.9999, maxFpRate = 0.0)
+      .as[(Long, Boolean)].head()
+    assert(!tight._2 || (cands -- truth).isEmpty,
+      "a zero-FP bound must fail whenever any false positive exists")
+  }
+
   test("native simhash64 is bit-identical to the HOF specification") {
     val docs = Tables.documents(spark, sfDir)
     val native = DedupOps.simHashes(docs)

@@ -430,6 +430,55 @@ class StreamingSpec extends SparkSpec {
       "click retained-in-state branch vacuous: widen the fixture")
   }
 
+  test("T40 right-outer join: matched parity + null extension ONLY in the " +
+       "click-eviction direction") {
+    val streamed = StreamOps.streamStreamRightOuterJoin(spark, sfDir)
+      .as[(Option[Long], Option[Long], Long, Option[Long])].collect().toSet
+    val ev = Tables.events(spark, sfDir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("cu"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val matched = p
+      .join(c, col("user_id") === col("cu") &&
+        col("cts") <= col("ts") &&
+        col("ts") <= col("cts") + expr("INTERVAL 3600 SECONDS"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("ts")) - unix_micros(col("cts"))).as("gap_us"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (Some(t._1): Option[Long], Some(t._2): Option[Long],
+        t._3, Some(t._4): Option[Long]))
+      .toSet
+    val maxC = c.agg(max(unix_micros(col("cts")))).head.getLong(0) / 1000
+    val maxP = p.agg(max(unix_micros(col("ts")))).head.getLong(0) / 1000
+    val wMs = math.min(maxC, maxP) - 3600000L
+    val matchedC = matched.flatMap(_._2)
+    val nullPurchase = c
+      .filter(unix_micros(col("cts")) / 1000 + 3600000L < wMs)
+      .select("click_id", "cu")
+      .as[(Long, Long)].collect()
+      .filter { case (cid, _) => !matchedC.contains(cid) }
+      .map { case (cid, uid) =>
+        (None: Option[Long], Some(cid): Option[Long], uid,
+          None: Option[Long]) }
+      .toSet
+    assert(streamed === matched ++ nullPurchase,
+      "right-outer stream must emit matches plus exactly the evicted " +
+        "unmatched CLICKS")
+    assert(matched.nonEmpty, "matched branch vacuous at this SF")
+    assert(nullPurchase.nonEmpty, "click-eviction branch vacuous")
+    // DIRECTION: every null-extended row must be click-side — an
+    // unmatched purchase never emits in the right-outer flavor
+    assert(streamed.forall(r => r._2.nonEmpty),
+      "no row may carry a NULL click_id — null extension is click-only")
+    val matchedP = matched.flatMap(_._1)
+    val unmatchedPurchases = p.select("purchase_id").as[Long].collect()
+      .count(pid => !matchedP.contains(pid))
+    assert(unmatchedPurchases > 0,
+      "unmatched purchases must exist (and must NOT have emitted)")
+  }
+
   test("T38 semi join: one emit per matched purchase, no click payload, " +
        "exact batch-EXISTS parity") {
     val streamed = StreamOps.streamStreamSemiJoin(spark, sfDir)
