@@ -270,16 +270,26 @@ object DedupOps {
   /** MinHash/LSH candidate PRECISION vs exact Jaccard ≥ `tau` — the
     * other half of [[minHashRecall]]'s contract, and the one that sets
     * the VERIFY-stage cost at 100 TB: every false-positive candidate the
-    * banding emits is a pair the exact-Jaccard verify stage must score,
-    * so a precision collapse (e.g. rows too small for the corpus's
-    * background similarity) multiplies the expensive stage's input while
-    * recall stays perfect. Emits the truth size (externally
-    * recomputable) and a verdict that the false-positive rate of the
-    * candidate set — |candidates \ truth| / |candidates| — stays under
-    * `maxFpRate`. Both frames come from the same session memos the
-    * recall seat uses, so the extra grading is join-only. */
-  def minHashPrecision(docs: DataFrame, n: Int, bands: Int, rows: Int,
-                       tau: Double, maxFpRate: Double): DataFrame = {
+    * banding emits is a pair the exact-Jaccard verify stage must score.
+    * Precision is a CONFIG property, not a scheme property: the
+    * recall-tuned 8×2 banding the recall seat grades has an FP rate
+    * that GROWS with corpus size (measured on these fixtures: 0.22 at
+    * sf0.001 → 0.80 at sf0.1 — P(band collision) ≈ 8·j² keeps
+    * admitting background pairs as their population grows), so the
+    * verify-stage budget knob is ROWS PER BAND: the same 16-hash
+    * budget re-banded 4×4 admits a background pair at ≈ 4·j⁴ and
+    * measured ZERO false positives at every fixture SF while still
+    * catching the full truth (planted dups sit at j ≈ 0.9+, where
+    * per-band hit probability j⁴ ≈ 0.66 × 4 bands). The seat grades
+    * the precision-tuned config on BOTH contracts — FP rate ≤
+    * `maxFpRate` AND recall ≥ `minRecall` — making the tradeoff's
+    * existence a graded fact rather than a scaladoc claim. Emits the
+    * truth size (externally recomputable) plus the two verdicts; both
+    * frames come from the same session memos the recall seat uses, so
+    * the extra grading is join-only. */
+  def minHashPrecision(docs: DataFrame, n: Int,
+                       bands: Int, rows: Int, tau: Double,
+                       maxFpRate: Double, minRecall: Double): DataFrame = {
     val truth = truthPairsAbove(docs, n, tau)
     // candidate-side stats: every candidate, flagged by truth membership
     val stats = minHashCandidates(docs, n, bands, rows)
@@ -287,13 +297,15 @@ object DedupOps {
       .agg(count(lit(1)).as("n_candidates"),
            coalesce(sum("hit"), lit(0L)).as("n_caught"))
     // emit the externally-recomputable truth size (the recall seat's
-    // contract) + the engine-side verdict; 1-row × 1-row width fold
+    // contract) + the engine-side verdicts; 1-row × 1-row width fold
     truth.agg(count(lit(1)).as("n_true_pairs"))
       .crossJoin(stats)
       .select(col("n_true_pairs"),
         ((col("n_candidates") - col("n_caught"))
           <= col("n_candidates").cast("double") * lit(maxFpRate))
-          .as("precision_ok"))
+          .as("precision_ok"),
+        (col("n_caught") >= col("n_true_pairs").cast("double") * lit(minRecall))
+          .as("recall_ok"))
   }
 
   /** SimHash band-join recall vs exact Jaccard ≥ `tau`. */
