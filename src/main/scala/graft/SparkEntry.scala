@@ -1036,6 +1036,39 @@ object SparkEntry {
         .select(col("event_id"),
                 Scalars.formatLog("%s#%03d", col("event_type"),
                                   pmod(col("user_id"), lit(100))).as("tag"))),
+    // COLLATION-aware analytics (Spark 4 UTF8_LCASE): three deterministic
+    // case-spellings of each event type (UPPER / Initcap / as-is by
+    // event_id mod 3) collapse back to ONE group and ONE dim match under
+    // the collated comparison — grouping, count(DISTINCT) and the
+    // broadcast equi-join all run on collated keys in the engine (no
+    // lower() normalization column materialized); the output label is
+    // lower()ed only because a collated group returns an arbitrary
+    // representative spelling. The oracle replays with lower(), which is
+    // exactly what UTF8_LCASE equality means
+    "f11_collation_group" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("etype_mixed",
+          when(pmod(col("event_id"), lit(3)) === 0, upper(col("event_type")))
+            .when(pmod(col("event_id"), lit(3)) === 1,
+                  initcap(col("event_type")))
+            .otherwise(col("event_type")))
+      val dim = Tables.events(s, d).select(col("event_type")).distinct()
+        .select(col("event_type").as("etype_dim"),
+                concat(lit("cat_"), col("event_type")).as("label"))
+      ev.join(broadcast(dim),
+          collate(col("etype_mixed"), "UTF8_LCASE") ===
+            collate(col("etype_dim"), "UTF8_LCASE"))
+        .groupBy(collate(col("etype_mixed"), "UTF8_LCASE").as("k"))
+        .agg(count(lit(1)).as("n_events"),
+             countDistinct(collate(col("etype_mixed"), "UTF8_LCASE"))
+               .as("n_spellings_collated"),
+             max(col("label")).as("label"))
+        // normalize the key back to the default binary collation: the
+        // result schema (and the parquet the driver hashes) must not
+        // carry the session-internal collation annotation
+        .select(collate(lower(col("k")), "UTF8_BINARY").as("event_type"),
+                col("label"), col("n_events"), col("n_spellings_collated"))
+    }),
 
     // ---- file-source formats (SURVEY §2.1 S4): schema-on-read round-trips ----
     "s4_json_source" -> ((s, d) => {
@@ -1325,6 +1358,44 @@ object SparkEntry {
     // reference's plurality tally that genuinely needs a loop; the
     // fixture forces a real elimination round and a 1-vote majority
     "s6d_sql_scripting" -> ((s, _) => Scripting.instantRunoff(s, 1000L)),
+    // SQL SCALAR UDFs (Spark 4 CREATE FUNCTION ... RETURN <expr>): the
+    // body inlines at ANALYSIS time into plain Catalyst expressions —
+    // named, reusable warehouse logic with zero call overhead (stays
+    // inside whole-stage codegen, unlike a Scala/Python UDF), so the
+    // 100 TB plan is identical to hand-inlined SQL
+    "s6e_sql_udf" -> ((s, d) => {
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_rev(
+                 p DOUBLE, d DOUBLE) RETURNS DOUBLE
+               RETURN p * (1.0d - d)""")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_qty_band(q DOUBLE)
+               RETURNS STRING
+               RETURN CASE WHEN q < 10 THEN 'small'
+                           WHEN q < 30 THEN 'mid'
+                           ELSE 'bulk' END""")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_udf_v")
+      s.sql("""SELECT l_returnflag, graft_qty_band(l_quantity) AS qty_band,
+                      round(sum(graft_disc_rev(l_extendedprice, l_discount)), 2)
+                        AS revenue,
+                      count(*) AS n
+               FROM lineitem_udf_v
+               GROUP BY 1, 2""")
+    }),
+    // SQL TABLE UDF (RETURNS TABLE): a parameterized view — the
+    // function body is a query, expanded and optimized in place
+    // (filter pushdown reaches the scan through the function boundary)
+    "s6f_sql_table_udf" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_udf_v")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_prio_orders(
+                 prio STRING)
+               RETURNS TABLE (o_orderkey BIGINT, o_custkey BIGINT,
+                              o_totalprice DOUBLE)
+               RETURN SELECT o_orderkey, o_custkey, o_totalprice
+                      FROM orders_udf_v WHERE o_orderpriority = prio""")
+      s.sql("""SELECT count(*) AS n_urgent,
+                      round(sum(o_totalprice), 2) AS urgent_total,
+                      count(DISTINCT o_custkey) AS n_customers
+               FROM graft_prio_orders('1-URGENT')""")
+    }),
     // correlated LATERAL subquery with per-row LIMIT — top-3 balances
     // per market segment written as the SQL a warehouse user reaches
     // for; Catalyst decorrelates the lateral into a join (no per-row
@@ -1697,6 +1768,13 @@ object SparkEntry {
     // unmatched purchases never emit
     "t40_stream_right_outer_join" -> ((s, d) =>
       StreamOps.streamStreamRightOuterJoin(s, d, statePartitions = Some(4))),
+    // MULTIPLE STATEFUL OPERATORS in one query: hourly windowed counts
+    // chained into epoch-aligned 4 h buckets (append mode, one job —
+    // the single-query rollup topology instead of a two-hop pipeline);
+    // n_hours counts populated hourly windows per bucket, a value only
+    // the two-level chain can produce
+    "t42_stream_chained_agg" -> ((s, d) =>
+      StreamOps.chainedWindowRollup(s, d, statePartitions = Some(8))),
     // live leaderboard: stream maintains ONLY the O(keys) tally state;
     // rank / share / gap-to-leader computed over the |keys|-row snapshot
     // (ranking inside the stream would global-sort state per batch)
@@ -3754,6 +3832,15 @@ object SparkEntry {
       "SELECT event_id, event_type, value FROM events",
     "f9_format_string" ->
       "SELECT event_id, printf('%s#%03d', event_type, user_id % 100) AS tag FROM events",
+    // collated equality ≡ lower() equality; the fixture's event_type is
+    // already lowercase, so lower(mixed) = event_type and the collated
+    // dim join matches every row; the collated count(DISTINCT) sees one
+    // case-class per group
+    "f11_collation_group" ->
+      """SELECT event_type, 'cat_' || event_type AS label,
+                count(*) AS n_events,
+                CAST(1 AS BIGINT) AS n_spellings_collated
+         FROM events GROUP BY 1""",
     "s4_json_source" ->
       """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n_events
          FROM events GROUP BY event_type""",
@@ -3887,6 +3974,21 @@ object SparkEntry {
     "s6_sql_over_view" ->
       """SELECT event_type, count(*) AS n FROM events
          WHERE value > 10 GROUP BY event_type HAVING count(*) > 5""",
+    // the scalar-UDF bodies inlined — what Spark's analyzer does
+    "s6e_sql_udf" ->
+      """SELECT l_returnflag,
+                CASE WHEN l_quantity < 10 THEN 'small'
+                     WHEN l_quantity < 30 THEN 'mid'
+                     ELSE 'bulk' END AS qty_band,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                count(*) AS n
+         FROM lineitem GROUP BY 1, 2""",
+    // the table-UDF body inlined as a parameterized subquery
+    "s6f_sql_table_udf" ->
+      """SELECT count(*) AS n_urgent,
+                round(sum(o_totalprice), 2) AS urgent_total,
+                count(DISTINCT o_custkey) AS n_customers
+         FROM orders WHERE o_orderpriority = '1-URGENT'""",
     // identical recursion, DuckDB replaying the pair CTE as the DAG:
     // UNION ALL both sides, ascending edges so the recursion is acyclic,
     // the same hop < 3 bound
@@ -4501,6 +4603,23 @@ object SparkEntry {
                                         WHERE m.click_id = c.click_id)
                         AND epoch_us(c.cts) // 1000 + 3600000 < wm.w)
          SELECT * FROM m UNION ALL SELECT * FROM unc""",
+    // chained-rollup replay: hourly counts re-bucketed into 4 h
+    // epoch-aligned buckets (UTC session: day-alignment ≡ epoch for a
+    // divisor of 24); a bucket emits iff bucket_end <= max(ts) - 1 h —
+    // the watermark cut both levels share after the sentinel batch
+    "t42_stream_chained_agg" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+              h AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n
+                    FROM events GROUP BY 1),
+              b AS (SELECT hr - (CAST(extract(hour FROM hr) AS INT) % 4)
+                             * INTERVAL 1 HOUR AS bucket,
+                           CAST(sum(n) AS BIGINT) AS n_events,
+                           count(*) AS n_hours
+                    FROM h GROUP BY 1)
+         SELECT strftime(bucket, '%Y-%m-%d %H:%M') AS bucket_start,
+                n_events, n_hours
+         FROM b, wm
+         WHERE bucket + INTERVAL 4 HOUR <= wm.w""",
     "t8_stream_asof" ->
       """WITH u AS (
            SELECT user_id, ts, event_id, 1 AS tag,

@@ -479,6 +479,35 @@ class StreamingSpec extends SparkSpec {
       "unmatched purchases must exist (and must NOT have emitted)")
   }
 
+  test("T42 chained stateful aggregations: two-level rollup equals the " +
+       "batch replay, emits exactly once, withholds open buckets") {
+    val rows = StreamOps.chainedWindowRollup(spark, sfDir)
+      .as[(String, Long, Long)].collect().toSeq
+    // exactly-once: append mode emits a finalized bucket one time
+    assert(rows.map(_._1).distinct.size === rows.size,
+      "a 4h bucket emitted more than once")
+    val ev = Tables.events(spark, sfDir)
+    val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+    val hours = ev.groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val allBuckets = hours.groupBy(window(col("hr"), "4 hours").as("w"))
+      .agg(sum("n").as("n_events"), count(lit(1)).as("n_hours"))
+    val want = allBuckets
+      .filter(col("w.end") <= lit(maxTs) - expr("INTERVAL 1 HOUR"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm"),
+        col("n_events"), col("n_hours"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(rows.toSet === want,
+      "chained rollup must equal the watermark-gated batch replay")
+    // the chain is non-vacuous: some bucket aggregates >1 hourly window
+    assert(rows.exists(_._3 > 1),
+      "every bucket has a single populated hour — fixture too sparse " +
+        "to grade the two-level chain")
+    // boundary retention: buckets above the watermark stay in state
+    assert(allBuckets.count() > rows.size,
+      "no bucket was withheld — the watermark gate is vacuous")
+  }
+
   test("T38 semi join: one emit per matched purchase, no click payload, " +
        "exact batch-EXISTS parity") {
     val streamed = StreamOps.streamStreamSemiJoin(spark, sfDir)
