@@ -1396,6 +1396,21 @@ object SparkEntry {
                       count(DISTINCT o_custkey) AS n_customers
                FROM graft_prio_orders('1-URGENT')""")
     }),
+    // PARAMETERIZED SQL: named parameter markers (:name) bound through
+    // the sql(text, args) API, plus the IDENTIFIER() clause binding a
+    // parameter as a TABLE reference — the injection-safe templating
+    // surface a warehouse exposes to applications. Parameters fold to
+    // literals at analysis, so :minVal reaches the parquet scan as an
+    // ordinary pushed filter (asserted by spec)
+    "s6g_parameterized_sql" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_param_v")
+      s.sql(
+        """SELECT event_type, count(*) AS n,
+                  round(sum(value), 2) AS total_value
+           FROM IDENTIFIER(:tbl) WHERE value > :minVal
+           GROUP BY event_type""",
+        Map("tbl" -> "events_param_v", "minVal" -> 25))
+    }),
     // correlated LATERAL subquery with per-row LIMIT — top-3 balances
     // per market segment written as the SQL a warehouse user reaches
     // for; Catalyst decorrelates the lateral into a join (no per-row
@@ -3983,6 +3998,13 @@ object SparkEntry {
                 round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
                 count(*) AS n
          FROM lineitem GROUP BY 1, 2""",
+    // the parameter bindings inlined as literals — what Spark's
+    // ResolveParameterizedQuery does before optimization
+    "s6g_parameterized_sql" ->
+      """SELECT event_type, count(*) AS n,
+                round(sum(value), 2) AS total_value
+         FROM events WHERE value > 25
+         GROUP BY event_type""",
     // the table-UDF body inlined as a parameterized subquery
     "s6f_sql_table_udf" ->
       """SELECT count(*) AS n_urgent,

@@ -48,14 +48,29 @@ object StreamOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The file stream source consumes a *directory* (a "topic" that receives
-    * files over time). The fixture is a single read-only file, so expose it
-    * through a symlinked topic dir — zero copy, driver does O(1) work. */
+    * files over time). The driver fixture is a single read-only file, so
+    * expose it through a symlinked topic dir — zero copy, driver does O(1)
+    * work. A SCALED fixture (`tools.ScaleUp`) writes `events.parquet` as a
+    * multi-part DIRECTORY; the file source does not recurse into a
+    * subdirectory entry, so symlink each part file instead (one arrival
+    * per part — with `maxFilesPerTrigger=1` the scaled run genuinely
+    * spans one micro-batch per part, the multi-file arrival shape a real
+    * topic has; every runFileStream seat's result is batch-split
+    * insensitive). Symlinking a directory whole would silently yield an
+    * EMPTY stream — zero batches, vacuous results (the round-14 scaling
+    * run caught exactly that). */
   private def eventsTopicDir(dir: String): String =
     topicDirs.computeIfAbsent(dir, { d =>
       val topic = graft.TmpDirs.create("graft_events_topic_")
-      Files.createSymbolicLink(
-        topic.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$d/events.parquet"))
+      val src = java.nio.file.Paths.get(s"$d/events.parquet")
+      if (Files.isDirectory(src)) {
+        Option(src.toFile.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .foreach { p =>
+            Files.createSymbolicLink(topic.resolve(p.getName), p.toPath) }
+      } else {
+        Files.createSymbolicLink(topic.resolve("events.parquet"), src)
+      }
       topic.toString
     })
 
@@ -1607,6 +1622,16 @@ object StreamOps {
   def streamingSessionCounts(spark: SparkSession, dir: String,
                              gap: String = "30 minutes",
                              statePartitions: Option[Int] = None): DataFrame =
+      // Complete mode + DISTRIBUTED foreachBatch snapshot: the per-user
+      // recount and parquet overwrite stay on the executors each batch.
+      // (A memory-sink variant was measured and rejected: complete mode
+      // COLLECTS the full re-emission to the driver every batch —
+      // 54 s vs 29 s at the 10×/32-arrival fixture.) Complete mode's
+      // cost law is Σ_b |state(b)| re-emitted per batch — super-linear
+      // in arrival count by construction (measured exponent 1.4 at 10×,
+      // `bench_scaling_r14_stream.json`). t9 is the deliberate contrast
+      // seat for that topology; the scalable session forms are t15
+      // (FMGWS timeout, measured 0.88) and t30 (TWS timers, 1.03).
       perfScope(spark, statePartitions) {
     val out = graft.TmpDirs.create("graft_t9_").resolve("snap").toString
     val q = eventStream(spark, dir)
@@ -2043,9 +2068,23 @@ object StreamOps {
               }
             }
             cur.foreach { c =>
-              state.update(c)
               // event-time timers are millisecond-epoch
-              state.setTimeoutTimestamp(Math.floorDiv(c._2 + gapUs, 1000L))
+              val tMs = Math.floorDiv(c._2 + gapUs, 1000L)
+              val wmMs = state.getCurrentWatermarkMs()
+              if (tMs < wmMs) {
+                // multi-batch arrival: the watermark has already passed
+                // this session's close point (possible whenever a key's
+                // rows span batches — single-batch fixtures never hit
+                // it, the 10× scaled run did). Arming the timer would
+                // throw (timers must not trail the watermark), so apply
+                // the engine's own fire rule (timer strictly below
+                // watermark) in-batch: close now — same emitted set,
+                // one batch earlier than the timer would have fired
+                out += ClosedSession(user, c._1, c._2, c._3)
+              } else {
+                state.update(c)
+                state.setTimeoutTimestamp(tMs)
+              }
             }
             out.iterator
           }

@@ -32,8 +32,11 @@ object ScaleBench {
 
   /** The measured set: the top-cost batch seats of the r13 board plus
     * the scale-signature families (pair-pass dedup, ANN serving,
-    * corpus pipeline, fuzzy blocking, heavy TPC-H). */
-  val seats: Seq[String] = Seq(
+    * corpus pipeline, fuzzy blocking, heavy TPC-H). Override with
+    * `SPARK_GRAFT_SCALE_SEATS` (comma-separated) to measure a different
+    * slice — e.g. the streaming seats for
+    * `bench_scaling_r14_stream.json`. */
+  val defaultSeats: Seq[String] = Seq(
     "j8_fuzzy_match",
     "q21_waiting_supplier",
     "q2_min_cost_supplier",
@@ -54,6 +57,10 @@ object ScaleBench {
     "sketch_quantile_rollup",
     "sessionize_users",
     "j9_bloom_join")
+
+  def seats: Seq[String] = sys.env.get("SPARK_GRAFT_SCALE_SEATS")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    .getOrElse(defaultSeats)
 
   private def clearAll(): Unit = {
     graft.ext.DedupOps.clearCaches()

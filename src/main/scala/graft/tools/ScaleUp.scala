@@ -99,9 +99,22 @@ object ScaleUp {
       .withColumn("p_name",
         when(col("_r") === 0, col("p_name"))
           .otherwise(concat(col("p_name"), lit(" v"), col("_r")))), "part")
-    write(replicate(in("events"), n)
-      .withColumn("event_id", shifted("event_id"))
-      .withColumn("user_id", shifted("user_id")), "events")
+    // events feed the file-STREAM seats too: write the 32 part files
+    // TIME-BANDED (range-partitioned on ts), so the scaled topic's
+    // per-file arrival order is the tailing-topic shape a real stream
+    // has — the watermark advances gradually across micro-batches. A
+    // hash-shuffled layout makes batch 0 jump the watermark to max(ts)
+    // and late-drops everything after it (measured: it also masked a
+    // real timer-vs-watermark crash in t15)
+    locally {
+      val ev = replicate(in("events"), n)
+        .withColumn("event_id", shifted("event_id"))
+        .withColumn("user_id", shifted("user_id"))
+        .drop("_r")
+        .repartitionByRange(32, col("ts"), col("event_id"))
+      ev.write.mode("overwrite").parquet(s"$outDir/events.parquet")
+      println(s"[scaleup] events -> $outDir/events.parquet (ts-banded)")
+    }
 
     // documents: replica-tagged word suffix at every third position
     // (see scaladoc) — replica 0 stays verbatim

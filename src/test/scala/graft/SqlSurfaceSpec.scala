@@ -48,6 +48,22 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(row.getLong(0) > 0, "urgent-order fixture vacuous")
   }
 
+  test("S6g parameterized SQL: named params + IDENTIFIER() bind, and the " +
+       "bound filter pushes to the scan as a literal") {
+    val res = SparkEntry.queries("s6g_parameterized_sql")(spark, sfDir)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(value,25") ||
+           plan.contains("value > 25"),
+      s"bound :minVal must reach the scan as a pushed literal filter:\n$plan")
+    val got = res.as[(String, Long, Double)].collect().toSet
+    val want = Tables.events(spark, sfDir).filter(col("value") > 25)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty, "fixture vacuous above the bound threshold")
+  }
+
   test("F11 collation: UTF8_LCASE grouping/distinct collapse case-classes " +
        "binary grouping keeps apart") {
     val df = Seq("Click", "CLICK", "click", "BUY").toDF("s")
