@@ -2050,6 +2050,13 @@ object SparkEntry {
     // ---- LLM pipeline: text analysis ----
     "text_stats" -> ((s, d) => TextOps.stats(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
+    // model-based quality filtering, TRAINING side: 3 full-batch GD
+    // steps of a logistic regression on rounded per-doc features, each
+    // step ONE map-side-combined aggregate + a 1-row driver collect;
+    // labels come from the rule gate the classifier generalizes. The
+    // oracle replays the identical iterations as chained CTEs
+    "quality_lr_train" -> ((s, d) =>
+      ext.ClassifierOps.lrTrain(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     // classifier-eval rollup: langid prediction vs the labeled lang column
     "text_langid_confusion" -> ((s, d) =>
@@ -5660,6 +5667,60 @@ object SparkEntry {
                 round(list_sum(list_transform(string_split(text, ' '), w -> length(w)))
                       / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS avg_token_len
          FROM documents""",
+    // the 3 GD iterations replayed as chained CTEs: g_t = the gradient
+    // aggregate at weights w_{t-1}, w_t = w_{t-1} - g_t (lrate 1.0);
+    // iteration 1 folds the closed form p = 0.5 (w_0 = 0). loss_pre is
+    // measured at the PRE-step weights, so row 1 reads exactly ln 2
+    "quality_lr_train" ->
+      """WITH f AS (
+           SELECT round(len(list_filter(w, x -> x IN ('the','a')))
+                        / CAST(len(w) AS DOUBLE), 4) AS x_stop,
+                  round(len(list_distinct(w))
+                        / CAST(len(w) AS DOUBLE), 4) AS x_ttr,
+                  round(least(len(w), 200) / 200.0, 4) AS x_len,
+                  CASE WHEN len(w) >= 10 AND len(w) <= 10000
+                        AND round(len(list_distinct(w))
+                                  / CAST(len(w) AS DOUBLE), 4) > 0.1
+                       THEN 1.0 ELSE 0.0 END AS y
+           FROM (SELECT string_split(text, ' ') AS w FROM documents) t),
+         a1 AS (SELECT avg(0.5 - y) AS g0, avg((0.5 - y) * x_stop) AS g1,
+                       avg((0.5 - y) * x_ttr) AS g2,
+                       avg((0.5 - y) * x_len) AS g3,
+                       avg(-(y * ln(0.5) + (1 - y) * ln(0.5))) AS loss
+                FROM f),
+         w1 AS (SELECT -g0 AS b, -g1 AS ws, -g2 AS wt, -g3 AS wl, loss
+                FROM a1),
+         p2 AS (SELECT f.*, 1.0 / (1.0 + exp(-(w1.b + w1.ws * x_stop
+                         + w1.wt * x_ttr + w1.wl * x_len))) AS p
+                FROM f, w1),
+         a2 AS (SELECT avg(p - y) AS g0, avg((p - y) * x_stop) AS g1,
+                       avg((p - y) * x_ttr) AS g2,
+                       avg((p - y) * x_len) AS g3,
+                       avg(-(y * ln(p) + (1 - y) * ln(1 - p))) AS loss
+                FROM p2),
+         w2 AS (SELECT w1.b - a2.g0 AS b, w1.ws - a2.g1 AS ws,
+                       w1.wt - a2.g2 AS wt, w1.wl - a2.g3 AS wl, a2.loss
+                FROM w1, a2),
+         p3 AS (SELECT f.*, 1.0 / (1.0 + exp(-(w2.b + w2.ws * x_stop
+                         + w2.wt * x_ttr + w2.wl * x_len))) AS p
+                FROM f, w2),
+         a3 AS (SELECT avg(p - y) AS g0, avg((p - y) * x_stop) AS g1,
+                       avg((p - y) * x_ttr) AS g2,
+                       avg((p - y) * x_len) AS g3,
+                       avg(-(y * ln(p) + (1 - y) * ln(1 - p))) AS loss
+                FROM p3),
+         w3 AS (SELECT w2.b - a3.g0 AS b, w2.ws - a3.g1 AS ws,
+                       w2.wt - a3.g2 AS wt, w2.wl - a3.g3 AS wl, a3.loss
+                FROM w2, a3)
+         SELECT 1 AS iter, round(b, 6) AS w_bias, round(ws, 6) AS w_stop,
+                round(wt, 6) AS w_ttr, round(wl, 6) AS w_len,
+                round(loss, 6) AS loss_pre FROM w1
+         UNION ALL
+         SELECT 2, round(b, 6), round(ws, 6), round(wt, 6), round(wl, 6),
+                round(loss, 6) FROM w2
+         UNION ALL
+         SELECT 3, round(b, 6), round(ws, 6), round(wt, 6), round(wl, 6),
+                round(loss, 6) FROM w3""",
     "text_quality" ->
       """SELECT doc_id, len(w) AS n_tokens,
                 round(len(list_filter(w, x -> x IN ('the','a')))
