@@ -384,6 +384,7 @@ object Bench {
     graft.streaming.StreamOps.clearCaches()
     graft.ext.SimilarityOps.clearCaches()
     graft.ext.TextOps.clearCaches()
+    graft.ext.ClassifierOps.clearCaches()
     spark.stop()
   }
 }

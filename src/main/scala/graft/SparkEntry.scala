@@ -2057,6 +2057,11 @@ object SparkEntry {
     // oracle replays the identical iterations as chained CTEs
     "quality_lr_train" -> ((s, d) =>
       ext.ClassifierOps.lrTrain(Tables.documents(s, d))),
+    // the SERVING side: score + gate every doc with the trained
+    // (session-memoized) weights — one codegen'd scan, zero shuffles,
+    // the train-once / score-everything shape of corpus filtering
+    "quality_lr_score" -> ((s, d) =>
+      ext.ClassifierOps.lrScore(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     // classifier-eval rollup: langid prediction vs the labeled lang column
     "text_langid_confusion" -> ((s, d) =>
@@ -5721,6 +5726,56 @@ object SparkEntry {
          UNION ALL
          SELECT 3, round(b, 6), round(ws, 6), round(wt, 6), round(wl, 6),
                 round(loss, 6) FROM w3""",
+    // serving replay: the same chained-CTE training, then a per-doc
+    // score with the ROUNDED final weights (both engines score from
+    // identical 6-decimal weights); kept gates on the raw margin z > 0
+    "quality_lr_score" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  round(len(list_filter(w, x -> x IN ('the','a')))
+                        / CAST(len(w) AS DOUBLE), 4) AS x_stop,
+                  round(len(list_distinct(w))
+                        / CAST(len(w) AS DOUBLE), 4) AS x_ttr,
+                  round(least(len(w), 200) / 200.0, 4) AS x_len,
+                  CASE WHEN len(w) >= 10 AND len(w) <= 10000
+                        AND round(len(list_distinct(w))
+                                  / CAST(len(w) AS DOUBLE), 4) > 0.1
+                       THEN 1.0 ELSE 0.0 END AS y
+           FROM (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents) t),
+         a1 AS (SELECT avg(0.5 - y) AS g0, avg((0.5 - y) * x_stop) AS g1,
+                       avg((0.5 - y) * x_ttr) AS g2,
+                       avg((0.5 - y) * x_len) AS g3
+                FROM f),
+         w1 AS (SELECT -g0 AS b, -g1 AS ws, -g2 AS wt, -g3 AS wl FROM a1),
+         p2 AS (SELECT f.*, 1.0 / (1.0 + exp(-(w1.b + w1.ws * x_stop
+                         + w1.wt * x_ttr + w1.wl * x_len))) AS p
+                FROM f, w1),
+         a2 AS (SELECT avg(p - y) AS g0, avg((p - y) * x_stop) AS g1,
+                       avg((p - y) * x_ttr) AS g2, avg((p - y) * x_len) AS g3
+                FROM p2),
+         w2 AS (SELECT w1.b - a2.g0 AS b, w1.ws - a2.g1 AS ws,
+                       w1.wt - a2.g2 AS wt, w1.wl - a2.g3 AS wl
+                FROM w1, a2),
+         p3 AS (SELECT f.*, 1.0 / (1.0 + exp(-(w2.b + w2.ws * x_stop
+                         + w2.wt * x_ttr + w2.wl * x_len))) AS p
+                FROM f, w2),
+         a3 AS (SELECT avg(p - y) AS g0, avg((p - y) * x_stop) AS g1,
+                       avg((p - y) * x_ttr) AS g2, avg((p - y) * x_len) AS g3
+                FROM p3),
+         w3 AS (SELECT round(w2.b - a3.g0, 6) AS b,
+                       round(w2.ws - a3.g1, 6) AS ws,
+                       round(w2.wt - a3.g2, 6) AS wt,
+                       round(w2.wl - a3.g3, 6) AS wl
+                FROM w2, a3),
+         z AS (SELECT doc_id,
+                      w3.b + w3.ws * x_stop + w3.wt * x_ttr
+                        + w3.wl * x_len AS m,
+                      y
+               FROM f, w3)
+         SELECT doc_id, round(1.0 / (1.0 + exp(-m)), 6) AS score,
+                m > 0 AS kept, y = 1.0 AS label_ok
+         FROM z""",
     "text_quality" ->
       """SELECT doc_id, len(w) AS n_tokens,
                 round(len(list_filter(w, x -> x IN ('the','a')))

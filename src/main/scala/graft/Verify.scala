@@ -59,6 +59,7 @@ object Verify {
     graft.streaming.StreamOps.clearCaches()
     graft.ext.SimilarityOps.clearCaches()
     graft.ext.TextOps.clearCaches()
+    graft.ext.ClassifierOps.clearCaches()
     spark.stop()
   }
 }

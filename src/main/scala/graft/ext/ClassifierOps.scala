@@ -42,6 +42,7 @@ object ClassifierOps {
   def lrQualityFeatures(docs: DataFrame): DataFrame =
     docs.withColumn("words", split(col("text"), " "))
       .select(
+        col("doc_id"),
         expr("round(size(filter(words, w -> w in ('the','a'))) / " +
           "cast(size(words) as double), 4)").as("x_stop"),
         expr("round(size(array_distinct(words)) / " +
@@ -55,6 +56,29 @@ object ClassifierOps {
 
   private def round6(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** One trained weight vector per (session, input plan, iters, lrate) —
+    * the serving seat scores with the SAME model the training seat
+    * grades without re-running the GD scans (the session-memo
+    * discipline of `DedupOps.commonCounts`; keys are the session object
+    * + the canonicalized plan OBJECT, never a plan string). */
+  private val trainMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, Any, Int, Double), Array[Double]]()
+
+  def clearCaches(): Unit = trainMemo.clear()
+
+  /** The post-training weights (rounded like the graded output). */
+  private[graft] def trainedWeights(docs: DataFrame, iters: Int,
+                                    lrate: Double): Array[Double] =
+    trainMemo.computeIfAbsent(
+      (docs.sparkSession, docs.queryExecution.analyzed.canonicalized,
+        iters, lrate),
+      { _ =>
+        val last = lrTrain(docs, iters, lrate)
+          .orderBy(desc("iter")).head()
+        Array(last.getDouble(1), last.getDouble(2), last.getDouble(3),
+          last.getDouble(4))
+      })
 
   /** Train `iters` full-batch GD steps from w = 0 at learning rate
     * `lrate`; one output row per iteration: the post-step weights and
@@ -90,5 +114,24 @@ object ClassifierOps {
       spark.createDataFrame(rows)
         .toDF("iter", "w_bias", "w_stop", "w_ttr", "w_len", "loss_pre")
     } finally { f.unpersist(); () }
+  }
+
+  /** SERVING side: score every document with the trained (memoized)
+    * weights — one codegen'd scan, zero shuffles, the shape model-based
+    * corpus filtering runs at 100 TB (train once on a sample tier,
+    * score the full corpus as a map). `kept` gates at p > 0.5, i.e.
+    * z > 0 — evaluated on the raw margin so the gate is exact, not a
+    * rounded-score comparison; `label_ok` rides along so the oracle
+    * doubles as a confusion audit. */
+  def lrScore(docs: DataFrame, iters: Int = 3,
+              lrate: Double = 1.0): DataFrame = {
+    val w = trainedWeights(docs, iters, lrate)
+    val z = lit(w(0)) + lit(w(1)) * col("x_stop") +
+      lit(w(2)) * col("x_ttr") + lit(w(3)) * col("x_len")
+    lrQualityFeatures(docs).select(
+      col("doc_id"),
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"),
+      (z > 0).as("kept"),
+      (col("y") === 1.0).as("label_ok"))
   }
 }

@@ -20,10 +20,12 @@ import org.apache.spark.sql.SparkSession
   *  - `reps` repetitions, min taken — the scaling signal is the
   *    data-dependent floor, not ambient jitter (the bench probes'
   *    rationale, applied to a two-point fit).
-  * Streaming seats are excluded by design: their cost is micro-batch
-  * machinery (stream start, commit log), measured elsewhere, and the
-  * file-stream harnesses pace by FILE, so a 10× single-file topic
-  * changes batch counts, not operator scaling.
+  * The DEFAULT set is batch-only; the streaming seats are measured by
+  * overriding `SPARK_GRAFT_SCALE_SEATS` against the ts-banded scaled
+  * events layout (`bench_scaling_r14_stream.json`): there the 10×
+  * topic arrives as 32 time-ordered files, so the reading is the
+  * honest composite of 10× rows and the per-micro-batch machinery —
+  * see BASELINE.md "Measured scaling, STREAMING seats".
   *
   * Usage: `sbt "runMain graft.tools.ScaleBench /root/testdata/sf0.1
   * /root/repo/scaledata/sf1 10 bench_scaling_r14.json"`.
@@ -69,6 +71,7 @@ object ScaleBench {
     graft.streaming.StreamOps.clearCaches()
     graft.ext.SimilarityOps.clearCaches()
     graft.ext.TextOps.clearCaches()
+    graft.ext.ClassifierOps.clearCaches()
   }
 
   def main(args: Array[String]): Unit = {

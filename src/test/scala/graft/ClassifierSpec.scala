@@ -45,6 +45,24 @@ class ClassifierSpec extends SparkSpec {
       "rounded weights/loss must not depend on partition fold order")
   }
 
+  test("LR serving: scores are proper probabilities, the gate is the " +
+       "0.5 decision boundary, and the scan is shuffle-free") {
+    val scored = ext.ClassifierOps.lrScore(docs)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "serving must be a pure map over the corpus — no shuffle")
+    val rows = scored.as[(Long, Double, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._2 > 0.0 && r._2 < 1.0),
+      "sigmoid scores must lie strictly inside (0,1)")
+    // away from the boundary the rounded score and the raw-margin gate
+    // must agree (at the boundary the raw margin is authoritative)
+    assert(rows.filter(r => math.abs(r._2 - 0.5) > 1e-5)
+      .forall(r => r._3 === (r._2 > 0.5)),
+      "kept must be the p > 0.5 decision")
+    assert(rows.exists(_._3) , "gate passes nobody — fixture degenerate")
+  }
+
   test("the learned separator beats the majority baseline on its own " +
        "training labels") {
     val f = ext.ClassifierOps.lrQualityFeatures(docs).cache()
