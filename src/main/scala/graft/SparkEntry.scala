@@ -64,6 +64,40 @@ object SparkEntry {
     // type; the merged p50/p90/p99 graded on the RANK guarantee
     "sketch_quantile_rollup" -> ((s, d) =>
       Sketches.quantileRollup(Tables.events(s, d))),
+    // Spark 4.1's native approx_top_k (DataSketches frequent-items):
+    // below maxItemsTracked the sketch is EXACT by contract — graded
+    // against the exact histogram with per-item verdicts (the a10/CMS
+    // differential discipline); the approximation regime is spec'd on
+    // a deterministic over-capacity fixture
+    "sketch_approx_topk" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val approx = ev.agg(expr("approx_top_k(event_type, 10)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("event_type"), col("e.count").as("approx_n"))
+      ev.groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+        .join(approx, Seq("event_type"), "left")
+        .select(col("event_type"), col("approx_n"), col("n_exact"),
+          (col("approx_n") === col("n_exact")).as("sketch_exact"))
+    }),
+    // the MERGEABLE form (accumulate per shard → combine → estimate) —
+    // the pre-aggregated-rollup pattern: shard sketches once, merge for
+    // any report, raw rows never re-scanned (the sketch_hll_merge
+    // contract on the 4.1 frequent-items sketch)
+    "sketch_approx_topk_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val shards = ev
+        .withColumn("par", pmod(col("event_id"), lit(2)))
+        .groupBy("par")
+        .agg(expr("approx_top_k_accumulate(event_type, 10)").as("st"))
+      val approx = shards
+        .agg(expr("approx_top_k_combine(st)").as("c"))
+        .select(explode(expr("approx_top_k_estimate(c, 10)")).as("e"))
+        .select(col("e.item").as("event_type"), col("e.count").as("approx_n"))
+      ev.groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+        .join(approx, Seq("event_type"), "left")
+        .select(col("event_type"), col("approx_n"), col("n_exact"),
+          (col("approx_n") === col("n_exact")).as("sketch_exact"))
+    }),
     "q1_pricing_summary" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag", "l_linestatus")
@@ -2433,6 +2467,17 @@ object SparkEntry {
                 true AS union_within_5pct, true AS inter_within_10pct
          FROM f""",
     // the count-min sketch is engine-internal; the contract is: exact
+    // below-capacity contract of the 4.1 frequent-items sketch: every
+    // item tracked exactly, so both the estimate column and the verdict
+    // replay as the exact histogram
+    "sketch_approx_topk" ->
+      """SELECT event_type, count(*) AS approx_n, count(*) AS n_exact,
+                true AS sketch_exact
+         FROM events GROUP BY 1""",
+    "sketch_approx_topk_merge" ->
+      """SELECT event_type, count(*) AS approx_n, count(*) AS n_exact,
+                true AS sketch_exact
+         FROM events GROUP BY 1""",
     // counts of the top-5 keys match, and each CMS point estimate obeys
     // the (never-undercount, overcount <= ceil(eps*N)) guarantee
     "sketch_cms_heavy" ->

@@ -8,6 +8,50 @@ import graft.ext.DedupOps
 class SketchSpec extends SparkSpec {
   import spark.implicits._
 
+  test("approx_top_k: exact below capacity; sharded accumulate+combine " +
+       "equals the single-pass sketch") {
+    val ev = Tables.events(spark, sfDir)
+    val exact = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val one = ev.agg(expr("approx_top_k(event_type, 10)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.count"))
+      .as[(String, Long)].collect().toMap
+    assert(one === exact,
+      "below maxItemsTracked the sketch must be exact")
+    val merged = ev.withColumn("par", pmod(col("event_id"), lit(2)))
+      .groupBy("par")
+      .agg(expr("approx_top_k_accumulate(event_type, 10)").as("st"))
+      .agg(expr("approx_top_k_combine(st)").as("c"))
+      .select(explode(expr("approx_top_k_estimate(c, 10)")).as("e"))
+      .select(col("e.item"), col("e.count"))
+      .as[(String, Long)].collect().toMap
+    assert(merged === exact,
+      "shard-accumulate + combine must merge losslessly below capacity")
+  }
+
+  test("approx_top_k over capacity: planted heavy hitters surface with " +
+       "bounded estimates on a deterministic single-partition fixture") {
+    // 3 heavy keys (1000 each) over a 200-key uniform background (15
+    // each); capacity 32 << 203 distinct forces the approximation path.
+    // coalesce(1) pins the merge order, so the reading is deterministic.
+    val df = spark.range(0, 6000)
+      .select((col("id") % 3).cast("string").as("k"))
+      .union(spark.range(0, 3000)
+        .select(concat(lit("bg_"), col("id") % 200).as("k")))
+      .coalesce(1)
+    val top = df.agg(expr("approx_top_k(k, 3, 32)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.count"))
+      .as[(String, Long)].collect()
+    assert(top.map(_._1).toSet === Set("0", "1", "2"),
+      s"the 3 planted heavy keys must be the top-3: ${top.toSeq}")
+    top.foreach { case (k, n) =>
+      assert(math.abs(n - 2000L) <= 300L,
+        s"estimate for heavy key $k drifted: $n (exact 2000)")
+    }
+  }
+
   test("HLL merge: daily-union verdicts hold and exact matches countDistinct") {
     val out = Sketches.hllMergeDistinct(Tables.events(spark, sfDir)).collect()
     assert(out.nonEmpty)
