@@ -1445,6 +1445,18 @@ object SparkEntry {
            GROUP BY event_type""",
         Map("tbl" -> "events_param_v", "minVal" -> 25))
     }),
+    // DYNAMIC SQL: EXECUTE IMMEDIATE over a query string with a
+    // positional USING binding — the other half of the templating
+    // surface (s6g binds into a static string; this executes a string
+    // built at runtime, the admin/BI-tool path). The bound parameter
+    // folds to a literal exactly like s6g's
+    "s6h_execute_immediate" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_dyn_v")
+      val q = "SELECT event_type, count(*) AS n, " +
+        "round(avg(value), 2) AS avg_value " +
+        "FROM events_dyn_v WHERE value > ? GROUP BY event_type"
+      s.sql(s"EXECUTE IMMEDIATE '$q' USING 40")
+    }),
     // correlated LATERAL subquery with per-row LIMIT — top-3 balances
     // per market segment written as the SQL a warehouse user reaches
     // for; Catalyst decorrelates the lateral into a join (no per-row
@@ -4055,6 +4067,11 @@ object SparkEntry {
                 round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
                 count(*) AS n
          FROM lineitem GROUP BY 1, 2""",
+    // the dynamic statement with its positional binding inlined
+    "s6h_execute_immediate" ->
+      """SELECT event_type, count(*) AS n,
+                round(avg(value), 2) AS avg_value
+         FROM events WHERE value > 40 GROUP BY event_type""",
     // the parameter bindings inlined as literals — what Spark's
     // ResolveParameterizedQuery does before optimization
     "s6g_parameterized_sql" ->

@@ -64,6 +64,18 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture vacuous above the bound threshold")
   }
 
+  test("S6h EXECUTE IMMEDIATE: the dynamic statement with USING binding " +
+       "equals the statically-written query") {
+    val got = SparkEntry.queries("s6h_execute_immediate")(spark, sfDir)
+      .as[(String, Long, Double)].collect().toSet
+    val want = Tables.events(spark, sfDir).filter(col("value") > 40)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(avg("value"), 2).as("avg_value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty, "fixture vacuous above the bound threshold")
+  }
+
   test("F11 collation: UTF8_LCASE grouping/distinct collapse case-classes " +
        "binary grouping keeps apart") {
     val df = Seq("Click", "CLICK", "click", "BUY").toDF("s")
