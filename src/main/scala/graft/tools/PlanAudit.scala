@@ -49,6 +49,10 @@ object PlanAudit {
     // roundtrip seats carry the family's static plans; both train
     // through the same memo on construction)
     "text_bpe_merges",
+    // composite: runs the GD iterations on construction — the returned
+    // frame is the collected weight table (quality_lr_score carries the
+    // family's static serving plan: one shuffle-free scan)
+    "quality_lr_train",
     // composite: runs the level-synchronous frontier loop on construction
     "graph_hops_to_canonical",
     // composite: builds the truth-memo edge view on construction
