@@ -2478,7 +2478,6 @@ object SparkEntry {
                 true AS a_within_5pct, true AS b_within_5pct,
                 true AS union_within_5pct, true AS inter_within_10pct
          FROM f""",
-    // the count-min sketch is engine-internal; the contract is: exact
     // below-capacity contract of the 4.1 frequent-items sketch: every
     // item tracked exactly, so both the estimate column and the verdict
     // replay as the exact histogram
@@ -2490,6 +2489,7 @@ object SparkEntry {
       """SELECT event_type, count(*) AS approx_n, count(*) AS n_exact,
                 true AS sketch_exact
          FROM events GROUP BY 1""",
+    // the count-min sketch is engine-internal; the contract is: exact
     // counts of the top-5 keys match, and each CMS point estimate obeys
     // the (never-undercount, overcount <= ceil(eps*N)) guarantee
     "sketch_cms_heavy" ->

@@ -57,28 +57,35 @@ object ClassifierOps {
   private def round6(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** One trained weight vector per (session, input plan, iters, lrate) —
-    * the serving seat scores with the SAME model the training seat
-    * grades without re-running the GD scans (the session-memo
-    * discipline of `DedupOps.commonCounts`; keys are the session object
-    * + the canonicalized plan OBJECT, never a plan string). */
+  /** One training run per (session, input plan, iters, lrate) — BOTH
+    * seats read it: `lrTrain` materializes the graded weight table from
+    * it and `lrScore` serves with its final weights, so a board run
+    * trains once (the session-memo discipline of
+    * `DedupOps.commonCounts`; keys are the session object + the
+    * canonicalized plan OBJECT, never a plan string). The GD job runs
+    * OUTSIDE the map lock (get-then-putIfAbsent): `computeIfAbsent`
+    * would hold the bin lock across multi-second Spark jobs and block
+    * unrelated same-bin callers. */
   private val trainMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, Any, Int, Double), Array[Double]]()
+    (org.apache.spark.sql.SparkSession, Any, Int, Double),
+    Seq[(Int, Double, Double, Double, Double, Double)]]()
 
   def clearCaches(): Unit = trainMemo.clear()
 
-  /** The post-training weights (rounded like the graded output). */
-  private[graft] def trainedWeights(docs: DataFrame, iters: Int,
-                                    lrate: Double): Array[Double] =
-    trainMemo.computeIfAbsent(
-      (docs.sparkSession, docs.queryExecution.analyzed.canonicalized,
-        iters, lrate),
-      { _ =>
-        val last = lrTrain(docs, iters, lrate)
-          .orderBy(desc("iter")).head()
-        Array(last.getDouble(1), last.getDouble(2), last.getDouble(3),
-          last.getDouble(4))
-      })
+  /** The memoized per-iteration training rows (rounded like the graded
+    * output). */
+  private[graft] def trainRows(docs: DataFrame, iters: Int, lrate: Double)
+      : Seq[(Int, Double, Double, Double, Double, Double)] = {
+    val key = (docs.sparkSession,
+      docs.queryExecution.analyzed.canonicalized: Any, iters, lrate)
+    val hit = trainMemo.get(key)
+    if (hit != null) hit
+    else {
+      val rows = trainUncached(docs, iters, lrate)
+      val prev = trainMemo.putIfAbsent(key, rows)
+      if (prev != null) prev else rows
+    }
+  }
 
   /** Train `iters` full-batch GD steps from w = 0 at learning rate
     * `lrate`; one output row per iteration: the post-step weights and
@@ -86,8 +93,12 @@ object ClassifierOps {
     * exactly ln 2 — the untrained model — and a decreasing column is
     * the learning certificate the spec asserts). */
   def lrTrain(docs: DataFrame, iters: Int = 3,
-              lrate: Double = 1.0): DataFrame = {
-    val spark = docs.sparkSession
+              lrate: Double = 1.0): DataFrame =
+    docs.sparkSession.createDataFrame(trainRows(docs, iters, lrate))
+      .toDF("iter", "w_bias", "w_stop", "w_ttr", "w_len", "loss_pre")
+
+  private def trainUncached(docs: DataFrame, iters: Int, lrate: Double)
+      : Seq[(Int, Double, Double, Double, Double, Double)] = {
     // cached once, scanned `iters` times — the projection is 4 doubles
     // per doc, the right thing to pin in memory across GD steps
     val f = lrQualityFeatures(docs).cache()
@@ -111,8 +122,7 @@ object ClassifierOps {
         (it, round6(w(0)), round6(w(1)), round6(w(2)), round6(w(3)),
           round6(loss))
       }
-      spark.createDataFrame(rows)
-        .toDF("iter", "w_bias", "w_stop", "w_ttr", "w_len", "loss_pre")
+      rows
     } finally { f.unpersist(); () }
   }
 
@@ -125,7 +135,8 @@ object ClassifierOps {
     * doubles as a confusion audit. */
   def lrScore(docs: DataFrame, iters: Int = 3,
               lrate: Double = 1.0): DataFrame = {
-    val w = trainedWeights(docs, iters, lrate)
+    val last = trainRows(docs, iters, lrate).last
+    val w = Array(last._2, last._3, last._4, last._5)
     val z = lit(w(0)) + lit(w(1)) * col("x_stop") +
       lit(w(2)) * col("x_ttr") + lit(w(3)) * col("x_len")
     lrQualityFeatures(docs).select(

@@ -269,7 +269,13 @@ object StreamOps {
     graft.Tables.normalizeTs(
       spark.readStream
         .schema(s"event_id BIGINT, ts $tsDecl, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-        .option("maxFilesPerTrigger", 1)
+        // arrival metering: 1 file per micro-batch (a no-op on the
+        // driver's single-file fixtures; on a multi-part scaled topic it
+        // paces one band per batch). The env override exists for the
+        // scaling harness to SEPARATE per-row cost from per-batch commit
+        // machinery — e.g. 32 collapses the scaled topic to one batch
+        .option("maxFilesPerTrigger",
+          sys.env.getOrElse("SPARK_GRAFT_STREAM_MAX_FILES", "1").toInt)
         .parquet(eventsTopicDir(dir)))
   }
 
@@ -2079,7 +2085,15 @@ object StreamOps {
                 // throw (timers must not trail the watermark), so apply
                 // the engine's own fire rule (timer strictly below
                 // watermark) in-batch: close now — same emitted set,
-                // one batch earlier than the timer would have fired
+                // one batch earlier than the timer would have fired.
+                // CLEAR any carried state: the old timer auto-clears (a
+                // timeout not re-armed during a data invocation is
+                // removed by the engine), but leftover STATE would
+                // poison the key's next arrival — the gap check against
+                // the stale `last` re-closes and re-emits the old
+                // prefix session, a duplicate the oracle rejects
+                // (reproduced by the A/B'd regression spec)
+                if (state.exists) state.remove()
                 out += ClosedSession(user, c._1, c._2, c._3)
               } else {
                 state.update(c)

@@ -113,7 +113,23 @@ object ScaleUp {
         .drop("_r")
         .repartitionByRange(32, col("ts"), col("event_id"))
       ev.write.mode("overwrite").parquet(s"$outDir/events.parquet")
-      println(s"[scaleup] events -> $outDir/events.parquet (ts-banded)")
+      // STAGGER the part-file mtimes in name (= ts-band) order: the
+      // file-stream source consumes files in MODIFICATION-TIME order,
+      // and parallel write tasks finish out of band order — without
+      // this, a late band can arrive first, jump the watermark, and
+      // late-drop the earlier bands (the exact failure the banding
+      // exists to prevent). 10 s spacing dominates any fs timestamp
+      // granularity; the base time is the write's own completion.
+      val parts = Option(new java.io.File(s"$outDir/events.parquet")
+        .listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val t0 = System.currentTimeMillis() - parts.length * 10000L
+      parts.zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.setLastModifiedTime(p.toPath,
+          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 10000L))
+      }
+      println(s"[scaleup] events -> $outDir/events.parquet " +
+        s"(ts-banded, ${parts.length} parts, mtimes staggered)")
     }
 
     // documents: replica-tagged word suffix at every third position

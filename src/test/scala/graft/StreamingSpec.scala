@@ -479,6 +479,57 @@ class StreamingSpec extends SparkSpec {
       "unmatched purchases must exist (and must NOT have emitted)")
   }
 
+  test("T15 regression: a session closed in-batch below the watermark " +
+       "clears carried state — no stale re-emission from the old timer") {
+    // Two-arrival topic (multi-part events.parquet, mtimes staggered):
+    // batch 0 opens user 99's session at t0 and jumps the watermark to
+    // +10 days via user 7; batch 1 delivers a LATE row for user 99
+    // (FMGWS does NOT drop late input) whose merged session closes
+    // below the watermark — the close-now path. Pre-fix, the carried
+    // (t0) state + timer survived and re-emitted a stale prefix
+    // session on the timed-out pass: a duplicate.
+    val root = TmpDirs.create("graft_t15_spec_")
+    val evDir = root.resolve("events.parquet")
+    Files.createDirectories(evDir)
+    val t0ms = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(plusSec: Long) = new Timestamp(t0ms + plusSec * 1000L)
+    def part(name: String,
+             rows: Seq[(Long, Timestamp, Long, String, Double, String)],
+             mtime: Long): Unit = {
+      val staged = root.resolve(s"${name}_stage")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(staged.toString)
+      val p = Option(staged.toFile.listFiles()).get
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = evDir.resolve(s"$name.parquet")
+      Files.move(p.toPath, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val now = System.currentTimeMillis()
+    part("f0", Seq((1L, ts(0), 99L, "click", 1.0, "{}"),
+                   (2L, ts(864000), 7L, "click", 1.0, "{}")), now - 30000)
+    part("f1", Seq((3L, ts(7200), 99L, "click", 1.0, "{}")), now - 20000)
+    // batch 2: user 99 RETURNS with a fresh row. Pre-fix, the close-now
+    // branch left the (t0) state behind (its timer auto-clears — a
+    // timeout not re-armed during a data invocation is removed — so the
+    // leak is the STATE, not the timer), and this arrival would merge
+    // against it and close the stale (t0,t0,1) prefix AGAIN: a
+    // duplicate. Post-fix the return opens a fresh tail session
+    part("f2", Seq((4L, ts(864002), 99L, "click", 1.0, "{}")), now - 10000)
+    val out = StreamOps.streamingTimeoutSessions(spark, root.toString)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.distinct.size === out.size,
+      s"duplicate emission — stale state survived the in-batch close: $out")
+    val u99 = out.filter(_._1 == 99L).toSet
+    val usec = (s: Long) => (t0ms + s * 1000L) * 1000L
+    assert(u99 === Set((99L, usec(0), usec(0), 1L),
+                       (99L, usec(7200), usec(7200), 1L)),
+      s"user 99 must close exactly its two one-event sessions: $u99")
+    assert(!out.exists(_._1 == 7L),
+      "user 7's tail session is inside the gap horizon and must stay open")
+  }
+
   test("T42 chained stateful aggregations: two-level rollup equals the " +
        "batch replay, emits exactly once, withholds open buckets") {
     val rows = StreamOps.chainedWindowRollup(spark, sfDir)
