@@ -808,6 +808,29 @@ object SparkEntry {
     // counts + integer-micro winsorized sum keep the compare exact
     "a11_winsorized_stats" -> ((s, d) =>
       Aggregates.winsorizedStats(Tables.events(s, d))),
+    // Spark 4's ordered string aggregation (listagg WITHIN GROUP):
+    // per-type id roster of the heavy rows, deterministic because the
+    // order clause is total; the 100 TB note is that listagg
+    // materializes the group's full concatenation — bound the group
+    // first (the value > 90 gate keeps rosters short by construction)
+    "a12_listagg" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("value") > 90)
+        .groupBy("event_type")
+        .agg(expr("listagg(cast(event_id AS string), ',') " +
+               "WITHIN GROUP (ORDER BY event_id)").as("id_roster"),
+             count(lit(1)).as("n"))),
+    // error-tolerant arithmetic (try_divide / try_add): NULL instead of
+    // raising under div-by-zero and long overflow — the semantics ETL
+    // needs when a poison row must not kill a 100 TB job; the oracle
+    // replays with guards (DuckDB raises where Spark's try_* nulls)
+    "f13_try_arithmetic" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        try_divide(col("value"), col("user_id") % 7)
+          .as("per_bucket"),
+        try_add(lit(Long.MaxValue), col("user_id")).as("overflowed"))
+        .withColumn("per_bucket", round(col("per_bucket"), 6))),
     // scale path: KLL/GK-style approx_percentile (bounded sketch per
     // partition, no full sort) graded differentially — the exact median is
     // the oracle-checkable truth, the sketch must land within 2% of it
@@ -2519,6 +2542,24 @@ object SparkEntry {
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
                 true AS approx_within_2pct
          FROM events GROUP BY event_type""",
+    // ordered listagg ≡ DuckDB's ordered string_agg; the order clause
+    // is total (event_id), so the roster string is deterministic
+    "a12_listagg" ->
+      """SELECT event_type,
+                string_agg(CAST(event_id AS VARCHAR), ','
+                           ORDER BY event_id) AS id_roster,
+                count(*) AS n
+         FROM events WHERE value > 90 GROUP BY 1""",
+    // try_* semantics replayed with explicit guards: DuckDB would raise
+    // where Spark's try_divide/try_add return NULL
+    "f13_try_arithmetic" ->
+      """SELECT event_id,
+                round(CASE WHEN user_id % 7 = 0 THEN NULL
+                           ELSE value / (user_id % 7) END, 6) AS per_bucket,
+                CASE WHEN user_id = 0
+                     THEN CAST(9223372036854775807 AS BIGINT)
+                     ELSE CAST(NULL AS BIGINT) END AS overflowed
+         FROM events""",
     // winsorize replay: same exact interpolated percentiles
     // (quantile_cont ≡ Spark percentile), same strict-< clip counts,
     // same integer-micros fold of the clipped value

@@ -76,6 +76,48 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture vacuous above the bound threshold")
   }
 
+  test("A12 listagg: roster is the ascending id join; repartition leaves " +
+       "the ordered aggregation unchanged") {
+    def run(extraParts: Option[Int]): Map[String, (String, Long)] = {
+      val base = Tables.events(spark, sfDir)
+      val src = extraParts.map(base.repartition(_)).getOrElse(base)
+        .filter(col("value") > 90)
+      src.groupBy("event_type")
+        .agg(expr("listagg(cast(event_id AS string), ',') " +
+          "WITHIN GROUP (ORDER BY event_id)").as("id_roster"),
+          count(lit(1)).as("n"))
+        .as[(String, String, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    }
+    val seat = run(None)
+    val want = Tables.events(spark, sfDir).filter(col("value") > 90)
+      .select("event_type", "event_id")
+      .as[(String, Long)].collect().toSeq
+      .groupBy(_._1).map { case (t, xs) =>
+        t -> xs.map(_._2).sorted.mkString(",") }
+    assert(seat.map { case (t, (r, _)) => t -> r } === want)
+    assert(run(Some(7)) === seat,
+      "ordered listagg must not depend on partitioning")
+  }
+
+  test("F13 try_* semantics: div-by-zero and long overflow yield NULL, " +
+       "never an exception") {
+    val rows = SparkEntry.queries("f13_try_arithmetic")(spark, sfDir)
+      .as[(Long, Option[Double], Option[Long])].collect()
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "user_id").as[(Long, Long)].collect().toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, per, over) =>
+      val uid = ev(id)
+      assert(per.isDefined === (uid % 7 != 0),
+        s"try_divide null-ness wrong for event $id (user $uid)")
+      assert(over.isDefined === (uid == 0L),
+        s"try_add overflow must NULL for event $id (user $uid)")
+    }
+    assert(rows.exists(_._2.isEmpty),
+      "fixture must contain a div-by-zero bucket (user_id % 7 == 0)")
+  }
+
   test("F11 collation: UTF8_LCASE grouping/distinct collapse case-classes " +
        "binary grouping keeps apart") {
     val df = Seq("Click", "CLICK", "click", "BUY").toDF("s")
