@@ -1852,6 +1852,12 @@ object SparkEntry {
     // unmatched purchases never emit
     "t40_stream_right_outer_join" -> ((s, d) =>
       StreamOps.streamStreamRightOuterJoin(s, d, statePartitions = Some(4))),
+    // streaming observability: observe() counters ride the scan (zero
+    // extra jobs) and surface per micro-batch in the progress log —
+    // the alerting surface a 100 TB pipeline monitors; oracle replays
+    // each batch's counters from the parity arrival split
+    "t43_stream_observe" -> ((s, d) =>
+      StreamOps.streamingObservedGate(s, d, statePartitions = Some(4))),
     // MULTIPLE STATEFUL OPERATORS in one query: hourly windowed counts
     // chained into epoch-aligned 4 h buckets (append mode, one job —
     // the single-query rollup topology instead of a two-hop pipeline);
@@ -4740,6 +4746,13 @@ object SparkEntry {
                                         WHERE m.click_id = c.click_id)
                         AND epoch_us(c.cts) // 1000 + 3600000 < wm.w)
          SELECT * FROM m UNION ALL SELECT * FROM unc""",
+    // per-batch observed counters ≡ the parity split's group counters
+    "t43_stream_observe" ->
+      """SELECT CAST(event_id % 2 AS BIGINT) AS batch_id,
+                count(*) AS n_rows,
+                CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_heavy
+         FROM events GROUP BY 1""",
     // chained-rollup replay: hourly counts re-bucketed into 4 h
     // epoch-aligned buckets (UTC session: day-alignment ≡ epoch for a
     // divisor of 24); a bucket emits iff bucket_end <= max(ts) - 1 h —

@@ -941,6 +941,49 @@ object StreamOps {
     spark.table(table)
       }
 
+  /** T43: STREAMING OBSERVABILITY — `Dataset.observe` metrics on a live
+    * stream, read back per micro-batch from the query's progress log.
+    * The production shape: a data-quality gate publishes per-batch
+    * counters (rows seen, rows passing) WITHOUT a second aggregation
+    * pass — observe's accumulators ride the existing scan, cost zero
+    * extra jobs, and surface in `StreamingQueryProgress.observedMetrics`
+    * for alerting. The harness stages the two parity arrivals as two
+    * metered batches and emits one row per batch from `recentProgress`
+    * (the synchronous read — listener delivery is async and racy by
+    * contract, so the progress log is what an operator audits). The
+    * oracle replays each batch's counters from the parity split. */
+  def streamingObservedGate(spark: SparkSession, dir: String,
+                            statePartitions: Option[Int] = None): DataFrame =
+      perfScope(spark, statePartitions) {
+    val (root, topic) = freshTopic("graft_t43_")
+    val (even, odd) = parityStagedFiles(spark, dir)
+    linkArrival(even, topic, "f0")
+    val table = freshName("graft_t43")
+    val q = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .parquet(topic.toString)
+      .observe("gate",
+        count(lit(1)).as("n_rows"),
+        sum(when(col("value") > 50, 1L).otherwise(0L)).as("n_heavy"))
+      .filter(col("value") > 50)
+      .select("event_id", "event_type", "value")
+      .writeStream.format("memory").queryName(table)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      linkArrival(odd, topic, "f1")
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = q.recentProgress.toSeq
+      .flatMap { p =>
+        Option(p.observedMetrics.get("gate")).map { m =>
+          (p.batchId, m.getAs[Long]("n_rows"), m.getAs[Long]("n_heavy")) }
+      }
+      .filter(_._2 > 0L) // only the data batches (no-data rounds carry 0)
+      .sortBy(_._1)
+    spark.createDataFrame(rows).toDF("batch_id", "n_rows", "n_heavy")
+      }
+
   /** T5: stateful streaming dedup — the engine form of the reference's
     * UNIQUE(voter_id) gate (`/root/reference/main.py:55-59`). Emits each
     * user once (append mode, state store keyed by user). Output is the

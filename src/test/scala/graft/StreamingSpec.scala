@@ -530,6 +530,23 @@ class StreamingSpec extends SparkSpec {
       "user 7's tail session is inside the gap horizon and must stay open")
   }
 
+  test("T43 observe: per-batch gate counters equal the arrival split, " +
+       "one row per data batch") {
+    val rows = StreamOps.streamingObservedGate(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(rows.map(_._1) === Seq(0L, 1L),
+      s"exactly the two staged arrivals must report: $rows")
+    val ev = Tables.events(spark, sfDir)
+    val want = ev.groupBy(pmod(col("event_id"), lit(2)).as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > 50, 1L).otherwise(0L)).as("h"))
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(rows === want, "observed counters must equal the batch replay")
+    assert(rows.forall(r => r._3 < r._2),
+      "gate must actually reject rows (n_heavy < n_rows) — fixture " +
+        "degenerate otherwise")
+  }
+
   test("T42 chained stateful aggregations: two-level rollup equals the " +
        "batch replay, emits exactly once, withholds open buckets") {
     val rows = StreamOps.chainedWindowRollup(spark, sfDir)
