@@ -1453,6 +1453,25 @@ object SparkEntry {
                       count(DISTINCT o_custkey) AS n_customers
                FROM graft_prio_orders('1-URGENT')""")
     }),
+    // DSv2 FUNCTION CATALOG: functions resolved by three-part name from
+    // a pluggable CatalogPlugin+FunctionCatalog — the connector-side
+    // compute surface. disc_rev is a V2 ScalarFunction bound through
+    // its MAGIC invoke method (direct codegen call, no row boxing);
+    // geo_mean is a V2 AggregateFunction with the full distributed
+    // lifecycle (partition update → shuffle merge → produceResult)
+    "s7f_v2_function_catalog" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_fns",
+        classOf[sources.GraftFunctionCatalog].getName)
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v2fn")
+      s.sql("""SELECT l_returnflag,
+                      round(sum(graft_fns.ext.disc_rev(l_extendedprice,
+                                                       l_discount)), 2)
+                        AS revenue,
+                      round(graft_fns.ext.geo_mean(l_quantity), 6)
+                        AS geo_qty,
+                      count(*) AS n
+               FROM lineitem_v2fn GROUP BY l_returnflag""")
+    }),
     // PARAMETERIZED SQL: named parameter markers (:name) bound through
     // the sql(text, args) API, plus the IDENTIFIER() clause binding a
     // parameter as a TABLE reference — the injection-safe templating
@@ -4114,6 +4133,15 @@ object SparkEntry {
                 round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
                 count(*) AS n
          FROM lineitem GROUP BY 1, 2""",
+    // the catalog functions replayed natively: disc_rev is the revenue
+    // expression, geo_mean is exp(avg(ln)) over the positive domain
+    "s7f_v2_function_catalog" ->
+      """SELECT l_returnflag,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+                  AS revenue,
+                round(exp(avg(ln(l_quantity))), 6) AS geo_qty,
+                count(*) AS n
+         FROM lineitem GROUP BY 1""",
     // the dynamic statement with its positional binding inlined
     "s6h_execute_immediate" ->
       """SELECT event_type, count(*) AS n,
