@@ -929,6 +929,24 @@ object SparkEntry {
       Joins.fullOuterTotals(Tables.events(s, d))),
     "sessionize_users" -> ((s, d) =>
       graft.ops.Sessionize.sessionsPerUser(s, Tables.events(s, d))),
+    // DYNAMIC-GAP session windows: session_window with a PER-EVENT gap
+    // expression (purchases hold a session open 60 min, clicks 30) —
+    // the engine merges the per-event [ts, ts+gap) intervals; the
+    // oracle replays the merge as gaps-and-islands with a running
+    // cumulative max of interval ends (new session iff ts >= cummax)
+    "sessionize_dynamic_gap" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      // the gap expression must evaluate to a CALENDAR interval:
+      // string literals cast to it, ANSI day-time interval types do not
+      val gap = when(col("event_type") === "purchase", lit("60 minutes"))
+        .otherwise(lit("30 minutes"))
+      ev.groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("n_events"))
+    }),
     "sessionize_users_bigkey" -> ((s, d) =>
       graft.ops.Sessionize.sessionsPerUserSecondarySort(s, Tables.events(s, d))),
     // gaps-and-islands: per-user consecutive-day activity streaks
@@ -2817,6 +2835,35 @@ object SparkEntry {
          WHERE o_totalprice > 400000
          GROUP BY o_orderkey
          ORDER BY o_orderkey""",
+    // dynamic-gap merge replayed as gaps-and-islands over the per-event
+    // [ts, ts+gap) intervals: sorted by start, an event joins the open
+    // session iff its start lies below the running cummax of ends
+    "sessionize_dynamic_gap" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                           epoch_us(ts) + CASE WHEN event_type = 'purchase'
+                                               THEN 3600000000
+                                               ELSE 1800000000 END AS end_us
+                    FROM events),
+              o AS (SELECT user_id, ts_us, end_us,
+                           max(end_us) OVER (PARTITION BY user_id
+                             ORDER BY ts_us, end_us
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_max_end
+                    FROM e),
+              f AS (SELECT user_id, ts_us, end_us,
+                           CASE WHEN prev_max_end IS NULL
+                                  OR ts_us >= prev_max_end
+                                THEN 1 ELSE 0 END AS new_s
+                    FROM o),
+              g AS (SELECT user_id, ts_us, end_us,
+                           sum(new_s) OVER (PARTITION BY user_id
+                             ORDER BY ts_us, end_us
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS sid
+                    FROM f)
+         SELECT user_id, min(ts_us) AS start_us, max(end_us) AS end_us,
+                count(*) AS n_events
+         FROM g GROUP BY user_id, sid""",
     "sessionize_users" ->
       """WITH o AS (SELECT user_id, ts,
                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts

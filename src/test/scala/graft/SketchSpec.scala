@@ -8,6 +8,41 @@ import graft.ext.DedupOps
 class SketchSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dynamic-gap session windows: engine merge equals the interval " +
+       "union-find replay, and the per-type gap genuinely matters") {
+    val got = SparkEntry.queries("sessionize_dynamic_gap")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // driver replay of the merge rule: sorted by start, an event joins
+    // the open session iff its start is below the running max end
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .as[(Long, Long, String)].collect()
+    val want = ev.groupBy(_._1).flatMap { case (u, xs) =>
+      val iv = xs.map { case (_, us, t) =>
+        (us, us + (if (t == "purchase") 3600L else 1800L) * 1000000L) }
+        .sortBy(identity)
+      val sessions = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      var (s0, e0, n0) = (0L, Long.MinValue, 0L)
+      iv.foreach { case (st, en) =>
+        if (st >= e0) {
+          if (n0 > 0) sessions += ((s0, e0, n0))
+          s0 = st; e0 = en; n0 = 1
+        } else { e0 = math.max(e0, en); n0 += 1 }
+      }
+      if (n0 > 0) sessions += ((s0, e0, n0))
+      sessions.map { case (s, e, n) => (u, s, e, n) }
+    }.toSet
+    assert(got === want, "engine session merge must equal the replay")
+    // non-vacuous: a 30-minute fixed gap would split differently
+    val fixed = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .count().count()
+    assert(fixed != got.size.toLong,
+      "fixture never exercises the purchase-extended gap — dynamic " +
+        "and fixed sessionization coincide")
+  }
+
   test("approx_top_k: exact below capacity; sharded accumulate+combine " +
        "equals the single-pass sketch") {
     val ev = Tables.events(spark, sfDir)
