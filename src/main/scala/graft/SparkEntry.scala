@@ -2599,8 +2599,8 @@ object SparkEntry {
       """SELECT event_id,
                 round(CASE WHEN user_id % 7 = 0 THEN NULL
                            ELSE value / (user_id % 7) END, 6) AS per_bucket,
-                CASE WHEN user_id = 0
-                     THEN CAST(9223372036854775807 AS BIGINT)
+                CASE WHEN user_id <= 0
+                     THEN CAST(9223372036854775807 AS BIGINT) + user_id
                      ELSE CAST(NULL AS BIGINT) END AS overflowed
          FROM events""",
     // winsorize replay: same exact interpolated percentiles

@@ -47,7 +47,8 @@ class GraftFunctionCatalog extends CatalogPlugin with FunctionCatalog {
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Ns))
       fns.keys.map(Identifier.of(Ns, _)).toArray
-    else Array.empty
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchNamespaceException(name() +: namespace.toSeq)
 
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.namespace.sameElements(Ns) && fns.contains(ident.name))

@@ -34,11 +34,16 @@ class SketchSpec extends SparkSpec {
       sessions.map { case (s, e, n) => (u, s, e, n) }
     }.toSet
     assert(got === want, "engine session merge must equal the replay")
-    // non-vacuous: a 30-minute fixed gap would split differently
+    // non-vacuous: the 30-minute fixed gap must yield a DIFFERENT
+    // session set (boundary comparison, not just counts — counts can
+    // coincide while merges in one user offset splits in another)
     val fixed = Tables.events(spark, sfDir)
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .count().count()
-    assert(fixed != got.size.toLong,
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("w.start")),
+        unix_micros(col("w.end")), col("n"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(fixed !== got,
       "fixture never exercises the purchase-extended gap — dynamic " +
         "and fixed sessionization coincide")
   }

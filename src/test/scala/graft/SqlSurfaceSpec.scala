@@ -78,25 +78,28 @@ class SqlSurfaceSpec extends SparkSpec {
 
   test("A12 listagg: roster is the ascending id join; repartition leaves " +
        "the ordered aggregation unchanged") {
-    def run(extraParts: Option[Int]): Map[String, (String, Long)] = {
-      val base = Tables.events(spark, sfDir)
-      val src = extraParts.map(base.repartition(_)).getOrElse(base)
+    // the baseline IS the registered seat (testing a private copy would
+    // let the shipped lambda drift unchecked); only the repartitioned
+    // variant is hand-built, since the seat fixes its own input
+    val seat = SparkEntry.queries("a12_listagg")(spark, sfDir)
+      .as[(String, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    def run(parts: Int): Map[String, (String, Long)] =
+      Tables.events(spark, sfDir).repartition(parts)
         .filter(col("value") > 90)
-      src.groupBy("event_type")
+        .groupBy("event_type")
         .agg(expr("listagg(cast(event_id AS string), ',') " +
           "WITHIN GROUP (ORDER BY event_id)").as("id_roster"),
           count(lit(1)).as("n"))
         .as[(String, String, Long)].collect()
         .map(r => r._1 -> (r._2, r._3)).toMap
-    }
-    val seat = run(None)
     val want = Tables.events(spark, sfDir).filter(col("value") > 90)
       .select("event_type", "event_id")
       .as[(String, Long)].collect().toSeq
       .groupBy(_._1).map { case (t, xs) =>
         t -> xs.map(_._2).sorted.mkString(",") }
     assert(seat.map { case (t, (r, _)) => t -> r } === want)
-    assert(run(Some(7)) === seat,
+    assert(run(7) === seat,
       "ordered listagg must not depend on partitioning")
   }
 
@@ -111,8 +114,9 @@ class SqlSurfaceSpec extends SparkSpec {
       val uid = ev(id)
       assert(per.isDefined === (uid % 7 != 0),
         s"try_divide null-ness wrong for event $id (user $uid)")
-      assert(over.isDefined === (uid == 0L),
-        s"try_add overflow must NULL for event $id (user $uid)")
+      assert(over.isDefined === (uid <= 0L),
+        s"try_add must overflow to NULL exactly for positive addends " +
+          s"(event $id, user $uid)")
     }
     assert(rows.exists(_._2.isEmpty),
       "fixture must contain a div-by-zero bucket (user_id % 7 == 0)")

@@ -33,10 +33,9 @@ class V2FunctionCatalogSpec extends SparkSpec {
         "V2 aggregate must appear in the physical aggregate")
       assert(plan.contains("partial_v2aggregator"),
         s"V2 aggregate must have a map-side partial stage:\n$plan")
-      assert(plan.contains("invoke(graft.sources.DiscRevFn") ||
-             plan.contains(".invoke("),
+      assert("DiscRevFn@[0-9a-f]+\\.invoke\\(".r.findFirstIn(plan).isDefined,
         s"scalar must bind through the MAGIC invoke (codegen), not the " +
-          s"row-based fallback:\n$plan")
+          s"row-based ApplyFunctionExpression fallback:\n$plan")
       val got = res.as[(String, Double, Double, Long)].collect().toSet
       val want = Tables.lineitem(spark, sfDir)
         .groupBy("l_returnflag")
