@@ -1654,6 +1654,11 @@ object SparkEntry {
     // overlapping windows; the oracle replays the expansion as a UNION ALL
     "t16_stream_sliding_window" -> ((s, d) =>
       StreamOps.slidingWindowCounts(s, d, statePartitions = Some(8))),
+    // dynamic-gap session windows as a STATEFUL STREAMING aggregate —
+    // stream/batch parity graded by the batch seat's gaps-and-islands
+    // oracle (state = open sessions, merged across micro-batches)
+    "t44_stream_dynamic_sessions" -> ((s, d) =>
+      StreamOps.streamingDynamicGapSessions(s, d, statePartitions = Some(4))),
     // dead-letter routing: poison rows quarantined per micro-batch, the
     // rest aggregated — conservation (valid + dead = all) oracle-checked
     "t17_stream_dead_letter" -> ((s, d) =>
@@ -2264,6 +2269,11 @@ object SparkEntry {
     // log-probability under the corpus's own unigram distribution
     "text_unigram_score" -> ((s, d) =>
       TextOps.unigramScore(Tables.documents(s, d))),
+    // count-pruned bigram LM with stupid backoff — the KenLM-shaped
+    // filter; pruning makes the backoff path non-vacuous under
+    // self-scoring (singleton bigrams fall to alpha·P(w2))
+    "text_bigram_lm_score" -> ((s, d) =>
+      TextOps.bigramLmScore(Tables.documents(s, d))),
     "text_chunks" -> ((s, d) =>
       TextOps.chunks(Tables.documents(s, d), chunkSize = 64, overlap = 8)),
     // content-defined chunking: boundaries where the trailing-3-word
@@ -2835,6 +2845,33 @@ object SparkEntry {
          WHERE o_totalprice > 400000
          GROUP BY o_orderkey
          ORDER BY o_orderkey""",
+    // same truth as sessionize_dynamic_gap: the stream/batch parity gate
+    "t44_stream_dynamic_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                           epoch_us(ts) + CASE WHEN event_type = 'purchase'
+                                               THEN 3600000000
+                                               ELSE 1800000000 END AS end_us
+                    FROM events),
+              o AS (SELECT user_id, ts_us, end_us,
+                           max(end_us) OVER (PARTITION BY user_id
+                             ORDER BY ts_us, end_us
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_max_end
+                    FROM e),
+              f AS (SELECT user_id, ts_us, end_us,
+                           CASE WHEN prev_max_end IS NULL
+                                  OR ts_us >= prev_max_end
+                                THEN 1 ELSE 0 END AS new_s
+                    FROM o),
+              g AS (SELECT user_id, ts_us, end_us,
+                           sum(new_s) OVER (PARTITION BY user_id
+                             ORDER BY ts_us, end_us
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS sid
+                    FROM f)
+         SELECT user_id, min(ts_us) AS start_us, max(end_us) AS end_us,
+                count(*) AS n_events
+         FROM g GROUP BY user_id, sid""",
     // dynamic-gap merge replayed as gaps-and-islands over the per-event
     // [ts, ts+gap) intervals: sorted by start, an event joins the open
     // session iff its start lies below the running cummax of ends
@@ -5596,6 +5633,35 @@ object SparkEntry {
          FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
          LEFT JOIN hits USING (doc_id)""",
     // per-doc mean ln(unigram probability); ln and mean replayed exactly
+    // pruned-bigram/backoff replay: pairs from per-row index unnest,
+    // kept = bigrams with count >= 2, heads = c(w1·), unigram backoff
+    // at alpha = 0.4; integer `/` is float division in both engines
+    "text_bigram_lm_score" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents WHERE len(string_split(text, ' ')) >= 2),
+              p AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+                    FROM d, UNNEST(generate_series(1, len(ws) - 1)) AS s(i)),
+              uni AS (SELECT unnest(string_split(text, ' ')) AS w2
+                      FROM documents),
+              f AS (SELECT w2, count(*) AS n_w2 FROM uni GROUP BY w2),
+              t AS (SELECT sum(n_w2) AS n_total FROM f),
+              big AS (SELECT w1, w2, count(*) AS n_b FROM p GROUP BY 1, 2),
+              heads AS (SELECT w1, sum(n_b) AS n_w1 FROM big GROUP BY 1),
+              kept AS (SELECT * FROM big WHERE n_b >= 2),
+              sc AS (SELECT p.doc_id,
+                            CASE WHEN kept.n_b IS NOT NULL
+                                 THEN kept.n_b / heads.n_w1
+                                 ELSE 0.4 * f.n_w2 / t.n_total END AS s,
+                            CASE WHEN kept.n_b IS NULL THEN 1 ELSE 0 END
+                              AS backed
+                     FROM p
+                     LEFT JOIN kept ON kept.w1 = p.w1 AND kept.w2 = p.w2
+                     JOIN heads ON heads.w1 = p.w1
+                     JOIN f ON f.w2 = p.w2, t)
+         SELECT doc_id, round(avg(ln(s)), 4) AS mean_logprob,
+                count(*) AS n_bigrams,
+                CAST(sum(backed) AS BIGINT) AS n_backoff
+         FROM sc GROUP BY doc_id""",
     "text_unigram_score" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
                     FROM documents),

@@ -103,6 +103,50 @@ object TextOps {
            count(lit(1)).as("n_tokens"))
   }
 
+  /** [[unigramScore]]'s stronger sibling: per-document mean BIGRAM
+    * log-probability under a count-pruned corpus bigram LM with stupid
+    * backoff — the KenLM-shaped filter stage. The LM keeps bigrams seen
+    * ≥ `minCount` times (pruning is what real LMs ship, and it is also
+    * what makes backoff NON-vacuous when a corpus is scored under its
+    * own model: singleton bigrams fall to `alpha · P(w2)`). Score per
+    * position: `c(w1,w2)/c(w1·)` if kept, else `alpha · c(w2)/N`.
+    * Emits the mean log-prob, the bigram count, and the backoff count
+    * per doc. Plan shape: one corpus pass for pairs, three bounded
+    * aggregate tables (pruned bigrams, head counts, unigrams) broadcast
+    * onto the pair stream — Zipf-pruned LM tables are small by
+    * construction; at 100 TB an unpruned variant would shuffle-join
+    * instead, noted not needed here. `round(4)` absorbs group fold
+    * order in the per-doc mean. */
+  def bigramLmScore(docs: DataFrame, minCount: Long = 2L,
+                    alpha: Double = 0.4): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), expr(
+        """explode(zip_with(slice(ws, 1, size(ws) - 1),
+                            slice(ws, 2, size(ws) - 1),
+                            (a, b) -> struct(a AS w1, b AS w2))) AS p"""))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = docs
+      .select(explode(split(col("text"), " ")).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("n_w2"))
+    val total = uni.agg(sum("n_w2").as("n_total"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_b"))
+    val heads = big.groupBy("w1").agg(sum("n_b").as("n_w1"))
+    val kept = big.filter(col("n_b") >= minCount)
+    val score = when(col("n_b").isNotNull, col("n_b") / col("n_w1"))
+      .otherwise(lit(alpha) * col("n_w2") / col("n_total"))
+    pairs
+      .join(broadcast(kept), Seq("w1", "w2"), "left")
+      .join(broadcast(heads), Seq("w1"))
+      .join(broadcast(uni), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(round(avg(log(score)), 4).as("mean_logprob"),
+           count(lit(1)).as("n_bigrams"),
+           sum(when(col("n_b").isNull, 1L).otherwise(0L)).as("n_backoff"))
+  }
+
   /** Tokenizer-prep VOCABULARY: global word counts + document frequency,
     * top-`k` ranked (count desc, word asc — deterministic). The corpus
     * pass is one explode + one groupBy; document frequency is an EXACT

@@ -984,6 +984,27 @@ object StreamOps {
     spark.createDataFrame(rows).toDF("batch_id", "n_rows", "n_heavy")
       }
 
+  /** T44: DYNAMIC-GAP session windows on a STREAM — `session_window`
+    * with a per-event gap expression (purchases hold a session open
+    * 60 min, clicks 30) as a stateful streaming aggregate, complete
+    * mode. State is O(open sessions); the engine merges the per-event
+    * [ts, ts+gap) intervals across micro-batches exactly as the batch
+    * form does, so the BATCH seat's oracle grades stream/batch parity
+    * (the t13/t19/t22 discipline). */
+  def streamingDynamicGapSessions(spark: SparkSession, dir: String,
+                                  statePartitions: Option[Int] = None)
+      : DataFrame =
+    runFileStream(spark, dir, "complete", statePartitions) { df =>
+      val gap = when(col("event_type") === "purchase", lit("60 minutes"))
+        .otherwise(lit("30 minutes"))
+      df.withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+        .agg(count(lit(1)).as("n_events"))
+    }.select(col("user_id"),
+      unix_micros(col("w.start")).as("start_us"),
+      unix_micros(col("w.end")).as("end_us"),
+      col("n_events"))
+
   /** T5: stateful streaming dedup — the engine form of the reference's
     * UNIQUE(voter_id) gate (`/root/reference/main.py:55-59`). Emits each
     * user once (append mode, state store keyed by user). Output is the

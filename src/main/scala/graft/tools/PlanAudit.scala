@@ -35,7 +35,7 @@ object PlanAudit {
     "t37_stream_tws_initial_state", "t38_stream_semi_join",
     "t39_tws_state_source_read", "t40_stream_right_outer_join",
     "t41_state_time_travel", "t42_stream_chained_agg",
-    "t43_stream_observe",
+    "t43_stream_observe", "t44_stream_dynamic_sessions",
     "s8_write_then_emit", "s9_file_sink_exactly_once",
     "s10_wire_emit_exactly_once",
     "s5c_jdbc_upsert_replay", "s5d_jdbc_txnlog_replay", "s4_avro_source",

@@ -505,6 +505,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(s(1L) < s(0L), "rare-token doc must score lower")
   }
 
+  test("bigram LM: crafted corpus pins bigram probability, pruning, " +
+       "and the backoff path") {
+    // "a b" occurs 3x (kept: c(a,b)=3, c(a·)=4 -> p=0.75);
+    // "a c" occurs once (pruned -> backoff 0.4 * c(c)/N = 0.4*1/12)
+    val docs = Seq((0L, "a b"), (1L, "a b"), (2L, "a b"), (3L, "a c"),
+      (4L, "x y z z")).toDF("doc_id", "text")
+    val s = TextOps.bigramLmScore(docs)
+      .as[(Long, Double, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(s(0L)._1 === BigDecimal(math.log(3.0 / 4.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(s(0L)._3 === 0L, "kept bigram must not back off")
+    assert(s(3L)._3 === 1L, "pruned singleton bigram must back off")
+    assert(s(3L)._1 === BigDecimal(math.log(0.4 * 1.0 / 12.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(s(4L)._2 === 3L, "4-token doc has 3 bigram positions")
+  }
+
+  test("bigram LM on the fixture: both scoring paths populated, bigram " +
+       "positions consistent with the token counts") {
+    val got = TextOps.bigramLmScore(Tables.documents(spark, sfDir))
+      .as[(Long, Double, Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => r._2 < 0.0 && r._4 <= r._3),
+      "log-probs must be negative and backoff count bounded by positions")
+    assert(got.exists(_._4 > 0), "backoff path vacuous on the fixture")
+    assert(got.exists(r => r._4 < r._3), "bigram path vacuous on the fixture")
+    val ntok = TextOps.stats(Tables.documents(spark, sfDir))
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(got.forall(r => r._3 === ntok(r._1) - 1L),
+      "bigram positions must be n_tokens - 1 per doc")
+  }
+
   test("int8 serving recall holds on the fixture") {
     val r = SimilarityOps.int8TopKRecall(
       Tables.embeddings(spark, sfDir), 0L, 10, minHits = 9)

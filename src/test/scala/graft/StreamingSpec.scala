@@ -530,6 +530,16 @@ class StreamingSpec extends SparkSpec {
       "user 7's tail session is inside the gap horizon and must stay open")
   }
 
+  test("T44 dynamic-gap sessions: stream/batch parity on the full fixture") {
+    val streamed = StreamOps.streamingDynamicGapSessions(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("sessionize_dynamic_gap")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed === batch,
+      "streaming dynamic-gap session merge must equal the batch seat")
+    assert(streamed.nonEmpty)
+  }
+
   test("T43 observe: per-batch gate counters equal the arrival split, " +
        "one row per data batch") {
     val rows = StreamOps.streamingObservedGate(spark, sfDir)
