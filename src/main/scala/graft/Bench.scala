@@ -385,6 +385,7 @@ object Bench {
     graft.ext.SimilarityOps.clearCaches()
     graft.ext.TextOps.clearCaches()
     graft.ext.ClassifierOps.clearCaches()
+    graft.Tables.clearCaches()
     spark.stop()
   }
 }

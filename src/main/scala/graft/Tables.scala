@@ -11,8 +11,30 @@ import org.apache.spark.sql.functions._
   * prune and push filters into — strictly better at scale than `SELECT *`.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** One resolved relation per (session, fixture dir, table): the
+    * fixture files are immutable, so the DataFrame (an immutable
+    * logical plan whose FileIndex holds the one-time listing + footer
+    * schema probe) is reusable across every seat — the catalog-cache
+    * behavior a warehouse gives resolved tables. Without this, each of
+    * the board's ~600 table loads re-lists the directory and re-reads
+    * parquet footers on the driver (~10–20 ms each — measured seconds
+    * of pure floor across a full board run). Built outside the map
+    * lock (get/putIfAbsent — the `DedupOps.commonCounts` discipline). */
+  private val relMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
+  def clearCaches(): Unit = relMemo.clear()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val key = (spark, dir, name)
+    val hit = relMemo.get(key)
+    if (hit != null) hit
+    else {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      val prev = relMemo.putIfAbsent(key, df)
+      if (prev != null) prev else df
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -61,7 +61,7 @@ object ScaleProbe {
       graft.ext.DedupOps.clearCaches(); graft.ops.Storage.clearCaches()
       graft.ops.FuzzyJoin.clearCaches(); graft.streaming.StreamOps.clearCaches()
       graft.ext.SimilarityOps.clearCaches(); graft.ext.TextOps.clearCaches()
-      graft.ext.ClassifierOps.clearCaches()
+      graft.ext.ClassifierOps.clearCaches(); graft.Tables.clearCaches()
     }
     def time(f: String => Long, dir: String): Double =
       (1 to reps).map { _ =>
