@@ -19,6 +19,23 @@ object SparkEntry {
   private def partyCase(keyExpr: String): String =
     s"CASE $keyExpr % 3 WHEN 0 THEN '${Parties(0)}' WHEN 1 THEN '${Parties(1)}' ELSE '${Parties(2)}' END"
 
+  /** Capacity fence for the approx_top_k seats: their oracle hardcodes
+    * exactness, which `approx_top_k` only guarantees while the tracked
+    * item count stays within the sketch's maxItemsTracked. A fixture
+    * with more distinct event types than k would surface as a confusing
+    * NULL-approx hash mismatch; fail loudly instead. The distinct count
+    * is one tiny agg job over a low-cardinality column, memoized per
+    * (session, fixture) so the pair of seats pays it once. */
+  private val typeCardMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Long]()
+  private def assertTopKCapacity(s: SparkSession, d: String, k: Int): Unit = {
+    val n = typeCardMemo.computeIfAbsent((s, d),
+      _ => Tables.events(s, d).select("event_type").distinct().count())
+    require(n <= k,
+      s"approx_top_k seats assume <= $k distinct event types; fixture " +
+        s"$d has $n — raise k or re-grade the approximation regime")
+  }
+
   /** Flagship query on sf0.001 — A1 votes-per-candidate, the reference's
     * headline semantic (`.../Note_Projet1_...txt:34-37`). */
   def entry(spark: SparkSession): DataFrame =
@@ -70,6 +87,7 @@ object SparkEntry {
     // differential discipline); the approximation regime is spec'd on
     // a deterministic over-capacity fixture
     "sketch_approx_topk" -> ((s, d) => {
+      assertTopKCapacity(s, d, 10)
       val ev = Tables.events(s, d)
       val approx = ev.agg(expr("approx_top_k(event_type, 10)").as("tk"))
         .select(explode(col("tk")).as("e"))
@@ -84,6 +102,7 @@ object SparkEntry {
     // any report, raw rows never re-scanned (the sketch_hll_merge
     // contract on the 4.1 frequent-items sketch)
     "sketch_approx_topk_merge" -> ((s, d) => {
+      assertTopKCapacity(s, d, 10)
       val ev = Tables.events(s, d)
       val shards = ev
         .withColumn("par", pmod(col("event_id"), lit(2)))

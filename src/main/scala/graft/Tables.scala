@@ -21,16 +21,31 @@ object Tables {
     * of pure floor across a full board run). Built outside the map
     * lock (get/putIfAbsent — the `DedupOps.commonCounts` discipline). */
   private val relMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), DataFrame]()
+    (SparkSession, String, String, Long), DataFrame]()
 
   def clearCaches(): Unit = relMemo.clear()
 
+  /** Cheap rewrite detector for the memo key: mtime ⊕ length of the
+    * table path (one local stat per load — µs against the 10–20 ms
+    * listing+footer probe the memo saves). The driver fixtures are
+    * immutable, but an in-process rewrite of a SCRATCH fixture dir
+    * (e.g. `tools.ScaleUp` output reused in the same JVM) bumps the
+    * mtime and misses the cache instead of silently serving the stale
+    * file listing — no caller has to remember [[clearCaches]]. A
+    * multi-part table is a DIRECTORY whose mtime changes when part
+    * files are added/replaced, so the same stat covers both shapes. */
+  private def fingerprint(path: String): Long = {
+    val f = new java.io.File(path)
+    f.lastModified ^ java.lang.Long.rotateLeft(f.length, 32)
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val key = (spark, dir, name)
+    val path = s"$dir/$name.parquet"
+    val key = (spark, dir, name, fingerprint(path))
     val hit = relMemo.get(key)
     if (hit != null) hit
     else {
-      val df = spark.read.parquet(s"$dir/$name.parquet")
+      val df = spark.read.parquet(path)
       val prev = relMemo.putIfAbsent(key, df)
       if (prev != null) prev else df
     }

