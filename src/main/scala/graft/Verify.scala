@@ -60,6 +60,7 @@ object Verify {
     graft.ext.SimilarityOps.clearCaches()
     graft.ext.TextOps.clearCaches()
     graft.ext.ClassifierOps.clearCaches()
+    graft.ext.MediaPayloads.clearCaches()
     graft.Tables.clearCaches()
     spark.stop()
   }

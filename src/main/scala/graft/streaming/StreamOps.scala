@@ -913,7 +913,7 @@ object StreamOps {
     val ev = graft.Tables.events(spark, dir)
     // one bounded scalar to the driver: the sentinel/finalization anchor
     // (reads only the pruned ts column)
-    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    val maxTs = maxEventTs(spark, dir)
     // memoized session staging: both parity halves land in batch 0
     val (even, odd) = parityStagedFiles(spark, dir)
     linkArrival(even, topic, "f0a")
@@ -940,11 +940,9 @@ object StreamOps {
       // sentinel finalization batch: watermark from batch 0 takes
       // effect, level 1 emits its finalized hours into level 2, level 2
       // emits the finalized buckets (see scaladoc for why the sentinel
-      // itself can never surface)
-      stageTopicFile(root, topic, "f0_wm", spark.range(1).select(
-        lit(-1L).as("event_id"), lit(maxTs).as("ts"),
-        lit(-1L).as("user_id"), lit("wm_sentinel").as("event_type"),
-        lit(0.0).as("value")))
+      // itself can never surface); the staged 1-row file is shared with
+      // t4 via [[sentinelArrival]] (same max(ts) instant)
+      sentinelArrival(spark, maxTs.getTime, topic, "f0_wm")
       q.processAllAvailable()
     } finally q.stop()
     spark.table(table)
@@ -1318,6 +1316,7 @@ object StreamOps {
     * discipline). */
   def clearCaches(): Unit = {
     ivfIngestMemo.clear(); parityStageMemo.clear(); typeTopicMemo.clear()
+    maxTsMemo.clear(); sentinelMemo.clear()
   }
 
   /** Bench warm hook: materialize the session's memoized staged
@@ -1594,7 +1593,7 @@ object StreamOps {
     // finalize windows the oracle excludes; (b) every held-back row sits
     // below the batch-1 watermark (max − 1 h) and must be dropped as
     // late. One bounded scalar (max ts) comes to the driver.
-    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    val maxTs = maxEventTs(spark, dir)
     val late = pmod(col("event_id"), lit(5)) === 0 &&
       col("ts") <= lit(maxTs) - expr("INTERVAL 2 HOURS")
 
@@ -1625,11 +1624,9 @@ object StreamOps {
       q.processAllAvailable()
       // batch 2: the sentinel finalization row (see the scope comment) —
       // the batch-1 watermark takes effect at this batch's start,
-      // finalizing and emitting every window the oracle includes
-      stageTopicFile(root, topic, "f0_wm", spark.range(1).select(
-        lit(-1L).as("event_id"), lit(maxTs).as("ts"),
-        lit(-1L).as("user_id"), lit("wm_sentinel").as("event_type"),
-        lit(0.0).as("value")))
+      // finalizing and emitting every window the oracle includes; the
+      // staged 1-row file is shared with t42 (same max(ts) instant)
+      sentinelArrival(spark, maxTs.getTime, topic, "f0_wm")
       q.processAllAvailable()
       // batch 3: the held-back late file — every row below the watermark
       // (a fixture with NO late rows stages nothing; the final
@@ -1662,11 +1659,16 @@ object StreamOps {
     val ev = graft.Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
 
-    stageTopicFile(root, topic, "f0", ev)
+    // batch 1 is the full events table: link BOTH memoized parity halves
+    // as batch-0 arrivals (no maxFilesPerTrigger — they drain together)
+    // instead of re-writing the whole table per seat; only the TRANSFORMED
+    // late re-delivery below needs its own staging write
+    val (even, odd) = parityStagedFiles(spark, dir)
+    linkArrival(even, topic, "f0a")
+    linkArrival(odd, topic, "f0b")
     val table = freshName("graft_t5b")
     val q = spark.readStream
       .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
-      .option("maxFilesPerTrigger", 1)
       .parquet(topic.toString)
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("user_id")
@@ -1697,6 +1699,35 @@ object StreamOps {
       graft.Tables.events(spark, dir).agg(max("ts")).head().getTimestamp(0)
     })
 
+  /** One staged single-row watermark-sentinel parquet file per (session,
+    * instant): the sentinel row's CONTENT depends only on its event time
+    * (event_id/user_id −1, type `wm_sentinel`, value 0), so the 1-row
+    * staging write — a full Spark job, ~0.1–0.2 s of pure per-seat
+    * machinery — is memoized and each harness hard-links the shared
+    * immutable file into its own topic as a fresh arrival. t4 and t42
+    * both flush at max(ts); t9 and t44 share one far-future anchor. */
+  private val sentinelMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, Long), java.nio.file.Path]()
+  private def sentinelArrival(spark: SparkSession, atMs: Long,
+                              topic: java.nio.file.Path, name: String): Unit = {
+    val src = sentinelMemo.computeIfAbsent((spark, atMs), { _ =>
+      val dir = graft.TmpDirs.create("graft_sentinel_")
+      val staged = dir.resolve("staged")
+      spark.range(1).select(
+          lit(-1L).as("event_id"),
+          lit(new Timestamp(atMs)).as("ts"),
+          lit(-1L).as("user_id"),
+          lit("wm_sentinel").as("event_type"),
+          lit(0.0).as("value"))
+        .coalesce(1).write.parquet(staged.toString)
+      Option(staged.toFile.listFiles()).getOrElse(Array.empty)
+        .find(_.getName.endsWith(".parquet"))
+        .map(_.toPath)
+        .getOrElse(sys.error(s"sentinel stage produced no part under $staged"))
+    })
+    linkArrival(src, topic, name)
+  }
+
   /** Shared append-mode session harness behind [[streamingSessionCounts]]
     * (fixed gap) and [[streamingDynamicGapSessions]] (per-event gap): a
     * watermarked `session_window` aggregate whose state is O(open
@@ -1723,13 +1754,6 @@ object StreamOps {
     linkArrival(even, topic, "f0a")
     linkArrival(odd, topic, "f0b")
     val delayMs = 3600L * 1000 // the 1 h watermark below
-    def sentinel(name: String, atMs: Long): Unit =
-      stageTopicFile(root, topic, name, spark.range(1).select(
-        lit(-1L).as("event_id"),
-        lit(new Timestamp(atMs)).as("ts"),
-        lit(-1L).as("user_id"),
-        lit("wm_sentinel").as("event_type"),
-        lit(0.0).as("value")))
     val table = freshName(s"graft_$tag")
     val q = spark.readStream
       .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
@@ -1742,10 +1766,15 @@ object StreamOps {
       .start()
     try {
       q.processAllAvailable()
-      val s1 = maxTs.getTime + maxGapMs + delayMs + 3600L * 1000
-      sentinel("f1", s1)
+      // anchor from the HOUR-rounded maxGap ceiling, not the caller's
+      // exact gap, so every session seat shares one memoized pair of
+      // sentinel files (t9's 30 min and t44's 60 min both round to 1 h;
+      // a later anchor flushes exactly the same sessions)
+      val gapCeilMs = ((maxGapMs + 3599999L) / 3600000L) * 3600000L
+      val s1 = maxTs.getTime + gapCeilMs + delayMs + 3600L * 1000
+      sentinelArrival(spark, s1, topic, "f1")
       q.processAllAvailable()
-      sentinel("f2", s1 + 3600L * 1000)
+      sentinelArrival(spark, s1 + 3600L * 1000, topic, "f2")
       q.processAllAvailable()
     } finally q.stop()
     // the sentinels structurally cannot emit (their sessions never

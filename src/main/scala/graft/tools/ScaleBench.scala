@@ -72,6 +72,7 @@ object ScaleBench {
     graft.ext.SimilarityOps.clearCaches()
     graft.ext.TextOps.clearCaches()
     graft.ext.ClassifierOps.clearCaches()
+    graft.ext.MediaPayloads.clearCaches()
     graft.Tables.clearCaches()
   }
 
