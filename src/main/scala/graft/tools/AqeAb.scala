@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** In-JVM interleaved A/B of adaptive execution over the batch board:
+  * times each seat twice per repetition — AQE off then on, back to back —
+  * so host drift cancels per seat (the cross-run A/B this replaces was
+  * confounded by ambient mode shifts between JVMs). Prints per-seat
+  * min-of-reps for both arms and the aggregate.
+  *
+  * Usage: `sbt "runMain graft.tools.AqeAb [reps] [prefixCsv]"`.
+  */
+object AqeAb {
+  def main(args: Array[String]): Unit = {
+    graft.TmpDirs.install()
+    javax.imageio.ImageIO.setUseCache(false)
+    val reps = args.headOption.map(_.toInt).getOrElse(3)
+    val prefixes = args.lift(1).map(_.split(',').toSeq).getOrElse(Seq(""))
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    graft.TmpDirs.localFsFastConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // batch-only: streaming harnesses ignore the AQE conf anyway and
+    // their topics/checkpoints would dominate the reading
+    val streamish = Set('t')
+    val seats = graft.SparkEntry.queries.toSeq
+      .filter { case (n, _) =>
+        prefixes.exists(n.startsWith) && !n.matches("^t\\d.*") &&
+          !n.startsWith("s8") && !n.startsWith("s9") && !n.startsWith("s10") &&
+          !n.contains("vote_e2e") }
+      .sortBy(_._1)
+
+    // warm both codegen paths once
+    val warmSf = "/root/testdata/sf0.001"
+    seats.foreach { case (_, fn) =>
+      try { fn(spark, warmSf).count(); () } catch { case _: Throwable => () }
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    seats.foreach { case (_, fn) =>
+      try { fn(spark, warmSf).count(); () } catch { case _: Throwable => () }
+    }
+    System.gc()
+
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+             aqe: Boolean): Double = {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", aqe.toString)
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    var sumOff = 0.0; var sumOn = 0.0
+    seats.foreach { case (name, fn) =>
+      val offs = scala.collection.mutable.ArrayBuffer[Double]()
+      val ons = scala.collection.mutable.ArrayBuffer[Double]()
+      (1 to reps).foreach { _ =>
+        offs += time(fn, aqe = false)
+        ons += time(fn, aqe = true)
+      }
+      val off = offs.min; val on = ons.min
+      sumOff += off; sumOn += on
+      println(f"aqeab $name%-34s off=$off%7.3f on=$on%7.3f delta=${on - off}%+7.3f")
+    }
+    println(f"aqeab TOTAL off=$sumOff%.2f on=$sumOn%.2f (${seats.size} seats)")
+    spark.stop()
+  }
+}
