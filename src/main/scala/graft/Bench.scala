@@ -205,7 +205,17 @@ object Bench {
       // trivial, so this is compile time, not compute; every step stays
       // individually guarded and the timed region below still does all
       // its work at the real sfDir.
-      val warmSf = "/root/testdata/sf0.001"
+      // sf0.01, not sf0.001: the tiny fixture compiles every GENERATED
+      // class (tree-keyed) but its loops run a few hundred iterations —
+      // far below the JIT's C2 thresholds — so the first full-size run
+      // of each seat was still paying tiered compilation mid-flight
+      // (measured: a uniform +0.2–0.6 s/seat first-run tax, ~12 s over
+      // an 89-seat slice, gone on the second run). 60k-row warm runs
+      // push the hot loops through C2 for ~60 s more one-time warm
+      // wall-clock, outside the timed region. SPARK_GRAFT_WARM_SF
+      // overrides for profiling.
+      val warmSf = sys.env.getOrElse("SPARK_GRAFT_WARM_SF",
+        "/root/testdata/sf0.01")
       if (new java.io.File(s"$warmSf/events.parquet").exists()) {
         allQueries.foreach { case (name, fn) =>
           if (inFilter(name)) warm { fn(spark, warmSf).count() }

@@ -1208,23 +1208,20 @@ object StreamOps {
         // whole seat; the sink's _spark_metadata log additionally makes
         // the emissions exactly-once across the restart (the s9 seam)
         val out = root.resolve("out").toString
-        // one-pass parity staging of the cents projection (the t4
-        // pattern): f1's part file waits in the staging dir until the
-        // upgrade boundary — one scan+write instead of two
-        val stagedDir = root.resolve("staged")
-        graft.Tables.events(spark, dir)
-          .select(col("event_id"), col("user_id"),
-            round(col("value") * 100).cast("long").as("cents"))
-          .withColumn("__par", pmod(col("event_id"), lit(2)))
-          .coalesce(1)
-          .write.partitionBy("__par").parquet(stagedDir.toString)
-        moveStagedPart(stagedDir, "__par=0", topic, "f0")
+        // arrivals are the SHARED memoized parity halves (the upgrade
+        // boundary is the event-id parity split, exactly the staged
+        // layout's key) — cents derive in-stream, so the seat stages
+        // nothing of its own
+        val (even, odd) = parityStagedFiles(spark, dir)
+        linkArrival(even, topic, "f0")
         def phase(processorOut: DataFrame => DataFrame): Unit = {
           val q = processorOut(
             spark.readStream
-              .schema("event_id BIGINT, user_id BIGINT, cents BIGINT")
+              .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
               .option("maxFilesPerTrigger", 1)
-              .parquet(topic.toString))
+              .parquet(topic.toString)
+              .select(col("user_id"),
+                round(col("value") * 100).cast("long").as("cents")))
             .writeStream.format("parquet")
             .option("path", out)
             .option("checkpointLocation", ckpt)
@@ -1242,7 +1239,7 @@ object StreamOps {
         }
         // the upgrade boundary: new input lands, NEW CODE restarts on
         // the same checkpoint
-        moveStagedPart(stagedDir, "__par=1", topic, "f1")
+        linkArrival(odd, topic, "f1")
         phase { df =>
           df.select(col("user_id"), col("cents")).as[(Long, Long)]
             .groupByKey(_._1)
