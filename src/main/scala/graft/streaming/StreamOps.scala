@@ -2378,7 +2378,17 @@ object StreamOps {
     * open tails held in state), which is exactly the migration
     * contract a deployment moving t15-era code onto TWS relies on.
     * RocksDB provider conf-scoped as in [[transformWithStateTotals]]
-    * (TWS refuses the HDFS-heap provider by design). */
+    * (TWS refuses the HDFS-heap provider by design).
+    *
+    * Scale note (measured, `bench_scaling_r14_stream.json`): per-ROW
+    * cost is sub-linear (0.37 one-batch), but each micro-batch pays a
+    * fixed RocksDB commit+changelog round per state partition, so the
+    * per-ARRIVAL axis reads ~1.35 when every arrival is its own
+    * trigger. That axis is the TRIGGER INTERVAL — a deployment knob,
+    * not a plan property: at 100 TB you size `Trigger.ProcessingTime`
+    * so each batch amortizes its commit round over many arrivals
+    * (the `maxFilesPerTrigger`/trigger-interval pairing), which is the
+    * one-batch regime the 0.37 reading measures. */
   def twsTimerSessions(spark: SparkSession, dir: String,
                        gapSec: Long = 1800L,
                        statePartitions: Option[Int] = None): DataFrame =

@@ -58,7 +58,12 @@ object ScaleBench {
     "ann_pq_adc_topk",
     "sketch_quantile_rollup",
     "sessionize_users",
-    "j9_bloom_join")
+    "j9_bloom_join",
+    // classifier SERVING at scale (train excluded — the memoized-weights
+    // broadcast is the part that could hide a driver-side bottleneck;
+    // clearAll() per rep means each reading retrains, so the exponent
+    // upper-bounds the serve-only cost)
+    "quality_lr_score")
 
   def seats: Seq[String] = sys.env.get("SPARK_GRAFT_SCALE_SEATS")
     .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
