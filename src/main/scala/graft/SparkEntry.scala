@@ -28,6 +28,10 @@ object SparkEntry {
     * (session, fixture) so the pair of seats pays it once. */
   private val typeCardMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), java.lang.Long]()
+
+  /** Release the session memos (Bench/Verify/ScaleBench teardown — the
+    * same hook every other memoizing module exposes). */
+  def clearCaches(): Unit = typeCardMemo.clear()
   private def assertTopKCapacity(s: SparkSession, d: String, k: Int): Unit = {
     val n = typeCardMemo.computeIfAbsent((s, d),
       _ => Tables.events(s, d).select("event_type").distinct().count())

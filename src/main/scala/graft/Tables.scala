@@ -34,7 +34,7 @@ object Tables {
     * file listing — no caller has to remember [[clearCaches]]. A
     * multi-part table is a DIRECTORY whose mtime changes when part
     * files are added/replaced, so the same stat covers both shapes. */
-  private def fingerprint(path: String): Long = {
+  private[graft] def fingerprint(path: String): Long = {
     val f = new java.io.File(path)
     f.lastModified ^ java.lang.Long.rotateLeft(f.length, 32)
   }
@@ -45,6 +45,14 @@ object Tables {
     val hit = relMemo.get(key)
     if (hit != null) hit
     else {
+      // a rewrite bumped the fingerprint: drop the superseded entries
+      // for this (session, dir, table) so a rewrite LOOP can't
+      // accumulate dead resolved plans for the session's lifetime
+      val it = relMemo.keySet.iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k._1 == spark && k._2 == dir && k._3 == name) it.remove()
+      }
       val df = spark.read.parquet(path)
       val prev = relMemo.putIfAbsent(key, df)
       if (prev != null) prev else df

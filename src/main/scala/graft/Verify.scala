@@ -18,6 +18,15 @@ object Verify {
     // fork-free local checkpoint renames (see TmpDirs.localFsFastConfs)
     if (sys.env.getOrElse("SPARK_GRAFT_LOCALFS_FAST", "1") == "1")
       TmpDirs.localFsFastConfs.foreach { case (k, v) => builder.config(k, v) }
+    // SPARK_GRAFT_AQE=1: run the correctness dump under the SAME adaptive
+    // config the bench times (Bench.scala runs AQE on by default), so the
+    // timed configuration is differentially validated against the DuckDB
+    // oracle — not just the static-plan one. Default off = the driver's
+    // gate config, unchanged.
+    if (sys.env.getOrElse("SPARK_GRAFT_AQE", "0") == "1") {
+      builder.config("spark.sql.adaptive.enabled", "true")
+      builder.config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -61,6 +70,7 @@ object Verify {
     graft.ext.TextOps.clearCaches()
     graft.ext.ClassifierOps.clearCaches()
     graft.ext.MediaPayloads.clearCaches()
+    graft.SparkEntry.clearCaches()
     graft.Tables.clearCaches()
     spark.stop()
   }

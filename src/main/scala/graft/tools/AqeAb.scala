@@ -28,7 +28,6 @@ object AqeAb {
 
     // batch-only: streaming harnesses ignore the AQE conf anyway and
     // their topics/checkpoints would dominate the reading
-    val streamish = Set('t')
     val seats = graft.SparkEntry.queries.toSeq
       .filter { case (n, _) =>
         prefixes.exists(n.startsWith) && !n.matches("^t\\d.*") &&
@@ -47,28 +46,40 @@ object AqeAb {
     }
     System.gc()
 
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+    // a seat failing under ONE arm must read as a visible error, not a
+    // near-zero time that fakes a large AQE delta
+    def time(name: String,
+             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
              aqe: Boolean): Double = {
       spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", aqe.toString)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      try { fn(spark, sfDir).count(); () } catch { case e: Throwable =>
+        System.err.println(s"[aqeab] $name FAILED (aqe=$aqe): ${e.getMessage}")
+        return Double.NaN
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
-    var sumOff = 0.0; var sumOn = 0.0
+    var sumOff = 0.0; var sumOn = 0.0; var failed = 0
     seats.foreach { case (name, fn) =>
       val offs = scala.collection.mutable.ArrayBuffer[Double]()
       val ons = scala.collection.mutable.ArrayBuffer[Double]()
       (1 to reps).foreach { _ =>
-        offs += time(fn, aqe = false)
-        ons += time(fn, aqe = true)
+        offs += time(name, fn, aqe = false)
+        ons += time(name, fn, aqe = true)
       }
-      val off = offs.min; val on = ons.min
-      sumOff += off; sumOn += on
-      println(f"aqeab $name%-34s off=$off%7.3f on=$on%7.3f delta=${on - off}%+7.3f")
+      if (offs.exists(_.isNaN) || ons.exists(_.isNaN)) {
+        failed += 1
+        println(f"aqeab $name%-34s FAILED — excluded from totals")
+      } else {
+        val off = offs.min; val on = ons.min
+        sumOff += off; sumOn += on
+        println(f"aqeab $name%-34s off=$off%7.3f on=$on%7.3f delta=${on - off}%+7.3f")
+      }
     }
-    println(f"aqeab TOTAL off=$sumOff%.2f on=$sumOn%.2f (${seats.size} seats)")
+    println(f"aqeab TOTAL off=$sumOff%.2f on=$sumOn%.2f " +
+      f"(${seats.size - failed} seats, $failed failed)")
     spark.stop()
   }
 }

@@ -78,6 +78,7 @@ object ScaleBench {
     graft.ext.TextOps.clearCaches()
     graft.ext.ClassifierOps.clearCaches()
     graft.ext.MediaPayloads.clearCaches()
+    graft.SparkEntry.clearCaches()
     graft.Tables.clearCaches()
   }
 

@@ -308,6 +308,17 @@ class StreamingSpec extends SparkSpec {
     assert(sized === default, "state partitioning must not change results")
   }
 
+  test("T9/T44 degenerate fixture: an EMPTY events table yields an empty " +
+       "session frame, not a crash (the moveStagedPart contract)") {
+    val dir = Files.createTempDirectory("graft_empty_fixture_")
+    Tables.events(spark, sfDir).limit(0)
+      .write.parquet(dir.resolve("events.parquet").toString)
+    val t9 = StreamOps.streamingSessionCounts(spark, dir.toString)
+    assert(t9.count() === 0L)
+    val t44 = StreamOps.streamingDynamicGapSessions(spark, dir.toString)
+    assert(t44.count() === 0L)
+  }
+
   test("T9 output-mode contrast: append flush equals the complete-mode " +
        "snapshot (the unmetered Σ|state|-per-batch form)") {
     val append = StreamOps.streamingSessionCounts(spark, sfDir)
