@@ -1682,6 +1682,13 @@ object SparkEntry {
     // oracle (state = open sessions, merged across micro-batches)
     "t44_stream_dynamic_sessions" -> ((s, d) =>
       StreamOps.streamingDynamicGapSessions(s, d, statePartitions = Some(4))),
+    // the corpus-preparation front end as a STREAM over the documents
+    // table: language+quality gates as in-query scan predicates, exact
+    // dedup as a content-digest stateful agg (canonical id, multiplicity,
+    // token count); duplicates span the two arrivals, so the oracle's
+    // batch GROUP BY md5(text) only matches if dedup state crossed batches
+    "t45_stream_canonical_dedup" -> ((s, d) =>
+      StreamOps.streamingCanonicalDedup(s, d, statePartitions = Some(4))),
     // dead-letter routing: poison rows quarantined per micro-batch, the
     // rest aggregated — conservation (valid + dead = all) oracle-checked
     "t17_stream_dead_letter" -> ((s, d) =>
@@ -2865,6 +2872,20 @@ object SparkEntry {
          GROUP BY o_orderkey
          ORDER BY o_orderkey""",
     // same truth as sessionize_dynamic_gap: the stream/batch parity gate
+    // batch replay of the streamed corpus front end: the same gates as
+    // the corpus_prepare oracle, then canonical exact dedup per content
+    "t45_stream_canonical_dedup" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
+                    FROM documents),
+              kept AS (SELECT doc_id, text, len(w) AS n_tokens FROM t
+                       WHERE round(len(list_filter(w, x -> x IN ('the','a')))
+                                   / CAST(len(w) AS DOUBLE), 4) > 0.03
+                         AND len(w) >= 10 AND len(w) <= 10000
+                         AND round(len(list_distinct(w))
+                                   / CAST(len(w) AS DOUBLE), 4) > 0.1)
+         SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+                CAST(min(n_tokens) AS BIGINT) AS n_tokens
+         FROM kept GROUP BY md5(text) ORDER BY doc_id""",
     "t44_stream_dynamic_sessions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
                            epoch_us(ts) + CASE WHEN event_type = 'purchase'

@@ -170,6 +170,34 @@ object StreamOps {
       (part(0), part(1))
     })
 
+  /** One-pass parity split of the DOCUMENTS table (doc_id, text only —
+    * the streamed corpus front end needs nothing else) — the staged
+    * layout behind [[streamingCanonicalDedup]], memoized per (session,
+    * fixture dir) like [[parityStagedFiles]]. */
+  private val docParityMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (java.nio.file.Path, java.nio.file.Path)]()
+
+  private def docParityStagedFiles(spark: SparkSession, dir: String)
+      : (java.nio.file.Path, java.nio.file.Path) =
+    docParityMemo.computeIfAbsent((spark, dir), { _ =>
+      val root = graft.TmpDirs.create("graft_docparity_stage_")
+      val staged = root.resolve("staged")
+      val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+      docs.withColumn("__par", pmod(col("doc_id"), lit(2)))
+        .coalesce(1)
+        .write.partitionBy("__par").parquet(staged.toString)
+      def part(parity: Int): java.nio.file.Path = {
+        val fs = Option(staged.resolve(s"__par=$parity").toFile.listFiles())
+          .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+        require(fs.length <= 1,
+          s"doc parity stage __par=$parity: ${fs.length} part files — " +
+            "the staging write must coalesce(1)")
+        fs.headOption.map(_.toPath).getOrElse(
+          stageEmptySinglePart(root.resolve(s"empty_$parity"), docs))
+      }
+      (part(0), part(1))
+    })
+
   /** One-pass USER-keyed split of the events table (`user_id % 3 != 0`
     * vs the rest) — the staged layout behind the seats whose second
     * batch must introduce NEW state keys (t41 time-travel). Memoized per
@@ -1038,6 +1066,59 @@ object StreamOps {
         col("n_events"))
   }
 
+  /** T45: the corpus-preparation FRONT END as a stream — the board's
+    * first DOCUMENTS-table stream, and the topology a 100 TB ingest
+    * actually runs: documents arrive continuously, the language and
+    * quality gates run as scan-side predicates INSIDE the streaming
+    * query (the [[graft.ext.TextOps]] expressions, zero extra jobs),
+    * and exact dedup is a content-digest-keyed stateful aggregation
+    * (min doc_id = the canonical copy, count = duplicate multiplicity,
+    * token count rides along — identical for identical text, so the
+    * fold is order-insensitive). UPDATE mode emits each digest's
+    * running canon per micro-batch; the graded frame keeps the final
+    * emission per digest (min doc_id is monotone decreasing and
+    * n_copies monotone increasing, so min/max select it
+    * deterministically) — which must equal the batch gates + GROUP BY
+    * md5(text) the oracle replays. State is O(distinct contents), the
+    * exact shape [[graft.ops.Dedup.exactByContent]] carries in batch;
+    * duplicates deliberately SPAN the two staged arrivals (doc_id
+    * parity), so a hash match proves the dedup state carried across
+    * micro-batches. */
+  def streamingCanonicalDedup(spark: SparkSession, dir: String,
+                              statePartitions: Option[Int] = None): DataFrame =
+      perfScope(spark, statePartitions) {
+    val (root, topic) = freshTopic("graft_t45_")
+    val (even, odd) = docParityStagedFiles(spark, dir)
+    linkArrival(even, topic, "f0")
+    val table = freshName("graft_t45")
+    val q = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(topic.toString)
+      .filter(graft.ext.TextOps.isEnglishPredicate &&
+        graft.ext.TextOps.qualityOkPredicate)
+      .select(col("doc_id"), md5(col("text")).as("digest"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .groupBy("digest")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"),
+        min("n_tokens").as("n_tokens"))
+      .writeStream.format("memory").queryName(table)
+      .outputMode("update")
+      .start()
+    try {
+      q.processAllAvailable()
+      linkArrival(odd, topic, "f1")
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(table)
+      .groupBy("digest")
+      .agg(min("doc_id").as("doc_id"), max("n_copies").as("n_copies"),
+        min("n_tokens").as("n_tokens"))
+      .select(col("doc_id"), col("n_copies"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** T5: stateful streaming dedup — the engine form of the reference's
     * UNIQUE(voter_id) gate (`/root/reference/main.py:55-59`). Emits each
     * user once (append mode, state store keyed by user). Output is the
@@ -1335,7 +1416,7 @@ object StreamOps {
   def clearCaches(): Unit = {
     ivfIngestMemo.clear(); parityStageMemo.clear(); typeTopicMemo.clear()
     maxTsMemo.clear(); sentinelMemo.clear()
-    t37WarmMemo.clear(); userSplitMemo.clear()
+    t37WarmMemo.clear(); userSplitMemo.clear(); docParityMemo.clear()
   }
 
   /** Bench warm hook: materialize the session's memoized staged
@@ -1362,6 +1443,7 @@ object StreamOps {
     step { ivfIngestedSegments(spark, dir); () }
     step { t37WarmTable(spark, dir); () }
     step { userSplitStagedFiles(spark, dir); () }
+    step { docParityStagedFiles(spark, dir); () }
     // the memoized watermark-sentinel files: t4/t42 flush at max(ts),
     // the session seats (t9/t44) at the shared far-future pair
     // (maxTs + gapCeil(1h) + delay(1h) + margin(1h), and +1h again)

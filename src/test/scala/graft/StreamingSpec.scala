@@ -308,6 +308,34 @@ class StreamingSpec extends SparkSpec {
     assert(sized === default, "state partitioning must not change results")
   }
 
+  test("T45 streamed corpus front end equals the batch gates + canonical " +
+       "dedup, with duplicates genuinely spanning the two arrivals") {
+    // the driver fixtures below sf0.1 carry no exact duplicates, so the
+    // cross-batch dedup proof plants its own: every doc re-emitted at
+    // doc_id + 1001 (odd offset → opposite parity → the OTHER arrival)
+    val dir = Files.createTempDirectory("graft_t45_fixture_")
+    val base = Tables.documents(spark, sfDir).limit(200)
+    base.unionByName(base.withColumn("doc_id", col("doc_id") + lit(1001L)))
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    val streamed = StreamOps.streamingCanonicalDedup(spark, dir.toString)
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = Tables.documents(spark, dir.toString)
+      .filter(graft.ext.TextOps.isEnglishPredicate &&
+        graft.ext.TextOps.qualityOkPredicate)
+      .select(col("doc_id"), md5(col("text")).as("digest"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("digest")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"),
+        min("n_tokens").as("n_tokens"))
+      .select("doc_id", "n_copies", "n_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch,
+      "streamed gates+dedup must equal the batch canonical dedup")
+    assert(batch.nonEmpty && batch.forall(_._2 >= 2),
+      "every planted content must count both parity copies — dedup state " +
+        "must have crossed the micro-batch boundary")
+  }
+
   test("T9/T44 degenerate fixture: an EMPTY events table yields an empty " +
        "session frame, not a crash (the moveStagedPart contract)") {
     val dir = Files.createTempDirectory("graft_empty_fixture_")
