@@ -1066,11 +1066,12 @@ object StreamOps {
         col("n_events"))
   }
 
-  /** T45: the corpus-preparation FRONT END as a stream — the board's
-    * first DOCUMENTS-table stream, and the topology a 100 TB ingest
-    * actually runs: documents arrive continuously, the language and
-    * quality gates run as scan-side predicates INSIDE the streaming
-    * query (the [[graft.ext.TextOps]] expressions, zero extra jobs),
+  /** T45: the corpus-preparation FRONT END as a stream — the topology
+    * a 100 TB ingest actually runs (t12 gates a document stream and t24
+    * dedups planted variants; this seat composes gate → CANONICAL dedup
+    * into the corpus-front-end OUTPUT): documents arrive continuously,
+    * the language and quality gates run as scan-side predicates INSIDE
+    * the streaming query (the [[graft.ext.TextOps]] expressions),
     * and exact dedup is a content-digest-keyed stateful aggregation
     * (min doc_id = the canonical copy, count = duplicate multiplicity,
     * token count rides along — identical for identical text, so the
