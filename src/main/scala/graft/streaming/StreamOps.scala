@@ -1873,10 +1873,20 @@ object StreamOps {
     * [[perfScope]]). Neither sentinel can surface: each opens a session
     * whose close sits ABOVE every watermark the run ever reaches. Returns
     * the raw append emissions (user_id, w: session_window, n_events). */
+  /** `fold = None`: the raw append emissions land in a memory sink —
+    * right when the session list IS the graded output (t44), collected
+    * exactly once. `fold = Some(f)`: each batch's closed sessions stay
+    * DISTRIBUTED — `f(batch)` appends a per-batch partial to a parquet
+    * snapshot and the caller re-aggregates partials (t9: per-user counts
+    * summed) — so nothing data-sized ever reaches the driver; each
+    * session is closed in exactly one batch, so the partial fold is
+    * exact regardless of batch split. */
   private def sessionFlushAppend(spark: SparkSession, dir: String, tag: String,
                                  gapExpr: org.apache.spark.sql.Column,
                                  maxGapMs: Long,
-                                 statePartitions: Option[Int]): DataFrame =
+                                 statePartitions: Option[Int],
+                                 fold: Option[DataFrame => DataFrame] = None)
+      : DataFrame =
       perfScope(spark, statePartitions) {
     val (root, topic) = freshTopic(s"graft_${tag}_")
     // empty-fixture fallback: epoch-0 anchor — zero-row parity arrivals,
@@ -1886,33 +1896,57 @@ object StreamOps {
     linkArrival(even, topic, "f0a")
     linkArrival(odd, topic, "f0b")
     val delayMs = 3600L * 1000 // the 1 h watermark below
-    val table = freshName(s"graft_$tag")
-    val q = spark.readStream
+    val emissions = spark.readStream
       .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
       .parquet(topic.toString)
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), gapExpr).as("w"))
       .agg(count(lit(1)).as("n_events"))
-      .writeStream.format("memory").queryName(table)
-      .outputMode("append")
-      .start()
-    try {
-      q.processAllAvailable()
-      // anchor from the HOUR-rounded maxGap ceiling, not the caller's
-      // exact gap, so every session seat shares one memoized pair of
-      // sentinel files (t9's 30 min and t44's 60 min both round to 1 h;
-      // a later anchor flushes exactly the same sessions)
-      val gapCeilMs = ((maxGapMs + 3599999L) / 3600000L) * 3600000L
-      val s1 = maxTs.getTime + gapCeilMs + delayMs + 3600L * 1000
-      sentinelArrival(spark, s1, topic, "f1")
-      q.processAllAvailable()
-      sentinelArrival(spark, s1 + 3600L * 1000, topic, "f2")
-      q.processAllAvailable()
-    } finally q.stop()
-    // the sentinels structurally cannot emit (their sessions never
-    // close); no filter needed — but keep one as a belt against a
-    // future gap/delay retune quietly breaking that invariant
-    spark.table(table).filter(col("user_id") =!= -1L)
+    // The sentinel belt-filter (user_id != -1, against a future gap/delay
+    // retune breaking the cannot-emit invariant) must run on the SINK
+    // side, never in the streaming plan: in-plan it is a pushable
+    // grouping-key predicate, and the optimizer pushes it BELOW the
+    // EventTimeWatermark node — the sentinel rows then never advance the
+    // watermark and the final sessions never flush (caught by the oracle:
+    // 24 tail sessions missing at sf0.01).
+    val belt = (df: DataFrame) => df.filter(col("user_id") =!= -1L)
+    def drive(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+      try {
+        q.processAllAvailable()
+        // anchor from the HOUR-rounded maxGap ceiling, not the caller's
+        // exact gap, so every session seat shares one memoized pair of
+        // sentinel files (t9's 30 min and t44's 60 min both round to 1 h;
+        // a later anchor flushes exactly the same sessions)
+        val gapCeilMs = ((maxGapMs + 3599999L) / 3600000L) * 3600000L
+        val s1 = maxTs.getTime + gapCeilMs + delayMs + 3600L * 1000
+        sentinelArrival(spark, s1, topic, "f1")
+        q.processAllAvailable()
+        sentinelArrival(spark, s1 + 3600L * 1000, topic, "f2")
+        q.processAllAvailable()
+      } finally q.stop()
+    fold match {
+      case Some(f) =>
+        val out = root.resolve("snap").toString
+        // establish the snapshot's schema up front so a degenerate run
+        // with zero closed sessions still reads back as an empty frame
+        f(belt(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            emissions.schema)))
+          .write.mode("append").parquet(out)
+        drive(emissions.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            f(belt(batch)).write.mode("append").parquet(out); ()
+          }
+          .start())
+        spark.read.parquet(out)
+      case None =>
+        val table = freshName(s"graft_$tag")
+        drive(emissions.writeStream.format("memory").queryName(table)
+          .outputMode("append").start())
+        belt(spark.table(table))
+    }
   }
 
   /** T5b/T-tier: gap-based sessionization as a FIRST-CLASS streaming
@@ -1935,8 +1969,12 @@ object StreamOps {
     // sentinel arithmetic below can't bound (months are calendar-variable)
     require(gapMs.months == 0, s"calendar-variable gap '$gap' unsupported")
     val maxGapMs = gapMs.days * 86400000L + gapMs.microseconds / 1000L
-    sessionFlushAppend(spark, dir, "t9", lit(gap), maxGapMs, statePartitions)
-      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+    // distributed per-batch fold: the closed-session list never reaches
+    // the driver — each batch appends per-user partial counts, summed
+    // here (each session closes in exactly one batch, so this is exact)
+    sessionFlushAppend(spark, dir, "t9", lit(gap), maxGapMs, statePartitions,
+        fold = Some(_.groupBy("user_id").agg(count(lit(1)).as("n_part"))))
+      .groupBy("user_id").agg(sum("n_part").as("n_sessions"))
   }
 
   /** The complete-mode + distributed-foreachBatch form of
