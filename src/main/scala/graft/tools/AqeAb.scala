@@ -8,7 +8,12 @@ import org.apache.spark.sql.SparkSession
   * confounded by ambient mode shifts between JVMs). Prints per-seat
   * min-of-reps for both arms and the aggregate.
   *
-  * Usage: `sbt "runMain graft.tools.AqeAb [reps] [prefixCsv]"`.
+  * Usage: `sbt "runMain graft.tools.AqeAb [reps] [prefixCsv] [mode]"`.
+  * mode `aqe` (default): off-arm = static plans, on-arm = adaptive +
+  * coalesce (the bench default). mode `pfirst`: BOTH arms adaptive;
+  * the on-arm additionally sets `coalescePartitions.parallelismFirst
+  * = false` + a 64 MB advisory size, i.e. coalesce tiny shuffles to
+  * the TARGET SIZE (often 1 partition) instead of the core count.
   */
 object AqeAb {
   def main(args: Array[String]): Unit = {
@@ -48,11 +53,19 @@ object AqeAb {
 
     // a seat failing under ONE arm must read as a visible error, not a
     // near-zero time that fakes a large AQE delta
+    val mode = args.lift(2).getOrElse("aqe")
     def time(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-             aqe: Boolean): Double = {
+             arm: Boolean): Double = {
+      val aqe = mode match { case "pfirst" => true; case _ => arm }
       spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", aqe.toString)
+      if (mode == "pfirst") {
+        spark.conf.set(
+          "spark.sql.adaptive.coalescePartitions.parallelismFirst", (!arm).toString)
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          if (arm) "64m" else "64m")
+      }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); () } catch { case e: Throwable =>
         System.err.println(s"[aqeab] $name FAILED (aqe=$aqe): ${e.getMessage}")
@@ -66,8 +79,8 @@ object AqeAb {
       val offs = scala.collection.mutable.ArrayBuffer[Double]()
       val ons = scala.collection.mutable.ArrayBuffer[Double]()
       (1 to reps).foreach { _ =>
-        offs += time(name, fn, aqe = false)
-        ons += time(name, fn, aqe = true)
+        offs += time(name, fn, arm = false)
+        ons += time(name, fn, arm = true)
       }
       if (offs.exists(_.isNaN) || ons.exists(_.isNaN)) {
         failed += 1
