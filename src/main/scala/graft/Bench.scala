@@ -40,9 +40,18 @@ object Bench {
       builder.config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // coalesce tiny shuffles to the TARGET SIZE (often 1 partition)
       // instead of the core count — interleaved A/B (AqeAb mode pfirst):
-      // 57.3 -> 55.4 s over 243 batch seats, worst seat +0.004 s
+      // 57.3 -> 55.4 s over 243 batch seats, worst seat +0.004 s. The
+      // 8 MB advisory (not the 64 MB default) keeps the genuinely heavy
+      // shuffles parallel: at 64 MB the exploded-shingle inverted-index
+      // family coalesced its REAL work to 1-2 partitions (containment
+      // 0.46 -> 1.10 s, a regression the warm-memo A/B was blind to);
+      // at 8 MB the family recovers while KB-sized stages still collapse
+      // to one task (slice A/B: 33.6 s at 8m vs 36.8 s at 64m, the 8m
+      // run on the more degraded host).
       builder.config(
         "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      builder.config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "8m"))
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

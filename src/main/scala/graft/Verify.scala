@@ -31,6 +31,7 @@ object Verify {
       // 57.3 -> 55.4 s over 243 batch seats, worst seat +0.004 s
       builder.config(
         "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      builder.config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
