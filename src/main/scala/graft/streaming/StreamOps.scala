@@ -230,6 +230,51 @@ object StreamOps {
       (part(0), part(1))
     })
 
+  /** One-pass TIME split of the events table at the midpoint of its ts
+    * range — the staged layout behind the session seats (t9/t44), whose
+    * graded property is session_window state MERGING ACROSS micro-batches.
+    * A parity split cannot pace those seats: each parity half spans the
+    * full ts range, so after the first half's batch the watermark sits at
+    * max(ts) − delay and the second half's rows arrive LATE and are
+    * dropped by the watermarked aggregate. Splitting on TIME instead
+    * keeps every second-batch row ahead of the first batch's watermark
+    * (ts > boundary > boundary − delay), while sessions whose events
+    * straddle the boundary genuinely merge across the two batches —
+    * the t13/t19/t22 cross-batch discipline, now real for sessions too.
+    * Memoized per (session, fixture dir) like [[parityStagedFiles]]. */
+  private val timeSplitMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (java.nio.file.Path, java.nio.file.Path)]()
+
+  private def timeSplitStagedFiles(spark: SparkSession, dir: String)
+      : (java.nio.file.Path, java.nio.file.Path) =
+    timeSplitMemo.computeIfAbsent((spark, dir), { _ =>
+      val root = graft.TmpDirs.create("graft_timesplit_stage_")
+      val staged = root.resolve("staged")
+      val ev = graft.Tables.events(spark, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      // one bounded (min, max) scalar pair to the driver — the split
+      // boundary; epoch-0 fallback keeps the degenerate empty fixture on
+      // the stageEmptySinglePart path below
+      val r = ev.agg(min("ts"), max("ts")).head()
+      val boundaryMs =
+        if (r.isNullAt(0)) 0L
+        else (r.getTimestamp(0).getTime + r.getTimestamp(1).getTime) / 2
+      ev.withColumn("__h",
+          when(col("ts") <= lit(new Timestamp(boundaryMs)), 0).otherwise(1))
+        .coalesce(1)
+        .write.partitionBy("__h").parquet(staged.toString)
+      def part(h: Int): java.nio.file.Path = {
+        val fs = Option(staged.resolve(s"__h=$h").toFile.listFiles())
+          .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+        require(fs.length <= 1,
+          s"time split __h=$h: ${fs.length} part files — " +
+            "the staging write must coalesce(1)")
+        fs.headOption.map(_.toPath).getOrElse(
+          stageEmptySinglePart(root.resolve(s"empty_$h"), ev))
+      }
+      (part(0), part(1))
+    })
+
   /** Land a staged file in `topic` as arrival `name` — a hard link
     * (src and topics share the [[graft.TmpDirs]] scratch filesystem),
     * falling back to a copy where links are unsupported. */
@@ -1076,10 +1121,15 @@ object StreamOps {
     * (min doc_id = the canonical copy, count = duplicate multiplicity,
     * token count rides along — identical for identical text, so the
     * fold is order-insensitive). UPDATE mode emits each digest's
-    * running canon per micro-batch; the graded frame keeps the final
+    * running canon per micro-batch; each batch's emissions stay
+    * DISTRIBUTED — a foreachBatch sink appends them to a parquet
+    * snapshot (the [[sessionFlushAppend]] fold discipline — a memory
+    * sink would collect every per-batch re-emission to the driver, the
+    * exact Σ|updates| shape the session seats engineered out) — and the
+    * graded frame re-aggregates the partials, keeping the final
     * emission per digest (min doc_id is monotone decreasing and
     * n_copies monotone increasing, so min/max select it
-    * deterministically) — which must equal the batch gates + GROUP BY
+    * deterministically). That must equal the batch gates + GROUP BY
     * md5(text) the oracle replays. State is O(distinct contents), the
     * exact shape [[graft.ops.Dedup.exactByContent]] carries in batch;
     * duplicates deliberately SPAN the two staged arrivals (doc_id
@@ -1091,8 +1141,7 @@ object StreamOps {
     val (root, topic) = freshTopic("graft_t45_")
     val (even, odd) = docParityStagedFiles(spark, dir)
     linkArrival(even, topic, "f0")
-    val table = freshName("graft_t45")
-    val q = spark.readStream
+    val updates = spark.readStream
       .schema("doc_id BIGINT, text STRING")
       .option("maxFilesPerTrigger", 1)
       .parquet(topic.toString)
@@ -1103,15 +1152,27 @@ object StreamOps {
       .groupBy("digest")
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"),
         min("n_tokens").as("n_tokens"))
-      .writeStream.format("memory").queryName(table)
+    val out = root.resolve("snap").toString
+    // establish the snapshot schema up front so a run whose gates pass
+    // zero documents still reads back as an empty frame
+    updates.sparkSession.createDataFrame(
+        updates.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        updates.schema)
+      .write.mode("append").parquet(out)
+    val q = updates
+      .writeStream
       .outputMode("update")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out); ()
+      }
       .start()
     try {
       q.processAllAvailable()
       linkArrival(odd, topic, "f1")
       q.processAllAvailable()
     } finally q.stop()
-    spark.table(table)
+    spark.read.parquet(out)
       .groupBy("digest")
       .agg(min("doc_id").as("doc_id"), max("n_copies").as("n_copies"),
         min("n_tokens").as("n_tokens"))
@@ -1445,6 +1506,7 @@ object StreamOps {
     step { t37WarmTable(spark, dir); () }
     step { userSplitStagedFiles(spark, dir); () }
     step { docParityStagedFiles(spark, dir); () }
+    step { timeSplitStagedFiles(spark, dir); () }
     // the memoized watermark-sentinel files: t4/t42 flush at max(ts),
     // the session seats (t9/t44) at the shared far-future pair
     // (maxTs + gapCeil(1h) + delay(1h) + margin(1h), and +1h again)
@@ -1889,12 +1951,19 @@ object StreamOps {
       : DataFrame =
       perfScope(spark, statePartitions) {
     val (root, topic) = freshTopic(s"graft_${tag}_")
-    // empty-fixture fallback: epoch-0 anchor — zero-row parity arrivals,
+    // empty-fixture fallback: epoch-0 anchor — zero-row staged arrivals,
     // sentinel sessions never close, graded frame is correctly empty
     val maxTs = maxEventTs(spark, dir).getOrElse(new Timestamp(0L))
-    val (even, odd) = parityStagedFiles(spark, dir)
-    linkArrival(even, topic, "f0a")
-    linkArrival(odd, topic, "f0b")
+    // TIME-split arrivals, early half linked before start and the late
+    // half landed as its own micro-batch inside [[drive]]: the seats
+    // grade session state merging ACROSS micro-batches, so real events
+    // must genuinely span two batches (a single drain would let a
+    // cross-batch merge regression pass the oracle). The split must be
+    // on time, not parity — see [[timeSplitStagedFiles]]: a parity
+    // second half would arrive below the first batch's watermark and be
+    // silently late-dropped.
+    val (early, late) = timeSplitStagedFiles(spark, dir)
+    linkArrival(early, topic, "f0")
     val delayMs = 3600L * 1000 // the 1 h watermark below
     val emissions = spark.readStream
       .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
@@ -1913,15 +1982,19 @@ object StreamOps {
     def drive(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
       try {
         q.processAllAvailable()
+        // second REAL-data micro-batch: the late time half — sessions
+        // straddling the split boundary merge across the batch border
+        linkArrival(late, topic, "f1")
+        q.processAllAvailable()
         // anchor from the HOUR-rounded maxGap ceiling, not the caller's
         // exact gap, so every session seat shares one memoized pair of
         // sentinel files (t9's 30 min and t44's 60 min both round to 1 h;
         // a later anchor flushes exactly the same sessions)
         val gapCeilMs = ((maxGapMs + 3599999L) / 3600000L) * 3600000L
         val s1 = maxTs.getTime + gapCeilMs + delayMs + 3600L * 1000
-        sentinelArrival(spark, s1, topic, "f1")
+        sentinelArrival(spark, s1, topic, "f2")
         q.processAllAvailable()
-        sentinelArrival(spark, s1 + 3600L * 1000, topic, "f2")
+        sentinelArrival(spark, s1 + 3600L * 1000, topic, "f3")
         q.processAllAvailable()
       } finally q.stop()
     fold match {
