@@ -8,6 +8,16 @@ import org.apache.spark.sql.SparkSession
   * the reliable channel.
   */
 object Bench {
+  /** A seat qualifies for the post-board resample iff its reading
+    * exceeds 3× its committed per-round minimum AND is large enough to
+    * matter (>0.5 s — sub-half-second seats 3× their floor are ambient
+    * jitter that cannot move the gate; resampling them would only
+    * lengthen the artifact). No history ⇒ never an outlier: a
+    * first-round seat has no floor to compare against. */
+  private[graft] def isResampleOutlier(committedMin: Option[Double],
+                                       reading: Double): Boolean =
+    committedMin.exists(m => m > 0 && reading > 3 * m && reading > 0.5)
+
   def main(args: Array[String]): Unit = {
     TmpDirs.install()
     // Explicit here, not only in the codec objects' static init: the
@@ -386,14 +396,83 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"calib_fs":$calibFs,"calib_stream":$calibStream,"queries":$qs,"sf":"$sfDir"}"""
+    // Repo root (walk up from cwd to the nearest dir holding build.sbt +
+    // SURVEY.md), shared by the resample pass below (reads the committed
+    // per-seat history) and the per-query artifact write: run from
+    // elsewhere, a cwd-relative scan silently computed round 1 and
+    // dropped the artifact into that cwd.
+    def findRoot(d: java.io.File): Option[java.io.File] =
+      if (d == null) None
+      else if (new java.io.File(d, "build.sbt").exists() &&
+               new java.io.File(d, "SURVEY.md").exists()) Some(d)
+      else findRoot(d.getParentFile)
+    val rootOpt = findRoot(new java.io.File(".").getAbsoluteFile)
+    // Spike attribution IN-ARTIFACT, outside the timed region (the raw
+    // total above is final — gate semantics unchanged): the official
+    // driver reading regularly carries a handful of single-sample host
+    // spikes (r15: one seat read 13.28 s vs 0.85 s same-tree calm, ~20 s
+    // of a 178.6 s total across four seats), and host-vs-code
+    // attribution used to need a same-day builder re-run. Here, any seat
+    // whose reading exceeds 3× its committed per-seat minimum (the
+    // bench_perquery_r*.json history at the repo root) is re-run once
+    // AFTER the board completes, and both readings land in the JSON as
+    // "resampled":{seat:[first,second]} — a second reading near the
+    // historical floor proves the spike was ambient; two high readings
+    // flag a real regression.
+    val resampled: Map[String, (Double, Double)] =
+      if (filter.nonEmpty) Map.empty
+      else try {
+        val history = rootOpt.map { root =>
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          Option(root.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.matches("^bench_perquery_r0*\\d+\\.json$"))
+            .flatMap { f =>
+              try {
+                val node = om.readTree(f)
+                val q = node.get("queries")
+                if (q == null) Seq.empty
+                else {
+                  val it = q.fields()
+                  val buf = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+                  while (it.hasNext) {
+                    val e = it.next()
+                    val v = e.getValue.asDouble(-1.0)
+                    if (v > 0) buf += (e.getKey -> v)
+                  }
+                  buf.toSeq
+                }
+              } catch { case _: Throwable => Seq.empty }
+            }
+            .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+        }.getOrElse(Map.empty[String, Double])
+        val outliers = results.filter { case (name, v) =>
+          Bench.isResampleOutlier(history.get(name), v)
+        }
+        outliers.map { case (name, first) =>
+          val t0 = System.nanoTime()
+          try { selected(name)(spark, sfDir).count() }
+          catch { case _: Throwable => () }
+          val second = (System.nanoTime() - t0) / 1e9
+          System.err.println(
+            f"[bench] resample $name: first=$first%.2f second=$second%.2f " +
+              f"(committed min ${history(name)}%.2f)")
+          name -> (first, second)
+        }.toMap
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] resample pass failed: ${e.getMessage}")
+        Map.empty
+      }
+    val resampledJson = resampled
+      .map { case (k, (a, b)) => s"\"" + k + s"\":[$a,$b]" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"calib_fs":$calibFs,"calib_stream":$calibStream,"resampled":$resampledJson,"queries":$qs,"sf":"$sfDir"}"""
     // The per-query line is one giant record whose "metric":"total" head is
     // the first thing a tail-truncated log window loses (the driver recorded
     // "parsed": null two rounds running). Print a second, SHORT, final line
     // carrying the same headline so any tail window contains a parseable
     // record; the file copy keeps the full per-query detail.
     val shortLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"calib_fs":$calibFs,"calib_stream":$calibStream,"n":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"calib_fs":$calibFs,"calib_stream":$calibStream,"n":${results.size},"n_resampled":${resampled.size},"sf":"$sfDir"}"""
     println(line)
     println(shortLine)
     // Belt-and-braces for the driver parse: stderr is a second raw channel
@@ -418,16 +497,7 @@ object Bench {
     val roundSf = sfDir.endsWith("sf0.1") ||
       sys.env.get("SPARK_GRAFT_ROUND_SF").contains(sfDir)
     if (filter.isEmpty && roundSf) {
-      // Anchor everything to the repo root (walk up from cwd to the
-      // nearest dir holding build.sbt + SURVEY.md), not the bare cwd:
-      // run from elsewhere, a cwd-relative scan silently computed
-      // round 1 and dropped the artifact into that cwd.
-      def findRoot(d: java.io.File): Option[java.io.File] =
-        if (d == null) None
-        else if (new java.io.File(d, "build.sbt").exists() &&
-                 new java.io.File(d, "SURVEY.md").exists()) Some(d)
-        else findRoot(d.getParentFile)
-      val root = findRoot(new java.io.File(".").getAbsoluteFile)
+      val root = rootOpt
         .getOrElse {
           System.err.println(
             "[bench] WARN: no repo root (build.sbt+SURVEY.md) above cwd; " +

@@ -19,12 +19,18 @@ object SparkEntry {
   private def partyCase(keyExpr: String): String =
     s"CASE $keyExpr % 3 WHEN 0 THEN '${Parties(0)}' WHEN 1 THEN '${Parties(1)}' ELSE '${Parties(2)}' END"
 
-  /** Capacity fence for the approx_top_k seats: their oracle hardcodes
-    * exactness, which `approx_top_k` only guarantees while the tracked
-    * item count stays within the sketch's maxItemsTracked. A fixture
-    * with more distinct event types than k would surface as a confusing
-    * NULL-approx hash mismatch; fail loudly instead. The distinct count
-    * is one tiny agg job over a low-cardinality column, memoized per
+  /** Capacity fence for the approx_top_k seats — TWO distinct bounds,
+    * not one (they were conflated through round 15): (1) the sketch's
+    * `maxItemsTracked` (passed explicitly below) bounds EXACTNESS —
+    * beyond it the DataSketches frequent-items estimates genuinely
+    * approximate and the seats' `sketch_exact = true` oracle no longer
+    * holds; (2) the returned-list size `k` bounds the graded JOIN SHAPE
+    * — the seats grade an all-items differential (exact histogram LEFT
+    * JOIN the sketch's top-k list), so an 11th type inside exactness
+    * range would still surface as an un-replayed NULL row. Both fail
+    * loudly with the bound that actually broke, so a capacity-valid
+    * fixture is never mis-blamed on the sketch. The distinct count is
+    * one tiny agg job over a low-cardinality column, memoized per
     * (session, fixture) so the pair of seats pays it once. */
   private val typeCardMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), java.lang.Long]()
@@ -32,12 +38,20 @@ object SparkEntry {
   /** Release the session memos (Bench/Verify/ScaleBench teardown — the
     * same hook every other memoizing module exposes). */
   def clearCaches(): Unit = typeCardMemo.clear()
-  private def assertTopKCapacity(s: SparkSession, d: String, k: Int): Unit = {
+  private def assertTopKCapacity(s: SparkSession, d: String, k: Int,
+                                 maxItemsTracked: Int): Unit = {
     val n = typeCardMemo.computeIfAbsent((s, d),
       _ => Tables.events(s, d).select("event_type").distinct().count())
+    require(n <= maxItemsTracked,
+      s"approx_top_k exactness holds only to maxItemsTracked=" +
+        s"$maxItemsTracked distinct items; fixture $d has $n — the " +
+        "sketch is genuinely approximate here, re-grade the regime " +
+        "(the over-capacity behavior is spec'd separately)")
     require(n <= k,
-      s"approx_top_k seats assume <= $k distinct event types; fixture " +
-        s"$d has $n — raise k or re-grade the approximation regime")
+      s"the approx_top_k seats grade an ALL-items differential, so " +
+        s"every tracked type must fit the returned top-$k list; fixture " +
+        s"$d has $n distinct types (exactness itself still holds to " +
+        s"$maxItemsTracked) — raise k in the seat + its oracle")
   }
 
   /** Flagship query on sf0.001 — A1 votes-per-candidate, the reference's
@@ -91,9 +105,9 @@ object SparkEntry {
     // differential discipline); the approximation regime is spec'd on
     // a deterministic over-capacity fixture
     "sketch_approx_topk" -> ((s, d) => {
-      assertTopKCapacity(s, d, 10)
+      assertTopKCapacity(s, d, 10, 10000)
       val ev = Tables.events(s, d)
-      val approx = ev.agg(expr("approx_top_k(event_type, 10)").as("tk"))
+      val approx = ev.agg(expr("approx_top_k(event_type, 10, 10000)").as("tk"))
         .select(explode(col("tk")).as("e"))
         .select(col("e.item").as("event_type"), col("e.count").as("approx_n"))
       ev.groupBy("event_type").agg(count(lit(1)).as("n_exact"))
@@ -106,12 +120,12 @@ object SparkEntry {
     // any report, raw rows never re-scanned (the sketch_hll_merge
     // contract on the 4.1 frequent-items sketch)
     "sketch_approx_topk_merge" -> ((s, d) => {
-      assertTopKCapacity(s, d, 10)
+      assertTopKCapacity(s, d, 10, 10000)
       val ev = Tables.events(s, d)
       val shards = ev
         .withColumn("par", pmod(col("event_id"), lit(2)))
         .groupBy("par")
-        .agg(expr("approx_top_k_accumulate(event_type, 10)").as("st"))
+        .agg(expr("approx_top_k_accumulate(event_type, 10000)").as("st"))
       val approx = shards
         .agg(expr("approx_top_k_combine(st)").as("c"))
         .select(explode(expr("approx_top_k_estimate(c, 10)")).as("e"))
@@ -1689,6 +1703,15 @@ object SparkEntry {
     // batch GROUP BY md5(text) only matches if dedup state crossed batches
     "t45_stream_canonical_dedup" -> ((s, d) =>
       StreamOps.streamingCanonicalDedup(s, d, statePartitions = Some(4))),
+    // two stateful queries live CONCURRENTLY in one session/state pool —
+    // the multi-tenant deployment property; oracle replays both sides
+    "t46_stream_concurrent_queries" -> ((s, d) =>
+      StreamOps.concurrentSharedSession(s, d, statePartitions = Some(4))),
+    // kill + restart of the t45 corpus front end from its checkpoint:
+    // spanning digests keep their cross-arrival counts only via
+    // recovered state (same oracle as t45 — recovery is semantics-free)
+    "t47_stream_corpus_recover" -> ((s, d) =>
+      StreamOps.corpusFrontEndRecover(s, d, statePartitions = Some(4))),
     // dead-letter routing: poison rows quarantined per micro-batch, the
     // rest aggregated — conservation (valid + dead = all) oracle-checked
     "t17_stream_dead_letter" -> ((s, d) =>
@@ -2875,6 +2898,34 @@ object SparkEntry {
     // batch replay of the streamed corpus front end: the same gates as
     // the corpus_prepare oracle, then canonical exact dedup per content
     "t45_stream_canonical_dedup" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
+                    FROM documents),
+              kept AS (SELECT doc_id, text, len(w) AS n_tokens FROM t
+                       WHERE round(len(list_filter(w, x -> x IN ('the','a')))
+                                   / CAST(len(w) AS DOUBLE), 4) > 0.03
+                         AND len(w) >= 10 AND len(w) <= 10000
+                         AND round(len(list_distinct(w))
+                                   / CAST(len(w) AS DOUBLE), 4) > 0.1)
+         SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+                CAST(min(n_tokens) AS BIGINT) AS n_tokens
+         FROM kept GROUP BY md5(text) ORDER BY doc_id""",
+    // each concurrent query's result is a plain batch aggregate; the
+    // graded union proves neither query saw interference from the other
+    "t46_stream_concurrent_queries" ->
+      """SELECT * FROM (
+           SELECT 'by_type' AS metric, event_type AS k,
+                  CAST(count(*) AS BIGINT) AS n,
+                  round(sum(value), 2) AS total
+           FROM events GROUP BY event_type
+           UNION ALL
+           SELECT 'by_bucket' AS metric, CAST(user_id % 8 AS VARCHAR) AS k,
+                  CAST(count(*) AS BIGINT) AS n,
+                  round(sum(value), 2) AS total
+           FROM events GROUP BY user_id % 8)
+         ORDER BY metric, k""",
+    // identical to t45's oracle: checkpoint recovery must be
+    // semantics-free on the corpus front end
+    "t47_stream_corpus_recover" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
                     FROM documents),
               kept AS (SELECT doc_id, text, len(w) AS n_tokens FROM t

@@ -31,12 +31,34 @@ object Tables {
     * immutable, but an in-process rewrite of a SCRATCH fixture dir
     * (e.g. `tools.ScaleUp` output reused in the same JVM) bumps the
     * mtime and misses the cache instead of silently serving the stale
-    * file listing — no caller has to remember [[clearCaches]]. A
-    * multi-part table is a DIRECTORY whose mtime changes when part
-    * files are added/replaced, so the same stat covers both shapes. */
+    * file listing — no caller has to remember [[clearCaches]]. For a
+    * DIRECTORY table the top-level stat alone is not enough: a rewrite
+    * that replaces files INSIDE nested partition subdirectories leaves
+    * the root's mtime untouched (only direct child add/remove bumps
+    * it), and a same-length in-place rewrite can land within the
+    * filesystem's mtime granularity — so the immediate children's
+    * names, mtimes, and lengths are folded into the hash too (one
+    * shallow listing, still µs; deeper nesting shows up because the
+    * touched partition dir IS an immediate child whose own mtime/stat
+    * changes when its contents do). */
   private[graft] def fingerprint(path: String): Long = {
     val f = new java.io.File(path)
-    f.lastModified ^ java.lang.Long.rotateLeft(f.length, 32)
+    var h = f.lastModified ^ java.lang.Long.rotateLeft(f.length, 32)
+    if (f.isDirectory) {
+      val kids = f.listFiles()
+      if (kids != null) {
+        java.util.Arrays.sort(kids, new java.util.Comparator[java.io.File] {
+          def compare(a: java.io.File, b: java.io.File): Int =
+            a.getName.compareTo(b.getName)
+        })
+        kids.foreach { k =>
+          h = h * 1099511628211L ^ k.getName.hashCode.toLong
+          h = h * 1099511628211L ^ k.lastModified
+          h = h * 1099511628211L ^ k.length
+        }
+      }
+    }
+    h
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {

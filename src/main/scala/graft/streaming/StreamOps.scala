@@ -1181,6 +1181,131 @@ object StreamOps {
       .orderBy("doc_id")
   }
 
+  /** T46: MULTI-QUERY CONCURRENCY — two independent stateful streaming
+    * queries over the SAME topic, running CONCURRENTLY in one
+    * SparkSession: one shared scheduler, one state-store provider pool,
+    * one scratch filesystem — the deployment property a 100 TB cluster
+    * actually has (a real job server never runs one query at a time),
+    * and the one topology nothing else on the board exercised. Query A
+    * maintains the per-type tally, query B the per-user-bucket tally;
+    * both are started BEFORE their processAllAvailable drains, so their
+    * micro-batches interleave on the shared scheduler and their state
+    * stores coexist in the provider pool (each query checkpoints
+    * privately — per-query offset logs over one shared immutable topic,
+    * the Kafka consumer-group shape). The graded frame unions both
+    * results; the oracle replays each side as a batch aggregate, so any
+    * cross-query interference — a state store handed to the wrong
+    * query, a shared-conf race, scheduler starvation dropping a batch —
+    * breaks the hash. Outputs are key-bounded (3 types + 8 buckets),
+    * so the complete-mode memory sinks collect O(keys), never O(rows). */
+  def concurrentSharedSession(spark: SparkSession, dir: String,
+                              statePartitions: Option[Int] = None): DataFrame =
+      perfScope(spark, statePartitions) {
+    val (root, topic) = freshTopic("graft_t46_")
+    val (even, odd) = parityStagedFiles(spark, dir)
+    linkArrival(even, topic, "f0")
+    linkArrival(odd, topic, "f1")
+    def source() = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(topic.toString)
+    val tableA = freshName("graft_t46a")
+    val tableB = freshName("graft_t46b")
+    val qA = source()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .writeStream.format("memory").queryName(tableA)
+      .option("checkpointLocation", root.resolve("ckptA").toString)
+      .outputMode("complete").start()
+    val qB =
+      try source()
+        .groupBy(pmod(col("user_id"), lit(8)).cast("string").as("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .writeStream.format("memory").queryName(tableB)
+        .option("checkpointLocation", root.resolve("ckptB").toString)
+        .outputMode("complete").start()
+      catch { case e: Throwable => qA.stop(); throw e }
+    try {
+      // both queries are live HERE — the drains below wait on each
+      // query's own progress while the other keeps running its batches
+      // on the shared scheduler
+      qA.processAllAvailable()
+      qB.processAllAvailable()
+    } finally { qA.stop(); qB.stop() }
+    spark.table(tableA)
+      .select(lit("by_type").as("metric"), col("event_type").as("k"),
+        col("n"), col("total"))
+      .unionAll(spark.table(tableB)
+        .select(lit("by_bucket").as("metric"), col("bucket").as("k"),
+          col("n"), col("total")))
+      .orderBy("metric", "k")
+  }
+
+  /** T47: COLD-START RECOVERY of the streamed corpus front end — the
+    * t1/t35 kill-and-restart discipline applied to the round-15 t45
+    * topology (gates + content-digest canonical dedup): phase 1 streams
+    * the even doc-parity half through the gated digest aggregation into
+    * a checkpointed foreachBatch parquet fold, then the query is
+    * STOPPED; phase 2 drops the odd half and starts a NEW query from
+    * the same checkpoint. The offset log prevents a rescan of arrival
+    * 0, so phase 2's update emissions carry cross-arrival duplicate
+    * counts ONLY if the digest state was recovered from the checkpoint
+    * — a lost store would restart every spanning digest's n_copies at
+    * its odd-half count and the max() selection below would undercount,
+    * breaking the hash (duplicates deliberately span the parity split,
+    * exactly as in [[streamingCanonicalDedup]]). The final min/max
+    * re-aggregation is replay-idempotent, so a re-run last batch after
+    * an unclean stop changes nothing — the exactly-once story a 100 TB
+    * ingest needs from its sink side. Same oracle as t45: recovery must
+    * be semantics-free. */
+  def corpusFrontEndRecover(spark: SparkSession, dir: String,
+                            statePartitions: Option[Int] = None): DataFrame =
+      perfScope(spark, statePartitions) {
+    val (root, topic) = freshTopic("graft_t47_")
+    val (even, odd) = docParityStagedFiles(spark, dir)
+    val out = root.resolve("snap").toString
+    val ckpt = root.resolve("ckpt").toString
+    def start() = {
+      val updates = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(topic.toString)
+        .filter(graft.ext.TextOps.isEnglishPredicate &&
+          graft.ext.TextOps.qualityOkPredicate)
+        .select(col("doc_id"), md5(col("text")).as("digest"),
+          size(split(col("text"), " ")).as("n_tokens"))
+        .groupBy("digest")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"),
+          min("n_tokens").as("n_tokens"))
+      (updates, updates.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out); ()
+        }
+        .start())
+    }
+    linkArrival(even, topic, "f0")
+    val (proto, q1) = start()
+    // schema anchor so a zero-emission phase still reads back (the
+    // sessionFlushAppend fold discipline)
+    proto.sparkSession.createDataFrame(
+        proto.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        proto.schema)
+      .write.mode("append").parquet(out)
+    try q1.processAllAvailable() finally q1.stop()
+    linkArrival(odd, topic, "f1")
+    val (_, q2) = start()
+    try q2.processAllAvailable() finally q2.stop()
+    spark.read.parquet(out)
+      .groupBy("digest")
+      .agg(min("doc_id").as("doc_id"), max("n_copies").as("n_copies"),
+        min("n_tokens").as("n_tokens"))
+      .select(col("doc_id"), col("n_copies"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** T5: stateful streaming dedup — the engine form of the reference's
     * UNIQUE(voter_id) gate (`/root/reference/main.py:55-59`). Emits each
     * user once (append mode, state store keyed by user). Output is the

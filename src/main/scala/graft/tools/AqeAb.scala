@@ -12,8 +12,11 @@ import org.apache.spark.sql.SparkSession
   * mode `aqe` (default): off-arm = static plans, on-arm = adaptive +
   * coalesce (the bench default). mode `pfirst`: BOTH arms adaptive;
   * the on-arm additionally sets `coalescePartitions.parallelismFirst
-  * = false` + a 64 MB advisory size, i.e. coalesce tiny shuffles to
-  * the TARGET SIZE (often 1 partition) instead of the core count.
+  * = false` + the advisory size the bench actually ships
+  * (`SPARK_GRAFT_AQE_ADVISORY`, default 8m — see [[graft.Bench]]), i.e.
+  * coalesce tiny shuffles to the TARGET SIZE (often 1 partition)
+  * instead of the core count. The off-arm keeps the 64m Spark default,
+  * so the A/B measures exactly the shipped-vs-stock posture.
   */
 object AqeAb {
   def main(args: Array[String]): Unit = {
@@ -64,7 +67,8 @@ object AqeAb {
         spark.conf.set(
           "spark.sql.adaptive.coalescePartitions.parallelismFirst", (!arm).toString)
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-          if (arm) "64m" else "64m")
+          if (arm) sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "8m")
+          else "64m")
       }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); () } catch { case e: Throwable =>

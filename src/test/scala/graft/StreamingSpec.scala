@@ -336,6 +336,56 @@ class StreamingSpec extends SparkSpec {
         "must have crossed the micro-batch boundary")
   }
 
+  test("T46 concurrent queries in one session equal their batch " +
+       "aggregates on both sides") {
+    val got = StreamOps.concurrentSharedSession(spark, sfDir)
+      .as[(String, String, Long, Double)].collect().toSet
+    val ev = Tables.events(spark, sfDir)
+    val byType = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(lit("by_type").as("m"), col("event_type"), col("n"), col("total"))
+      .as[(String, String, Long, Double)].collect().toSet
+    val byBucket = ev
+      .groupBy(pmod(col("user_id"), lit(8)).cast("string").as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(lit("by_bucket").as("m"), col("bucket"), col("n"), col("total"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got === (byType ++ byBucket),
+      "two concurrent stateful queries sharing the session/state pool " +
+        "must each produce exactly their isolated-batch result")
+    assert(got.exists(_._1 == "by_type") && got.exists(_._1 == "by_bucket"),
+      "both concurrent queries' outputs must be present")
+  }
+
+  test("T47 corpus front-end recovery: digest state survives the " +
+       "kill-and-restart, counting duplicates across the arrival split") {
+    // same planted-duplicate fixture as the T45 spec — but here the two
+    // parity arrivals are separated by a full query STOP + cold start,
+    // so n_copies >= 2 for every planted content proves the checkpoint
+    // restore, not just in-flight state
+    val dir = Files.createTempDirectory("graft_t47_fixture_")
+    val base = Tables.documents(spark, sfDir).limit(200)
+    base.unionByName(base.withColumn("doc_id", col("doc_id") + lit(1001L)))
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    val recovered = StreamOps.corpusFrontEndRecover(spark, dir.toString)
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = Tables.documents(spark, dir.toString)
+      .filter(graft.ext.TextOps.isEnglishPredicate &&
+        graft.ext.TextOps.qualityOkPredicate)
+      .select(col("doc_id"), md5(col("text")).as("digest"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("digest")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"),
+        min("n_tokens").as("n_tokens"))
+      .select("doc_id", "n_copies", "n_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(recovered === batch,
+      "the restarted query must reproduce the batch canonical dedup")
+    assert(batch.nonEmpty && batch.forall(_._2 >= 2),
+      "every planted content must count copies from BOTH sides of the " +
+        "restart — digest state must have been recovered from checkpoint")
+  }
+
   test("T9/T44 degenerate fixture: an EMPTY events table yields an empty " +
        "session frame, not a crash (the moveStagedPart contract)") {
     val dir = Files.createTempDirectory("graft_empty_fixture_")
