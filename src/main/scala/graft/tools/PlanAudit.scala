@@ -36,6 +36,8 @@ object PlanAudit {
     "t39_tws_state_source_read", "t40_stream_right_outer_join",
     "t41_state_time_travel", "t42_stream_chained_agg",
     "t43_stream_observe", "t44_stream_dynamic_sessions",
+    "t45_stream_canonical_dedup", "t46_stream_concurrent_queries",
+    "t47_stream_corpus_recover",
     "s8_write_then_emit", "s9_file_sink_exactly_once",
     "s10_wire_emit_exactly_once",
     "s5c_jdbc_upsert_replay", "s5d_jdbc_txnlog_replay", "s4_avro_source",

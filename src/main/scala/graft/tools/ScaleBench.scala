@@ -54,6 +54,10 @@ object ScaleBench {
     "corpus_prepare_full",
     "text_bm25_topk",
     "text_boilerplate",
+    // the eval-overlap join (r15 verdict: top-5 calm batch seat, the
+    // one expensive family member without its own exponent row — the
+    // small side's shape differs from the jaccard/containment siblings)
+    "text_source_overlap",
     "ann_ivf_batch_topk",
     "ann_pq_adc_topk",
     "sketch_quantile_rollup",
