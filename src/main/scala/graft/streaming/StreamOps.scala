@@ -2139,6 +2139,10 @@ object StreamOps {
     * summed) — so nothing data-sized ever reaches the driver; each
     * session is closed in exactly one batch, so the partial fold is
     * exact regardless of batch split. */
+  /** Last [[sessionFlushAppend]] run's count of real-data micro-batches
+    * (input rows > 1 — sentinels are single-row). Test hook only. */
+  private[graft] var lastSessionRealBatches: Int = -1
+
   private def sessionFlushAppend(spark: SparkSession, dir: String, tag: String,
                                  gapExpr: org.apache.spark.sql.Column,
                                  maxGapMs: Long,
@@ -2192,6 +2196,13 @@ object StreamOps {
         q.processAllAvailable()
         sentinelArrival(spark, s1 + 3600L * 1000, topic, "f3")
         q.processAllAvailable()
+        // pacing witness for the spec suite: batches with >1 input row
+        // are the REAL halves (each sentinel batch carries exactly 1
+        // row), so the count certifies real events genuinely spanned
+        // two micro-batches — guarding a future revert to the r15
+        // single-drain shape the advisory flagged
+        lastSessionRealBatches =
+          q.recentProgress.count(_.numInputRows > 1)
       } finally q.stop()
     fold match {
       case Some(f) =>

@@ -336,6 +336,16 @@ class StreamingSpec extends SparkSpec {
         "must have crossed the micro-batch boundary")
   }
 
+  test("T9/T44 pacing: real events genuinely span two micro-batches " +
+       "(the time-split stage, not a single drain)") {
+    StreamOps.lastSessionRealBatches = -1
+    StreamOps.streamingSessionCounts(spark, sfDir).count()
+    assert(StreamOps.lastSessionRealBatches >= 2,
+      s"session harness processed ${StreamOps.lastSessionRealBatches} " +
+        "real-data batches — cross-batch session merging is no longer " +
+        "exercised (the r15 advisory's single-drain regression)")
+  }
+
   test("T46 concurrent queries in one session equal their batch " +
        "aggregates on both sides") {
     val got = StreamOps.concurrentSharedSession(spark, sfDir)
