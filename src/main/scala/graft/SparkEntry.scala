@@ -1712,6 +1712,11 @@ object SparkEntry {
     // recovered state (same oracle as t45 — recovery is semantics-free)
     "t47_stream_corpus_recover" -> ((s, d) =>
       StreamOps.corpusFrontEndRecover(s, d, statePartitions = Some(4))),
+    // two-hop pipeline chained through an exactly-once parquet sink:
+    // hop B tails hop A's sink log; totals match batch truth only if
+    // every event crossed the storage handoff exactly once
+    "t48_stream_two_hop" -> ((s, d) =>
+      StreamOps.twoHopPipeline(s, d, statePartitions = Some(4))),
     // dead-letter routing: poison rows quarantined per micro-batch, the
     // rest aggregated — conservation (valid + dead = all) oracle-checked
     "t17_stream_dead_letter" -> ((s, d) =>
@@ -2926,6 +2931,13 @@ object SparkEntry {
                   round(sum(value), 2) AS total
            FROM events GROUP BY user_id % 8)
          ORDER BY metric, k""",
+    // the two-hop handoff replayed flat: cents are assigned in hop A,
+    // aggregated in hop B — one SQL expression covers both hops
+    "t48_stream_two_hop" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents
+         FROM events GROUP BY event_type ORDER BY event_type""",
     // identical to t45's oracle: checkpoint recovery must be
     // semantics-free on the corpus front end
     "t47_stream_corpus_recover" ->

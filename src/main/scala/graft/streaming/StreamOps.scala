@@ -1306,6 +1306,72 @@ object StreamOps {
       .orderBy("doc_id")
   }
 
+  /** T48: TWO-HOP streaming pipeline chained through an exactly-once
+    * FILE SINK — the multi-job topology a 100 TB platform actually
+    * deploys (stage 1 lands cleaned events on storage; stage 2 — often
+    * another team's job — streams the landed data onward), with the
+    * handoff contract made graded: hop A projects the event stream to
+    * integer cents and appends to a parquet sink whose
+    * `_spark_metadata` transaction log is its exactly-once witness
+    * (the s9 machinery); hop B FILE-STREAMS hop A's output directory —
+    * the file source reads the sink's metadata log, so B sees exactly
+    * the files A committed, never an orphan from an interrupted batch —
+    * and maintains per-type totals. Both hops run CONCURRENTLY in one
+    * session (the t46 property, here with a producer→consumer edge);
+    * the arrivals are paced so B provably consumes across multiple of
+    * A's commits. B's totals equal the batch aggregate ONLY if every
+    * event flowed source→A→storage→B exactly once: loss undercounts,
+    * replay overcounts, and integer cents make the fold order-free. */
+  /** Last [[twoHopPipeline]] run's intermediate sink directory — test
+    * hook so the spec can assert the handoff really went through the
+    * `_spark_metadata` transactional log. */
+  private[graft] var lastTwoHopMidDir: String = ""
+
+  def twoHopPipeline(spark: SparkSession, dir: String,
+                     statePartitions: Option[Int] = None): DataFrame =
+      perfScope(spark, statePartitions) {
+    val (root, topic) = freshTopic("graft_t48_")
+    val mid = root.resolve("mid").toString
+    lastTwoHopMidDir = mid
+    val (even, odd) = parityStagedFiles(spark, dir)
+    linkArrival(even, topic, "f0")
+    val qA = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(topic.toString)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .writeStream.format("parquet")
+      .option("path", mid)
+      .option("checkpointLocation", root.resolve("ckptA").toString)
+      .outputMode("append").start()
+    // hop A must commit batch 0 BEFORE hop B's source lists `mid`: the
+    // file source probes the directory (and its sink log) at start
+    try qA.processAllAvailable()
+    catch { case e: Throwable => qA.stop(); throw e }
+    val tableB = freshName("graft_t48")
+    val qB =
+      try spark.readStream
+        .schema("event_id BIGINT, event_type STRING, cents BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(mid)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("total_cents"))
+        .writeStream.format("memory").queryName(tableB)
+        .option("checkpointLocation", root.resolve("ckptB").toString)
+        .outputMode("complete").start()
+      catch { case e: Throwable => qA.stop(); throw e }
+    try {
+      qB.processAllAvailable()
+      // second paced arrival: A commits another sink epoch while B is
+      // live — B's offset log advances across A's commit boundary
+      linkArrival(odd, topic, "f1")
+      qA.processAllAvailable()
+      qB.processAllAvailable()
+    } finally { qA.stop(); qB.stop() }
+    spark.table(tableB).orderBy("event_type")
+  }
+
   /** T5: stateful streaming dedup — the engine form of the reference's
     * UNIQUE(voter_id) gate (`/root/reference/main.py:55-59`). Emits each
     * user once (append mode, state store keyed by user). Output is the

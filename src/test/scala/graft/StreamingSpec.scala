@@ -396,6 +396,30 @@ class StreamingSpec extends SparkSpec {
         "restart — digest state must have been recovered from checkpoint")
   }
 
+  test("T48 two-hop pipeline equals batch truth, handing off through " +
+       "the sink's transaction log across multiple commits") {
+    val got = StreamOps.twoHopPipeline(spark, sfDir)
+      .as[(String, Long, Long)].collect().toSet
+    val want = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("c"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got.nonEmpty && got === want,
+      "hop B's totals must equal the batch aggregate — any loss or " +
+        "replay across the storage handoff breaks this")
+    // the handoff contract: hop A's sink carries a _spark_metadata
+    // transaction log with BOTH paced commits, and hop B's file source
+    // consumed through it (an orphan from an interrupted batch would
+    // be invisible to B)
+    val log = new java.io.File(StreamOps.lastTwoHopMidDir, "_spark_metadata")
+    assert(log.isDirectory, "hop A must write through the file-sink log")
+    val commits = Option(log.listFiles()).getOrElse(Array.empty)
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 2,
+      s"expected >=2 sink commits across the paced arrivals, saw $commits")
+  }
+
   test("T9/T44 degenerate fixture: an EMPTY events table yields an empty " +
        "session frame, not a crash (the moveStagedPart contract)") {
     val dir = Files.createTempDirectory("graft_empty_fixture_")
