@@ -37,7 +37,7 @@ object PlanAudit {
     "t41_state_time_travel", "t42_stream_chained_agg",
     "t43_stream_observe", "t44_stream_dynamic_sessions",
     "t45_stream_canonical_dedup", "t46_stream_concurrent_queries",
-    "t47_stream_corpus_recover",
+    "t47_stream_corpus_recover", "t48_stream_two_hop",
     "s8_write_then_emit", "s9_file_sink_exactly_once",
     "s10_wire_emit_exactly_once",
     "s5c_jdbc_upsert_replay", "s5d_jdbc_txnlog_replay", "s4_avro_source",
