@@ -2254,6 +2254,11 @@ object SparkEntry {
     // default port, trailing slash, utm params, query-param sort)
     "web_url_canonicalize" -> ((s, d) =>
       graft.ext.WebOps.urlCanonicalize(Tables.documents(s, d))),
+    // per-domain cap on the bounded-heap top-k aggregator: O(k) state
+    // per domain, map-side merged — never a rank window sorting a
+    // mega-domain through one partition
+    "web_domain_cap" -> ((s, d) =>
+      graft.ext.WebOps.domainCap(Tables.documents(s, d))),
     "text_fingerprints" -> ((s, d) => TextOps.fingerprints(Tables.documents(s, d))),
 
     "text_tfidf_top3" -> ((s, d) =>
@@ -6207,6 +6212,23 @@ object SparkEntry {
                   AS clean_text
          FROM t4 ORDER BY doc_id""",
     // same injected URL rebuilt from doc_id, same canonicalization steps
+    // the oracle re-derives the injected domain from doc_id (the
+    // injection rule) and replays the cap as a rank window — the form
+    // the engine deliberately avoids at scale but DuckDB replays fine
+    // at sf; kept_ids joined in the aggregator's (quality DESC, id)
+    // order
+    "web_domain_cap" ->
+      """WITH u AS (SELECT doc_id, n_chars,
+                           'site' || (doc_id % 7) || '.com' AS domain
+                    FROM documents),
+              r AS (SELECT *, row_number() OVER (PARTITION BY domain
+                      ORDER BY n_chars DESC, doc_id) AS rnk
+                    FROM u)
+         SELECT domain,
+                string_agg(CAST(doc_id AS VARCHAR), ','
+                           ORDER BY n_chars DESC, doc_id) AS kept_ids
+         FROM r WHERE rnk <= 50
+         GROUP BY domain ORDER BY domain""",
     "web_url_canonicalize" ->
       """WITH u0 AS (SELECT doc_id,
                 CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'HTTPS' END

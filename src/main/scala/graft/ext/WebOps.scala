@@ -76,6 +76,33 @@ object WebOps {
       when(pmod(col("doc_id"), lit(4)) === 0,
         concat(lit("#sec"), col("doc_id"))).otherwise(lit(""))))
 
+  /** Per-domain document CAP — the crawl-diversity gate every
+    * C4/RefinedWeb-style pipeline runs after canonicalization: a
+    * handful of mega-domains otherwise dominate the corpus, so each
+    * registered domain keeps only its `k` highest-quality documents
+    * (quality proxy here: `n_chars`, ties to the smaller doc_id — a
+    * deterministic, oracle-replayable key). The cap runs on the
+    * bounded-heap [[graft.functions.TopKAggregator]], NOT a rank
+    * window: per domain the state is O(k) and partials merge map-side,
+    * so a mega-domain costs k-sized buffers per task — the rank-window
+    * alternative sorts every one of its documents through a single
+    * partition, the exact plan that dies on a 100 TB crawl where one
+    * domain can be 1% of the corpus. Domains come from the injected
+    * crawl URLs ([[withInjectedUrls]]): lowercase the authority, strip
+    * `www.` and the port. */
+  def domainCap(docs: DataFrame, k: Int = 50): DataFrame = {
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKAggregator(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.TopKItem])
+    withInjectedUrls(docs)
+      .withColumn("domain", regexp_replace(
+        lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/:?#]+)", 1)),
+        lit("^www\\."), lit("")))
+      .groupBy("domain")
+      .agg(topk(col("n_chars").cast("double"), col("doc_id")).as("kept_ids"))
+      .orderBy("domain")
+  }
+
   /** URL canonicalization — the crawl-dedup key: drop the fragment,
     * lowercase scheme and authority, strip the `www.` prefix and the
     * SCHEME'S OWN default port (`:80` only for http, `:443` only for

@@ -53,6 +53,38 @@ class WebOpsSpec extends SparkSpec {
     assert(out === "Doc & <3> alpha &gt; beta", out)
   }
 
+  test("domain cap keeps exactly the k highest-n_chars docs per domain, " +
+       "ties to the smaller doc_id") {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sfDir)
+    val got = WebOps.domainCap(d, k = 5)
+      .as[(String, String)].collect().toMap
+    // independent replay via the rank window the engine avoids at scale
+    val w = Window.partitionBy("domain")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val want = d
+      .withColumn("domain",
+        concat(lit("site"), pmod(col("doc_id"), lit(7)), lit(".com")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .groupBy("domain")
+      // collect_list order is partition-dependent; sort by rank inside
+      // the aggregated array before joining
+      .agg(expr("concat_ws(',', transform(" +
+        "array_sort(collect_list(struct(rnk, doc_id))), " +
+        "x -> cast(x.doc_id AS string)))").as("ids"))
+      .as[(String, String)].collect().toMap
+    assert(got.nonEmpty && got === want)
+    assert(got.forall(_._2.split(",").length <= 5), "cap must bound k")
+  }
+
+  test("domain cap is one aggregation exchange — never a rank window " +
+       "sorting a mega-domain through one partition") {
+    val plan = WebOps.domainCap(Tables.documents(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no window operator expected:\n$plan")
+  }
+
   test("both pipelines are zero-exchange scalar plans") {
     val d = Tables.documents(spark, sfDir)
     Seq(WebOps.htmlExtract(d), WebOps.urlCanonicalize(d)).foreach { df =>
