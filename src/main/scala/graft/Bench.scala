@@ -419,6 +419,14 @@ object Bench {
     // "resampled":{seat:[first,second]} — a second reading near the
     // historical floor proves the spike was ambient; two high readings
     // flag a real regression.
+    // Second attribution signal, for the mode the resample CANNOT see:
+    // a broad ambient smear lifts every seat 10-30% without any single
+    // seat crossing the 3x resample bar (observed: 143-158 s boards
+    // with probes near-calm and resampled empty). The median per-seat
+    // ratio vs the committed floors separates the two failure shapes
+    // in-artifact: median >> 1 with resampled empty = host smear;
+    // median ~ 1 with specific seats high = code. -1.0 when no history.
+    var medianRatioVsFloor: Double = -1.0
     val resampled: Map[String, (Double, Double)] =
       if (filter.nonEmpty) Map.empty
       else try {
@@ -445,6 +453,10 @@ object Bench {
             }
             .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
         }.getOrElse(Map.empty[String, Double])
+        val ratios = results.toSeq.flatMap { case (name, v) =>
+          history.get(name).filter(_ > 0).map(v / _)
+        }.sorted
+        if (ratios.nonEmpty) medianRatioVsFloor = ratios(ratios.size / 2)
         val outliers = results.filter { case (name, v) =>
           Bench.isResampleOutlier(history.get(name), v)
         }
@@ -465,14 +477,14 @@ object Bench {
     val resampledJson = resampled
       .map { case (k, (a, b)) => s"\"" + k + s"\":[$a,$b]" }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"calib_fs":$calibFs,"calib_stream":$calibStream,"resampled":$resampledJson,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"calib_fs":$calibFs,"calib_stream":$calibStream,"resampled":$resampledJson,"median_ratio_vs_floor":$medianRatioVsFloor,"queries":$qs,"sf":"$sfDir"}"""
     // The per-query line is one giant record whose "metric":"total" head is
     // the first thing a tail-truncated log window loses (the driver recorded
     // "parsed": null two rounds running). Print a second, SHORT, final line
     // carrying the same headline so any tail window contains a parseable
     // record; the file copy keeps the full per-query detail.
     val shortLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"calib_fs":$calibFs,"calib_stream":$calibStream,"n":${results.size},"n_resampled":${resampled.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"calib_fs":$calibFs,"calib_stream":$calibStream,"n":${results.size},"n_resampled":${resampled.size},"median_ratio_vs_floor":$medianRatioVsFloor,"sf":"$sfDir"}"""
     println(line)
     println(shortLine)
     // Belt-and-braces for the driver parse: stderr is a second raw channel
