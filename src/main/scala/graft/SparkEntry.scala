@@ -1717,6 +1717,23 @@ object SparkEntry {
     // every event crossed the storage handoff exactly once
     "t48_stream_two_hop" -> ((s, d) =>
       StreamOps.twoHopPipeline(s, d, statePartitions = Some(4))),
+    // BOUNDED-state corpus dedup: digest state evicted past the ingest
+    // watermark — duplicates planted inside AND beyond the horizon, so
+    // the oracle proves the eviction semantics (n_emits = 2 iff evicted)
+    "t49_stream_dedup_evicted" -> ((s, d) =>
+      StreamOps.streamingDedupEvicted(s, d, statePartitions = Some(4))),
+    // streaming multimodal ingest: real PNG bytes decoded per batch,
+    // malformed payloads quarantined, per-geometry admission counters
+    "t50_stream_mm_gate" -> ((s, d) =>
+      StreamOps.streamingMediaGate(s, d, statePartitions = Some(4))),
+    // additive schema drift mid-topic: narrow pre-drift files read as
+    // NULL-filled under the wide declared schema, no restart
+    "t51_stream_schema_drift" -> ((s, d) =>
+      StreamOps.streamingSchemaDrift(s, d, statePartitions = Some(4))),
+    // the t48 run's observed conservation counters as a graded row:
+    // rows hop A committed == rows hop B read == batch count(*)
+    "t52_stream_two_hop_lineage" -> ((s, d) =>
+      StreamOps.twoHopLineage(s, d, statePartitions = Some(4))),
     // dead-letter routing: poison rows quarantined per micro-batch, the
     // rest aggregated — conservation (valid + dead = all) oracle-checked
     "t17_stream_dead_letter" -> ((s, d) =>
@@ -2957,6 +2974,68 @@ object SparkEntry {
          SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
                 CAST(min(n_tokens) AS BIGINT) AS n_tokens
          FROM kept GROUP BY md5(text) ORDER BY doc_id""",
+    // the eviction replayed flat: a gated digest is re-emitted by the
+    // batch-1 re-delivery iff its batch-0 ingest time put it on the
+    // evicted (even-text-length) side of the watermark horizon
+    "t49_stream_dedup_evicted" ->
+      """WITH t AS (SELECT text, string_split(text, ' ') AS w
+                    FROM documents),
+              kept AS (SELECT text, len(w) AS n_tokens FROM t
+                       WHERE round(len(list_filter(w, x -> x IN ('the','a')))
+                                   / CAST(len(w) AS DOUBLE), 4) > 0.03
+                         AND len(w) >= 10 AND len(w) <= 10000
+                         AND round(len(list_distinct(w))
+                                   / CAST(len(w) AS DOUBLE), 4) > 0.1)
+         SELECT md5(text) AS digest,
+                CAST(CASE WHEN length(text) % 2 = 0 THEN 2 ELSE 1 END
+                     AS BIGINT) AS n_emits,
+                CAST(min(n_tokens) AS BIGINT) AS n_tokens
+         FROM kept GROUP BY text ORDER BY digest""",
+    // the mm gate replayed from the fixture's closed forms: geometry and
+    // exact pixel sums per admitted width group; every seventh payload
+    // is staged corrupt and must land in the quarantine row
+    "t50_stream_mm_gate" ->
+      """WITH px AS (
+           SELECT d.doc_id, d.doc_id % 13 + 4 AS w, d.doc_id % 11 + 4 AS h,
+                  sum(CASE WHEN xs.x < d.doc_id % 13 + 4
+                            AND ys.y < d.doc_id % 11 + 4
+                       THEN (xs.x * 7 + ys.y * 13 + d.doc_id * 31) % 256
+                       ELSE 0 END) AS ps
+           FROM documents d, generate_series(0, 15) xs(x),
+                generate_series(0, 13) ys(y)
+           GROUP BY d.doc_id),
+           g AS (
+           SELECT CASE WHEN doc_id % 7 = 0 THEN 'quarantined'
+                       ELSE 'w' || CAST(w AS VARCHAR) END AS k,
+                  CASE WHEN doc_id % 7 = 0 THEN 0 ELSE w * h END AS npx,
+                  CASE WHEN doc_id % 7 = 0 THEN 0 ELSE ps END AS ps
+           FROM px)
+         SELECT k, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(npx) AS BIGINT) AS total_px,
+                CAST(sum(ps) AS BIGINT) AS pix_sum
+         FROM g GROUP BY k ORDER BY k""",
+    // the drift replayed from the generation split: even-parity docs
+    // streamed through the narrow pre-drift layout (lang NULL-filled →
+    // 'pre_drift'), odd-parity docs through the wide one
+    "t51_stream_schema_drift" ->
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN 'pre_drift' ELSE lang END
+                  AS lang_k,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    // t48's totals plus the observed conservation row: rows hop A
+    // committed and rows hop B read back both equal count(*)
+    "t52_stream_two_hop_lineage" ->
+      """SELECT * FROM (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS total_cents
+           FROM events GROUP BY event_type
+           UNION ALL
+           SELECT '__lineage', CAST(count(*) AS BIGINT),
+                  CAST(count(*) AS BIGINT)
+           FROM events)
+         ORDER BY event_type""",
     "t44_stream_dynamic_sessions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
                            epoch_us(ts) + CASE WHEN event_type = 'purchase'

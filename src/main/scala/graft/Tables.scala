@@ -38,9 +38,15 @@ object Tables {
     * it), and a same-length in-place rewrite can land within the
     * filesystem's mtime granularity — so the immediate children's
     * names, mtimes, and lengths are folded into the hash too (one
-    * shallow listing, still µs; deeper nesting shows up because the
-    * touched partition dir IS an immediate child whose own mtime/stat
-    * changes when its contents do). */
+    * shallow listing, still µs). The guarantee is create/delete-scoped:
+    * a rewrite one level down shows up because adding/removing/renaming
+    * a grandchild bumps its parent dir's mtime — but an IN-PLACE byte
+    * overwrite of an existing grandchild changes neither the root's nor
+    * the subdir's stat and is NOT detected. Every in-process rewriter
+    * here (Spark writers, the scale tools) goes through a
+    * delete-then-recreate or fresh-part-file path, which is what keeps
+    * the shallow probe sufficient; a tool that someday patches parquet
+    * bytes in place must call [[clearCaches]] itself. */
   private[graft] def fingerprint(path: String): Long = {
     val f = new java.io.File(path)
     var h = f.lastModified ^ java.lang.Long.rotateLeft(f.length, 32)

@@ -139,6 +139,40 @@ object ImageCodec {
     }.toDF()
   }
 
+  final case class GateRow(doc_id: Long, ok: Boolean, width: Long,
+                           height: Long, pix_sum: Long)
+
+  /** [[decodeBrightness]] hardened for the INGEST path (the streaming
+    * mm gate): a payload that fails to decode — truncated bytes, bad
+    * magic, a codec exception — yields an `ok = false` row instead of
+    * killing the task, so the caller can QUARANTINE it (the dead-letter
+    * discipline). Streaming-safe: a pure per-row map, no driver state. */
+  def decodeGate(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("doc_id", "media_bytes").as[MediaRow].mapPartitions { rows =>
+      rows.map { m =>
+        try {
+          val img = ImageIO.read(new ByteArrayInputStream(m.media_bytes))
+          if (img == null) GateRow(m.doc_id, ok = false, -1L, -1L, 0L)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val r = img.getRaster
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += r.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            GateRow(m.doc_id, ok = true, w.toLong, h.toLong, sum)
+          }
+        } catch { case _: Exception =>
+          GateRow(m.doc_id, ok = false, -1L, -1L, 0L)
+        }
+      }
+    }.toDF()
+  }
+
   final case class ThumbPx(doc_id: Long, i: Int, j: Int, v: Long)
 
   /** Nearest-neighbor thumbnail over REAL decoded pixels: thumb(i, j)

@@ -1136,12 +1136,20 @@ object StreamOps {
     * parity), so a hash match proves the dedup state carried across
     * micro-batches. */
   def streamingCanonicalDedup(spark: SparkSession, dir: String,
-                              statePartitions: Option[Int] = None): DataFrame =
-      perfScope(spark, statePartitions) {
-    val (root, topic) = freshTopic("graft_t45_")
-    val (even, odd) = docParityStagedFiles(spark, dir)
-    linkArrival(even, topic, "f0")
-    val updates = spark.readStream
+                              statePartitions: Option[Int] = None): DataFrame = {
+    val width = statePartitions.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    gatedDigestFold(spark, corpusFrontEndRun(spark, dir, width).out)
+  }
+
+  /** The corpus front end's gated digest aggregation — ONE definition
+    * shared by the t45 emission seat, the t47 recovery seat, and the
+    * t49 eviction sibling's gate stage (they duplicated this block
+    * inline through round 16): language + quality gates as scan-side
+    * predicates, then the content-digest canonical fold. */
+  private def gatedDigestUpdates(spark: SparkSession,
+                                 topic: java.nio.file.Path): DataFrame =
+    spark.readStream
       .schema("doc_id BIGINT, text STRING")
       .option("maxFilesPerTrigger", 1)
       .parquet(topic.toString)
@@ -1152,26 +1160,27 @@ object StreamOps {
       .groupBy("digest")
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"),
         min("n_tokens").as("n_tokens"))
-    val out = root.resolve("snap").toString
-    // establish the snapshot schema up front so a run whose gates pass
-    // zero documents still reads back as an empty frame
-    updates.sparkSession.createDataFrame(
-        updates.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        updates.schema)
-      .write.mode("append").parquet(out)
-    val q = updates
-      .writeStream
+
+  /** Start the update-mode foreachBatch parquet fold over
+    * [[gatedDigestUpdates]] — each batch's emissions stay DISTRIBUTED
+    * (the sessionFlushAppend discipline; a memory sink would collect
+    * every per-batch re-emission to the driver). */
+  private def startDigestFold(updates: DataFrame, ckpt: String,
+                              out: String): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
       .outputMode("update")
-      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("append").parquet(out); ()
       }
       .start()
-    try {
-      q.processAllAvailable()
-      linkArrival(odd, topic, "f1")
-      q.processAllAvailable()
-    } finally q.stop()
+
+  /** Re-aggregate the fold's partials, keeping the final emission per
+    * digest (min doc_id is monotone decreasing and n_copies monotone
+    * increasing across update-mode re-emissions, so min/max select it
+    * deterministically — and make the fold replay-idempotent under an
+    * unclean stop). */
+  private def gatedDigestFold(spark: SparkSession, out: String): DataFrame =
     spark.read.parquet(out)
       .groupBy("digest")
       .agg(min("doc_id").as("doc_id"), max("n_copies").as("n_copies"),
@@ -1179,7 +1188,67 @@ object StreamOps {
       .select(col("doc_id"), col("n_copies"),
         col("n_tokens").cast("long").as("n_tokens"))
       .orderBy("doc_id")
+
+  /** One shared corpus-front-end pipeline run per (session, fixture,
+    * state width) — the t5/t27 shared-run discipline applied to the
+    * t45/t47 pair (the r16 verdict's directive #5): t45 grades the full
+    * two-arrival fold; t47 grades a COLD START from this run's
+    * checkpoint as it stood after arrival 0, so the even half streams
+    * once per board instead of twice. Between the two drains the query
+    * is idle (processAllAvailable returned, no-data batches disabled by
+    * the caller's scope), so the checkpoint and fold snapshot are
+    * stat-stable and the copy is consistent. The schema anchor is
+    * written BEFORE the query starts — writing it after start() raced
+    * batch 0's foreachBatch append into the same directory (two
+    * concurrent batch writers sharing out/_temporary; the r16 ADVICE
+    * item). */
+  private final case class CorpusRun(out: String, topic: java.nio.file.Path,
+                                     recoverCkpt: String, recoverOut: String)
+  private val corpusRunMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), CorpusRun]()
+
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    Files.createDirectories(dst)
+    Option(src.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val d = dst.resolve(f.getName)
+      if (f.isDirectory) copyTree(f.toPath, d)
+      else Files.copy(f.toPath, d)
+    }
   }
+
+  private def corpusFrontEndRun(spark: SparkSession, dir: String,
+                                width: Int): CorpusRun =
+    corpusRunMemo.computeIfAbsent((spark, dir, width), { _ =>
+      withNoDataBatchesOff(spark) { withShufflePartitions(spark, Some(width)) {
+        val (root, topic) = freshTopic("graft_t45_")
+        val (even, odd) = docParityStagedFiles(spark, dir)
+        val out = root.resolve("snap").toString
+        val recoverCkpt = root.resolve("ckpt_recover")
+        val recoverOut = root.resolve("snap_recover")
+        val updates = gatedDigestUpdates(spark, topic)
+        // establish the snapshot schema up front (BEFORE start — see
+        // scaladoc) so a run whose gates pass zero documents still
+        // reads back as an empty frame
+        spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            updates.schema)
+          .write.mode("append").parquet(out)
+        linkArrival(even, topic, "f0")
+        val q = startDigestFold(updates, root.resolve("ckpt").toString, out)
+        try {
+          q.processAllAvailable()
+          // snapshot the post-arrival-0 checkpoint + fold for the t47
+          // cold start: new checkpoint writes land as NEW files (offset/
+          // commit logs and state versions are append-by-filename), so
+          // the copied tree is a faithful frozen restart point
+          copyTree(root.resolve("ckpt"), recoverCkpt)
+          copyTree(java.nio.file.Paths.get(out), recoverOut)
+          linkArrival(odd, topic, "f1")
+          q.processAllAvailable()
+        } finally q.stop()
+        CorpusRun(out, topic, recoverCkpt.toString, recoverOut.toString)
+      } }
+    })
 
   /** T46: MULTI-QUERY CONCURRENCY — two independent stateful streaming
     * queries over the SAME topic, running CONCURRENTLY in one
@@ -1259,52 +1328,250 @@ object StreamOps {
     * ingest needs from its sink side. Same oracle as t45: recovery must
     * be semantics-free. */
   def corpusFrontEndRecover(spark: SparkSession, dir: String,
+                            statePartitions: Option[Int] = None): DataFrame = {
+    val width = statePartitions.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    gatedDigestFold(spark, corpusRecoverRun(spark, dir, width))
+  }
+
+  /** The t47 recovery phase, memoized alongside [[corpusFrontEndRun]]:
+    * a brand-new query starts from the shared run's post-arrival-0
+    * checkpoint snapshot — by then the odd half is already in the topic
+    * (the shared run's q1 consumed it), but THIS query's offset log has
+    * never seen those files, so they are its fresh arrivals and the
+    * recovered digest state is what carries the cross-arrival counts.
+    * Memoized so a post-board resample doesn't re-drive the stream
+    * against an already-consumed checkpoint (the seat is flagged
+    * `resampled_memoized` in the bench artifact). */
+  private val corpusRecoverMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), String]()
+  private def corpusRecoverRun(spark: SparkSession, dir: String,
+                               width: Int): String =
+    corpusRecoverMemo.computeIfAbsent((spark, dir, width), { _ =>
+      val run = corpusFrontEndRun(spark, dir, width)
+      withNoDataBatchesOff(spark) { withShufflePartitions(spark, Some(width)) {
+        val q2 = startDigestFold(gatedDigestUpdates(spark, run.topic),
+          run.recoverCkpt, run.recoverOut)
+        try q2.processAllAvailable() finally q2.stop()
+      } }
+      run.recoverOut
+    })
+
+  /** T49: BOUNDED-STATE corpus front end — the watermark/TTL-evicted
+    * sibling of [[streamingCanonicalDedup]], closing the one remaining
+    * scale-killer on the board (SURVEY §7.4): t45/t47 keep one state
+    * row per distinct content digest FOREVER, which at 100 TB of docs
+    * is corpus-sized state; here the digest key rides an ingest-time
+    * watermark and `dropDuplicatesWithinWatermark` EVICTS it once the
+    * watermark passes its event time + delay, so state is O(digests
+    * within the horizon). The graded fixture plants duplicates on BOTH
+    * sides of the horizon: every gated document arrives once in batch
+    * 0 — even-length texts at T0, odd-length at T0+10d — and the whole
+    * corpus is re-delivered at T0+10d (twice, as two paced batches —
+    * see the in-body comment on cleanup discipline). After batch 0 the
+    * watermark stands at T0+8d (max event time − 2d delay), which is
+    * PAST the even-length digests' expiry (T0+2d) and SHORT of the
+    * odd-length ones' (T0+12d) — so the re-delivery re-emits exactly
+    * the evicted half and is suppressed on the retained half. The
+    * oracle recomputes both outcomes from the text alone (n_emits = 2
+    * iff length(text) is even), so under-eviction (state never freed —
+    * everything 1), over-eviction (odd half re-emitted too), and
+    * late-row leakage all break the hash. The unbounded t45 stays as
+    * the exact-semantics contrast (the A3 "Postgres remembers forever"
+    * discipline). Emissions are one row per (digest, emission) — the
+    * graded output itself — so the memory sink collects exactly the
+    * result, never a larger stream (the t44 justification). */
+  def streamingDedupEvicted(spark: SparkSession, dir: String,
                             statePartitions: Option[Int] = None): DataFrame =
       perfScope(spark, statePartitions) {
-    val (root, topic) = freshTopic("graft_t47_")
-    val (even, odd) = docParityStagedFiles(spark, dir)
-    val out = root.resolve("snap").toString
-    val ckpt = root.resolve("ckpt").toString
-    def start() = {
-      val updates = spark.readStream
-        .schema("doc_id BIGINT, text STRING")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(topic.toString)
-        .filter(graft.ext.TextOps.isEnglishPredicate &&
-          graft.ext.TextOps.qualityOkPredicate)
-        .select(col("doc_id"), md5(col("text")).as("digest"),
-          size(split(col("text"), " ")).as("n_tokens"))
-        .groupBy("digest")
-        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"),
-          min("n_tokens").as("n_tokens"))
-      (updates, updates.writeStream
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(out); ()
-        }
-        .start())
-    }
-    linkArrival(even, topic, "f0")
-    val (proto, q1) = start()
-    // schema anchor so a zero-emission phase still reads back (the
-    // sessionFlushAppend fold discipline)
-    proto.sparkSession.createDataFrame(
-        proto.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        proto.schema)
-      .write.mode("append").parquet(out)
-    try q1.processAllAvailable() finally q1.stop()
-    linkArrival(odd, topic, "f1")
-    val (_, q2) = start()
-    try q2.processAllAvailable() finally q2.stop()
-    spark.read.parquet(out)
+    val (root, topic) = freshTopic("graft_t49_")
+    val (f0, f1) = t49StagedFiles(spark, dir)
+    linkArrival(f0, topic, "f0")
+    val table = freshName("graft_t49")
+    val q = spark.readStream
+      .schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
+      .parquet(topic.toString)
+      .filter(graft.ext.TextOps.isEnglishPredicate &&
+        graft.ext.TextOps.qualityOkPredicate)
+      .select(col("ts"), md5(col("text")).as("digest"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .withWatermark("ts", "2 days")
+      .dropDuplicatesWithinWatermark("digest")
+      .select("digest", "n_tokens")
+      .writeStream.format("memory").queryName(table)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // the re-delivery arrives TWICE (one file per micro-batch): state
+      // removal for expired keys runs in the operator's end-of-batch
+      // cleanup, so the FIRST re-delivery batch may still see the
+      // expired entry (suppressed; cleanup then drops it) and the
+      // second one re-emits — while an implementation that compares
+      // expiry at check time re-emits on the first and suppresses the
+      // second. Either way each evicted digest re-emits EXACTLY once
+      // and each retained digest never does, so the graded counts are
+      // invariant to which cleanup discipline the operator uses.
+      linkArrival(f1, topic, "f1")
+      q.processAllAvailable()
+      linkArrival(f1, topic, "f2")
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(table)
       .groupBy("digest")
-      .agg(min("doc_id").as("doc_id"), max("n_copies").as("n_copies"),
-        min("n_tokens").as("n_tokens"))
-      .select(col("doc_id"), col("n_copies"),
-        col("n_tokens").cast("long").as("n_tokens"))
-      .orderBy("doc_id")
-  }
+      .agg(count(lit(1)).as("n_emits"),
+        min("n_tokens").cast("long").as("n_tokens"))
+      .orderBy("digest")
+      }
+
+  /** The t49 staged arrivals, memoized per (session, fixture): batch 0
+    * assigns each document a deterministic ingest time by TEXT-length
+    * parity (digest-stable — a per-doc_id time would make eviction
+    * nondeterministic when duplicates of one digest straddled the
+    * groups); batch 1 re-delivers the whole table at the late anchor.
+    * Each arrival is ONE file, so the batch split — and therefore the
+    * watermark schedule the oracle replays — is exact. */
+  private val t49StageMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (java.nio.file.Path, java.nio.file.Path)]()
+  private def t49StagedFiles(spark: SparkSession, dir: String)
+      : (java.nio.file.Path, java.nio.file.Path) =
+    t49StageMemo.computeIfAbsent((spark, dir), { _ =>
+      val root = graft.TmpDirs.create("graft_t49_stage_")
+      val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+      stageTopicFile(root, root, "arrival0", docs.withColumn("ts",
+        expr("timestamp'2024-01-01 00:00:00' + " +
+          "IF(length(text) % 2 = 0, INTERVAL 0 DAY, INTERVAL 10 DAY)")))
+      stageTopicFile(root, root, "arrival1", docs.withColumn("ts",
+        expr("timestamp'2024-01-11 00:00:00'")))
+      (root.resolve("arrival0.parquet"), root.resolve("arrival1.parquet"))
+    })
+
+  /** T50: STREAMING MULTIMODAL INGEST GATE — the mm tier's batch
+    * kernels applied on the continuous path a 100 TB multimodal
+    * pipeline actually runs (the r16 verdict's directive #4): real
+    * encoded PNG payloads arrive as a binary-column file stream (the
+    * t45 staging discipline), each micro-batch decodes the actual
+    * bytes partition-parallel ([[graft.ext.ImageCodec.decodeGate]] —
+    * the per-partition ImageIO loop a JNI codec would occupy),
+    * malformed payloads are QUARANTINED instead of killing the query
+    * (the t17 dead-letter shape, here from a decoder failure rather
+    * than a parse failure), and a stateful aggregate maintains per-
+    * geometry admission counters. The staged fixture corrupts every
+    * doc_id % 7 == 0 payload (truncated after the 8-byte signature), so
+    * the quarantine path is genuinely exercised; decode results follow
+    * the fixture's closed-form pixel pattern, so the oracle recomputes
+    * every kept group's exact pixel sum — a silently dropped payload, a
+    * mis-decoded byte, or a crash-not-quarantine all break the hash.
+    * Output is key-bounded (13 widths + the quarantine row), so the
+    * complete-mode memory sink collects O(groups), never O(docs). */
+  def streamingMediaGate(spark: SparkSession, dir: String,
+                         statePartitions: Option[Int] = None): DataFrame =
+      perfScope(spark, statePartitions) {
+    val (root, topic) = freshTopic("graft_t50_")
+    val (f0, f1) = t50StagedFiles(spark, dir)
+    linkArrival(f0, topic, "f0")
+    val table = freshName("graft_t50")
+    val decoded = graft.ext.ImageCodec.decodeGate(spark,
+      spark.readStream
+        .schema("doc_id BIGINT, media_bytes BINARY")
+        .parquet(topic.toString))
+    val q = decoded
+      .groupBy(when(col("ok"), concat(lit("w"), col("width").cast("string")))
+        .otherwise(lit("quarantined")).as("k"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ok"), col("width") * col("height")).otherwise(0L))
+          .as("total_px"),
+        sum("pix_sum").as("pix_sum"))
+      .writeStream.format("memory").queryName(table)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      linkArrival(f1, topic, "f1")
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(table).orderBy("k")
+      }
+
+  /** The t50 staged arrivals, memoized per (session, fixture): the
+    * session-staged PNG payload table with every seventh payload
+    * truncated to its 8-byte signature (a REAL undecodable stub — the
+    * reader sees a valid magic and no IHDR), split into two single-file
+    * arrivals by doc parity so the admission counters provably update
+    * across a batch boundary. */
+  private val t50StageMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (java.nio.file.Path, java.nio.file.Path)]()
+  private def t50StagedFiles(spark: SparkSession, dir: String)
+      : (java.nio.file.Path, java.nio.file.Path) =
+    t50StageMemo.computeIfAbsent((spark, dir), { _ =>
+      val root = graft.TmpDirs.create("graft_t50_stage_")
+      val pay = graft.ext.MediaPayloads.payload(spark, dir, "png")
+        .withColumn("media_bytes",
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            expr("substring(media_bytes, 1, 8)"))
+          .otherwise(col("media_bytes")))
+      stageTopicFile(root, root, "arrival0",
+        pay.filter(pmod(col("doc_id"), lit(2)) === 0))
+      stageTopicFile(root, root, "arrival1",
+        pay.filter(pmod(col("doc_id"), lit(2)) === 1))
+      (root.resolve("arrival0.parquet"), root.resolve("arrival1.parquet"))
+    })
+
+  /** T51: STREAM-SIDE SCHEMA DRIFT on the corpus front end — a new
+    * column starts arriving mid-topic (the r16 verdict's thin-surface
+    * #7: the schema-evolution seats were batch-only): the query
+    * declares the WIDE schema up front (the forward-compatible
+    * deployment posture — additive drift needs no restart), arrival 0
+    * is the PRE-drift narrow layout (doc_id, text — the same memoized
+    * parity file t45 streams), arrival 1 carries the new `lang` column.
+    * The parquet reader fills the missing column with NULL on the old
+    * files — exactly the semantics a 100 TB topic migration needs —
+    * and the stateful aggregate folds both generations: pre-drift rows
+    * land in the 'pre_drift' bucket via coalesce, post-drift rows group
+    * by their real lang. The oracle replays the generation split from
+    * doc parity, so a dropped old-generation file, a misfilled default,
+    * or a restart-requiring schema mismatch all break the hash. */
+  def streamingSchemaDrift(spark: SparkSession, dir: String,
+                           statePartitions: Option[Int] = None): DataFrame =
+      perfScope(spark, statePartitions) {
+    val (root, topic) = freshTopic("graft_t51_")
+    val (evenNarrow, _) = docParityStagedFiles(spark, dir)
+    val oddWide = t51StagedWideFile(spark, dir)
+    linkArrival(evenNarrow, topic, "f0")
+    val table = freshName("graft_t51")
+    val q = spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING")
+      .parquet(topic.toString)
+      .groupBy(coalesce(col("lang"), lit("pre_drift")).as("lang_k"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("n_tokens"))
+      .writeStream.format("memory").queryName(table)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      linkArrival(oddWide, topic, "f1")
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(table).orderBy("lang_k")
+      }
+
+  /** The t51 post-drift arrival (odd doc parity, WIDE layout with the
+    * new `lang` column), memoized per (session, fixture) — the narrow
+    * pre-drift arrival reuses [[docParityStagedFiles]]' even file
+    * as-is, so only this one staging write is t51's own. */
+  private val t51StageMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.nio.file.Path]()
+  private def t51StagedWideFile(spark: SparkSession,
+                                dir: String): java.nio.file.Path =
+    t51StageMemo.computeIfAbsent((spark, dir), { _ =>
+      val root = graft.TmpDirs.create("graft_t51_stage_")
+      stageTopicFile(root, root, "arrival1",
+        graft.Tables.documents(spark, dir)
+          .filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select("doc_id", "text", "lang"))
+      root.resolve("arrival1.parquet")
+    })
 
   /** T48: TWO-HOP streaming pipeline chained through an exactly-once
     * FILE SINK — the multi-job topology a 100 TB platform actually
@@ -1328,49 +1595,107 @@ object StreamOps {
   private[graft] var lastTwoHopMidDir: String = ""
 
   def twoHopPipeline(spark: SparkSession, dir: String,
-                     statePartitions: Option[Int] = None): DataFrame =
-      perfScope(spark, statePartitions) {
-    val (root, topic) = freshTopic("graft_t48_")
-    val mid = root.resolve("mid").toString
-    lastTwoHopMidDir = mid
-    val (even, odd) = parityStagedFiles(spark, dir)
-    linkArrival(even, topic, "f0")
-    val qA = spark.readStream
-      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
-      .option("maxFilesPerTrigger", 1)
-      .parquet(topic.toString)
-      .select(col("event_id"), col("event_type"),
-        round(col("value") * 100).cast("long").as("cents"))
-      .writeStream.format("parquet")
-      .option("path", mid)
-      .option("checkpointLocation", root.resolve("ckptA").toString)
-      .outputMode("append").start()
-    // hop A must commit batch 0 BEFORE hop B's source lists `mid`: the
-    // file source probes the directory (and its sink log) at start
-    try qA.processAllAvailable()
-    catch { case e: Throwable => qA.stop(); throw e }
-    val tableB = freshName("graft_t48")
-    val qB =
-      try spark.readStream
-        .schema("event_id BIGINT, event_type STRING, cents BIGINT")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(mid)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_events"), sum("cents").as("total_cents"))
-        .writeStream.format("memory").queryName(tableB)
-        .option("checkpointLocation", root.resolve("ckptB").toString)
-        .outputMode("complete").start()
-      catch { case e: Throwable => qA.stop(); throw e }
-    try {
-      qB.processAllAvailable()
-      // second paced arrival: A commits another sink epoch while B is
-      // live — B's offset log advances across A's commit boundary
-      linkArrival(odd, topic, "f1")
-      qA.processAllAvailable()
-      qB.processAllAvailable()
-    } finally { qA.stop(); qB.stop() }
-    spark.table(tableB).orderBy("event_type")
+                     statePartitions: Option[Int] = None): DataFrame = {
+    val width = statePartitions.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    spark.table(twoHopRun(spark, dir, width).table).orderBy("event_type")
   }
+
+  /** T52: query-level LINEAGE AUDIT of the two-hop pipeline — the same
+    * shared run as t48, with the handoff's conservation made a graded
+    * ROW: both hops carry `observe()` counters (hop A counts the rows
+    * it commits to the intermediate sink, hop B counts the rows it
+    * reads back from it), summed across every micro-batch from the
+    * queries' progress events — the per-batch audit stream a 100 TB
+    * platform exports to its lineage service, at zero extra jobs
+    * (observed metrics ride the existing batch plans). The `__lineage`
+    * row (rows A wrote, rows B read) hashes against count(*) of the
+    * batch table on BOTH positions: a row lost at the handoff, an
+    * orphan file B picked up, or a replayed commit shifts one counter
+    * and the oracle goes red — conservation proven end-to-end, not
+    * just on the aggregate totals. */
+  def twoHopLineage(spark: SparkSession, dir: String,
+                    statePartitions: Option[Int] = None): DataFrame = {
+    val width = statePartitions.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val run = twoHopRun(spark, dir, width)
+    spark.table(run.table)
+      .unionAll(spark.range(1).select(
+        lit("__lineage").as("event_type"),
+        lit(run.rowsAOut).as("n_events"),
+        lit(run.rowsBIn).as("total_cents")))
+      .orderBy("event_type")
+  }
+
+  /** ONE two-hop pipeline run per (session, fixture, state width),
+    * shared by the t48 totals seat and the t52 lineage seat (the
+    * t5/t27 shared-run discipline): the run is identical — t48 grades
+    * hop B's aggregate, t52 grades the same run's observed conservation
+    * counters — so sharing changes neither graded surface and removes a
+    * duplicated two-query stream execution from the board floor. Both
+    * seats are flagged `resampled_memoized` in the bench artifact. */
+  private final case class TwoHopRun(table: String, rowsAOut: Long,
+                                     rowsBIn: Long)
+  private val twoHopRunMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), TwoHopRun]()
+
+  private def twoHopRun(spark: SparkSession, dir: String,
+                        width: Int): TwoHopRun =
+    twoHopRunMemo.computeIfAbsent((spark, dir, width), { _ =>
+      withNoDataBatchesOff(spark) { withShufflePartitions(spark, Some(width)) {
+        val (root, topic) = freshTopic("graft_t48_")
+        val mid = root.resolve("mid").toString
+        lastTwoHopMidDir = mid
+        val (even, odd) = parityStagedFiles(spark, dir)
+        linkArrival(even, topic, "f0")
+        val qA = spark.readStream
+          .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(topic.toString)
+          .select(col("event_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .observe("hopA", count(lit(1)).as("rows_out"))
+          .writeStream.format("parquet")
+          .option("path", mid)
+          .option("checkpointLocation", root.resolve("ckptA").toString)
+          .outputMode("append").start()
+        // hop A must commit batch 0 BEFORE hop B's source lists `mid`:
+        // the file source probes the directory (and its sink log) at
+        // start
+        try qA.processAllAvailable()
+        catch { case e: Throwable => qA.stop(); throw e }
+        val tableB = freshName("graft_t48")
+        val qB =
+          try spark.readStream
+            .schema("event_id BIGINT, event_type STRING, cents BIGINT")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(mid)
+            .observe("hopB", count(lit(1)).as("rows_in"))
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n_events"), sum("cents").as("total_cents"))
+            .writeStream.format("memory").queryName(tableB)
+            .option("checkpointLocation", root.resolve("ckptB").toString)
+            .outputMode("complete").start()
+          catch { case e: Throwable => qA.stop(); throw e }
+        try {
+          qB.processAllAvailable()
+          // second paced arrival: A commits another sink epoch while B
+          // is live — B's offset log advances across A's commit boundary
+          linkArrival(odd, topic, "f1")
+          qA.processAllAvailable()
+          qB.processAllAvailable()
+        } finally { qA.stop(); qB.stop() }
+        // fold the per-batch observed counters (bounded: one row per
+        // micro-batch progress, a handful per run — never data-sized)
+        def observedSum(q: org.apache.spark.sql.streaming.StreamingQuery,
+                        name: String, metric: String): Long =
+          q.recentProgress.flatMap(p =>
+            Option(p.observedMetrics.get(name)).map(_.getAs[Long](metric)))
+            .sum
+        TwoHopRun(tableB, observedSum(qA, "hopA", "rows_out"),
+          observedSum(qB, "hopB", "rows_in"))
+      } }
+    })
 
   /** T5: stateful streaming dedup — the engine form of the reference's
     * UNIQUE(voter_id) gate (`/root/reference/main.py:55-59`). Emits each
@@ -1752,6 +2077,9 @@ object StreamOps {
     maxTsMemo.clear(); sentinelMemo.clear()
     t37WarmMemo.clear(); userSplitMemo.clear(); docParityMemo.clear()
     timeSplitMemo.clear(); dedupRunMemo.clear(); twsTotalsMemo.clear()
+    corpusRunMemo.clear(); corpusRecoverMemo.clear()
+    twoHopRunMemo.clear(); t49StageMemo.clear(); t50StageMemo.clear()
+    t51StageMemo.clear()
   }
 
   /** Bench warm hook: materialize the session's memoized staged
@@ -1780,6 +2108,9 @@ object StreamOps {
     step { userSplitStagedFiles(spark, dir); () }
     step { docParityStagedFiles(spark, dir); () }
     step { timeSplitStagedFiles(spark, dir); () }
+    step { t49StagedFiles(spark, dir); () }
+    step { t50StagedFiles(spark, dir); () }
+    step { t51StagedWideFile(spark, dir); () }
     // the memoized watermark-sentinel files: t4/t42 flush at max(ts),
     // the session seats (t9/t44) at the shared far-future pair
     // (maxTs + gapCeil(1h) + delay(1h) + margin(1h), and +1h again)

@@ -912,6 +912,95 @@ class StreamingSpec extends SparkSpec {
     assert(deduped === truth)
   }
 
+  test("T49 watermark-evicted dedup: digests re-emit after eviction and " +
+       "stay suppressed inside the horizon") {
+    import spark.implicits._
+    val got = StreamOps.streamingDedupEvicted(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    val want = Tables.documents(spark, sfDir)
+      .filter(graft.ext.TextOps.isEnglishPredicate &&
+        graft.ext.TextOps.qualityOkPredicate)
+      .groupBy(md5(col("text")).as("digest"),
+        (length(col("text")) % 2).as("par"))
+      .agg(min(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+      .select(col("digest"),
+        when(col("par") === 0, lit(2L)).otherwise(lit(1L)).as("n_emits"),
+        col("n_tokens"))
+      .as[(String, Long, Long)].collect()
+    assert(got.toSet === want.toSet,
+      "n_emits must be exactly 2 for evicted (even-length) digests and " +
+        "1 for retained (odd-length) ones — under- or over-eviction " +
+        "shifts a count")
+    assert(got.exists(_._2 == 2L) && got.exists(_._2 == 1L),
+      "the fixture must exercise BOTH sides of the watermark horizon")
+  }
+
+  test("T50 streaming mm gate: decode admissions equal the closed-form " +
+       "pattern and corrupt payloads are quarantined, not fatal") {
+    import spark.implicits._
+    val got = StreamOps.streamingMediaGate(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+    val want = docs.select(col("doc_id"),
+        (col("doc_id") % 13 + 4).as("w"), (col("doc_id") % 11 + 4).as("h"),
+        (col("doc_id") % 7 === 0).as("bad"))
+      .withColumn("ps", expr(
+        """aggregate(flatten(transform(sequence(0, h - 1), y ->
+             transform(sequence(0, w - 1), x ->
+               (x * 7 + y * 13 + doc_id * 31) % 256))), 0L, (a, b) -> a + b)"""))
+      .groupBy(when(col("bad"), lit("quarantined"))
+        .otherwise(concat(lit("w"), col("w").cast("string"))).as("k"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bad"), 0L).otherwise(col("w") * col("h")))
+          .as("total_px"),
+        sum(when(col("bad"), 0L).otherwise(col("ps"))).as("pix_sum"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === want,
+      "admitted geometry groups must carry exact decoded pixel sums and " +
+        "the quarantine row must hold every corrupted payload")
+    assert(got.exists(_._1 == "quarantined"),
+      "the corrupt-payload path must be exercised")
+  }
+
+  test("T51 schema drift: narrow pre-drift files NULL-fill the new " +
+       "column under the wide declared schema") {
+    import spark.implicits._
+    val got = StreamOps.streamingSchemaDrift(spark, sfDir)
+      .as[(String, Long, Long)].collect().toSet
+    val want = Tables.documents(spark, sfDir)
+      .groupBy(when(col("doc_id") % 2 === 0, lit("pre_drift"))
+        .otherwise(col("lang")).as("lang_k"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("n_tokens"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === want,
+      "both generations must fold into one aggregate: pre-drift rows " +
+        "via the NULL-filled default, post-drift rows by their real lang")
+    assert(got.exists(_._1 == "pre_drift") && got.size > 1,
+      "both the old and new layout generations must be present")
+  }
+
+  test("T52 lineage: observed conservation counters equal the batch " +
+       "count on both hops") {
+    import spark.implicits._
+    val n = Tables.events(spark, sfDir).count()
+    val lineage = StreamOps.twoHopLineage(spark, sfDir)
+      .filter(col("event_type") === "__lineage")
+      .as[(String, Long, Long)].collect()
+    assert(lineage.length === 1)
+    assert(lineage.head._2 === n,
+      s"hop A observed ${lineage.head._2} rows committed, batch says $n")
+    assert(lineage.head._3 === n,
+      s"hop B observed ${lineage.head._3} rows read, batch says $n")
+    // and the totals rows are exactly t48's graded frame
+    val totals = StreamOps.twoHopLineage(spark, sfDir)
+      .filter(col("event_type") =!= "__lineage")
+      .as[(String, Long, Long)].collect().toSet
+    val t48 = StreamOps.twoHopPipeline(spark, sfDir)
+      .as[(String, Long, Long)].collect().toSet
+    assert(totals === t48)
+  }
+
   test("t24: nfc-keyed streaming dedup collapses both spellings per doc") {
     import spark.implicits._
     val out = StreamOps.streamingNfcDedup(spark, sfDir, Some(4))
