@@ -2079,7 +2079,7 @@ object StreamOps {
     timeSplitMemo.clear(); dedupRunMemo.clear(); twsTotalsMemo.clear()
     corpusRunMemo.clear(); corpusRecoverMemo.clear()
     twoHopRunMemo.clear(); t49StageMemo.clear(); t50StageMemo.clear()
-    t51StageMemo.clear()
+    t51StageMemo.clear(); t5bStageMemo.clear()
   }
 
   /** Bench warm hook: materialize the session's memoized staged
@@ -2111,6 +2111,7 @@ object StreamOps {
     step { t49StagedFiles(spark, dir); () }
     step { t50StagedFiles(spark, dir); () }
     step { t51StagedWideFile(spark, dir); () }
+    step { t5bRedeliveryFile(spark, dir); () }
     // the memoized watermark-sentinel files: t4/t42 flush at max(ts),
     // the session seats (t9/t44) at the shared far-future pair
     // (maxTs + gapCeil(1h) + delay(1h) + margin(1h), and +1h again)
@@ -2436,10 +2437,7 @@ object StreamOps {
                                      delay: String = "45 days",
                                      statePartitions: Option[Int] = None): DataFrame =
       perfScope(spark, statePartitions) {
-    val (root, topic) = freshTopic("graft_t5b_")
-    val ev = graft.Tables.events(spark, dir)
-      .select("event_id", "ts", "user_id", "event_type", "value")
-
+    val (_, topic) = freshTopic("graft_t5b_")
     // batch 1 is the full events table: link BOTH memoized parity halves
     // as batch-0 arrivals (no maxFilesPerTrigger — they drain together)
     // instead of re-writing the whole table per seat; only the TRANSFORMED
@@ -2460,14 +2458,32 @@ object StreamOps {
     try {
       q.processAllAvailable()
       // late re-delivery: same users, one hour earlier, fresh event ids
-      stageTopicFile(root, topic, "f1",
-        ev.filter(pmod(col("user_id"), lit(3)) === 0)
-          .withColumn("ts", col("ts") - expr("INTERVAL 1 HOUR"))
-          .withColumn("event_id", col("event_id") + lit(10000000L)))
+      // (the staged file is deterministic per fixture → memoized and
+      // hard-linked, so the one-time write lands in warmStagedLayouts,
+      // not this seat's timed region)
+      linkArrival(t5bRedeliveryFile(spark, dir), topic, "f1")
       q.processAllAvailable()
     } finally q.stop()
     spark.table(table)
       }
+
+  /** The t5b late re-delivery arrival (a third of the users' events,
+    * one hour older, fresh event ids), memoized per (session, fixture)
+    * like the parity splits. */
+  private val t5bStageMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.nio.file.Path]()
+  private def t5bRedeliveryFile(spark: SparkSession,
+                                dir: String): java.nio.file.Path =
+    t5bStageMemo.computeIfAbsent((spark, dir), { _ =>
+      val root = graft.TmpDirs.create("graft_t5b_stage_")
+      stageTopicFile(root, root, "redelivery",
+        graft.Tables.events(spark, dir)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .filter(pmod(col("user_id"), lit(3)) === 0)
+          .withColumn("ts", col("ts") - expr("INTERVAL 1 HOUR"))
+          .withColumn("event_id", col("event_id") + lit(10000000L)))
+      root.resolve("redelivery.parquet")
+    })
 
   /** Max event time per (session, fixture) — the sentinel/finalization
     * anchor several watermark harnesses need (t4, t9, t42, t44). One

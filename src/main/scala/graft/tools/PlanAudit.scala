@@ -38,6 +38,8 @@ object PlanAudit {
     "t43_stream_observe", "t44_stream_dynamic_sessions",
     "t45_stream_canonical_dedup", "t46_stream_concurrent_queries",
     "t47_stream_corpus_recover", "t48_stream_two_hop",
+    "t49_stream_dedup_evicted", "t50_stream_mm_gate",
+    "t51_stream_schema_drift", "t52_stream_two_hop_lineage",
     "s8_write_then_emit", "s9_file_sink_exactly_once",
     "s10_wire_emit_exactly_once",
     "s5c_jdbc_upsert_replay", "s5d_jdbc_txnlog_replay", "s4_avro_source",
