@@ -114,6 +114,21 @@ object ImageCodec {
 
   final case class Decoded(doc_id: Long, n_px: Long, pix_sum: Long)
 
+  /** Exact integer fold over every sample of band 0 — shared by the
+    * batch decode seat and the streaming gate. */
+  private def pixelSum(img: BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val r = img.getRaster
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { sum += r.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    sum
+  }
+
   /** REAL pixel decode via the JDK PNG reader: per-partition loop (the
     * codec-init seat), each payload decoded from its actual bytes and
     * folded to an exact integer pixel sum the oracle recomputes from the
@@ -125,16 +140,11 @@ object ImageCodec {
     media.select("doc_id", "media_bytes").as[MediaRow].mapPartitions { rows =>
       rows.map { m =>
         val img = ImageIO.read(new ByteArrayInputStream(m.media_bytes))
-        val (w, h) = (img.getWidth, img.getHeight)
-        val r = img.getRaster
-        var sum = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { sum += r.getSample(x, y, 0); x += 1 }
-          y += 1
-        }
-        Decoded(m.doc_id, w.toLong * h, sum)
+        // fail LOUD with the offending row named — this is the trusted-
+        // fixture path (quarantining belongs to decodeGate, the ingest
+        // sibling); a bare NPE here would hide which payload broke
+        require(img != null, s"undecodable payload for doc ${m.doc_id}")
+        Decoded(m.doc_id, img.getWidth.toLong * img.getHeight, pixelSum(img))
       }
     }.toDF()
   }
@@ -154,18 +164,8 @@ object ImageCodec {
         try {
           val img = ImageIO.read(new ByteArrayInputStream(m.media_bytes))
           if (img == null) GateRow(m.doc_id, ok = false, -1L, -1L, 0L)
-          else {
-            val (w, h) = (img.getWidth, img.getHeight)
-            val r = img.getRaster
-            var sum = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) { sum += r.getSample(x, y, 0); x += 1 }
-              y += 1
-            }
-            GateRow(m.doc_id, ok = true, w.toLong, h.toLong, sum)
-          }
+          else GateRow(m.doc_id, ok = true, img.getWidth.toLong,
+            img.getHeight.toLong, pixelSum(img))
         } catch { case _: Exception =>
           GateRow(m.doc_id, ok = false, -1L, -1L, 0L)
         }

@@ -35,4 +35,14 @@ class BenchResampleSpec extends AnyFunSuite {
     assert(!Bench.isResampleOutlier(Some(0.0), 99.0))
     assert(!Bench.isResampleOutlier(Some(-1.0), 99.0)) // failed-seat sentinel
   }
+
+  test("every memo-backed seat name resolves to a live board seat") {
+    // the flag list is maintained by hand next to the shared-run memos;
+    // a renamed or retired seat here would silently stop being flagged
+    // in the artifact, so pin each name against the query map
+    val board = SparkEntry.queries.keySet
+    val dangling = Bench.memoBackedSeats.filterNot(board)
+    assert(dangling.isEmpty,
+      s"memoBackedSeats names not on the board: $dangling")
+  }
 }

@@ -294,6 +294,16 @@ class StreamingSpec extends SparkSpec {
     val winH = StreamOps.hourlyWindowCounts(spark, sfDir)
       .as[(String, Long)].collect().toSet
     assert(winR === winH)
+    // the watermark-EVICTED dedup (t49) — eviction timing is state-store
+    // work, so backend parity here pins that RocksDB evicts on the same
+    // batch boundaries the default provider does
+    val evR = StreamOps.withConf(spark, rocks) {
+      StreamOps.streamingDedupEvicted(spark, sfDir)
+        .as[(String, Long, Long)].collect().toSet
+    }
+    val evH = StreamOps.streamingDedupEvicted(spark, sfDir)
+      .as[(String, Long, Long)].collect().toSet
+    assert(evR === evH)
   }
 
   test("state-partition sizing: same results, session width restored") {
