@@ -1734,6 +1734,12 @@ object SparkEntry {
     // rows hop A committed == rows hop B read == batch count(*)
     "t52_stream_two_hop_lineage" -> ((s, d) =>
       StreamOps.twoHopLineage(s, d, statePartitions = Some(4))),
+    // the crawler topology: the dedup_incremental triage run per
+    // micro-batch against the sealed corpus — per-doc status depends
+    // only on doc-vs-corpus, so the streamed union equals the batch
+    // triage and shares its oracle
+    "t53_stream_incremental_dedup" -> ((s, d) =>
+      StreamOps.streamingIncrementalDedup(s, d, statePartitions = Some(4))),
     // dead-letter routing: poison rows quarantined per micro-batch, the
     // rest aggregated — conservation (valid + dead = all) oracle-checked
     "t17_stream_dead_letter" -> ((s, d) =>
@@ -6781,6 +6787,9 @@ object SparkEntry {
     oracleSqlBase +
       ("ann_ivf_topk_pruned" -> oracleSqlBase("ann_ivf_topk")) +
       ("dedup_incremental_bloom" -> oracleSqlBase("dedup_incremental")) +
+      // the streamed crawl triage unions to the one-shot batch triage
+      // (per-doc status depends only on doc-vs-corpus)
+      ("t53_stream_incremental_dedup" -> oracleSqlBase("dedup_incremental")) +
       // the streaming drift monitor converges to the batch audit exactly
       ("t23_stream_drift_psi" -> oracleSqlBase("dq_drift_psi"))
 }

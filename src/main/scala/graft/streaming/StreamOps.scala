@@ -1586,6 +1586,82 @@ object StreamOps {
       root.resolve("arrival1.parquet")
     })
 
+  /** T53: STREAMING INCREMENTAL DEDUP — the batch `dedup_incremental`
+    * triage run the way a production crawler actually runs it: the new
+    * crawl arrives CONTINUOUSLY and each micro-batch is triaged against
+    * the sealed corpus (exact-digest gate + cross-set near-dup gate,
+    * [[graft.ext.DedupOps.incrementalDedup]]) inside a foreachBatch
+    * sink, with per-batch verdicts appended to a distributed parquet
+    * fold. A document's status depends only on itself vs the CORPUS —
+    * never on other increment docs — so the batch split is exact and
+    * the streamed union equals the one-shot batch triage, which is
+    * exactly what the shared oracle replays (same fixture injection:
+    * doc_id % 5 == 0 plays the crawl, recrawls re-keyed at +10000). At
+    * 100 TB the increment never fits one job; this is the topology
+    * that replaces it — the corpus side stays a static build (its
+    * digest set broadcasts as a Bloom sketch in the
+    * `dedup_incremental_bloom` serving shape), and ingest cost is
+    * per-arrival, not per-corpus. */
+  def streamingIncrementalDedup(spark: SparkSession, dir: String,
+                                statePartitions: Option[Int] = None): DataFrame =
+      perfScope(spark, statePartitions) {
+    val (root, topic) = freshTopic("graft_t53_")
+    val (f0, f1) = t53StagedFiles(spark, dir)
+    val corpus = graft.Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select("doc_id", "text")
+    val out = root.resolve("snap").toString
+    // schema anchor BEFORE start (the t45 ordering discipline)
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("status",
+            org.apache.spark.sql.types.StringType))))
+      .write.mode("append").parquet(out)
+    linkArrival(f0, topic, "f0")
+    val q = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .parquet(topic.toString)
+      .writeStream
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.DedupOps.incrementalDedup(batch, corpus, 3, tau = 0.5)
+          .write.mode("append").parquet(out); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      linkArrival(f1, topic, "f1")
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(out).orderBy("doc_id")
+      }
+
+  /** The t53 staged crawl arrivals, memoized per (session, fixture):
+    * the dedup_incremental fixture's increment (new docs + re-keyed
+    * recrawls) split into two single-file arrivals so the triage
+    * provably spans a batch boundary. */
+  private val t53StageMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (java.nio.file.Path, java.nio.file.Path)]()
+  private def t53StagedFiles(spark: SparkSession, dir: String)
+      : (java.nio.file.Path, java.nio.file.Path) =
+    t53StageMemo.computeIfAbsent((spark, dir), { _ =>
+      val root = graft.TmpDirs.create("graft_t53_stage_")
+      val docs = graft.Tables.documents(spark, dir)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val increment = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select("doc_id", "text")
+        .union(corpus.filter(pmod(col("doc_id"), lit(7)) === 3)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      stageTopicFile(root, root, "arrival0",
+        increment.filter(pmod(col("doc_id"), lit(2)) === 0))
+      stageTopicFile(root, root, "arrival1",
+        increment.filter(pmod(col("doc_id"), lit(2)) === 1))
+      (root.resolve("arrival0.parquet"), root.resolve("arrival1.parquet"))
+    })
+
   /** T48: TWO-HOP streaming pipeline chained through an exactly-once
     * FILE SINK — the multi-job topology a 100 TB platform actually
     * deploys (stage 1 lands cleaned events on storage; stage 2 — often
@@ -2092,7 +2168,7 @@ object StreamOps {
     timeSplitMemo.clear(); dedupRunMemo.clear(); twsTotalsMemo.clear()
     corpusRunMemo.clear(); corpusRecoverMemo.clear()
     twoHopRunMemo.clear(); t49StageMemo.clear(); t50StageMemo.clear()
-    t51StageMemo.clear(); t5bStageMemo.clear()
+    t51StageMemo.clear(); t5bStageMemo.clear(); t53StageMemo.clear()
   }
 
   /** Bench warm hook: materialize the session's memoized staged
@@ -2125,6 +2201,7 @@ object StreamOps {
     step { t50StagedFiles(spark, dir); () }
     step { t51StagedWideFile(spark, dir); () }
     step { t5bRedeliveryFile(spark, dir); () }
+    step { t53StagedFiles(spark, dir); () }
     // the memoized watermark-sentinel files: t4/t42 flush at max(ts),
     // the session seats (t9/t44) at the shared far-future pair
     // (maxTs + gapCeil(1h) + delay(1h) + margin(1h), and +1h again)

@@ -1011,6 +1011,27 @@ class StreamingSpec extends SparkSpec {
     assert(totals === t48)
   }
 
+  test("T53 streaming incremental dedup: per-batch triage against the " +
+       "sealed corpus unions to the one-shot batch triage") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select("doc_id", "text")
+    val increment = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select("doc_id", "text")
+      .union(corpus.filter(pmod(col("doc_id"), lit(7)) === 3)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val streamed = StreamOps.streamingIncrementalDedup(spark, sfDir)
+      .as[(Long, String)].collect().toSet
+    val batch = graft.ext.DedupOps.incrementalDedup(increment, corpus, 3, 0.5)
+      .as[(Long, String)].collect().toSet
+    assert(streamed === batch,
+      "the streamed per-batch triage must union to the batch result — " +
+        "per-doc status depends only on doc-vs-corpus")
+    assert(Set("exact_dup", "near_dup", "kept").subsetOf(streamed.map(_._2)),
+      "the fixture must exercise all three triage outcomes")
+  }
+
   test("t24: nfc-keyed streaming dedup collapses both spellings per doc") {
     import spark.implicits._
     val out = StreamOps.streamingNfcDedup(spark, sfDir, Some(4))
