@@ -178,7 +178,7 @@ object DedupOps {
     * the board run. */
   def clearCaches(): Unit = {
     truthCache.clear(); clusterCache.clear(); shingleCache.clear()
-    commonCache.clear(); minhashSigCache.clear()
+    commonCache.clear(); minhashSigCache.clear(); corpusIndexCache.clear()
   }
 
   private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
@@ -560,18 +560,72 @@ object DedupOps {
     incrementalTriage(increment, corpus, n, tau, exactDup)
   }
 
+  /** The SEALED-corpus side of the incremental triage, built once and
+    * localCheckpoint'd — the artifact a production crawler holds
+    * between ingest batches (the t29 "base segment is a build-time
+    * artifact" discipline applied to text dedup): distinct content
+    * digests for the exact gate, fingerprinted shingles + per-doc
+    * shingle counts for the near-dup gate. Memoized per (session,
+    * corpus plan, n) like the MinHash signatures, so a streaming
+    * ingest's micro-batches (and repeated seats over the same corpus)
+    * share one build; ScaleBench still measures the cold standalone
+    * cost (it clears every memo per repetition). */
+  final case class CorpusIndex(digests: DataFrame, sh: DataFrame,
+                               sz: DataFrame)
+  private val corpusIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+    CorpusIndex]()
+
+  def corpusIndex(corpus: DataFrame, n: Int): CorpusIndex = {
+    sweep(corpusIndexCache)
+    val key = (corpus.sparkSession,
+      corpus.queryExecution.analyzed.canonicalized, n)
+    val hit = corpusIndexCache.get(key)
+    if (hit != null) hit
+    else {
+      val digests = corpus.select(md5(col("text")).as("dig"))
+        .distinct().localCheckpoint()
+      val sh = fingerprinted(shingles(corpus, n), "shingle").localCheckpoint()
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_b"))
+        .localCheckpoint()
+      val built = CorpusIndex(digests, sh, sz)
+      val prev = corpusIndexCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  /** [[incrementalDedup]] served from a pre-built [[CorpusIndex]] — the
+    * streaming ingest form (t53): each micro-batch triages against the
+    * sealed index instead of re-deriving the corpus side per batch.
+    * Same result, same oracle. */
+  def incrementalDedupIndexed(increment: DataFrame, idx: CorpusIndex,
+                              n: Int, tau: Double): DataFrame = {
+    val exactDup = increment.select(col("doc_id"), md5(col("text")).as("dig"))
+      .join(idx.digests, "dig")
+      .select("doc_id").distinct()
+    incrementalTriageIndexed(increment, idx.sh, idx.sz, n, tau, exactDup)
+  }
+
   /** Shared triage tail of the incremental-dedup pair: near-dup gate +
     * status fold, parameterized by how the exact-dup set was computed. */
   private def incrementalTriage(increment: DataFrame, corpus: DataFrame,
                                 n: Int, tau: Double,
                                 exactDup: DataFrame): DataFrame = {
+    val shCorp = fingerprinted(shingles(corpus, n), "shingle")
+    val szCorp = shCorp.groupBy("doc_id").agg(count(lit(1)).as("n_b"))
+    incrementalTriageIndexed(increment, shCorp, szCorp, n, tau, exactDup)
+  }
+
+  private def incrementalTriageIndexed(increment: DataFrame,
+                                       shCorp: DataFrame, szCorp: DataFrame,
+                                       n: Int, tau: Double,
+                                       exactDup: DataFrame): DataFrame = {
     // Cross-set join on the 12-byte fingerprint pair, not the raw shingle
     // string — the increment×corpus shuffle is the wide edge here.
     val shInc = fingerprinted(shingles(increment, n), "shingle")
-    val shCorp = fingerprinted(shingles(corpus, n), "shingle")
     val shKey = Seq("shingle_h", "shingle_l")
     val szInc = shInc.groupBy("doc_id").agg(count(lit(1)).as("n_a"))
-    val szCorp = shCorp.groupBy("doc_id").agg(count(lit(1)).as("n_b"))
     val nearDup = shInc.select((col("doc_id").as("inc_id") +: shKey.map(col)): _*)
       .join(shCorp.select((col("doc_id").as("corp_id") +: shKey.map(col)): _*), shKey)
       .groupBy("inc_id", "corp_id").agg(count(lit(1)).as("n_common"))
