@@ -1738,8 +1738,11 @@ object SparkEntry {
     // micro-batch against the sealed corpus — per-doc status depends
     // only on doc-vs-corpus, so the streamed union equals the batch
     // triage and shares its oracle
+    // no stateful operator here (foreachBatch triage), so no narrow
+    // state width: the per-batch joins keep the session's parallelism
+    // AND match the width the sealed index was partitioned at
     "t53_stream_incremental_dedup" -> ((s, d) =>
-      StreamOps.streamingIncrementalDedup(s, d, statePartitions = Some(4))),
+      StreamOps.streamingIncrementalDedup(s, d)),
     // dead-letter routing: poison rows quarantined per micro-batch, the
     // rest aggregated — conservation (valid + dead = all) oracle-checked
     "t17_stream_dead_letter" -> ((s, d) =>

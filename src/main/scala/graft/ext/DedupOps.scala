@@ -586,7 +586,15 @@ object DedupOps {
     else {
       val digests = corpus.select(md5(col("text")).as("dig"))
         .distinct().localCheckpoint()
-      val sh = fingerprinted(shingles(corpus, n), "shingle").localCheckpoint()
+      // pre-partition (and pre-sort) the corpus shingles ON THE JOIN
+      // KEY before sealing: the checkpointed LogicalRDD advertises its
+      // hash partitioning and sort order, so every ingest batch's
+      // near-dup join shuffles only the (small) probe side — the
+      // co-located big-side layout a 100 TB serving index would hold
+      val sh = fingerprinted(shingles(corpus, n), "shingle")
+        .repartition(col("shingle_h"), col("shingle_l"))
+        .sortWithinPartitions("shingle_h", "shingle_l")
+        .localCheckpoint()
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_b"))
         .localCheckpoint()
       val built = CorpusIndex(digests, sh, sz)
