@@ -178,7 +178,19 @@ object DedupOps {
     * the board run. */
   def clearCaches(): Unit = {
     truthCache.clear(); clusterCache.clear(); shingleCache.clear()
-    commonCache.clear(); minhashSigCache.clear(); corpusIndexCache.clear()
+    commonCache.clear(); minhashSigCache.clear()
+    // the corpus index seals by persist, not checkpoint — unpersist so a
+    // long-lived session (ScaleBench clears per rep) doesn't accumulate
+    // orphaned cache blocks
+    val it = corpusIndexCache.values.iterator()
+    while (it.hasNext) {
+      val ci = it.next()
+      try {
+        ci.digests.unpersist(false); ci.sh.unpersist(false)
+        ci.sz.unpersist(false)
+      } catch { case _: Throwable => () }
+    }
+    corpusIndexCache.clear()
   }
 
   private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
@@ -561,7 +573,7 @@ object DedupOps {
   }
 
   /** The SEALED-corpus side of the incremental triage, built once and
-    * localCheckpoint'd — the artifact a production crawler holds
+    * cached layout-pinned — the artifact a production crawler holds
     * between ingest batches (the t29 "base segment is a build-time
     * artifact" discipline applied to text dedup): distinct content
     * digests for the exact gate, fingerprinted shingles + per-doc
@@ -584,19 +596,35 @@ object DedupOps {
     val hit = corpusIndexCache.get(key)
     if (hit != null) hit
     else {
-      val digests = corpus.select(md5(col("text")).as("dig"))
-        .distinct().localCheckpoint()
-      // pre-partition (and pre-sort) the corpus shingles ON THE JOIN
-      // KEY before sealing: the checkpointed LogicalRDD advertises its
-      // hash partitioning and sort order, so every ingest batch's
-      // near-dup join shuffles only the (small) probe side — the
-      // co-located big-side layout a 100 TB serving index would hold
-      val sh = fingerprinted(shingles(corpus, n), "shingle")
-        .repartition(col("shingle_h"), col("shingle_l"))
-        .sortWithinPartitions("shingle_h", "shingle_l")
-        .localCheckpoint()
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_b"))
-        .localCheckpoint()
+      // pre-partition (and pre-sort) every index side ON ITS JOIN KEY
+      // before sealing, with an EXPLICIT partition count, and seal by
+      // CACHING, not checkpointing: InMemoryTableScan advertises the
+      // cached plan's hash partitioning and sort order (and AQE leaves
+      // cached-plan output partitioning alone by default), so every
+      // ingest batch's joins shuffle only the (small) probe side — the
+      // co-located big-side layout a 100 TB serving index would hold.
+      // localCheckpoint is NOT equivalent here: its LogicalRDD comes
+      // back UnknownPartitioning in this Spark version, which silently
+      // re-shuffled the sealed side under every batch. The explicit
+      // count matters too: an AQE-coalesced build (tiny aggregate → 1
+      // partition) would seal a layout the join re-shuffles whenever
+      // the probe carries more partitions. Both pinned by the
+      // IncrementalSpec co-location test.
+      val parts =
+        corpus.sparkSession.sessionState.conf.numShufflePartitions
+      val seal = (df: DataFrame) => {
+        val p = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count() // eager, like the checkpoint it replaces
+        p
+      }
+      val digests = seal(corpus.select(md5(col("text")).as("dig"))
+        .distinct().repartition(parts, col("dig")))
+      val sh = seal(fingerprinted(shingles(corpus, n), "shingle")
+        .repartition(parts, col("shingle_h"), col("shingle_l"))
+        .sortWithinPartitions("shingle_h", "shingle_l"))
+      val sz = seal(sh.groupBy("doc_id").agg(count(lit(1)).as("n_b"))
+        .repartition(parts, col("doc_id")))
       val built = CorpusIndex(digests, sh, sz)
       val prev = corpusIndexCache.putIfAbsent(key, built)
       if (prev != null) prev else built

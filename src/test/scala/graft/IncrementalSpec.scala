@@ -107,4 +107,52 @@ class IncrementalSpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.nonEmpty, "vacuous: no contaminated docs in fixture")
   }
+
+  test("sealed corpus index stays co-located: no shuffle re-partitions " +
+       "a sealed index side in the per-batch triage plan") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select("doc_id", "text")
+    val increment = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select("doc_id", "text")
+    val idx = graft.ext.DedupOps.corpusIndex(corpus, 3)
+    // plan WITHOUT AQE so the static tree is inspectable, and WITHOUT
+    // broadcast so the sort-merge path is exercised (at this tiny SF the
+    // index sides would broadcast and the partitioning claim go untested;
+    // at scale the index is way past any broadcast threshold) — the point
+    // is the advertised partitioning of the cached index sides (digests
+    // hash-distinct on dig; shingles repartitioned+sorted on the join
+    // key), which the sort-merge join must reuse as-is
+    val prev = (spark.conf.get("spark.sql.adaptive.enabled"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    val plan = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      graft.ext.DedupOps.incrementalDedupIndexed(increment, idx, 3, tau = 0.5)
+        .queryExecution.executedPlan
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev._1)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev._2)
+    }
+    val sealedScans = plan.collect { case r: InMemoryTableScanExec => r }
+    assert(sealedScans.nonEmpty,
+      "vacuous: the sealed index's cached scans are not in the plan")
+    // an exchange is an offender only if it re-partitions a sealed scan
+    // ITSELF — i.e. its unary operator chain (project/filter/sort) ends
+    // at the cached relation scan. Shuffles above a join/aggregate merely
+    // redistribute derived results and are the triage's own edges.
+    @annotation.tailrec
+    def chainLeaf(p: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.SparkPlan =
+      if (p.children.size == 1) chainLeaf(p.children.head) else p
+    val offenders = plan.collect {
+      case e: ShuffleExchangeExec
+          if chainLeaf(e.child).isInstanceOf[InMemoryTableScanExec] => e
+    }
+    assert(offenders.isEmpty,
+      s"a shuffle re-partitions a sealed index side — the ingest batch " +
+        s"must be the only shuffled edge:\n${offenders.map(_.treeString).mkString}")
+  }
 }
