@@ -1726,6 +1726,11 @@ object SparkEntry {
     // malformed payloads quarantined, per-geometry admission counters
     "t50_stream_mm_gate" -> ((s, d) =>
       StreamOps.streamingMediaGate(s, d, statePartitions = Some(4))),
+    // the audio modality on the same continuous path: JDK WAV decode
+    // per micro-batch, reader-rejected payloads quarantined, per-rate
+    // admission counters against the closed-form PCM sample sums
+    "t54_stream_audio_gate" -> ((s, d) =>
+      StreamOps.streamingAudioGate(s, d, statePartitions = Some(4))),
     // additive schema drift mid-topic: narrow pre-drift files read as
     // NULL-filled under the wide declared schema, no restart
     "t51_stream_schema_drift" -> ((s, d) =>
@@ -3022,6 +3027,29 @@ object SparkEntry {
          SELECT k, CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(npx) AS BIGINT) AS total_px,
                 CAST(sum(ps) AS BIGINT) AS pix_sum
+         FROM g GROUP BY k ORDER BY k""",
+    // audio fixture formulas: rate = 8000 + (doc_id%5)*4000,
+    // n = doc_id%96+32, sample(i) = (31i + 13*doc_id) mod 65536 - 32768
+    // (all operands non-negative, so DuckDB % == the encoder's mod)
+    "t54_stream_audio_gate" ->
+      """WITH s AS (
+           SELECT d.doc_id,
+                  8000 + (d.doc_id % 5) * 4000 AS rate,
+                  d.doc_id % 96 + 32 AS n,
+                  sum(CASE WHEN t.i < d.doc_id % 96 + 32
+                       THEN (t.i * 31 + d.doc_id * 13) % 65536 - 32768
+                       ELSE 0 END) AS ss
+           FROM documents d, generate_series(0, 127) t(i)
+           GROUP BY d.doc_id),
+           g AS (
+           SELECT CASE WHEN doc_id % 7 = 0 THEN 'quarantined'
+                       ELSE 'r' || CAST(rate AS VARCHAR) END AS k,
+                  CASE WHEN doc_id % 7 = 0 THEN 0 ELSE n END AS n,
+                  CASE WHEN doc_id % 7 = 0 THEN 0 ELSE ss END AS ss
+           FROM s)
+         SELECT k, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n) AS BIGINT) AS total_samples,
+                CAST(sum(ss) AS BIGINT) AS sample_sum
          FROM g GROUP BY k ORDER BY k""",
     // the drift replayed from the generation split: even-parity docs
     // streamed through the narrow pre-drift layout (lang NULL-filled →

@@ -85,6 +85,41 @@ object AudioCodec {
   final case class DecodedAudio(doc_id: Long, n_samples: Long,
                                 sample_sum: Long)
 
+  final case class AudioGateRow(doc_id: Long, ok: Boolean,
+                                sample_rate: Long, n_samples: Long,
+                                sample_sum: Long)
+
+  /** [[wavDecode]] hardened for the INGEST path (the streaming audio
+    * gate, mirroring [[ImageCodec.decodeGate]]): a payload the WAV
+    * reader rejects — truncated bytes, missing WAVE tag, a codec
+    * exception — yields an `ok = false` row instead of killing the
+    * task, so the caller can QUARANTINE it (the dead-letter
+    * discipline). Streaming-safe: a pure per-row map, no driver
+    * state. The decoded format's own sample rate rides along as the
+    * admission-counter key. */
+  def decodeGate(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("doc_id", "media_bytes").as[MediaRow].mapPartitions { rows =>
+      rows.map { m =>
+        try {
+          val ais = AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(m.media_bytes))
+          val rate = ais.getFormat.getSampleRate.toLong
+          val data = ais.readAllBytes()
+          var sum = 0L
+          var i = 0
+          while (i + 1 < data.length) {
+            sum += ((data(i) & 0xff) | (data(i + 1) << 8)).toShort
+            i += 2
+          }
+          AudioGateRow(m.doc_id, ok = true, rate, data.length / 2L, sum)
+        } catch { case _: Exception =>
+          AudioGateRow(m.doc_id, ok = false, -1L, 0L, 0L)
+        }
+      }
+    }.toDF()
+  }
+
   /** REAL sample decode via the JDK WAV reader — per-partition codec
     * loop, exact integer sum over the signed 16-bit samples. */
   def wavDecode(spark: SparkSession, media: DataFrame): DataFrame = {

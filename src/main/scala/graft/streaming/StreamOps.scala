@@ -1530,6 +1530,74 @@ object StreamOps {
       (root.resolve("arrival0.parquet"), root.resolve("arrival1.parquet"))
     })
 
+  /** T54: STREAMING AUDIO INGEST GATE — the t50 discipline applied to
+    * the audio modality, so the mm tier's continuous path covers more
+    * than one codec family: real RIFF/WAVE payloads arrive as a
+    * binary-column file stream, each micro-batch decodes the actual
+    * bytes partition-parallel through the JDK WAV reader
+    * ([[graft.ext.AudioCodec.decodeGate]]), payloads the reader
+    * rejects are QUARANTINED instead of killing the query (the staged
+    * fixture truncates every doc_id % 7 == 0 payload to its 8-byte
+    * RIFF prefix — valid magic, no WAVE tag), and a stateful aggregate
+    * maintains per-sample-rate admission counters. Samples follow the
+    * fixture's closed-form PCM pattern, so the oracle recomputes every
+    * kept group's exact signed-16-bit sample sum — a dropped payload,
+    * a byte-order slip, or a crash-not-quarantine all break the hash.
+    * Output is key-bounded (5 rates + the quarantine row), so the
+    * complete-mode memory sink collects O(groups), never O(docs). */
+  def streamingAudioGate(spark: SparkSession, dir: String,
+                         statePartitions: Option[Int] = None): DataFrame =
+      perfScope(spark, statePartitions) {
+    val (root, topic) = freshTopic("graft_t54_")
+    val (f0, f1) = t54StagedFiles(spark, dir)
+    linkArrival(f0, topic, "f0")
+    val table = freshName("graft_t54")
+    val decoded = graft.ext.AudioCodec.decodeGate(spark,
+      spark.readStream
+        .schema("doc_id BIGINT, media_bytes BINARY")
+        .parquet(topic.toString))
+    val q = decoded
+      .groupBy(when(col("ok"),
+          concat(lit("r"), col("sample_rate").cast("string")))
+        .otherwise(lit("quarantined")).as("k"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ok"), col("n_samples")).otherwise(0L))
+          .as("total_samples"),
+        sum("sample_sum").as("sample_sum"))
+      .writeStream.format("memory").queryName(table)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      linkArrival(f1, topic, "f1")
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(table).orderBy("k")
+      }
+
+  /** The t54 staged arrivals, memoized per (session, fixture): the
+    * session-staged WAV payload table with every seventh payload
+    * truncated to its 8-byte RIFF prefix (a REAL undecodable stub),
+    * split into two single-file arrivals by doc parity so the
+    * admission counters provably update across a batch boundary. */
+  private val t54StageMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (java.nio.file.Path, java.nio.file.Path)]()
+  private def t54StagedFiles(spark: SparkSession, dir: String)
+      : (java.nio.file.Path, java.nio.file.Path) =
+    t54StageMemo.computeIfAbsent((spark, dir), { _ =>
+      val root = graft.TmpDirs.create("graft_t54_stage_")
+      val pay = graft.ext.MediaPayloads.payload(spark, dir, "wav")
+        .withColumn("media_bytes",
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            expr("substring(media_bytes, 1, 8)"))
+          .otherwise(col("media_bytes")))
+      stageTopicFile(root, root, "arrival0",
+        pay.filter(pmod(col("doc_id"), lit(2)) === 0))
+      stageTopicFile(root, root, "arrival1",
+        pay.filter(pmod(col("doc_id"), lit(2)) === 1))
+      (root.resolve("arrival0.parquet"), root.resolve("arrival1.parquet"))
+    })
+
   /** T51: STREAM-SIDE SCHEMA DRIFT on the corpus front end — a new
     * column starts arriving mid-topic (the r16 verdict's thin-surface
     * #7: the schema-evolution seats were batch-only): the query
@@ -2178,6 +2246,7 @@ object StreamOps {
     corpusRunMemo.clear(); corpusRecoverMemo.clear()
     twoHopRunMemo.clear(); t49StageMemo.clear(); t50StageMemo.clear()
     t51StageMemo.clear(); t5bStageMemo.clear(); t53StageMemo.clear()
+    t54StageMemo.clear()
   }
 
   /** Bench warm hook: materialize the session's memoized staged
@@ -2208,6 +2277,7 @@ object StreamOps {
     step { timeSplitStagedFiles(spark, dir); () }
     step { t49StagedFiles(spark, dir); () }
     step { t50StagedFiles(spark, dir); () }
+    step { t54StagedFiles(spark, dir); () }
     step { t51StagedWideFile(spark, dir); () }
     step { t5bRedeliveryFile(spark, dir); () }
     step { t53StagedFiles(spark, dir); () }

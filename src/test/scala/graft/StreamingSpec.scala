@@ -972,6 +972,34 @@ class StreamingSpec extends SparkSpec {
       "the corrupt-payload path must be exercised")
   }
 
+  test("T54 streaming audio gate: per-rate admissions equal the " +
+       "closed-form PCM sums and truncated payloads are quarantined") {
+    import spark.implicits._
+    val got = StreamOps.streamingAudioGate(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+    // replay the encoder formulas: rate = 8000 + (doc_id%5)*4000,
+    // n = doc_id%96+32, sample(i) = (31i + 13*doc_id) mod 65536 - 32768
+    val want = docs.select(col("doc_id"),
+        (col("doc_id") % 5 * 4000 + 8000).as("rate"),
+        (col("doc_id") % 96 + 32).as("n"),
+        (col("doc_id") % 7 === 0).as("bad"))
+      .withColumn("ss", expr(
+        """aggregate(transform(sequence(0, n - 1), i ->
+             (i * 31 + doc_id * 13) % 65536 - 32768), 0L, (a, b) -> a + b)"""))
+      .groupBy(when(col("bad"), lit("quarantined"))
+        .otherwise(concat(lit("r"), col("rate").cast("string"))).as("k"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bad"), 0L).otherwise(col("n"))).as("total_samples"),
+        sum(when(col("bad"), 0L).otherwise(col("ss"))).as("sample_sum"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === want,
+      "admitted rate groups must carry exact decoded sample sums and " +
+        "the quarantine row must hold every truncated payload")
+    assert(got.exists(_._1 == "quarantined") && got.size > 2,
+      "both the quarantine path and multiple rate groups must be present")
+  }
+
   test("T51 schema drift: narrow pre-drift files NULL-fill the new " +
        "column under the wide declared schema") {
     import spark.implicits._
