@@ -1731,6 +1731,11 @@ object SparkEntry {
     // admission counters against the closed-form PCM sample sums
     "t54_stream_audio_gate" -> ((s, d) =>
       StreamOps.streamingAudioGate(s, d, statePartitions = Some(4))),
+    // the video modality completes the streaming codec sweep: RIFF
+    // demux + per-frame JPEG decode per micro-batch, truncated clips
+    // quarantined, per-frame-count counters + header-vs-decode verdicts
+    "t55_stream_video_gate" -> ((s, d) =>
+      StreamOps.streamingVideoGate(s, d, statePartitions = Some(4))),
     // additive schema drift mid-topic: narrow pre-drift files read as
     // NULL-filled under the wide declared schema, no restart
     "t51_stream_schema_drift" -> ((s, d) =>
@@ -3050,6 +3055,25 @@ object SparkEntry {
          SELECT k, CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(n) AS BIGINT) AS total_samples,
                 CAST(sum(ss) AS BIGINT) AS sample_sum
+         FROM g GROUP BY k ORDER BY k""",
+    // video fixture formulas over the even-doc clip population:
+    // n_frames = doc_id%4+2 (2 or 4 for even ids), frame dims at the
+    // image-tier geometry; valid clips are always header-consistent
+    "t55_stream_video_gate" ->
+      """WITH g AS (
+           SELECT CASE WHEN doc_id % 7 = 0 THEN 'quarantined'
+                       ELSE 'f' || CAST(doc_id % 4 + 2 AS VARCHAR) END AS k,
+                  CASE WHEN doc_id % 7 = 0 THEN 0
+                       ELSE doc_id % 4 + 2 END AS n,
+                  CASE WHEN doc_id % 7 = 0 THEN 0
+                       ELSE (doc_id % 4 + 2) * (doc_id % 13 + 4)
+                            * (doc_id % 11 + 4) END AS px,
+                  CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS hok
+           FROM documents WHERE doc_id % 2 = 0)
+         SELECT k, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n) AS BIGINT) AS total_frames,
+                CAST(sum(px) AS BIGINT) AS total_px,
+                CAST(sum(hok) AS BIGINT) AS n_hdr_ok
          FROM g GROUP BY k ORDER BY k""",
     // the drift replayed from the generation split: even-parity docs
     // streamed through the narrow pre-drift layout (lang NULL-filled →

@@ -119,33 +119,78 @@ object VideoCodec {
   def demuxAvi(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select("doc_id", "media_bytes").as[MediaRow].flatMap { m =>
-      val b = m.media_bytes
-      def u32(p: Int): Long =
-        (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
-          ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
-      def cc(p: Int): String = new String(b, p, 4, "US-ASCII")
-      var hdrFrames = -1L; var hdrW = -1L; var hdrH = -1L
-      val frames = Vector.newBuilder[Array[Byte]]
-      def walk(from: Int, to: Int): Unit = {
-        var pos = from
-        while (pos + 8 <= to) {
-          val id = cc(pos)
-          val sz = u32(pos + 4).toInt
-          if (id == "LIST") walk(pos + 12, pos + 8 + sz)
-          else if (id == "avih") {
-            hdrFrames = u32(pos + 8 + 16)
-            hdrW = u32(pos + 8 + 32); hdrH = u32(pos + 8 + 36)
-          } else if (id == "00dc")
-            frames += java.util.Arrays.copyOfRange(b, pos + 8, pos + 8 + sz)
-          pos += 8 + sz + (sz % 2)
-        }
-      }
-      require(cc(0) == "RIFF" && cc(8) == "AVI ", "not an AVI payload")
-      walk(12, (8 + u32(4)).toInt)
-      frames.result().zipWithIndex.map { case (f, i) =>
+      val (hdr, frames) = parseAvi(m.media_bytes)
+      frames.zipWithIndex.map { case (f, i) =>
         val img = ImageIO.read(new ByteArrayInputStream(f))
         Frame(m.doc_id, i, img.getWidth.toLong, img.getHeight.toLong,
-          hdrFrames, hdrW, hdrH)
+          hdr._1, hdr._2, hdr._3)
+      }
+    }.toDF()
+  }
+
+  /** The RIFF walk shared by [[demuxAvi]] and [[demuxGate]]: returns the
+    * `avih` header claims `(frames, w, h)` and every `00dc` frame payload
+    * in stream order; throws on anything that is not a well-formed AVI
+    * (bad magic, truncated chunks — index errors surface as exceptions,
+    * which the gate maps to quarantine). */
+  private def parseAvi(b: Array[Byte])
+      : ((Long, Long, Long), Vector[Array[Byte]]) = {
+    def u32(p: Int): Long =
+      (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+    def cc(p: Int): String = new String(b, p, 4, "US-ASCII")
+    var hdrFrames = -1L; var hdrW = -1L; var hdrH = -1L
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(from: Int, to: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val id = cc(pos)
+        val sz = u32(pos + 4).toInt
+        if (id == "LIST") walk(pos + 12, pos + 8 + sz)
+        else if (id == "avih") {
+          hdrFrames = u32(pos + 8 + 16)
+          hdrW = u32(pos + 8 + 32); hdrH = u32(pos + 8 + 36)
+        } else if (id == "00dc")
+          frames += java.util.Arrays.copyOfRange(b, pos + 8, pos + 8 + sz)
+        pos += 8 + sz + (sz % 2)
+      }
+    }
+    require(cc(0) == "RIFF" && cc(8) == "AVI ", "not an AVI payload")
+    walk(12, (8 + u32(4)).toInt)
+    ((hdrFrames, hdrW, hdrH), frames.result())
+  }
+
+  final case class VideoGateRow(doc_id: Long, ok: Boolean, n_frames: Long,
+                                frame_w: Long, frame_h: Long,
+                                hdr_ok: Boolean)
+
+  /** [[demuxAvi]] hardened for the INGEST path (the streaming video
+    * gate, completing the t50/t54 modality sweep): a payload the walk
+    * or the per-frame JPEG decode rejects yields an `ok = false` row
+    * instead of killing the task, so the caller can QUARANTINE it.
+    * Admitted rows carry the decoded frame count and (uniform) frame
+    * geometry plus a header-consistency verdict — the container's
+    * `avih` claims checked against the decoded truth, per payload.
+    * Streaming-safe: a pure per-row map, no driver state. */
+  def demuxGate(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("doc_id", "media_bytes").as[MediaRow].mapPartitions { rows =>
+      rows.map { m =>
+        try {
+          val (hdr, frames) = parseAvi(m.media_bytes)
+          val dims = frames.map { f =>
+            val img = ImageIO.read(new ByteArrayInputStream(f))
+            require(img != null, "undecodable frame")
+            (img.getWidth.toLong, img.getHeight.toLong)
+          }
+          require(frames.nonEmpty && dims.distinct.size == 1,
+            "empty or mixed-geometry clip")
+          val (w, h) = dims.head
+          val hdrOk = hdr == ((frames.size.toLong, w, h))
+          VideoGateRow(m.doc_id, ok = true, frames.size.toLong, w, h, hdrOk)
+        } catch { case _: Exception =>
+          VideoGateRow(m.doc_id, ok = false, 0L, -1L, -1L, hdr_ok = false)
+        }
       }
     }.toDF()
   }

@@ -41,6 +41,7 @@ object PlanAudit {
     "t49_stream_dedup_evicted", "t50_stream_mm_gate",
     "t51_stream_schema_drift", "t52_stream_two_hop_lineage",
     "t53_stream_incremental_dedup", "t54_stream_audio_gate",
+    "t55_stream_video_gate",
     "s8_write_then_emit", "s9_file_sink_exactly_once",
     "s10_wire_emit_exactly_once",
     "s5c_jdbc_upsert_replay", "s5d_jdbc_txnlog_replay", "s4_avro_source",

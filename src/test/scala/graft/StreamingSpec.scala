@@ -1000,6 +1000,34 @@ class StreamingSpec extends SparkSpec {
       "both the quarantine path and multiple rate groups must be present")
   }
 
+  test("T55 streaming video gate: demux+decode admissions equal the " +
+       "fixture formulas, headers verify, truncated clips quarantined") {
+    import spark.implicits._
+    val got = StreamOps.streamingVideoGate(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // replay the fixture: clips on even docs, n = doc%4+2, dims at the
+    // image-tier geometry, every valid clip header-consistent
+    val want = Tables.documents(spark, sfDir).select("doc_id")
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"),
+        (col("doc_id") % 4 + 2).as("n"),
+        ((col("doc_id") % 4 + 2) * (col("doc_id") % 13 + 4)
+          * (col("doc_id") % 11 + 4)).as("px"),
+        (col("doc_id") % 7 === 0).as("bad"))
+      .groupBy(when(col("bad"), lit("quarantined"))
+        .otherwise(concat(lit("f"), col("n").cast("string"))).as("k"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bad"), 0L).otherwise(col("n"))).as("total_frames"),
+        sum(when(col("bad"), 0L).otherwise(col("px"))).as("total_px"),
+        sum(when(col("bad"), 0L).otherwise(1L)).as("n_hdr_ok"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === want,
+      "admitted frame-count groups must carry decoded-truth totals and " +
+        "header verdicts, and the quarantine row every truncated clip")
+    assert(got.exists(_._1 == "quarantined") && got.size === 3,
+      "both frame-count groups and the quarantine path must be present")
+  }
+
   test("T51 schema drift: narrow pre-drift files NULL-fill the new " +
        "column under the wide declared schema") {
     import spark.implicits._
