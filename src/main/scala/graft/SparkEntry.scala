@@ -504,21 +504,36 @@ object SparkEntry {
     // collapse into one groupBy whose output arrives at the probe join
     // already partitioned on orderkey — one wide exchange total.
     "q21_waiting_supplier" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
       // ONE lineitem pass: the (orderkey, suppkey) pre-aggregate
-      // map-side-combines (a dual countDistinct would Expand the fact
+      // (a dual countDistinct would Expand the fact
       // table to 2 copies before its shuffle), and the per-order fold
       // derives not just the distinct-supplier counts but also the
       // UNIQUE R supplier and its R line-item count — so the textbook
       // shape's second lineitem scan + fact-side join for the probe
       // rows is gone entirely; per-order rows then meet two broadcast
       // dims and numwait is the sum of carried R row counts (identical
-      // to counting the probe rows it replaced)
+      // to counting the probe rows it replaced).
+      // r17: ONE wide exchange, not two (guide §2.4) — the explicit
+      // repartition on l_orderkey satisfies the clustering requirement
+      // of BOTH aggregates (okey ⊆ {okey,skey}), so the (okey,skey)
+      // pre-aggregate and the per-order fold plan exchange-free on top
+      // of it. The (okey,skey) groups are near-distinct per lineitem
+      // row here (~0.95 rows/group), so the retired partial-agg step
+      // reduced almost nothing and its second full-width exchange was
+      // pure cost; the R-flag CASE projects to an int BEFORE the
+      // exchange so the string never rides the shuffle. Plan diff:
+      // plans/r17/q21_waiting_supplier_{before,after}.txt (2 wide
+      // Exchange + partial/final pairs → 1 repartition Exchange +
+      // complete aggregates).
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("so_okey"),
+                col("l_suppkey").as("so_skey"),
+                when(col("l_returnflag") === "R", 1).otherwise(0).as("is_r"))
+        .repartition(col("so_okey"))
       val orderStats = li
-        .groupBy(col("l_orderkey").as("so_okey"), col("l_suppkey").as("so_skey"))
-        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"),
-             sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
-               .as("n_r_rows"))
+        .groupBy("so_okey", "so_skey")
+        .agg(max(col("is_r")).as("has_r"),
+             sum(col("is_r").cast("long")).as("n_r_rows"))
         .groupBy("so_okey")
         .agg(count(lit(1)).as("n_supp"), sum("has_r").as("n_rsupp"),
              max(when(col("has_r") === 1, col("so_skey"))).as("r_skey"),
@@ -586,7 +601,17 @@ object SparkEntry {
                 .filter(col("r_name") === "EUROPE")),
               col("n_regionkey") === col("r_regionkey"))
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+      // r17: ONE wide exchange, not two (guide §2.4) — pre-partition by
+      // l_partkey; the (partkey, suppkey) aggregate completes in place
+      // (partkey ⊆ the grouping key) and the per-part min window below
+      // reuses the same partitioning, paying only a local sort. The
+      // retired shape shuffled the near-distinct (partkey,suppkey)
+      // partial aggregate twice (agg exchange + window exchange).
+      // Measured interleaved at sf0.1: 1.05–1.33 s → 0.88–1.01 s; plan
+      // diff: plans/r17/q2_min_cost_supplier_{before,after}.txt.
       val cost = Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .repartition(col("l_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(min(col("l_extendedprice") / col("l_quantity")).as("supplycost"))
       cost.join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))

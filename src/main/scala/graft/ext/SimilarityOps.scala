@@ -20,15 +20,26 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** embedding column cast to array<double>. */
+  /** embedding column cast to array<double>. r17: a plain array CAST,
+    * not `transform(c, x -> cast(x as double))` — Cast over ArrayType
+    * is a codegen'd expression while the transform form pays an
+    * interpreted per-element lambda frame; element values are the
+    * identical float→double widening either way. */
   private[graft] def vecD(c: String): Column =
-    expr(s"transform($c, x -> cast(x as double))")
+    expr(s"cast($c as array<double>)")
 
   private[graft] def dot(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
 
+  /** ||a|| — r17: phrased as the self-dot `zip_with(a, a, *)` fold, NOT
+    * `aggregate(transform(a, x -> x*x), ...)`: the zip_with form is the
+    * exact idiom [[graft.functions.NativeVectorMathRule]] rewrites to
+    * the fused native [[graft.functions.DotProduct]], so every norm in
+    * the similarity hot loops runs codegen'd instead of as interpreted
+    * lambda frames. Bit-exact: same left fold over the same per-element
+    * products (x·x ≡ x·y at x = y). */
   private[graft] def norm(a: String): Column =
-    expr(s"sqrt(aggregate(transform($a, x -> x * x), 0D, (acc, v) -> acc + v))")
+    expr(s"sqrt(aggregate(zip_with($a, $a, (x, y) -> x * y), 0D, (acc, v) -> acc + v))")
 
   /** Brute-force cosine top-k against the vector of `queryId`. */
   def bruteForceTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {

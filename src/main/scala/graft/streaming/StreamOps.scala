@@ -1770,7 +1770,11 @@ object StreamOps {
       .writeStream
       .option("checkpointLocation", root.resolve("ckpt").toString)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // one manifest file per micro-batch: the verdict rows are
+        // batch-bounded (KBs), and a 32-file append per batch was pure
+        // commit overhead (guide §6 output sizing)
         graft.ext.DedupOps.incrementalDedupIndexed(batch, idx, 3, tau = 0.5)
+          .coalesce(1)
           .write.mode("append").parquet(out); ()
       }
       .start()
