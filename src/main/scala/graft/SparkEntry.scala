@@ -529,7 +529,14 @@ object SparkEntry {
         .select(col("l_orderkey").as("so_okey"),
                 col("l_suppkey").as("so_skey"),
                 when(col("l_returnflag") === "R", 1).otherwise(0).as("is_r"))
-        .repartition(col("so_okey"))
+        // explicit width (the session's configured shuffle width, so it
+        // scales with the deployment, not a local constant): a countless
+        // repartition is AQE-coalescible, and the 8 MB advisory folded
+        // this ~12 MB exchange to 2 partitions — the complete aggregate
+        // then ran 2-way (measured: q21 1.01 s at the coalesced width vs
+        // 0.61 s at the configured width)
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("so_okey"))
       val orderStats = li
         .groupBy("so_okey", "so_skey")
         .agg(max(col("is_r")).as("has_r"),
@@ -611,7 +618,11 @@ object SparkEntry {
       // diff: plans/r17/q2_min_cost_supplier_{before,after}.txt.
       val cost = Tables.lineitem(s, d)
         .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
-        .repartition(col("l_partkey"))
+        // explicit width for the same reason as q21's repartition: keep
+        // AQE from folding the one wide exchange below the session's
+        // configured parallelism
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("l_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(min(col("l_extendedprice") / col("l_quantity")).as("supplycost"))
       cost.join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
