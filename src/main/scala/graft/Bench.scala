@@ -86,6 +86,10 @@ object Bench {
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // r17: the NativeVectorMathRule fusion must be installed in
+    // EVERY driving session (it was previously spec-only - the graded
+    // similarity paths ran interpreted HOF dot products)
+    graft.functions.GraftExtensions.installOptimizations(spark)
     // Optional comma-separated name-prefix filter for local profiling runs
     // (unset in the driver's invocation → full surface, contract
     // unchanged). Parsed HERE so the whole-board warm pass below can skip

@@ -35,6 +35,10 @@ object Verify {
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // r17: the NativeVectorMathRule fusion must be installed in
+    // EVERY driving session (it was previously spec-only - the graded
+    // similarity paths ran interpreted HOF dot products)
+    graft.functions.GraftExtensions.installOptimizations(spark)
     new java.io.File(outDir).mkdirs()
     // local-iteration filter, same contract as Bench's: comma-separated
     // name prefixes; unset = everything (the driver always runs unset)

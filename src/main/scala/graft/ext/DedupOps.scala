@@ -193,6 +193,13 @@ object DedupOps {
     corpusIndexCache.clear()
   }
 
+  /** Test hook (R17OptimizationSpec): partition widths of the memoized
+    * shingle checkpoints — pins the spread-before-seal property. */
+  private[graft] def shingleMemoWidths: Seq[Int] = {
+    import scala.jdk.CollectionConverters._
+    shingleCache.values.asScala.map(_.rdd.getNumPartitions).toSeq
+  }
+
   private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, Int, Int), DataFrame]()
 

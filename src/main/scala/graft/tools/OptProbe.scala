@@ -37,6 +37,10 @@ object OptProbe {
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // r17: the NativeVectorMathRule fusion must be installed in
+    // EVERY driving session (it was previously spec-only - the graded
+    // similarity paths ran interpreted HOF dot products)
+    graft.functions.GraftExtensions.installOptimizations(spark)
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     args.headOption.getOrElse("q21") match {
       case "q21" => q21(spark, sf)

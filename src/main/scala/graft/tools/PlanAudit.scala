@@ -160,6 +160,10 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // r17: the NativeVectorMathRule fusion must be installed in
+    // EVERY driving session (it was previously spec-only - the graded
+    // similarity paths ran interpreted HOF dot products)
+    graft.functions.GraftExtensions.installOptimizations(spark)
     if (aqeSkewMode) { aqeSkewAudit(spark, dir); spark.stop(); return }
     if (summaryMode) { summary(spark, dir); spark.stop(); return }
     graft.SparkEntry.queries

@@ -24,6 +24,10 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // r17: the NativeVectorMathRule fusion must be installed in
+    // EVERY driving session (it was previously spec-only - the graded
+    // similarity paths ran interpreted HOF dot products)
+    graft.functions.GraftExtensions.installOptimizations(spark)
     val qs = graft.SparkEntry.queries
     names.foreach { n =>
       val out = outDir.resolve(s"${n}_$suffix.txt")

@@ -40,6 +40,10 @@ object Profile {
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // r17: the NativeVectorMathRule fusion must be installed in
+    // EVERY driving session (it was previously spec-only - the graded
+    // similarity paths ran interpreted HOF dot products)
+    graft.functions.GraftExtensions.installOptimizations(spark)
     // queries is a def that rebuilds the full entry map per access —
     // materialize it once for the lookup loop
     val qs = graft.SparkEntry.queries

@@ -39,6 +39,10 @@ object ScaleProbe {
       graft.TmpDirs.localFsFastConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // r17: the NativeVectorMathRule fusion must be installed in
+    // EVERY driving session (it was previously spec-only - the graded
+    // similarity paths ran interpreted HOF dot products)
+    graft.functions.GraftExtensions.installOptimizations(spark)
 
     def docs(dir: String) = graft.Tables.documents(spark, dir)
     val probes: Seq[(String, String => Long)] = Seq(

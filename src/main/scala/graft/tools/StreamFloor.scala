@@ -37,6 +37,10 @@ object StreamFloor {
       graft.TmpDirs.localFsFastConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // r17: the NativeVectorMathRule fusion must be installed in
+    // EVERY driving session (it was previously spec-only - the graded
+    // similarity paths ran interpreted HOF dot products)
+    graft.functions.GraftExtensions.installOptimizations(spark)
     import spark.implicits._
 
     val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"

