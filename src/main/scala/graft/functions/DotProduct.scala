@@ -3,28 +3,50 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native fused dot product of two `array<double>` columns — the target of
   * [[NativeVectorMathRule]]'s rewrite of the higher-order-function pattern
   * `aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)`.
   * Same accumulation order as the HOF form (left fold in element order), so
   * results are bit-identical; no zipped intermediate array, no per-element
-  * lambda frames. */
+  * lambda frames.
+  *
+  * r18: EXACTLY mirrors the HOF form's null semantics, so the rewrite is
+  * safe on `containsNull = true` array schemas (the parquet default):
+  * `zip_with` pads a length mismatch with nulls and a null element makes
+  * its product null, and `acc + null` poisons the whole fold — so the HOF
+  * returns NULL whenever the lengths differ or any element is null, where
+  * the old fused loop returned a number folded over min(lengths). The
+  * element-null scan is emitted only when an input's type actually admits
+  * null elements; the equal-length no-null hot path is unchanged. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override val nullIntolerant: Boolean = true
+  // the fold can return null even for non-null array inputs (length
+  // mismatch, null element) — never advertise non-nullable
+  override def nullable: Boolean = true
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  })
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     dot
   }
 
@@ -33,13 +55,22 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
+      val elemNullCheck =
+        if (elementsNullable)
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $x.getDouble($i) * $y.getDouble($i);
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemNullCheck
+         |    $dot += $x.getDouble($i) * $y.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 

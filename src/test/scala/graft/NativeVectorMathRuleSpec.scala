@@ -61,6 +61,49 @@ class NativeVectorMathRuleSpec extends SparkSpec {
     nat.zip(ref).foreach { case (n, r) => assert(n === r) }
   }
 
+  test("fused result mirrors the HOF on null elements and length mismatch") {
+    GraftExtensions.installOptimizations(spark)
+    // containsNull = true array schema (the parquet default): the fused
+    // expression must return NULL exactly where the un-fused fold does —
+    // a null element poisons the product, a length mismatch poisons the
+    // zip_with padding, and acc + null poisons the fold.
+    val rows = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),   // clean: 11.0
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)),  // null element
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0)),        // length mismatch
+      (Seq[java.lang.Double](), Seq[java.lang.Double]()))                   // empty: 0.0 (fold seed)
+    // repartition(1) blocks ConvertToLocalRelation from pre-evaluating
+    // the projection, so the rewrite is observable in the optimized plan
+    val df = rows.toDF("a", "b").repartition(1).select(expr(hofDot).as("d"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("dot_product"), s"rewrite did not fire:\n$plan")
+    val fused = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(fused.toSeq === Seq(Some(11.0), None, None, Some(0.0)))
+    // reference: the same HOF evaluated WITHOUT the rule, on a bare session
+    val bare = spark.newSession()
+    val ref = bare.createDataFrame(rows)
+      .toDF("a", "b").repartition(1).select(expr(hofDot).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(ref.toSeq === fused.toSeq, "fused and un-fused semantics diverge")
+  }
+
+  test("codegen and interpreted dot_product agree on nulls and mismatch") {
+    GraftExtensions.installOptimizations(spark)
+    val rows = Seq(
+      (Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](4.0, 5.0, 6.0)),
+      (Seq[java.lang.Double](null, 2.0), Seq[java.lang.Double](1.0, 1.0)),
+      (Seq[java.lang.Double](1.0), Seq[java.lang.Double](1.0, 2.0)))
+    val df = rows.toDF("a", "b").repartition(1) // keep it out of ConvertToLocalRelation
+    def vals(codegen: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try df.select(expr(hofDot).as("d")).collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(vals("CODEGEN_ONLY") === vals("NO_CODEGEN"))
+    assert(vals("CODEGEN_ONLY") === Seq(Some(32.0), None, None))
+  }
+
   test("rule does not fire on non-matching aggregates") {
     GraftExtensions.installOptimizations(spark)
     val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
