@@ -87,4 +87,33 @@ object TmpDirs {
   val localFsFastConfs: Map[String, String] = Map(
     "spark.sql.streaming.checkpointFileManagerClass" ->
       "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
+
+  /** The bench's TIMED session configuration, in one place (r18):
+    * `local[cpus]`, shuffle width = cpus, UI off, the fast local
+    * checkpoint managers ([[localFsFastConfs]], `SPARK_GRAFT_LOCALFS_FAST=0`
+    * restores stock), and the adaptive-execution posture the driver
+    * times (AQE + post-shuffle coalescing to the 8 MB advisory target,
+    * `SPARK_GRAFT_AQE=0` restores static plans, `SPARK_GRAFT_AQE_ADVISORY`
+    * overrides the target). Bench, Profile and OptProbe all build from
+    * here — profiled readings must match the driver's config exactly,
+    * and three hand-maintained copies of this block had already been
+    * flagged as a drift hazard ("optimized the wrong plan"). Rationale
+    * for each value: see the comments in [[graft.Bench]]'s history. */
+  def timedSessionBuilder(cpus: String): org.apache.spark.sql.SparkSession.Builder = {
+    val builder = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    if (sys.env.getOrElse("SPARK_GRAFT_LOCALFS_FAST", "1") == "1")
+      localFsFastConfs.foreach { case (k, v) => builder.config(k, v) }
+    if (sys.env.getOrElse("SPARK_GRAFT_AQE", "1") == "1") {
+      builder.config("spark.sql.adaptive.enabled", "true")
+      builder.config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      builder.config(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      builder.config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "8m"))
+    }
+    builder
+  }
 }

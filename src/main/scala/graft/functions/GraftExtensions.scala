@@ -209,9 +209,14 @@ object GraftExtensions {
   }
 
   /** Late install of the optimizer rewrites on a live session (extensions
-    * only apply at session build time). Idempotent. */
-  def installOptimizations(spark: SparkSession): Unit =
+    * only apply at session build time). Idempotent; synchronized because
+    * the check-and-append on `extraOptimizations` is a read-modify-write
+    * and register() is called from every similarity entry point — two
+    * concurrent first calls (parallel streaming batches) could otherwise
+    * double-append the rule or drop a concurrent append. */
+  def installOptimizations(spark: SparkSession): Unit = this.synchronized {
     if (!spark.experimental.extraOptimizations.contains(NativeVectorMathRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ NativeVectorMathRule
+  }
 }

@@ -21,21 +21,8 @@ object OptProbe {
     graft.TmpDirs.install()
     javax.imageio.ImageIO.setUseCache(false)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-    if (sys.env.getOrElse("SPARK_GRAFT_LOCALFS_FAST", "1") == "1")
-      graft.TmpDirs.localFsFastConfs.foreach { case (k, v) => builder.config(k, v) }
-    if (sys.env.getOrElse("SPARK_GRAFT_AQE", "1") == "1") {
-      builder.config("spark.sql.adaptive.enabled", "true")
-      builder.config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      builder.config(
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      builder.config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "8m"))
-    }
-    val spark = builder.getOrCreate()
+    // the bench's exact timed session config, one shared definition
+    val spark = graft.TmpDirs.timedSessionBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // r17: the NativeVectorMathRule fusion must be installed in
     // EVERY driving session (it was previously spec-only - the graded
@@ -46,12 +33,208 @@ object OptProbe {
       case "q21" => q21(spark, sf)
       case "q2" => q2(spark, sf)
       case "t53" => t53(spark, sf)
+      case "t53bloom" => t53bloom(spark, sf)
       case "scan" => scan(spark, sf)
       case "spread" => spread(spark, sf)
       case "j8" => j8(spark, sf)
+      case "semantic" => semantic(spark, sf)
+      case "cms" => cms(spark, sf)
+      case "vote" => vote(spark, sf)
+      case "s10" => s10(spark, sf)
+      case "bpe" => bpe(spark, sf)
       case other => println(s"unknown scenario $other")
     }
     spark.stop()
+  }
+
+  private def noopW(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** Per-operator metrics of an executed plan (the committed-code stand-in
+    * for the Spark UI's SQL tab). */
+  private def dumpMetrics(df: DataFrame): Unit = {
+    def dump(p: org.apache.spark.sql.execution.SparkPlan, depth: Int): Unit = {
+      val m = p.metrics.map { case (k, v) => s"$k=${v.value}" }
+        .filter(s => s.contains("numOutputRows") || s.contains("time") ||
+          s.contains("Time") || s.contains("numPartitions")).take(5).mkString(" ")
+      println(("  " * depth) + p.nodeName + " :: " + m)
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          dump(a.executedPlan, depth + 1)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          dump(q.plan, depth + 1)
+        case other => other.children.foreach(dump(_, depth + 1))
+      }
+    }
+    dump(df.queryExecution.executedPlan, 0)
+  }
+
+  /** dedup_semantic_verified decomposition at the session's core count:
+    * band candidates → top-20 cosine pairs → jaccard verify → full seat.
+    * The r17 driver board reproduced 5.28 s at 32 cores (vs 1.47 at 8) —
+    * this separates the stages and dumps executed-plan metrics. */
+  def semantic(spark: SparkSession, sf: String): Unit = {
+    val S = graft.ext.SimilarityOps
+    val emb = graft.Tables.embeddings(spark, sf)
+    val docs = graft.Tables.documents(spark, sf)
+    val full = graft.SparkEntry.queries("dedup_semantic_verified")
+    // warm every stage's codegen first
+    noopW(S.bandCandidatePairs(emb, 32, 2)); full(spark, sf).count()
+    timeN("band candidates", 3)(noopW(S.bandCandidatePairs(emb, 32, 2)))
+    timeN("nearDup top-20", 3)(S.nearDupPairsWithinLabel(emb, 20).count())
+    val pairs = S.nearDupPairsWithinLabel(emb, 20)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"), col("cosine"))
+    timeN("jaccard verify", 3)(
+      graft.ext.DedupOps.jaccardForPairs(docs, pairs, 3).count())
+    timeN("full seat", 5)(full(spark, sf).count())
+    val df = full(spark, sf)
+    time("full collect")(df.collect())
+    dumpMetrics(df)
+  }
+
+  /** sketch_cms_heavy decomposition: the exact top-k leg, the distributed
+    * count_min_sketch leg, and the full seat (reproduced 5.28→2.02 s in-run
+    * at 32 cores in the r17 driver board; 0.41 s at 8 cores). */
+  def cms(spark: SparkSession, sf: String): Unit = {
+    val ev = graft.Tables.events(spark, sf)
+    val keyed = ev.select(
+      when(col("user_id") % 5 < 2, lit(7L))
+        .when(col("user_id") % 5 === 2, lit(13L))
+        .otherwise(col("user_id") % 1000).as("hot_key"))
+    graft.ops.Sketches.cmsHeavyHitters(ev).count() // warm
+    timeN("exact top-k leg", 4)(
+      keyed.groupBy("hot_key").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("hot_key")).limit(5).collect())
+    timeN("cms agg leg", 4)(
+      keyed.agg(expr("count_min_sketch(hot_key, 0.005d, 0.99d, 42)"),
+        count(lit(1))).head())
+    timeN("full seat", 5)(graft.ops.Sketches.cmsHeavyHitters(ev).count())
+  }
+
+  /** vote_e2e family decomposition: staged-topic build, the two batch
+    * seats, the three streaming seats. */
+  def vote(spark: SparkSession, sf: String): Unit = {
+    val V = graft.pipeline.VotePipeline
+    val qs = graft.SparkEntry.queries
+    Seq("vote_e2e_party_tally", "vote_e2e_turnout_by_state").foreach { n =>
+      qs(n)(spark, sf).count() // warm
+    }
+    time("decoded batch noop")(noopW(V.decoded(spark, 1000)))
+    timeN("party_tally (batch)", 3)(qs("vote_e2e_party_tally")(spark, sf).count())
+    timeN("turnout_by_state (batch)", 3)(qs("vote_e2e_turnout_by_state")(spark, sf).count())
+    timeN("stream_tally", 3)(qs("vote_e2e_stream_tally")(spark, sf).count())
+    timeN("live_results", 3)(qs("vote_e2e_live_results")(spark, sf).count())
+    timeN("reemit", 3)(qs("vote_e2e_reemit")(spark, sf).count())
+  }
+
+  /** s10_wire_emit_exactly_once: the full seat (2 micro-batches, each
+    * appending its frames twice) and the consumer leg alone. */
+  def s10(spark: SparkSession, sf: String): Unit = {
+    val S = graft.streaming.StreamOps
+    graft.SparkEntry.queries("s10_wire_emit_exactly_once")(spark, sf).count() // warm
+    timeN("full seat", 5)(
+      graft.SparkEntry.queries("s10_wire_emit_exactly_once")(spark, sf).count())
+    val emitted = time("producer run")(S.wireEmitRun(spark, sf, Some(8)))
+    timeN("consumer leg", 3)(S.consumeWireEmits(spark, emitted).count())
+    println("emitted files: " + Option(new java.io.File(emitted).listFiles())
+      .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(-1))
+  }
+
+  /** text_bpe_encode: the memoized-train apply path as shipped (HOF fold
+    * over the broadcast one-row merge list) vs a literal replace-chain
+    * variant (fully codegen'd, compiles per corpus). */
+  def bpe(spark: SparkSession, sf: String): Unit = {
+    val T = graft.ext.TextOps
+    val docs = graft.Tables.documents(spark, sf)
+    T.bpeEncode(docs, 8).count() // warm + memoize training
+    timeN("bpe encode (shipped)", 5)(T.bpeEncode(docs, 8).count())
+    // literal-chain variant: merges known at plan time, so the fold can be
+    // 8 codegen'd string replaces instead of an interpreted lambda fold
+    val merges = T.bpeMerges(docs, 8).orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    def encodeLit(): DataFrame = {
+      val docWords = docs.select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      val seg0 = regexp_replace(col("w"), "(.)", "($1)")
+      val folded = merges.foldLeft(seg0) { case (acc, (l, r)) =>
+        replace(acc, lit(s"($l)($r)"), lit(s"($l$r)")) }
+      val segments = docWords.select("w").distinct()
+        .select(col("w"),
+          size(split(regexp_replace(folded, "^\\(|\\)$", ""), "\\)\\("))
+            .cast("long").as("n_sym"))
+      docWords.join(broadcast(segments), "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }
+    encodeLit().count() // compile
+    (1 to 5).foreach { _ =>
+      time("bpe encode shipped")(T.bpeEncode(docs, 8).count())
+      time("bpe encode literal")(encodeLit().count())
+    }
+    val a = T.bpeEncode(docs, 8).collect().map(_.toString).sorted
+    val b = encodeLit().collect().map(_.toString).sorted
+    println(s"rows equal: ${a.sameElements(b)} (${a.length})")
+  }
+
+  /** t53 probe-side alternatives: shipped co-located shuffle probe vs a
+    * broadcast-probe form (trigger-bounded increment side broadcast into
+    * the sealed index scan — no probe shuffle, no sort-merge machinery). */
+  def t53bloom(spark: SparkSession, sf: String): Unit = {
+    val D = graft.ext.DedupOps
+    val docs = graft.Tables.documents(spark, sf)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select("doc_id", "text")
+    val idx = D.corpusIndex(corpus, 3)
+    val increment = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select("doc_id", "text")
+      .union(corpus.filter(pmod(col("doc_id"), lit(7)) === 3)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val half0 = increment.filter(pmod(col("doc_id"), lit(2)) === 0)
+    def triageBcastProbe(inc: DataFrame): DataFrame = {
+      val exactDup = inc.select(col("doc_id"), md5(col("text")).as("dig"))
+        .join(idx.digests, "dig")
+        .select("doc_id").distinct()
+      val shInc = D.shingles(inc, 3)
+        .withColumn("shingle_h", xxhash64(col("shingle")))
+        .withColumn("shingle_l", length(col("shingle")))
+        .drop("shingle")
+      val shKey = Seq("shingle_h", "shingle_l")
+      val szInc = shInc.groupBy("doc_id").agg(count(lit(1)).as("n_a"))
+      val nearDup = broadcast(
+          shInc.select((col("doc_id").as("inc_id") +: shKey.map(col)): _*))
+        .join(idx.sh.select((col("doc_id").as("corp_id") +: shKey.map(col)): _*),
+              shKey)
+        .groupBy("inc_id", "corp_id").agg(count(lit(1)).as("n_common"))
+        .join(broadcast(szInc.select(col("doc_id").as("inc_id"), col("n_a"))),
+              "inc_id")
+        .join(idx.sz.select(col("doc_id").as("corp_id"), col("n_b")), "corp_id")
+        .filter(round(col("n_common")
+          / (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6) >= 0.5)
+        .select(col("inc_id").as("doc_id")).distinct()
+      inc.select("doc_id")
+        .join(broadcast(exactDup.withColumn("is_exact", lit(true))),
+              Seq("doc_id"), "left")
+        .join(broadcast(nearDup.withColumn("is_near", lit(true))),
+              Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("is_exact"), "exact_dup")
+            .when(col("is_near"), "near_dup")
+            .otherwise("kept").as("status"))
+    }
+    noopW(D.incrementalDedupIndexed(half0, idx, 3, tau = 0.5))
+    noopW(triageBcastProbe(half0))
+    (1 to 4).foreach { _ =>
+      time("triage shipped (co-located)")(
+        noopW(D.incrementalDedupIndexed(half0, idx, 3, tau = 0.5)))
+      time("triage broadcast-probe")(noopW(triageBcastProbe(half0)))
+    }
+    val a = D.incrementalDedupIndexed(half0, idx, 3, tau = 0.5)
+      .collect().map(_.toString).sorted
+    val b = triageBcastProbe(half0).collect().map(_.toString).sorted
+    println(s"rows equal: ${a.sameElements(b)} (${a.length})")
+    timeN("t53 full seat", 3)(
+      graft.streaming.StreamOps.streamingIncrementalDedup(spark, sf).count())
   }
 
   /** j8 decomposition: where do ~1.8 s go — probe/index construction

@@ -20,25 +20,11 @@ object Profile {
     val explain = rest.contains("-x")
     val names = rest.filterNot(_ == "-x").flatMap(_.split(','))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Mirror Bench's TIMED session config (AQE + advisory coalescing +
-    // fast local checkpoint managers, same env overrides) so profiled
-    // readings are the config the driver actually times — a static-plan
-    // profile of an AQE-timed seat optimizes the wrong plan.
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-    if (sys.env.getOrElse("SPARK_GRAFT_LOCALFS_FAST", "1") == "1")
-      graft.TmpDirs.localFsFastConfs.foreach { case (k, v) => builder.config(k, v) }
-    if (sys.env.getOrElse("SPARK_GRAFT_AQE", "1") == "1") {
-      builder.config("spark.sql.adaptive.enabled", "true")
-      builder.config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      builder.config(
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      builder.config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "8m"))
-    }
-    val spark = builder.getOrCreate()
+    // Bench's TIMED session config, from the one shared definition
+    // (TmpDirs.timedSessionBuilder) so profiled readings are the config
+    // the driver actually times — a static-plan profile of an AQE-timed
+    // seat optimizes the wrong plan, and a hand-copied block drifts.
+    val spark = graft.TmpDirs.timedSessionBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // r17: the NativeVectorMathRule fusion must be installed in
     // EVERY driving session (it was previously spec-only - the graded
