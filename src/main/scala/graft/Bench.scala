@@ -37,7 +37,14 @@ object Bench {
     "t5_stream_dedup_users", "t27_state_source_read",
     "t26_stream_transform_with_state", "t39_tws_state_source_read",
     "t45_stream_canonical_dedup", "t47_stream_corpus_recover",
-    "t48_stream_two_hop", "t52_stream_two_hop_lineage")
+    "t48_stream_two_hop", "t52_stream_two_hop_lineage",
+    // r18: the two batch vote seats aggregate ONE shared decoded-votes
+    // run (VotePipeline.decodedShared — the generate→wire→from_json
+    // front-end they both derived independently); their readings measure
+    // the aggregation over the memoized decode, while the three
+    // streaming vote seats keep the full wire-decode chain on the timed
+    // board per micro-batch.
+    "vote_e2e_party_tally", "vote_e2e_turnout_by_state")
 
   def main(args: Array[String]): Unit = {
     TmpDirs.install()
@@ -574,6 +581,7 @@ object Bench {
     graft.ext.TextOps.clearCaches()
     graft.ext.ClassifierOps.clearCaches()
     graft.ext.MediaPayloads.clearCaches()
+    graft.pipeline.VotePipeline.clearCaches()
     graft.SparkEntry.clearCaches()
     graft.Tables.clearCaches()
     spark.stop()

@@ -80,6 +80,7 @@ object Verify {
     graft.ext.TextOps.clearCaches()
     graft.ext.ClassifierOps.clearCaches()
     graft.ext.MediaPayloads.clearCaches()
+    graft.pipeline.VotePipeline.clearCaches()
     graft.SparkEntry.clearCaches()
     graft.Tables.clearCaches()
     spark.stop()

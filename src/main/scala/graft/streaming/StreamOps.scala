@@ -4356,6 +4356,12 @@ object StreamOps {
       .parquet(topic.toString)
       .writeStream
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        // one file per produce call (r18, guide §6): each epoch's frames
+        // are a handful of KB-sized rows, but the aggregate inherits the
+        // session's shuffle width, so every append was committing a
+        // directory of tiny files — 4 produce calls × width files plus
+        // their commit/list overhead on the consumer's read. coalesce(1)
+        // keeps the retry shape (two separate append commits) intact.
         val frames = batch
           .withColumn("cents", round(col("value") * 100).cast("long"))
           .groupBy("event_type")
@@ -4363,6 +4369,7 @@ object StreamOps {
           .select(col("event_type").cast("binary").as("key"),
             to_json(struct(col("event_type"), lit(epoch).as("epoch"),
                            col("n"), col("cents"))).cast("binary").as("value"))
+          .coalesce(1)
           .persist()
         frames.write.mode("append").parquet(emitted)
         // injected producer retry: the SAME epoch's frames land again —

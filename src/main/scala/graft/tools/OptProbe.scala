@@ -34,14 +34,19 @@ object OptProbe {
       case "q2" => q2(spark, sf)
       case "t53" => t53(spark, sf)
       case "t53bloom" => t53bloom(spark, sf)
+      case "t53parts" => t53parts(spark, sf)
+      case "t53agg" => t53agg(spark, sf)
       case "scan" => scan(spark, sf)
       case "spread" => spread(spark, sf)
       case "j8" => j8(spark, sf)
       case "semantic" => semantic(spark, sf)
       case "cms" => cms(spark, sf)
       case "vote" => vote(spark, sf)
+      case "vote2" => vote2(spark, sf)
       case "s10" => s10(spark, sf)
       case "bpe" => bpe(spark, sf)
+      case "plans18" => plans18(spark, sf)
+      case "paircount" => paircount(spark, sf)
       case other => println(s"unknown scenario $other")
     }
     spark.stop()
@@ -127,6 +132,48 @@ object OptProbe {
     timeN("reemit", 3)(qs("vote_e2e_reemit")(spark, sf).count())
   }
 
+  /** vote streaming pacing A/B: the shipped 2-micro-batch live_results /
+    * reemit vs single-batch variants (maxFilesPerTrigger absent → all 4
+    * staged files in one batch) — same final rows by complete-mode
+    * construction; measures what the second micro-batch costs. */
+  def vote2(spark: SparkSession, sf: String): Unit = {
+    import graft.ops.Decode
+    import graft.model.Schemas
+    val V = graft.pipeline.VotePipeline
+    val qs = graft.SparkEntry.queries
+    qs("vote_e2e_live_results")(spark, sf).count() // warm + stage topic
+    // the staged topic dir is private; A/B through a local re-staging
+    val dir = graft.TmpDirs.create("graft_voteab_").toString
+    V.wire(spark, 1000).repartition(4).write.mode("overwrite").parquet(dir)
+    val dim = graft.gen.Generator.candidatesFull(spark)
+      .select(concat(lit("c"), col("candidate_id")).as("candidate_id"),
+        col("candidate_name"), col("party_affiliation"))
+    def live(maxFiles: Option[Int], tag: String): Unit =
+      graft.streaming.StreamOps.perfScope(spark, Some(4)) {
+        val rdr = spark.readStream.schema("key STRING, value BINARY")
+        val src = maxFiles.map(n => rdr.option("maxFilesPerTrigger", n))
+          .getOrElse(rdr).parquet(dir)
+        val q = Decode.flatten(Decode.jsonDecode(
+            Decode.castValueToString(src), Schemas.VoteSchema))
+          .groupBy("candidate_id")
+          .agg(sum("vote").as("total_votes"))
+          .join(broadcast(dim), "candidate_id")
+          .select("candidate_name", "party_affiliation", "total_votes")
+          .writeStream.format("memory").queryName(tag)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        spark.table(tag)
+      }
+    live(Some(2), "vab_warm2"); live(None, "vab_warm1")
+    (1 to 4).foreach { i =>
+      time("live 2-batch")(live(Some(2), s"vab2_$i"))
+      time("live 1-batch")(live(None, s"vab1_$i"))
+    }
+    val a = spark.table("vab2_4").collect().map(_.toString).sorted
+    val b = spark.table("vab1_4").collect().map(_.toString).sorted
+    println(s"rows equal: ${a.sameElements(b)} (${a.length})")
+  }
+
   /** s10_wire_emit_exactly_once: the full seat (2 micro-batches, each
     * appending its frames twice) and the consumer leg alone. */
   def s10(spark: SparkSession, sf: String): Unit = {
@@ -175,6 +222,261 @@ object OptProbe {
     val a = T.bpeEncode(docs, 8).collect().map(_.toString).sorted
     val b = encodeLit().collect().map(_.toString).sorted
     println(s"rows equal: ${a.sameElements(b)} (${a.length})")
+  }
+
+  /** Near-zero-reduction partial-aggregate hunt, applied to the other two
+    * inverted-index pair counters: the commonCounts pair pass (shared by
+    * ngram_jaccard/containment/jaccardPairsAbove) and substringDupSpans'
+    * per-(window, doc) collapse. A/B shipped vs one-exchange complete
+    * forms (the t53 fix) — interleaved, rows-equal checked. */
+  def paircount(spark: SparkSession, sf: String): Unit = {
+    val D = graft.ext.DedupOps
+    val docs = graft.Tables.documents(spark, sf)
+    val parts = spark.sessionState.conf.numShufflePartitions
+    // --- commonCounts pair pass (bypassing the session memo) ---
+    val (commonShipped, _) = D.commonCountsPlan(docs, 3, 1000000L)
+    def commonOneExchange(): DataFrame = {
+      val sh = D.shinglesCheckpointed(docs, 3) // the same memoized input
+      val shKey = Seq("shingle_h", "shingle_l")
+      val rare = sh.groupBy(shKey.map(col): _*).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 1000000L).select(shKey.map(col): _*)
+      val shCapped = sh.join(rare, shKey)
+      val a = shCapped.select((col("doc_id").as("doc_a") +: shKey.map(col)): _*)
+      val b = shCapped.select((col("doc_id").as("doc_b") +: shKey.map(col)): _*)
+      a.join(b, shKey)
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .repartition(parts, col("doc_a"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    }
+    noopW(commonShipped); noopW(commonOneExchange())
+    (1 to 4).foreach { _ =>
+      time("commonCounts shipped")(noopW(D.commonCountsPlan(docs, 3, 1000000L)._1))
+      time("commonCounts one-exchange")(noopW(commonOneExchange()))
+    }
+    val ca = commonShipped.collect().map(_.toString).sorted
+    val cb = commonOneExchange().collect().map(_.toString).sorted
+    println(s"commonCounts rows equal: ${ca.sameElements(cb)} (${ca.length})")
+    // --- substringDupSpans ---
+    graft.functions.GraftExtensions.register(spark)
+    def spansOneExchange(): DataFrame = {
+      val wins = docs
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 13)
+        .select(col("doc_id"),
+          explode(expr("ngram_fingerprints(words, 13)")).as("win_h"))
+        .repartition(parts, col("win_h"))
+      val wg = wins.groupBy(col("win_h"), col("doc_id"))
+        .agg(count(lit(1)).as("n_occ"))
+      val dfd = wg.groupBy(col("win_h")).agg(count(lit(1)).as("n_docs"))
+      wg.join(dfd, Seq("win_h"))
+        .groupBy("doc_id")
+        .agg(sum("n_occ").as("n_windows"),
+             sum(when(col("n_docs") > 1, col("n_occ")).otherwise(0L))
+               .as("n_dup_windows"))
+        .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+          round(col("n_dup_windows") / col("n_windows").cast("double"), 6)
+            .as("dup_frac"))
+    }
+    noopW(D.substringDupSpans(docs)); noopW(spansOneExchange())
+    (1 to 4).foreach { _ =>
+      time("spans shipped")(noopW(D.substringDupSpans(docs)))
+      time("spans one-exchange")(noopW(spansOneExchange()))
+    }
+    val sa = D.substringDupSpans(docs).collect().map(_.toString).sorted
+    val sb = spansOneExchange().collect().map(_.toString).sorted
+    println(s"spans rows equal: ${sa.sameElements(sb)} (${sa.length})")
+  }
+
+  /** Round-18 plan-evidence dumps (run with SPARK_GRAFT_AQE=0 for static
+    * plans, the PlanDump convention): the t53 per-batch triage before
+    * (r17 shape — partial/final pair count) and after (one-exchange
+    * complete aggregates), the vote batch tally before (per-seat decode
+    * re-derivation) and after (shared checkpointed decode), and the j8
+    * probe-memo split-count witness the r17 verdict asked to commit. */
+  def plans18(spark: SparkSession, sf: String): Unit = {
+    val out = java.nio.file.Paths.get("plans/r18")
+    java.nio.file.Files.createDirectories(out)
+    def write(name: String, df: DataFrame): Unit = {
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      java.nio.file.Files.writeString(out.resolve(s"$name.txt"), plan)
+      println(s"[plans18] wrote $name (${plan.length} chars)")
+    }
+    val D = graft.ext.DedupOps
+    val docs = graft.Tables.documents(spark, sf)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select("doc_id", "text")
+    val idx = D.corpusIndex(corpus, 3)
+    val increment = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select("doc_id", "text")
+      .union(corpus.filter(pmod(col("doc_id"), lit(7)) === 3)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val half0 = increment.filter(pmod(col("doc_id"), lit(2)) === 0)
+    // r17 shape, inlined verbatim from the pre-r18 incrementalDedupIndexed
+    def triageR17(inc: DataFrame): DataFrame = {
+      val exactDup = inc.select(col("doc_id"), md5(col("text")).as("dig"))
+        .join(idx.digests, "dig").select("doc_id").distinct()
+      val shInc = D.shingles(inc, 3)
+        .withColumn("shingle_h", xxhash64(col("shingle")))
+        .withColumn("shingle_l", length(col("shingle")))
+        .drop("shingle")
+      val shKey = Seq("shingle_h", "shingle_l")
+      val szInc = shInc.groupBy("doc_id").agg(count(lit(1)).as("n_a"))
+      val nearDup = shInc.select((col("doc_id").as("inc_id") +: shKey.map(col)): _*)
+        .join(idx.sh.select((col("doc_id").as("corp_id") +: shKey.map(col)): _*),
+              shKey)
+        .groupBy("inc_id", "corp_id").agg(count(lit(1)).as("n_common"))
+        .join(broadcast(szInc.select(col("doc_id").as("inc_id"), col("n_a"))),
+              "inc_id")
+        .join(idx.sz.select(col("doc_id").as("corp_id"), col("n_b")), "corp_id")
+        .filter(round(col("n_common")
+          / (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6) >= 0.5)
+        .select(col("inc_id").as("doc_id")).distinct()
+      inc.select("doc_id")
+        .join(broadcast(exactDup.withColumn("is_exact", lit(true))),
+              Seq("doc_id"), "left")
+        .join(broadcast(nearDup.withColumn("is_near", lit(true))),
+              Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("is_exact"), "exact_dup")
+            .when(col("is_near"), "near_dup")
+            .otherwise("kept").as("status"))
+    }
+    write("t53_triage_before", triageR17(half0))
+    write("t53_triage_after", D.incrementalDedupIndexed(half0, idx, 3, tau = 0.5))
+    // vote batch tally: per-seat decode re-derivation vs the shared memo
+    val V = graft.pipeline.VotePipeline
+    write("vote_party_tally_before",
+      V.decoded(spark, 1000)
+        .groupBy("party_affiliation")
+        .agg(sum("vote").as("total_votes")))
+    write("vote_party_tally_after", V.partyTally(spark, 1000))
+    // j8 probe-memo split witness: the ExistingRDD leaf's partition count
+    // (the r17 fix spread the sealed checkpoint across the session cores)
+    val part = graft.Tables.part(spark, sf)
+    val j8 = graft.ops.FuzzyJoin.fuzzyPartMatch(part)
+    j8.count() // builds + seals the probe memo
+    val probeParts = graft.ops.FuzzyJoin.fuzzyPartMatch(part)
+    probeParts.count() // execute so AQE finalizes its stages
+    def rddLeaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[String] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        rddLeaves(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        rddLeaves(q.plan)
+      case r: org.apache.spark.sql.execution.RDDScanExec =>
+        Seq(s"ExistingRDD(${r.rdd.name}): partitions=${r.rdd.getNumPartitions}")
+      case other => other.children.flatMap(rddLeaves)
+    }
+    val witness = (s"defaultParallelism=${spark.sparkContext.defaultParallelism}\n" +
+      rddLeaves(probeParts.queryExecution.executedPlan).mkString("\n") + "\n\n" +
+      probeParts.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    java.nio.file.Files.writeString(out.resolve("j8_probe_splits_witness.txt"), witness)
+    println("[plans18] wrote j8_probe_splits_witness")
+  }
+
+  /** t53 pair-count shape A/B: shipped (partial agg 330k→319k — near-zero
+    * reduction — then a 32-wide exchange whose write time dwarfs every
+    * other exchange) vs the q2/q21 single-exchange form (repartition the
+    * join output by inc_id once; the (inc_id, corp_id) count, the szInc
+    * attach, and the final distinct then all complete in place). */
+  def t53agg(spark: SparkSession, sf: String): Unit = {
+    val D = graft.ext.DedupOps
+    val docs = graft.Tables.documents(spark, sf)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select("doc_id", "text")
+    val idx = D.corpusIndex(corpus, 3)
+    val increment = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select("doc_id", "text")
+      .union(corpus.filter(pmod(col("doc_id"), lit(7)) === 3)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val half0 = increment.filter(pmod(col("doc_id"), lit(2)) === 0)
+    def triageOneExchange(inc: DataFrame): DataFrame = {
+      val parts = spark.sessionState.conf.numShufflePartitions
+      val exactDup = inc.select(col("doc_id"), md5(col("text")).as("dig"))
+        .join(idx.digests, "dig")
+        .select("doc_id").distinct()
+      val shInc = D.shingles(inc, 3)
+        .withColumn("shingle_h", xxhash64(col("shingle")))
+        .withColumn("shingle_l", length(col("shingle")))
+        .drop("shingle")
+      val shKey = Seq("shingle_h", "shingle_l")
+      val szInc = shInc.groupBy("doc_id").agg(count(lit(1)).as("n_a"))
+      val nearDup = broadcast(
+          shInc.select((col("doc_id").as("inc_id") +: shKey.map(col)): _*))
+        .join(idx.sh.select((col("doc_id").as("corp_id") +: shKey.map(col)): _*),
+              shKey)
+        .select("inc_id", "corp_id")
+        .repartition(parts, col("inc_id"))
+        .groupBy("inc_id", "corp_id").agg(count(lit(1)).as("n_common"))
+        .join(broadcast(szInc.select(col("doc_id").as("inc_id"), col("n_a"))),
+              "inc_id")
+        .join(idx.sz.select(col("doc_id").as("corp_id"), col("n_b")), "corp_id")
+        .filter(round(col("n_common")
+          / (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6) >= 0.5)
+        .select(col("inc_id").as("doc_id")).distinct()
+      inc.select("doc_id")
+        .join(broadcast(exactDup.withColumn("is_exact", lit(true))),
+              Seq("doc_id"), "left")
+        .join(broadcast(nearDup.withColumn("is_near", lit(true))),
+              Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("is_exact"), "exact_dup")
+            .when(col("is_near"), "near_dup")
+            .otherwise("kept").as("status"))
+    }
+    noopW(D.incrementalDedupIndexed(half0, idx, 3, tau = 0.5))
+    noopW(triageOneExchange(half0))
+    (1 to 5).foreach { _ =>
+      time("triage shipped")(
+        noopW(D.incrementalDedupIndexed(half0, idx, 3, tau = 0.5)))
+      time("triage one-exchange")(noopW(triageOneExchange(half0)))
+    }
+    val a = D.incrementalDedupIndexed(half0, idx, 3, tau = 0.5)
+      .collect().map(_.toString).sorted
+    val b = triageOneExchange(half0).collect().map(_.toString).sorted
+    println(s"rows equal: ${a.sameElements(b)} (${a.length})")
+    dumpMetrics(triageOneExchange(half0))
+  }
+
+  /** t53 per-batch triage decomposition: which stage owns the ~1.3 s —
+    * the increment shingle explode, the exact gate, the inverted-index
+    * probe, or the status fold; plus the sealed-side scan alone. */
+  def t53parts(spark: SparkSession, sf: String): Unit = {
+    val D = graft.ext.DedupOps
+    val docs = graft.Tables.documents(spark, sf)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select("doc_id", "text")
+    val idx = D.corpusIndex(corpus, 3)
+    val increment = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select("doc_id", "text")
+      .union(corpus.filter(pmod(col("doc_id"), lit(7)) === 3)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val half0 = increment.filter(pmod(col("doc_id"), lit(2)) === 0)
+    def shInc = D.shingles(half0, 3)
+      .withColumn("shingle_h", xxhash64(col("shingle")))
+      .withColumn("shingle_l", length(col("shingle")))
+      .drop("shingle")
+    val shKey = Seq("shingle_h", "shingle_l")
+    noopW(D.incrementalDedupIndexed(half0, idx, 3, tau = 0.5)) // warm
+    timeN("idx.sh scan (cached)", 3)(noopW(idx.sh))
+    timeN("half0 scan", 3)(noopW(half0))
+    timeN("shInc explode", 3)(noopW(shInc))
+    timeN("exact gate", 3)(noopW(
+      half0.select(col("doc_id"), md5(col("text")).as("dig"))
+        .join(idx.digests, "dig").select("doc_id").distinct()))
+    timeN("index probe join", 3)(noopW(
+      shInc.select((col("doc_id").as("inc_id") +: shKey.map(col)): _*)
+        .join(idx.sh.select((col("doc_id").as("corp_id") +: shKey.map(col)): _*),
+              shKey)
+        .groupBy("inc_id", "corp_id").agg(count(lit(1)).as("n_common"))))
+    timeN("full triage", 3)(
+      noopW(D.incrementalDedupIndexed(half0, idx, 3, tau = 0.5)))
+    val df = D.incrementalDedupIndexed(half0, idx, 3, tau = 0.5)
+    time("triage collect")(df.collect())
+    dumpMetrics(df)
   }
 
   /** t53 probe-side alternatives: shipped co-located shuffle probe vs a
