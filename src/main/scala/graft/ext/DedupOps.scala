@@ -72,8 +72,21 @@ object DedupOps {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = shCapped.select((col("doc_id").as("doc_a") +: shKey.map(col)): _*)
     val b = shCapped.select((col("doc_id").as("doc_b") +: shKey.map(col)): _*)
+    // r18 (guide §2.4, the same near-zero-reduction finding as the t53
+    // pair count): most co-shingled pairs share only a handful of
+    // shingles, so the map-side partial count barely reduced the join
+    // output while every task still paid its hash fold + a 32-wide
+    // exchange write. One explicit width-pinned repartition on doc_a
+    // (subset of the grouping key; pairs per doc_a are bounded by the
+    // maxDf cap) lets the (doc_a, doc_b) count complete in place.
+    // Interleaved in-JVM A/B at 32 cores on the memoized shingle input:
+    // 2.60-3.08 s -> 1.58-2.18 s for the full pair pass, 1 130 536 rows
+    // identical (OPTIMIZATION_r18.md).
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     val common = a.join(b, shKey)
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .repartition(parts, col("doc_a"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
     (common, sizes)
   }

@@ -47,6 +47,7 @@ object OptProbe {
       case "bpe" => bpe(spark, sf)
       case "plans18" => plans18(spark, sf)
       case "paircount" => paircount(spark, sf)
+      case "textex" => textex(spark, sf)
       case other => println(s"unknown scenario $other")
     }
     spark.stop()
@@ -224,6 +225,79 @@ object OptProbe {
     println(s"rows equal: ${a.sameElements(b)} (${a.length})")
   }
 
+  /** Shared-exchange candidates in the heavy text seats (§2.4): tfidf
+    * (partition once by word → tf completes AND the df window reuses the
+    * partitioning) and source_overlap (partition once by shingle hash →
+    * the distinct and the source-set fold both complete in place). */
+  def textex(spark: SparkSession, sf: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val T = graft.ext.TextOps
+    val docs = graft.Tables.documents(spark, sf)
+    val parts = spark.sessionState.conf.numShufflePartitions
+    def tfidfOneX(k: Int): DataFrame = {
+      val words = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("word"))
+        .repartition(parts, col("word"))
+      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val tfdf = tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("word")))
+      val nDocs = docs.agg(countDistinct("doc_id").as("n_docs"))
+      tfdf.crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("word"),
+          round(col("tf") * (log((col("n_docs") + 1) / (col("df") + 1)) + 1), 6)
+            .as("tfidf"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("word"))))
+        .filter(col("rn") <= k)
+    }
+    noopW(T.tfIdfTopTerms(docs, 3)); noopW(tfidfOneX(3))
+    (1 to 4).foreach { _ =>
+      time("tfidf shipped")(noopW(T.tfIdfTopTerms(docs, 3)))
+      time("tfidf one-exchange")(noopW(tfidfOneX(3)))
+    }
+    val ta = T.tfIdfTopTerms(docs, 3).collect().map(_.toString).sorted
+    val tb = tfidfOneX(3).collect().map(_.toString).sorted
+    println(s"tfidf rows equal: ${ta.sameElements(tb)} (${ta.length})")
+    // source_overlap: repartition by sh_h once; the (source, sh_h)
+    // distinct and the per-shingle source-set fold then complete in place
+    graft.functions.GraftExtensions.register(spark)
+    def overlapOneX(): DataFrame = {
+      val sh = docs
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 3)
+        .select(col("source"),
+          explode(array_distinct(expr("ngram_fingerprints(words, 3)")))
+            .as("sh_h"))
+        .repartition(parts, col("sh_h"))
+        .distinct()
+      val sizes = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+      sh.groupBy("sh_h")
+        .agg(sort_array(collect_set(col("source"))).as("srcs"))
+        .filter(size(col("srcs")) >= 2 && size(col("srcs")) <= 1000000L)
+        .select(explode(expr(
+          """flatten(transform(srcs, (x, i) ->
+               transform(slice(srcs, i + 2, size(srcs)),
+                         y -> struct(x AS src_a, y AS src_b))))""")).as("p"))
+        .select(col("p.src_a"), col("p.src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+        .join(sizes.select(col("source").as("src_a"), col("n_sh").as("n_a")), "src_a")
+        .join(sizes.select(col("source").as("src_b"), col("n_sh").as("n_b")), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          round(col("n_shared") /
+                  (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy("src_a", "src_b")
+    }
+    noopW(T.crossSourceOverlap(docs, 3)); noopW(overlapOneX())
+    (1 to 4).foreach { _ =>
+      time("overlap shipped")(noopW(T.crossSourceOverlap(docs, 3)))
+      time("overlap one-exchange")(noopW(overlapOneX()))
+    }
+    val oa = T.crossSourceOverlap(docs, 3).collect().map(_.toString).sorted
+    val ob = overlapOneX().collect().map(_.toString).sorted
+    println(s"overlap rows equal: ${oa.sameElements(ob)} (${oa.length})")
+  }
+
   /** Near-zero-reduction partial-aggregate hunt, applied to the other two
     * inverted-index pair counters: the commonCounts pair pass (shared by
     * ngram_jaccard/containment/jaccardPairsAbove) and substringDupSpans'
@@ -235,7 +309,9 @@ object OptProbe {
     val parts = spark.sessionState.conf.numShufflePartitions
     // --- commonCounts pair pass (bypassing the session memo) ---
     val (commonShipped, _) = D.commonCountsPlan(docs, 3, 1000000L)
-    def commonOneExchange(): DataFrame = {
+    // the r17 shape (partial/final pair count), inlined for the A/B —
+    // `shipped` is the r18 one-exchange form in commonCountsPlan
+    def commonPartialAgg(): DataFrame = {
       val sh = D.shinglesCheckpointed(docs, 3) // the same memoized input
       val shKey = Seq("shingle_h", "shingle_l")
       val rare = sh.groupBy(shKey.map(col): _*).agg(count(lit(1)).as("df"))
@@ -245,17 +321,16 @@ object OptProbe {
       val b = shCapped.select((col("doc_id").as("doc_b") +: shKey.map(col)): _*)
       a.join(b, shKey)
         .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
-        .repartition(parts, col("doc_a"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
     }
-    noopW(commonShipped); noopW(commonOneExchange())
+    noopW(commonShipped); noopW(commonPartialAgg())
     (1 to 4).foreach { _ =>
-      time("commonCounts shipped")(noopW(D.commonCountsPlan(docs, 3, 1000000L)._1))
-      time("commonCounts one-exchange")(noopW(commonOneExchange()))
+      time("commonCounts shipped (one-exch)")(
+        noopW(D.commonCountsPlan(docs, 3, 1000000L)._1))
+      time("commonCounts r17 (partial agg)")(noopW(commonPartialAgg()))
     }
     val ca = commonShipped.collect().map(_.toString).sorted
-    val cb = commonOneExchange().collect().map(_.toString).sorted
+    val cb = commonPartialAgg().collect().map(_.toString).sorted
     println(s"commonCounts rows equal: ${ca.sameElements(cb)} (${ca.length})")
     // --- substringDupSpans ---
     graft.functions.GraftExtensions.register(spark)
@@ -345,6 +420,22 @@ object OptProbe {
     }
     write("t53_triage_before", triageR17(half0))
     write("t53_triage_after", D.incrementalDedupIndexed(half0, idx, 3, tau = 0.5))
+    // the shared inverted-index pair pass: r17 partial/final shape vs the
+    // r18 one-exchange complete aggregate (commonCountsPlan)
+    def commonR17(): DataFrame = {
+      val sh = D.shinglesCheckpointed(docs, 3)
+      val shKey = Seq("shingle_h", "shingle_l")
+      val rare = sh.groupBy(shKey.map(col): _*).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 1000000L).select(shKey.map(col): _*)
+      val shCapped = sh.join(rare, shKey)
+      val a = shCapped.select((col("doc_id").as("doc_a") +: shKey.map(col)): _*)
+      val b = shCapped.select((col("doc_id").as("doc_b") +: shKey.map(col)): _*)
+      a.join(b, shKey)
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    }
+    write("dedup_paircount_before", commonR17())
+    write("dedup_paircount_after", D.commonCountsPlan(docs, 3, 1000000L)._1)
     // vote batch tally: per-seat decode re-derivation vs the shared memo
     val V = graft.pipeline.VotePipeline
     write("vote_party_tally_before",
